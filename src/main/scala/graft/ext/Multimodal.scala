@@ -1,0 +1,66 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-item media metadata produced by the stubbed decoder. */
+case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                     channels: Int)
+
+/** Multimodal-column plumbing — treat media as opaque `binary` columns
+  * with typed metadata, decode via partition-wise batch processing.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic FAKE standing in for a real decoder
+  * (e.g. JNI/javacv): it derives "dimensions" arithmetically from the
+  * byte length. Everything around it — binary column, typed Dataset,
+  * mapPartitions batch shape, schema of the result — is the real
+  * production plumbing a decoder would drop into.
+  */
+object Multimodal {
+
+  /** STUB decoder: replace with a real codec. Deterministic arithmetic on
+    * the payload length so the DuckDB oracle can reproduce it. */
+  private def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta(id, n, (n * 7 + 13) % 640, (n * 11 + 17) % 480, 3)
+  }
+
+  /** Binary ingestion + partition-wise "decode": text bytes play the role
+    * of an opaque media payload (testdata has no binary column). The
+    * mapPartitions boundary is where a real decoder would batch-process;
+    * partitioning and schema survive a real-codec swap unchanged. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+  }
+
+  /** Pure-plan variant of the metadata extraction (no mapPartitions):
+    * binary functions only — stays inside whole-stage codegen. */
+  def mediaMetaPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+              ((col("n_bytes") * 7 + 13) % 640).as("width"),
+              ((col("n_bytes") * 11 + 17) % 480).as("height"),
+              lit(3).as("channels"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta"      -> mediaMeta _,
+    "mm_media_meta_plan" -> mediaMetaPlan _)
+
+  private val metaSql =
+    "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+      "(strlen(text) * 7 + 13) % 640 AS width, " +
+      "(strlen(text) * 11 + 17) % 480 AS height, 3 AS channels FROM documents"
+
+  val oracle: Map[String, String] = Map(
+    "mm_media_meta"      -> metaSql,
+    "mm_media_meta_plan" -> metaSql)
+}

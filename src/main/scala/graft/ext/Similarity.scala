@@ -1,0 +1,124 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Num
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors) — the
+  * north-star ANN surface: brute-force cosine top-k as the baseline, and
+  * random-hyperplane LSH bucketing as the scale path (bucket join beats
+  * the O(n²) cross product at 100 TB).
+  *
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`), codegen'd, no UDFs. Hyperplanes are derived from a
+  * deterministic LCG so the identical ±1 literals appear in the generated
+  * DuckDB oracle SQL.
+  */
+object Similarity {
+
+  /** embedding elements cast float→double once, sequential left fold. */
+  private def dotCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotCols(a, b) / (sqrt(dotCols(a, a)) * sqrt(dotCols(b, b)))
+
+  /** L2 norm per vector (fold determinism probe for the oracle). */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+              Num.rnd(sqrt(dotCols(col("embedding"), col("embedding"))), 6).as("nrm"))
+
+  /** Brute-force cosine top-10 against the vec_id=0 query vector.
+    * TakeOrderedAndProject (no global sort); the query side is a 1-row
+    * broadcast, the big side streams — scales linearly. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              Num.rnd(cosine(col("embedding"), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Deterministic ±1 hyperplane entries via LCG (same numbers are
+    * emitted as literals into the oracle SQL). */
+  private[ext] def plane(j: Int, dim: Int = 64): Seq[Double] =
+    (0 until dim).map { i =>
+      val x = (1103515245L * (j * dim + i) + 12345L) >> 16
+      if ((x & 1L) == 1L) 1.0 else -1.0
+    }
+
+  private val NumPlanes = 8
+
+  private def bucketCol: Column =
+    (0 until NumPlanes).map { j =>
+      val h = array(plane(j).map(lit): _*)
+      when(dotCols(col("embedding"), h) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _).as("bucket")
+
+  /** LSH bucket assignment: 8 random-hyperplane sign bits → bucket id
+    * (0..255). Near vectors collide with high probability. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), bucketCol)
+
+  /** ANN top-3 per query via LSH: self-join within buckets (candidate set
+    * ~n/256 per vector instead of n), exact cosine re-rank, keep 3.
+    * The bucketed join is the 100 TB path: shuffle by bucket, no cross
+    * product. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), bucketCol)
+    val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"))
+    val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), Num.rnd(cosine(col("va"), col("vb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id", "rn", "sim")
+  }
+
+  // ---- generated oracle SQL ----
+
+  private def planeSqlLit(j: Int): String =
+    plane(j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private def bucketSql: String =
+    (0 until NumPlanes).map { j =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSqlLit(j)}) > 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_norms"       -> norms _,
+    "sim_brute_topk"  -> bruteTopK _,
+    "sim_lsh_buckets" -> lshBuckets _,
+    "sim_ann_topk"    -> annTopK _)
+
+  val oracle: Map[String, String] = Map(
+    "sim_norms" ->
+      ("SELECT vec_id, round((sqrt(list_dot_product(embedding::DOUBLE[], " +
+       "embedding::DOUBLE[]))) * 1e6) / 1e6 AS nrm FROM embeddings"),
+    "sim_brute_topk" ->
+      ("SELECT e.vec_id, round((list_cosine_similarity(e.embedding::DOUBLE[], " +
+       "q.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim FROM embeddings e, " +
+       "(SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+       "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id ASC LIMIT 10"),
+    "sim_lsh_buckets" ->
+      s"SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings",
+    "sim_ann_topk" ->
+      ("WITH b AS (SELECT vec_id, embedding, CAST(" + bucketSql + " AS INTEGER) AS bucket " +
+       "FROM embeddings), " +
+       "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id), " +
+       "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+       "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
+       "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"))
+}

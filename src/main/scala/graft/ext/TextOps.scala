@@ -1,0 +1,127 @@
+package graft.ext
+
+import graft.Tables
+import graft.ops.Num
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (north star, BASELINE.json): token counting, quality scoring,
+  * language ID, fingerprinting. All built-in codegen'd expressions; the
+  * language-ID marker table is the single source of truth for BOTH the
+  * Spark plan and the generated DuckDB oracle SQL.
+  */
+object TextOps {
+
+  /** Marker words per language (disjoint, from the corpus vocabulary).
+    * Priority order = list order (argmax ties resolve to earlier). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("value", "vector"),
+    "de" -> Seq("order", "group"),
+    "fr" -> Seq("line", "part"),
+    "zh" -> Seq("spark", "batch"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).as("n_ws"),
+              size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]', 0)")).as("n_bpe"))
+
+  /** Quality scoring: char/token/unique-token counts + a boolean gate
+    * (integer outputs — exact across engines). */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              length(col("text")).as("n_char"),
+              size(toks).as("n_tok"),
+              size(array_distinct(toks)).as("n_uniq"))
+      .withColumn("ttr_pct",
+        when(col("n_tok") > 0,
+             Num.rnd(lit(100.0) * col("n_uniq") / col("n_tok"), 1))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_ok",
+        (col("n_tok").between(10, 2000) && col("n_uniq") >= 5).cast("int"))
+  }
+
+  private def hitCount(markers: Seq[String]): Column =
+    markers.map { m =>
+      when(concat(lit(" "), col("text"), lit(" ")).like(s"% $m %"), 1).otherwise(0)
+    }.reduce(_ + _)
+
+  /** N-gram-heuristic language ID: count marker-word hits per language,
+    * argmax with fixed priority. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, ms)) => df.withColumn(s"s_$lang", hitCount(ms))
+    }
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), elseCol) =>
+        val isMax = langs.drop(i + 1)
+          .map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .foldLeft(lit(true): Column)(_ && _)
+        when(isMax, lang).otherwise(elseCol)
+    }
+    scored
+      .withColumn("predicted", predicted)
+      .withColumn("is_correct", (col("predicted") === col("lang")).cast("int"))
+      .select(Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
+              Seq(col("predicted"), col("is_correct")): _*)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("fp"))
+
+  // ---- generated oracle SQL (same marker table) ----
+
+  private def sqlHits(ms: Seq[String]): String =
+    ms.map(m => s"(CASE WHEN ' ' || text || ' ' LIKE '% $m %' THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  private def langidSql: String = {
+    val langs = langMarkers.map(_._1)
+    val scores = langMarkers
+      .map { case (l, ms) => s"${sqlHits(ms)} AS s_$l" }.mkString(", ")
+    // CASE priority chain: first lang whose score >= all later langs
+    val branches = langs.zipWithIndex.init.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    val caseExpr = s"CASE $branches ELSE '${langs.last}' END"
+    s"SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, " +
+      s"$caseExpr AS predicted, " +
+      s"CAST(($caseExpr) = lang AS INTEGER) AS is_correct " +
+      s"FROM (SELECT doc_id, lang, $scores FROM documents) t"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> tokens _,
+    "text_quality"     -> quality _,
+    "text_langid"      -> langid _,
+    "text_fingerprint" -> fingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws, " +
+       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]')) AS INTEGER) AS n_bpe " +
+       "FROM documents"),
+    "text_quality" ->
+      ("SELECT doc_id, n_char, n_tok, n_uniq, " +
+       "CASE WHEN n_tok > 0 THEN round((100.0 * n_uniq / n_tok) * 1e1) / 1e1 ELSE 0.0 END AS ttr_pct, " +
+       "CAST(n_tok BETWEEN 10 AND 2000 AND n_uniq >= 5 AS INTEGER) AS quality_ok FROM (" +
+       "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char, " +
+       "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq " +
+       "FROM documents) t"),
+    "text_langid" -> langidSql,
+    "text_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp " +
+       "FROM documents"))
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators — SURVEY §2.4 (A1–A6) plus rollup/count-distinct
+  * extensions (SURVEY §2.4 note: Catalyst built-ins, demonstrated here).
+  *
+  * Float discipline for the DuckDB oracle: sums over 2-dp-grain money
+  * columns are rounded to 2 dp — the true decimal sum has 2-dp grain, so
+  * accumulated fp error (≪ 0.005) can never flip the rounding even though
+  * Spark's partial-agg addition order differs from DuckDB's.
+  */
+object Aggs {
+
+  /** A1+O1: group-by count, ordered (the reference's per-state
+    * distribution report, `/root/reference/real_estate_etl_job.py:70`). */
+  def groupbyCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** A2/A4/A6 rolled together: global one-row stats in a single pass
+    * (vs the reference's 8 separate count() jobs, SURVEY §3.2). */
+  def globalStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+           Num.rnd(sum("l_quantity"), 2).as("sum_qty"),
+           Num.rnd(avg("l_extendedprice"), 2).as("avg_price"),
+           count(when(col("l_discount") > 0.05, 1)).as("n_highdisc"))
+
+  /** Multi-stat group-by (count/avg/min/max/sum). */
+  def groupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+           Num.rnd(avg("c_acctbal"), 2).as("avg_bal"),
+           min("c_acctbal").as("min_bal"),
+           max("c_acctbal").as("max_bal"),
+           Num.rnd(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("c_nationkey")
+
+  /** Count-distinct per group (expands to two-phase agg in Catalyst). */
+  def countDistinctQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+           countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  /** A3: distinct over a projection. */
+  def distinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderstatus", "o_orderpriority").distinct()
+
+  /** Hierarchical totals via ROLLUP (beyond-reference, Catalyst built-in). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           Num.rnd(sum("o_totalprice"), 2).as("sum_price"))
+
+  /** TPC-H Q1-shaped pricing summary — the flagship aggregation. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(Num.rnd(sum("l_quantity"), 2).as("sum_qty"),
+           Num.rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+           Num.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("sum_disc_price"),
+           Num.rnd(avg("l_quantity"), 2).as("avg_qty"),
+           Num.rnd(avg("l_extendedprice"), 2).as("avg_price"),
+           count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_groupby_count" -> groupbyCount _,
+    "agg_global"        -> globalStats _,
+    "agg_stats"         -> groupStats _,
+    "agg_count_distinct" -> countDistinctQ _,
+    "distinct_keys"     -> distinctKeys _,
+    "agg_rollup"        -> rollupAgg _,
+    "q1_agg"            -> q1Agg _)
+
+  val oracle: Map[String, String] = Map(
+    "agg_groupby_count" ->
+      ("SELECT o_orderpriority, count(*) AS n FROM orders " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "agg_global" ->
+      ("SELECT count(*) AS n_rows, round((sum(l_quantity)) * 1e2) / 1e2 AS sum_qty, " +
+       "round((avg(l_extendedprice)) * 1e2) / 1e2 AS avg_price, " +
+       "count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_highdisc FROM lineitem"),
+    "agg_stats" ->
+      ("SELECT c_nationkey, count(*) AS n, round((avg(c_acctbal)) * 1e2) / 1e2 AS avg_bal, " +
+       "min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal, " +
+       "round((sum(c_acctbal)) * 1e2) / 1e2 AS sum_bal FROM customer " +
+       "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "agg_count_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders, " +
+       "count(DISTINCT l_partkey) AS n_parts FROM lineitem " +
+       "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "distinct_keys" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "agg_rollup" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+       "round((sum(o_totalprice)) * 1e2) / 1e2 AS sum_price FROM orders " +
+       "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, round((sum(l_quantity)) * 1e2) / 1e2 AS sum_qty, " +
+       "round((sum(l_extendedprice)) * 1e2) / 1e2 AS sum_base_price, " +
+       "round((sum(l_extendedprice * (1 - l_discount))) * 1e2) / 1e2 AS sum_disc_price, " +
+       "round((avg(l_quantity)) * 1e2) / 1e2 AS avg_qty, round((avg(l_extendedprice)) * 1e2) / 1e2 AS avg_price, " +
+       "count(*) AS count_order FROM lineitem " +
+       "WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00' " +
+       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operators — SURVEY §2.3 (J1–J3) plus the semi/anti joins the
+  * reference hand-rolls via collect+isin.
+  *
+  * J1 is the reference's centerpiece: a broadcast left-outer equi-join of
+  * listings onto census rows (`/root/reference/real_estate_etl_job.py:130-134`).
+  * At 100 TB only the dimension side may broadcast; the fact side never
+  * moves — exactly what `broadcast(dim)` + Catalyst's
+  * BroadcastHashJoinExec gives.
+  */
+object Joins {
+
+  /** J1: broadcast left-outer equi-join, small dimension broadcast. */
+  def broadcastLeft(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(c("c_custkey"), c("c_name"), n("n_name"))
+  }
+
+  /** J2 (idiomatic): left-semi join — the scale-safe form of the
+    * reference's collect+isin coverage filter (`real_estate_etl_job.py:41,96`).
+    * No data from the right side crosses the wire beyond the broadcast. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(broadcast(o), Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(broadcast(o), Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Fact-to-fact equi-join + aggregation (revenue per order priority).
+    * Shuffle join on the key both sides need anyway; AQE picks the
+    * physical strategy at runtime. */
+  def innerAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(Num.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** J3: join-quality audit in ONE pass (`count(col)` ignores nulls) —
+    * the reference runs two separate count() jobs
+    * (`real_estate_etl_job.py:136-150`); we fold them into one agg. */
+  def matchRate(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .agg(count(lit(1)).as("total"),
+           count(n("n_name")).as("matched"),
+           Num.rnd(lit(100.0) * count(n("n_name")) / count(lit(1)), 2)
+             .as("match_pct"))
+  }
+
+  /** P2: ambiguity-resolving projection — both sides expose `name` and
+    * `nkey`; select the LEFT one via parent-DF column reference, the
+    * reference's idiom at `real_estate_etl_job.py:181`. */
+  def ambiguousProj(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").as("nkey"),
+              col("c_name").as("name"))
+    val r = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("nkey"),
+              col("s_name").as("name"))
+    l.join(r, l("nkey") === r("nkey"))
+      .select(l("c_custkey"), l("name"), r("s_suppkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast_left" -> broadcastLeft _,
+    "semi_join"           -> semiJoin _,
+    "anti_join"           -> antiJoin _,
+    "join_inner_agg"      -> innerAgg _,
+    "join_match_rate"     -> matchRate _,
+    "join_ambiguous_proj" -> ambiguousProj _)
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast_left" ->
+      ("SELECT c_custkey, c_name, n_name FROM customer " +
+       "LEFT JOIN nation ON c_nationkey = n_nationkey"),
+    "semi_join" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer c " +
+       "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+    "anti_join" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+    "join_inner_agg" ->
+      ("SELECT o_orderpriority, round((sum(l_extendedprice * (1 - l_discount))) * 1e2) / 1e2 AS revenue, " +
+       "count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "join_match_rate" ->
+      ("SELECT count(*) AS total, count(n_name) AS matched, " +
+       "round((100.0 * count(n_name) / count(*)) * 1e2) / 1e2 AS match_pct " +
+       "FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey"),
+    "join_ambiguous_proj" ->
+      ("SELECT c_custkey, c_name AS name, s_suppkey FROM customer " +
+       "JOIN supplier ON c_nationkey = s_nationkey"))
+}

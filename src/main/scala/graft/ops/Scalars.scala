@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function operators — SURVEY §2.8 (F1–F10).
+  *
+  * All row-wise logic is built-in `Column` expressions (codegen'd), never
+  * UDFs — the reference's Python lambdas (`CensusDataFetch.py:45-75`)
+  * become `when`/`coalesce`/`cast` so Catalyst can optimize through them.
+  * Per-row double math is bit-identical across engines (IEEE), so these
+  * may round at any precision.
+  */
+object Scalars {
+
+  /** F1+F2+F3: cast + divide + round — the reference's
+    * `price_per_sqft = Num.rnd(price/house_size, 2)`
+    * (`/root/reference/real_estate_etl_job.py:158-163`). l_quantity ≥ 1
+    * in the testdata; the div-by-zero edge (Spark Double → Infinity,
+    * reference-faithful) is pinned in ScalarsSpec, not here (DuckDB
+    * yields NULL for double/0 — not oracle-comparable). */
+  def derive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              Num.rnd(col("l_extendedprice").cast("double") / col("l_quantity"), 2)
+                .as("price_per_unit"))
+
+  /** F7+P10: sentinel→null then `or 0`-style coalesce aggregation —
+    * value ≤ 10 plays the census sentinel (`CensusDataFetch.py:45-50`). */
+  def sentinelNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", when(col("value") > 10, col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+           count(col("v")).as("n_valid"),
+           Num.rnd(sum(coalesce(col("v"), lit(0.0))), 2).as("sum_v"))
+      .orderBy("event_type")
+
+  /** F5: ratio-to-percent with zero-denominator guard → 0
+    * (`CensusDataFetch.py:58-63`). */
+  def ratioPct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+           count(when(col("c_acctbal") > 5000, 1)).as("n_hi"))
+      .withColumn("pct_hi",
+        when(col("n") > 0, Num.rnd(lit(100.0) * col("n_hi") / col("n"), 1))
+          .otherwise(lit(0.0)))
+      .orderBy("c_nationkey")
+
+  /** CASE bucketing (multi-branch when). */
+  def caseBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), Num.rnd(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("bucket")
+
+  /** F10 analog: JSON field extraction from a string column. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+              get_json_object(col("props"), "$.k").cast("int").as("k"))
+
+  /** Datetime scalar functions (beyond reference — it never parses dates,
+    * SURVEY §1.2; ours treats time as first-class). */
+  def datetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+              hour(col("ts")).as("h"),
+              dayofmonth(col("ts")).as("dom"),
+              date_format(col("ts"), "yyyy-MM-dd").as("day"))
+
+  /** String scalar functions (upper/substring/length/concat_ws). */
+  def strings(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+              upper(col("c_name")).as("uname"),
+              substring(col("c_name"), 1, 8).as("prefix"),
+              length(col("c_name")).as("name_len"),
+              concat_ws("-", col("c_mktsegment"), col("c_nationkey")).as("seg_key"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_derive"        -> derive _,
+    "scalar_sentinel_null" -> sentinelNull _,
+    "scalar_ratio_pct"     -> ratioPct _,
+    "scalar_case_bucket"   -> caseBucket _,
+    "scalar_json"          -> jsonExtract _,
+    "scalar_datetime"      -> datetime _,
+    "scalar_string"        -> strings _)
+
+  val oracle: Map[String, String] = Map(
+    "scalar_derive" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+       "round((CAST(l_extendedprice AS DOUBLE) / l_quantity) * 1e2) / 1e2 AS price_per_unit " +
+       "FROM lineitem"),
+    "scalar_sentinel_null" ->
+      ("SELECT event_type, count(*) AS n_total, " +
+       "count(CASE WHEN value > 10 THEN value END) AS n_valid, " +
+       "round((sum(coalesce(CASE WHEN value > 10 THEN value END, 0.0))) * 1e2) / 1e2 AS sum_v " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
+    "scalar_ratio_pct" ->
+      ("SELECT c_nationkey, n, n_hi, " +
+       "CASE WHEN n > 0 THEN round((100.0 * n_hi / n) * 1e1) / 1e1 ELSE 0.0 END AS pct_hi FROM (" +
+       "SELECT c_nationkey, count(*) AS n, " +
+       "count(CASE WHEN c_acctbal > 5000 THEN 1 END) AS n_hi " +
+       "FROM customer GROUP BY c_nationkey) t ORDER BY c_nationkey"),
+    "scalar_case_bucket" ->
+      ("SELECT bucket, count(*) AS n, round((avg(o_totalprice)) * 1e2) / 1e2 AS avg_price FROM (" +
+       "SELECT CASE WHEN o_totalprice < 50000 THEN 'small' " +
+       "WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket, " +
+       "o_totalprice FROM orders) t GROUP BY bucket ORDER BY bucket"),
+    "scalar_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+       "FROM events"),
+    "scalar_datetime" ->
+      ("SELECT event_id, CAST(date_part('hour', ts) AS INTEGER) AS h, " +
+       "CAST(date_part('day', ts) AS INTEGER) AS dom, " +
+       "strftime(ts, '%Y-%m-%d') AS day FROM events"),
+    "scalar_string" ->
+      ("SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS prefix, " +
+       "CAST(length(c_name) AS INTEGER) AS name_len, " +
+       "concat_ws('-', c_mktsegment, c_nationkey) AS seg_key FROM customer"))
+}

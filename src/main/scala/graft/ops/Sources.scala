@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink operators — SURVEY §2.1 (S1–S5, S7).
+  *
+  * The reference reads a header CSV via Glue DynamicFrame
+  * (`/root/reference/real_estate_etl_job.py:49-54`) and multiLine JSON
+  * (`real_estate_etl_job.py:34`), and writes a single-file header CSV
+  * (`real_estate_etl_job.py:202`). We exercise the same formats as
+  * round-trips over the driver testdata so the DuckDB oracle can check
+  * content equality against the original parquet.
+  */
+object Sources {
+
+  /** S2+S3: parquet → single-file header CSV (overwrite) → read back with
+    * an explicit schema (the reference reads all-string then casts; we
+    * declare types for determinism, SURVEY §1.2). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("csv_region")
+    Tables.region(spark, dir)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    spark.read.option("header", "true").schema(schema).csv(out)
+      .select("r_regionkey", "r_name")
+  }
+
+  /** S1+S5: parquet → JSON (overwrite) → read back with explicit schema.
+    * (The reference's census JSON is one multiLine array; Spark's JSON
+    * sink writes JSON-lines — reader handles both; multiLine variant is
+    * unit-tested on a reference-shaped fixture.) */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("json_nation")
+    Tables.nation(spark, dir).coalesce(1).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema).json(out)
+      .select("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  /** Parquet scan with projection + predicate — both must reach the scan
+    * (PushedFilters / ReadSchema in .explain), our scale-path replacement
+    * for the reference's full-CSV rescans (SURVEY §3.2). */
+  def parquetPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip"  -> csvRoundtrip _,
+    "src_json_roundtrip" -> jsonRoundtrip _,
+    "src_parquet_pushdown" -> parquetPushdown _)
+
+  val oracle: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "src_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "src_parquet_pushdown" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45")
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window operators — SURVEY §2.5 (W1) and §2.6 (O1–O2), plus the
+  * ranking/analytic extensions (lag, running sum) Spark gives built-in.
+  *
+  * W1 is the reference's only non-trivial algorithm: stratified sampling
+  * via `row_number() OVER (PARTITION BY state ORDER BY rand(42))`
+  * (`/root/reference/real_estate_etl_job.py:112-115`). `rand(seed)` is
+  * seeded per-partition, so results depend on input partitioning
+  * (SURVEY §2.5 determinism caveat) — the oracle-checked variant orders
+  * by a multiplicative-hash of the key instead: same shape (shuffle by
+  * group, per-group sort, top-k), deterministic everywhere.
+  */
+object Windows {
+
+  /** W1 oracle-safe: stratified top-100-per-group under a deterministic
+    * pseudo-random order (Knuth multiplicative hash of the key —
+    * expressible identically in ANSI SQL). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val ord = pmod(col("c_custkey") * lit(2654435761L), lit(1000003L))
+    val w = Window.partitionBy("c_mktsegment").orderBy(ord, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .drop("rn")
+      .select("c_custkey", "c_mktsegment")
+  }
+
+  /** W1 parity demo: the reference's literal seeded-rand sampler. Not
+    * oracle-checkable (rand(42) is partitioning-dependent); row COUNT is
+    * deterministic: min(100, group size) per group. */
+  def sampleRand(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(rand(42))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100)
+      .drop("rn")
+  }
+
+  /** O2 generalized: top-k rows per group by value (k=5 by acctbal). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+  }
+
+  /** Analytic functions: lag + row_number per customer order history. */
+  def lagRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select("o_orderkey", "o_custkey", "rn", "prev_price")
+  }
+
+  /** Frame-spec window: running sum per customer (rows unbounded
+    * preceding → current). Deterministic accumulation order → exact. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend", Num.rnd(sum("o_totalprice").over(w), 2))
+      .select("o_orderkey", "o_custkey", "running_spend")
+  }
+
+  /** O1+O2: global top-k — orderBy+limit lowers to
+    * TakeOrderedAndProjectExec (no full global sort at scale). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_sample_stratified" -> sampleStratified _,
+    "window_sample_rand"       -> sampleRand _,
+    "window_topk_per_group"    -> topkPerGroup _,
+    "window_lag_rank"          -> lagRank _,
+    "window_running_sum"       -> runningSum _,
+    "sort_limit"               -> sortLimit _)
+
+  val oracle: Map[String, String] = Map(
+    "window_sample_stratified" ->
+      ("SELECT c_custkey, c_mktsegment FROM (" +
+       "SELECT c_custkey, c_mktsegment, row_number() OVER (" +
+       "PARTITION BY c_mktsegment ORDER BY (c_custkey * 2654435761) % 1000003, c_custkey) AS rn " +
+       "FROM customer) t WHERE rn <= 100"),
+    // window_sample_rand: intentionally no oracle (rand(42) is
+    // partitioning-dependent; rows-only check per the contract).
+    "window_topk_per_group" ->
+      ("SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (" +
+       "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (" +
+       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn " +
+       "FROM customer) t WHERE rn <= 5"),
+    "window_lag_rank" ->
+      ("SELECT o_orderkey, o_custkey, row_number() OVER w AS rn, " +
+       "lag(o_totalprice, 1) OVER w AS prev_price FROM orders " +
+       "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"),
+    "window_running_sum" ->
+      ("SELECT o_orderkey, o_custkey, round((sum(o_totalprice) OVER (" +
+       "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2) / 1e2 AS running_spend " +
+       "FROM orders"),
+    "sort_limit" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"))
+}
