@@ -79,6 +79,17 @@ object TextOps {
       .select(col("doc_id"),
               md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("fp"))
 
+  /** 64-bit rolling-hash fingerprint via the custom Catalyst expression
+    * `graft.functions.PolyHash` (codegen'd; no oracle — Spark-native
+    * expression, rows-only check). */
+  def rollhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSql
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              GraftSql.column(graft.functions.PolyHash(
+                GraftSql.expression(col("text")))).as("rh"))
+  }
+
   // ---- generated oracle SQL (same marker table) ----
 
   private def sqlHits(ms: Seq[String]): String =
@@ -105,7 +116,8 @@ object TextOps {
     "text_tokens"      -> tokens _,
     "text_quality"     -> quality _,
     "text_langid"      -> langid _,
-    "text_fingerprint" -> fingerprint _)
+    "text_fingerprint" -> fingerprint _,
+    "text_rollhash"    -> rollhash _)
 
   val oracle: Map[String, String] = Map(
     "text_tokens" ->

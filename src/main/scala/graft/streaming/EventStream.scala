@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table — the streaming extension
+  * the reference only aspires to (SURVEY §2.9; milestone doc "Streaming
+  * ingestion"). The transforms are the SAME expressions as the batch
+  * `graft.ext.TimeOps` queries, applied to `readStream` — StreamingSpec
+  * proves batch ≡ streaming on identical data.
+  *
+  * Scale notes: watermark bounds state; windowed aggregation state is
+  * per (window × event_type) — O(active windows), not O(events).
+  */
+object EventStream {
+
+  /** Schema of the events stream after ts normalization (parquet NANOS →
+    * long at rest; we expose TimestampType µs like Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long at rest
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream source over a directory of events parquet (the
+    * deterministic replay harness; in production: Kafka etc.). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 10-minute watermark:
+    * late data beyond the watermark is dropped; state is evicted once
+    * the watermark passes a window's end. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"),
+              col("n"), col("sum_v"))
+
+  /** Streaming dedup on event_id within the watermark horizon —
+    * exactly-once per key under bounded state. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running aggregate via mapGroupsWithState: custom state
+    * machine (count + running sum) — the KeyValueGroupedDataset stateful
+    * path for logic windows can't express. */
+  def userTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    case class Ev(user_id: Long, value: Double)
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          evs.foreach { e => n += 1; s += e._2 }
+          state.update((n, s))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Run a streaming frame to completion against a memory sink and
+    * return the materialized result (deterministic replay for tests). */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

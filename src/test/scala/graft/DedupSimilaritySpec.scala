@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity semantics on a crafted corpus with KNOWN duplicate
+  * structure (written as a documents.parquet fixture dir so the
+  * (spark, dir) query contract is exercised end-to-end). */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft-dedup-fixture").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base, "en", "srcA", base.length.toLong),             // original
+      (1L, base, "en", "srcB", base.length.toLong),             // exact dup of 0
+      (2L, base + " phi", "en", "srcA", (base.length + 4).toLong), // near-dup of 0
+      (3L, "one two three four five six seven eight nine ten eleven twelve",
+        "en", "srcA", 60L),                                     // unrelated
+      (4L, "  " + base.toUpperCase + "  ", "en", "srcC", base.length.toLong + 4)) // norm-dup
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val rows = ext.Dedup.exact(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) === 2L) // docs 0 and 1 share text, survivor id 0
+    assert(!rows.contains(1L))
+  }
+
+  test("normalized dedup also folds case/whitespace variants") {
+    // doc 4 differs only by case — lower+trim normalization folds it
+    val plain = ext.Dedup.exact(spark, fixtureDir).count()
+    val norm = ext.Dedup.exactNorm(spark, fixtureDir).count()
+    assert(norm <= plain)
+  }
+
+  test("ngram jaccard finds the near-duplicate pair with exact counts") {
+    val pairs = ext.Dedup.ngramJaccard(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))) // (a_id, b_id, inter, uni)
+    // exact dup pair (0,1): identical shingle sets → inter == uni
+    val p01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(p01.isDefined, s"pairs were: ${pairs.mkString(",")}")
+    assert(p01.get._3 === p01.get._4)
+    // near-dup (0,2) shares most shingles
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L))
+    // unrelated doc 3 pairs with nobody
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH surfaces exact duplicates as candidates") {
+    val pairs = ext.Dedup.minhashLsh(spark, fixtureDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L))) // identical text → identical signature
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical texts is identical; different texts differ") {
+    val sh = ext.Dedup.simhash(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    assert(sh(0L) !== sh(3L))
+  }
+
+  private lazy val embFixtureDir: String = {
+    val dir = Files.createTempDirectory("graft-sim-fixture").toString
+    val v1 = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.map(x => x * 2.0f)           // same direction as v1
+    val v3 = v1.map(x => -x)                 // opposite
+    val v4 = Array.tabulate(64)(i => math.cos(3 * i + 7).toFloat) // other
+    Seq((0L, v1.toSeq, 0), (1L, v2.toSeq, 0), (2L, v3.toSeq, 1), (3L, v4.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("cosine: same-direction = 1, opposite = -1, ranked correctly") {
+    val top = ext.Similarity.bruteTopK(spark, embFixtureDir).collect()
+    val byId = top.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(byId(1L) - 1.0) < 1e-9)   // scaled copy → cos 1
+    assert(math.abs(byId(2L) + 1.0) < 1e-9)   // negated → cos -1
+    assert(top.head.getLong(0) === 1L)        // ranked first
+  }
+
+  test("identical-direction vectors share an LSH bucket") {
+    val b = ext.Similarity.lshBuckets(spark, embFixtureDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(0L) === b(1L)) // sign pattern invariant under positive scaling
+  }
+
+  test("poly_hash custom expression: deterministic, order-sensitive, null-safe") {
+    val df = Seq(Some("abc"), Some("acb"), Some(""), None).toDF("s")
+      .select(org.apache.spark.sql.GraftSql.column(
+        functions.PolyHash(org.apache.spark.sql.GraftSql.expression(col("s")))).as("h"))
+    val rows = df.collect()
+    val abc = rows(0).getLong(0)
+    val acb = rows(1).getLong(0)
+    assert(abc === functions.PolyHash.hashBytes("abc".getBytes("UTF-8")))
+    assert(abc !== acb)           // order sensitivity
+    assert(rows(2).getLong(0) === 0L)
+    assert(rows(3).isNullAt(0))   // null in → null out
+  }
+
+  test("poly_hash registers and runs from SQL") {
+    org.apache.spark.sql.GraftSql.register(spark, "poly_hash",
+      exprs => functions.PolyHash(exprs.head))
+    val got = spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0)
+    assert(got === functions.PolyHash.hashBytes("abc".getBytes("UTF-8")))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.{RealEstatePipeline, Retry, Validate}
+
+import scala.util.{Failure, Success}
+
+/** End-to-end mirror of the reference pipeline over FIXTURES.md-shaped
+  * fixtures, asserting the Step-Functions-declared invariants: 18
+  * columns, rows = samplePerState × states present (or fewer if a state
+  * lacks eligible rows), coverage >= 95 %, leading-zero ZIPs intact. */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val fixtures: (String, String) = {
+    val dir = Files.createTempDirectory("graft-pipeline").toString
+    val csv = new StringBuilder(
+      "brokered_by,status,price,bed,bath,acre_lot,street,city,state,zip_code,house_size,prev_sold_date\n")
+    // 12 eligible MA rows on leading-zero ZIP 01002 + 8 CA rows + noise
+    for (i <- 0 until 12)
+      csv.append(s"b$i,for_sale,${300000 + i * 1000},3,2,0.3,${i} Main St,Amherst,Massachusetts,01002,${1500 + i * 10},2019-01-0${i % 9 + 1}\n")
+    for (i <- 0 until 8)
+      csv.append(s"c$i,for_sale,${800000 + i * 5000},4,3,0.1,${i} Oak Ave,Fresno,California,93650,${2000 + i * 25},2020-02-0${i % 9 + 1}\n")
+    // null-clean victims: missing price / bed / house_size
+    csv.append("x0,for_sale,,3,2,0.3,1 Elm,Amherst,Massachusetts,01002,1500,2019-01-01\n")
+    csv.append("x1,for_sale,100000,,2,0.3,2 Elm,Amherst,Massachusetts,01002,1500,2019-01-01\n")
+    csv.append("x2,for_sale,100000,3,2,0.3,3 Elm,Amherst,Massachusetts,01002,,2019-01-01\n")
+    // non-target state
+    csv.append("t0,for_sale,500000,3,2,0.5,9 Pine,Austin,Texas,73301,1800,2018-05-05\n")
+    // target state but ZIP not in census → dropped by coverage semi-join
+    csv.append("u0,for_sale,400000,3,2,0.5,7 Birch,Boston,Massachusetts,02199,1700,2018-05-05\n")
+    val listingsPath = s"$dir/listings.csv"
+    Files.writeString(Paths.get(listingsPath), csv.toString)
+    // census: pretty-printed multiLine JSON array (A2 shape), one record
+    // with null median_income, one ZIP with no listings
+    val json =
+      """[
+        |  {"zip_code": "01002", "state": "MA", "name": "ZCTA5 01002",
+        |   "median_income": 85000, "population": 39000,
+        |   "college_educated_pct": 45.3, "unemployment_rate": 4.2,
+        |   "median_age": 28, "data_source": "US Census Bureau ACS 2021"},
+        |  {"zip_code": "93650", "state": "CA", "name": "ZCTA5 93650",
+        |   "median_income": null, "population": 11000,
+        |   "college_educated_pct": 12.1, "unemployment_rate": 9.9,
+        |   "median_age": 31, "data_source": "US Census Bureau ACS 2021"},
+        |  {"zip_code": "10001", "state": "NY", "name": "ZCTA5 10001",
+        |   "median_income": 99000, "population": 25000,
+        |   "college_educated_pct": 60.0, "unemployment_rate": 3.1,
+        |   "median_age": 37, "data_source": "US Census Bureau ACS 2021"}
+        |]""".stripMargin
+    val censusPath = s"$dir/census.json"
+    Files.writeString(Paths.get(censusPath), json)
+    (listingsPath, censusPath)
+  }
+
+  private lazy val result = RealEstatePipeline.run(
+    spark, fixtures._1, fixtures._2, samplePerState = 10)
+
+  test("output has exactly the 18-column Schema.json contract") {
+    val (enriched, stats) = result
+    assert(enriched.columns.toSeq === RealEstatePipeline.outputColumns)
+    assert(stats.outputColumns === 18)
+  }
+
+  test("stratified sampling caps per state; ineligible rows are excluded") {
+    val (enriched, stats) = result
+    // MA: 12 eligible → capped at 10; CA: 8 eligible → all 8
+    val byState = enriched.groupBy("state").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byState("Massachusetts") === 10L)
+    assert(byState("California") === 8L)
+    assert(!byState.contains("Texas")) // state filter
+    assert(stats.joined === 18L)
+    // audit counts walk the cascade: 25 raw = 12 MA + 8 CA + 3 null
+    // victims + 1 Texas + 1 uncovered-ZIP
+    assert(stats.rawListings === 25L)
+    assert(stats.afterStateFilter === 24L) // Texas row dropped
+    assert(stats.afterNullClean === 21L)   // 3 null victims dropped
+    assert(stats.afterCoverage === 20L)    // uncovered-ZIP row dropped
+  }
+
+  test("coverage rate reflects null census values; gate math works") {
+    val (_, stats) = result
+    // CA census row has null median_income → 8 of 18 rows unmatched
+    assert(stats.matched === 10L)
+    assert(math.abs(stats.matchRatePct - 100.0 * 10 / 18) < 1e-9)
+    assert(Validate.coverageGate(stats.matchRatePct).isLeft) // below 95%
+    assert(Validate.coverageGate(100.0).isRight)
+  }
+
+  test("derived price_per_sqft is round(price/size, 2); zips keep leading zeros") {
+    val (enriched, _) = result
+    val row = enriched.filter(org.apache.spark.sql.functions.col("brokered_by") === "b0").head()
+    assert(row.getAs[String]("zip_code") === "01002")
+    assert(row.getAs[Double]("price_per_sqft") ===
+      BigDecimal(300000.0 / 1500).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(row.getAs[Double]("census_median_income") === 85000.0)
+  }
+
+  test("source probe reports header and sample rows (Zillow Lambda parity)") {
+    val probe = Validate.probeCsv(spark, fixtures._1)
+    assert(probe.exists && probe.status === "PASSED")
+    assert(probe.columns.size === 12)
+    assert(probe.sampleRows.size === 3)
+    val missing = Validate.probeCsv(spark, "/tmp/does-not-exist-xyz.csv")
+    assert(!missing.exists)
+  }
+
+  test("count gate passes on match, reports misses") {
+    assert(Validate.countGate(("rows", 18L, 18L)).isRight)
+    val miss = Validate.countGate(("rows", 300L, 18L), ("cols", 18L, 18L))
+    assert(miss.left.exists(_.exists(_.contains("rows"))))
+  }
+
+  test("retry with backoff: succeeds after transient failures, exhausts on permanent") {
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val ok = Retry.withBackoff(maxAttempts = 3, intervalMs = 10, backoff = 2.0,
+      sleep = slept.append(_)) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "done"
+    }
+    assert(ok === Success("done"))
+    assert(slept.toSeq === Seq(10L, 20L)) // 2.0 backoff
+    val fail = Retry.withBackoff(maxAttempts = 2, intervalMs = 1,
+      sleep = _ => ()) { throw new RuntimeException("permanent") }
+    assert(fail.isInstanceOf[Failure[_]])
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming ≡ batch on deterministic replay: the same
+  * window expressions produce identical results whether the events
+  * parquet is read as a stream or a table (SURVEY §5 streaming note). */
+class StreamingSpec extends SparkSpec {
+
+  /** Stream sources need a directory containing ONLY the stream's files. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-events-stream").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/events-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming tumbling agg equals batch tumbling agg") {
+    val streamed = EventStream.runToMemory(
+      spark,
+      EventStream.tumblingAgg(EventStream.readEvents(spark, streamDir)),
+      "tumbling_out", OutputMode.Append())
+      // double sums accumulate in partition order, which differs between
+      // the streaming and batch plans — values have 2-dp grain, so
+      // rounding at 2 dp is exact and order-insensitive
+      .withColumn("sum_v", round(col("sum_v"), 2))
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"),
+              col("n"), col("sum_v"))
+    assert(streamed.count() > 0)
+    // every emitted window matches batch exactly
+    assert(streamed.exceptAll(batch).count() === 0)
+    // append mode withholds windows not yet past the watermark: batch-only
+    // rows must all sit in the unfinalized tail (>= max_ts - 10min - 1h)
+    val maxTs = Tables.events(spark, sf0001).agg(max("ts")).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(
+      maxTs.getTime - (10 * 60 + 60 * 60) * 1000L)
+    val batchOnly = batch.exceptAll(streamed)
+    assert(batchOnly.filter(col("ws") < cutoff).count() === 0)
+  }
+
+  test("streaming dedup keeps one row per event_id") {
+    // duplicate the whole stream: same file twice
+    val dir = Files.createTempDirectory("graft-events-dup").toString
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf0001/events.parquet"),
+      Paths.get(s"$dir/b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val deduped = EventStream.runToMemory(
+      spark,
+      EventStream.dedupStream(EventStream.readEvents(spark, dir)),
+      "dedup_out", OutputMode.Append())
+    val distinctIds = Tables.events(spark, sf0001)
+      .select("event_id").distinct().count()
+    assert(deduped.select("event_id").distinct().count() === distinctIds)
+    assert(deduped.count() === distinctIds)
+  }
+
+  test("stateful per-user totals match batch groupBy") {
+    val streamed = EventStream.runToMemory(
+      spark,
+      EventStream.userTotals(spark, EventStream.readEvents(spark, streamDir)),
+      "totals_out", OutputMode.Update())
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+    // Update mode emits one row per key per batch; single batch → direct compare
+    assert(streamed.count() === batch.count())
+    val joined = streamed.as("s").join(batch.as("b"), Seq("user_id"))
+      .filter(col("s.n_events") =!= col("b.n_events"))
+    assert(joined.count() === 0)
+  }
+}
