@@ -36,7 +36,7 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs: word n-grams via slice over the
     * token array (higher-order functions, codegen-friendly, no UDF). */
-  private[ext] def shingles(df: DataFrame, n: Int): DataFrame =
+  private[graft] def shingles(df: DataFrame, n: Int): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n) // docs shorter than n yield no shingles
       .select(col("doc_id"),
@@ -48,7 +48,13 @@ object Dedup {
     * 5-gram (rare by construction → small join fan-out), then exact
     * integer Jaccard over shingle sets, threshold 0.2. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // the shingle frame feeds four consumers (both join sides + both
+    // size lookups) and the executed plan shows Catalyst does NOT reuse
+    // its distinct-shuffle across them — persist materializes the
+    // tokenize+explode+distinct once instead of 4 full recomputations
+    // (at 100 TB: 1 shuffle instead of 4)
     val sh = shingles(Tables.documents(spark, dir), 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("a_id"), col("sh"))
     val b = sh.select(col("doc_id").as("b_id"), col("sh"))
@@ -76,7 +82,8 @@ object Dedup {
     * (xxhash64 is Spark-specific → no DuckDB oracle; rows-only check.) */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs, 3)
+    val sh = shingles(docs, 3) // reused 4x, same rationale as ngramJaccard
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCols = (0 until NumHashes)
       .map(j => min(xxhash64(lit(j), col("sh"))).as(s"h$j"))
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)

@@ -72,13 +72,21 @@ object Similarity {
     * product. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withB = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"), bucketCol)
-    val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("bucket"))
-    val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("bucket"))
+    // norms are precomputed once per vector (not per pair): the pairwise
+    // stage then does ONE 64-dim fold per candidate instead of three.
+    val withB = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketCol,
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+                         col("bucket"), col("nrm").as("nrm_a"))
+    val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+                         col("bucket"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     a.join(b, Seq("bucket"))
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), Num.rnd(cosine(col("va"), col("vb")), 6).as("sim"))
+      .select(col("a_id"), col("b_id"),
+              Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
+                .as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("a_id", "b_id", "rn", "sim")
