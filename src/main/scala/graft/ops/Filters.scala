@@ -53,11 +53,21 @@ object Filters {
       .orderBy("c_nationkey")
   }
 
+  /** P1: projection with renames — the reference's 18-column aliased
+    * select (`real_estate_etl_job.py:172-191`) in miniature. */
+  def projAlias(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"),
+              col("c_name").as("customer_name"),
+              col("c_acctbal").as("balance"),
+              col("c_mktsegment").as("segment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "filter_isin"    -> isinFilter _,
     "filter_notnull" -> notNullFilter _,
     "filter_range"   -> rangeFilter _,
-    "semi_isin"      -> semiIsin _)
+    "semi_isin"      -> semiIsin _,
+    "proj_alias"     -> projAlias _)
 
   val oracle: Map[String, String] = Map(
     "filter_isin" ->
@@ -75,5 +85,8 @@ object Filters {
     "semi_isin" ->
       ("SELECT c_nationkey, count(*) AS n FROM customer " +
        "WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0,1)) " +
-       "GROUP BY c_nationkey ORDER BY c_nationkey"))
+       "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "proj_alias" ->
+      ("SELECT c_custkey AS id, c_name AS customer_name, c_acctbal AS balance, " +
+       "c_mktsegment AS segment FROM customer"))
 }

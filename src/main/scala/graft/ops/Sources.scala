@@ -54,10 +54,25 @@ object Sources {
       .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
+  /** S7 + entry point 4: catalog registration + SQL — the Athena analog
+    * (`Schema.json:1-92`, `RealEstatePipeline.asl.json:120-130`; no query
+    * text exists in the reference, SURVEY §3.4 — this supplies the
+    * affordability-style query the README implies). */
+  def sqlView(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    spark.sql(
+      """SELECT n_name, count(*) AS n_customers,
+        |       round(avg(c_acctbal) * 1e2) / 1e2 AS avg_bal
+        |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip"  -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
-    "src_parquet_pushdown" -> parquetPushdown _)
+    "src_parquet_pushdown" -> parquetPushdown _,
+    "sql_view_query"     -> sqlView _)
 
   val oracle: Map[String, String] = Map(
     "src_csv_roundtrip" ->
@@ -65,5 +80,10 @@ object Sources {
     "src_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "src_parquet_pushdown" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45")
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45",
+    "sql_view_query" ->
+      ("SELECT n_name, count(*) AS n_customers, " +
+       "round((avg(c_acctbal)) * 1e2) / 1e2 AS avg_bal " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY n_name ORDER BY n_name"))
 }

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Raw per-ZIP payload as fetched from the API (array-of-arrays JSON). */
+case class RawCensusPayload(zip_code: String, payload: String)
+
+/** Pluggable REST ingestion — SURVEY §2.1 S6, modeling
+  * `/root/reference/CensusDataFetch.py`:
+  *
+  *  - `fetchRaw` is the Lambda's sequential per-ZIP GET loop with the
+  *    0.1 s throttle (`CensusDataFetch.py:148`) — the HTTP transport is
+  *    injected (`String => String`) so tests/offline runs supply canned
+  *    payloads and production supplies a real client; no network code
+  *    lives in the engine;
+  *  - `decode` is the positional array decode + field derivation
+  *    (`CensusDataFetch.py:43-75`) as an IN-PLAN DataFrame transform
+  *    (F10: `from_json` + `element_at`), with the reference's edge
+  *    semantics: sentinel <= -999999 → null (P10), `or 0`
+  *    zero-coalescing (F7), zero-denominator → 0 (F5), 1-dp rounds (F4).
+  *
+  * At scale the fetch stage is a bounded dimension-side ingest (300
+  * ZIPs); the decode stage is distributed and codegen'd.
+  */
+object CensusRest {
+
+  /** ACS5 variable order in the response row, per the reference's GET
+    * (`CensusDataFetch.py:29-34`): NAME, median_income, population,
+    * bachelors, masters, professional, doctorate, total_25plus,
+    * unemployed, labor_force, median_age [, zip].  1-based positions for
+    * `element_at`. */
+  private val F = Map(
+    "name" -> 1, "median_income" -> 2, "population" -> 3,
+    "bachelors" -> 4, "masters" -> 5, "professional" -> 6,
+    "doctorate" -> 7, "total_25plus" -> 8, "unemployed" -> 9,
+    "labor_force" -> 10, "median_age" -> 11)
+
+  /** Sequential fetch with throttle; per-ZIP failures are collected, not
+    * fatal (`CensusDataFetch.py:76-78,129-150`). */
+  def fetchRaw(zips: Seq[String], transport: String => String,
+               throttleMs: Long = 100L,
+               sleep: Long => Unit = Thread.sleep)
+      : (Seq[RawCensusPayload], Seq[(String, String)]) = {
+    val ok = Seq.newBuilder[RawCensusPayload]
+    val failed = Seq.newBuilder[(String, String)]
+    zips.foreach { z =>
+      try ok += RawCensusPayload(z, transport(z))
+      catch { case e: Exception => failed += (z -> e.getMessage) }
+      sleep(throttleMs)
+    }
+    (ok.result(), failed.result())
+  }
+
+  /** Positional decode + derivations, all in-plan (no UDFs). The data
+    * row is the SECOND array in the payload (first is the header row). */
+  def decode(spark: SparkSession, raws: Seq[RawCensusPayload]): DataFrame = {
+    import spark.implicits._
+    def v(field: String) = element_at(col("row"), F(field))
+    // safe_int: parse-failure → null, sentinel <= -999999 → null
+    def safeInt(field: String) = {
+      val i = expr(s"try_cast(element_at(row, ${F(field)}) AS BIGINT)")
+      when(i > -999999L, i)
+    }
+    // `or 0` / `or 1`: Python truthiness — null AND 0 both replaced
+    def or0(c: org.apache.spark.sql.Column) =
+      when(c.isNull || c === 0L, lit(0L)).otherwise(c)
+    def or1(c: org.apache.spark.sql.Column) =
+      when(c.isNull || c === 0L, lit(1L)).otherwise(c)
+
+    val college = or0(safeInt("bachelors")) + or0(safeInt("masters")) +
+      or0(safeInt("professional")) + or0(safeInt("doctorate"))
+    val total25 = or1(safeInt("total_25plus"))
+    val unemployed = or0(safeInt("unemployed"))
+    val laborForce = or1(safeInt("labor_force"))
+
+    raws.toDF()
+      .withColumn("row",
+        element_at(from_json(col("payload"),
+          ArrayType(ArrayType(StringType))), 2))
+      .select(
+        col("zip_code"),
+        v("name").as("name"),
+        safeInt("median_income").as("median_income"),
+        safeInt("population").as("population"),
+        // ratio-to-percent with zero-denominator guard → 0 (F5), 1-dp (F4)
+        when(total25 > 0, round(college.cast("double") / total25 * 100, 1))
+          .otherwise(lit(0.0)).as("college_educated_pct"),
+        when(laborForce > 0,
+             round(unemployed.cast("double") / laborForce * 100, 1))
+          .otherwise(lit(0.0)).as("unemployment_rate"),
+        safeInt("median_age").as("median_age"),
+        lit("US Census Bureau ACS 2021").as("data_source"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.{CensusRest, RawCensusPayload}
+
+/** REST-source modeling (S6/F10): injected transport, throttle contract,
+  * positional decode with the reference's edge semantics. */
+class CensusRestSpec extends SparkSpec {
+
+  private def payload(name: String, values: Seq[String]): String = {
+    val hdr = Seq("NAME", "B19013_001E", "B01003_001E", "B15003_022E",
+      "B15003_023E", "B15003_024E", "B15003_025E", "B15003_001E",
+      "B23025_005E", "B23025_003E", "B01002_001E").map(s => s""""$s"""")
+    val row = (name +: values).map(s => s""""$s"""")
+    s"[[${hdr.mkString(",")}],[${row.mkString(",")}]]"
+  }
+
+  test("fetchRaw: sequential with throttle, failures collected not fatal") {
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val (ok, failed) = CensusRest.fetchRaw(
+      Seq("01002", "99999", "93650"),
+      transport = z => if (z == "99999") throw new RuntimeException("HTTP 500")
+                       else s"""[["h"],["ZCTA5 $z","1","2","3","4","5","6","7","8","9","10"]]""",
+      throttleMs = 100L, sleep = slept.append(_))
+    assert(ok.map(_.zip_code) === Seq("01002", "93650"))
+    assert(failed === Seq("99999" -> "HTTP 500"))
+    assert(slept.toSeq === Seq(100L, 100L, 100L)) // one throttle per ZIP
+  }
+
+  test("decode: positional fields, derivations, sentinel and or-0/or-1 semantics") {
+    val raws = Seq(
+      // normal: income 85000, pop 39000, college 100+200+50+50=400 of
+      // 1000 → 40.0%, unemployed 42 of 1000 → 4.2%, age 28
+      RawCensusPayload("01002", payload("ZCTA5 01002",
+        Seq("85000", "39000", "100", "200", "50", "50", "1000", "42", "1000", "28"))),
+      // sentinel income → null; labor force 0 → or1 guard, unemployment
+      // computes against denominator 1; education total 0 → or1 → pct 0
+      RawCensusPayload("93650", payload("ZCTA5 93650",
+        Seq("-999999999", "11000", "0", "0", "0", "0", "0", "7", "0", "31"))),
+      // malformed numerics → null via try_cast
+      RawCensusPayload("10001", payload("ZCTA5 10001",
+        Seq("abc", "25000", "1", "1", "1", "1", "4", "1", "4", "37"))))
+    val df = CensusRest.decode(spark, raws)
+    val byZip = df.collect().map(r => r.getString(0) -> r).toMap
+
+    val ok = byZip("01002")
+    assert(ok.getString(1) === "ZCTA5 01002")
+    assert(ok.getLong(2) === 85000L)
+    assert(ok.getDouble(4) === 40.0)
+    assert(ok.getDouble(5) === 4.2)
+    assert(ok.getLong(6) === 28L)
+    assert(ok.getString(7) === "US Census Bureau ACS 2021")
+
+    val sentinel = byZip("93650")
+    assert(sentinel.isNullAt(2))              // sentinel income → null
+    assert(sentinel.getDouble(4) === 0.0)     // college pct: 0/1 → 0
+    assert(sentinel.getDouble(5) === 700.0)   // 7 / or1(0)=1 * 100 (Python parity)
+
+    val malformed = byZip("10001")
+    assert(malformed.isNullAt(2))             // "abc" → null
+    assert(malformed.getDouble(4) === 100.0)  // 4 of 4 college
+  }
+}
