@@ -42,6 +42,7 @@ object SparkEntry {
       ops.Windows.queries ++
       ops.Scalars.queries ++
       ops.Sets.queries ++
+      ops.Skew.queries ++
       ext.TimeOps.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       ops.Windows.oracle ++
       ops.Scalars.oracle ++
       ops.Sets.oracle ++
+      ops.Skew.oracle ++
       ext.TimeOps.oracle ++
       ext.TextOps.oracle ++
       ext.Dedup.oracle ++

@@ -92,6 +92,52 @@ object Similarity {
       .select("a_id", "b_id", "rn", "sim")
   }
 
+  /** Embedding-cosine near-dup (the dedup-by-embedding path): candidate
+    * pairs from LSH buckets, exact cosine confirm at >= 0.9. Same
+    * bucket-join scale shape as annTopK — never O(n²). */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val withB = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), bucketCol,
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+                         col("bucket"), col("nrm").as("nrm_a"))
+    val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+                         col("bucket"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
+                .as("sim"))
+      .filter(col("sim") >= 0.9)
+  }
+
+  private val IvfCells = 16
+
+  /** IVF-style ANN: the first `IvfCells` vectors act as the coarse
+    * quantizer ("trained" centroids, deterministic); every vector is
+    * assigned to its nearest centroid by cosine (argmin over a broadcast
+    * centroid table), then search runs within the cell. The scale path:
+    * assignment is a broadcast join (centroids are tiny), search shuffles
+    * by cell — no cross product. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+              col("nrm").as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+              col("cell"),
+              Num.rnd(dotCols(col("embedding"), col("cv")) /
+                        (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "csim")
+  }
+
   // ---- generated oracle SQL ----
 
   private def planeSqlLit(j: Int): String =
@@ -104,10 +150,12 @@ object Similarity {
     }.mkString(" + ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_norms"       -> norms _,
-    "sim_brute_topk"  -> bruteTopK _,
-    "sim_lsh_buckets" -> lshBuckets _,
-    "sim_ann_topk"    -> annTopK _)
+    "sim_norms"        -> norms _,
+    "sim_brute_topk"   -> bruteTopK _,
+    "sim_lsh_buckets"  -> lshBuckets _,
+    "sim_ann_topk"     -> annTopK _,
+    "dedup_embedding"  -> embeddingNearDup _,
+    "sim_ivf_assign"   -> ivfAssign _)
 
   val oracle: Map[String, String] = Map(
     "sim_norms" ->
@@ -128,5 +176,20 @@ object Similarity {
        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id), " +
        "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
        "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
-       "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"))
+       "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"),
+    "dedup_embedding" ->
+      ("WITH b AS (SELECT vec_id, embedding, CAST(" + bucketSql + " AS INTEGER) AS bucket " +
+       "FROM embeddings) " +
+       "SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id " +
+       "WHERE round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 >= 0.9"),
+    "sim_ivf_assign" ->
+      ("WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
+       "s AS (SELECT e.vec_id, c.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN c), " +
+       "r AS (SELECT vec_id, cell, csim, row_number() OVER (PARTITION BY vec_id " +
+       "ORDER BY csim DESC, cell ASC) AS rn FROM s) " +
+       "SELECT vec_id, cell, csim FROM r WHERE rn = 1"))
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 class QueriesSmokeSpec extends SparkSpec {
 
   private val mayBeEmpty = Set(
-    "anti_join", "set_except", "dedup_ngram_jaccard", "dedup_minhash_lsh")
+    "anti_join", "set_except", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_embedding") // random vectors: cosine >= 0.9 pairs are rare
 
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
