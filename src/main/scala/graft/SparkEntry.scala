@@ -43,6 +43,7 @@ object SparkEntry {
       ops.Scalars.queries ++
       ops.Sets.queries ++
       ops.Skew.queries ++
+      ops.Analytics.queries ++
       ext.TimeOps.queries ++
       ext.TextOps.queries ++
       ext.Dedup.queries ++
@@ -65,6 +66,7 @@ object SparkEntry {
       ops.Scalars.oracle ++
       ops.Sets.oracle ++
       ops.Skew.oracle ++
+      ops.Analytics.oracle ++
       ext.TimeOps.oracle ++
       ext.TextOps.oracle ++
       ext.Dedup.oracle ++

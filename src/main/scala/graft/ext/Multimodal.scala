@@ -51,9 +51,31 @@ object Multimodal {
               ((col("n_bytes") * 11 + 17) % 480).as("height"),
               lit(3).as("channels"))
 
+  /** One sampled "frame" per 128-byte chunk, keeping every 4th — the
+    * frame-sample batch shape: mapPartitions emits MULTIPLE typed rows
+    * per input item (a real video decoder slots in at the same seam). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frameBytes = 128
+    val stride = 4
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val off = i * frameBytes
+          val len = math.min(frameBytes, bytes.length - off)
+          (id, i.toLong, off.toLong, len.toLong)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_off", "frame_len")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"      -> mediaMeta _,
-    "mm_media_meta_plan" -> mediaMetaPlan _)
+    "mm_media_meta_plan" -> mediaMetaPlan _,
+    "mm_frame_sample"    -> frameSample _)
 
   private val metaSql =
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
@@ -62,5 +84,10 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "mm_media_meta"      -> metaSql,
-    "mm_media_meta_plan" -> metaSql)
+    "mm_media_meta_plan" -> metaSql,
+    "mm_frame_sample" ->
+      ("SELECT doc_id, i AS frame_idx, i * 128 AS frame_off, " +
+       "least(128, strlen(text) - i * 128) AS frame_len " +
+       "FROM documents, " +
+       "UNNEST(range(0, CAST(ceil(strlen(text) / 128.0) AS BIGINT), 4)) AS t(i)"))
 }

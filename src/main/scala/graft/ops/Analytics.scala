@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flagship multi-join analytics — the Athena-layer questions the
+  * reference implies (`README.md:30` "price vs income/education by
+  * state/ZIP") expressed as TPC-H-shaped plans that exercise the
+  * optimizer end-to-end: join ordering, broadcast selection, partial
+  * aggregation, top-k lowering.
+  */
+object Analytics {
+
+  /** Q3-shaped: revenue top-10 for a segment in a date window.
+    * 3-way join (customer ⋈ orders ⋈ lineitem) + group + ordered limit —
+    * Catalyst broadcasts the filtered customer side at this scale; at
+    * 100 TB AQE picks shuffle strategy per stats. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1997-01-01 00:00:00")))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(l("l_orderkey"),
+               date_format(o("o_orderdate"), "yyyy-MM-dd").as("odate"),
+               o("o_orderpriority"))
+      .agg(Num.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q5-shaped: revenue by nation where the supplying and buying nations
+    * match, restricted to one region. 6-table join tree. */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "REGION_0")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") &&
+               c("c_nationkey") === s("s_nationkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(Num.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_topk"          -> q3TopK _,
+    "q5_region_volume" -> q5RegionVolume _)
+
+  val oracle: Map[String, String] = Map(
+    "q3_topk" ->
+      ("SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, " +
+       "o_orderpriority, " +
+       "round((sum(l_extendedprice * (1 - l_discount))) * 1e2) / 1e2 AS revenue " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "WHERE c_mktsegment = 'BUILDING' " +
+       "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+       "AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00' " +
+       "GROUP BY l_orderkey, odate, o_orderpriority " +
+       "ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q5_region_volume" ->
+      ("SELECT n_name, " +
+       "round((sum(l_extendedprice * (1 - l_discount))) * 1e2) / 1e2 AS revenue " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey " +
+       "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+       "JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN region ON n_regionkey = r_regionkey " +
+       "WHERE r_name = 'REGION_0' " +
+       "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"))
+}
