@@ -1,0 +1,116 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property tests — SURVEY §5: algebraic invariants over
+  * randomly generated inputs. Spark-backed properties run few cases
+  * (each case is a job); pure-function properties run the default 100. */
+object AlgebraProps extends Properties("graft.algebra") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private val rows = Gen.listOfN(
+    40, Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-100.0, 100.0),
+                Gen.oneOf("a", "b", "c")))
+
+  property("filter conjunction commutes and fuses") = forAll(rows) { xs =>
+    import spark.implicits._
+    val df = xs.toDF("k", "v", "tag")
+    val ab = df.filter($"v" > 0).filter($"tag" =!= "c").count()
+    val ba = df.filter($"tag" =!= "c").filter($"v" > 0).count()
+    val fused = df.filter($"v" > 0 && $"tag" =!= "c").count()
+    ab == ba && ba == fused
+  }
+
+  property("semi-join == distinct isin") = forAll(rows, rows) { (xs, ys) =>
+    import spark.implicits._
+    val left = xs.toDF("k", "v", "tag")
+    val right = ys.toDF("k", "v", "tag").select($"k")
+    val keys = right.distinct().as[Long].collect().toSeq
+    val viaIsin = left.filter($"k".isin(keys: _*)).count()
+    val viaSemi = left.join(right, Seq("k"), "left_semi").count()
+    viaIsin == viaSemi
+  }
+
+  property("semi + anti partition the left side") = forAll(rows, rows) { (xs, ys) =>
+    import spark.implicits._
+    val left = xs.toDF("k", "v", "tag")
+    val right = ys.toDF("k", "v", "tag").select($"k")
+    val semi = left.join(right, Seq("k"), "left_semi").count()
+    val anti = left.join(right, Seq("k"), "left_anti").count()
+    semi + anti == left.count()
+  }
+
+  property("per-group top-k returns <= k per group, == k when group big enough") =
+    forAll(rows, Gen.chooseNum(1, 5)) { (xs, k) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = xs.toDF("k", "v", "tag")
+      val w = Window.partitionBy("tag").orderBy($"v".desc, $"k".asc)
+      val top = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+      val perGroup = top.groupBy("tag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sizes = df.groupBy("tag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      sizes.forall { case (g, n) => perGroup.getOrElse(g, 0L) == math.min(k.toLong, n) }
+    }
+
+  property("broadcast join == plain join") = forAll(rows, rows) { (xs, ys) =>
+    import spark.implicits._
+    val l = xs.toDF("k", "v", "tag")
+    val r = ys.toDF("k", "v", "tag").groupBy("k").agg(max($"v").as("mv"))
+    val a = l.join(broadcast(r), Seq("k"), "left").select($"k", $"mv")
+    val b = l.join(r, Seq("k"), "left").select($"k", $"mv")
+    a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+  }
+
+  property("salted agg == plain agg") = forAll(rows) { xs =>
+    import spark.implicits._
+    val df = xs.toDF("k", "v", "tag")
+    val salted = df
+      .withColumn("salt", pmod(xxhash64($"k", $"v"), lit(8)))
+      .groupBy("tag", "salt").agg(sum($"k").as("ps"), count(lit(1)).as("pc"))
+      .groupBy("tag").agg(sum($"ps").as("s"), sum($"pc").as("n"))
+    val plain = df.groupBy("tag").agg(sum($"k").as("s"), count(lit(1)).as("n"))
+    salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0
+  }
+
+  // ---- pure-function properties (no Spark, default case counts) ----
+
+  property("PolyHash matches BigInt polynomial model") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val bytes = s.getBytes("UTF-8")
+      val M = BigInt((1L << 61) - 1)
+      val model = bytes.zipWithIndex.map { case (b, i) =>
+        BigInt(b & 0xff) * BigInt(131).modPow(i, M)
+      }.foldLeft(BigInt(0))((a, x) => (a + x) mod M)
+      functions.PolyHash.hashBytes(bytes) == model.toLong
+    }
+
+  property("Num portable rounding is within half-ulp of scale") =
+    forAll(Gen.chooseNum(-1e6, 1e6), Gen.chooseNum(0, 6)) { (x, s) =>
+      val p = math.pow(10, s)
+      val r = math.round(x * p) / p
+      math.abs(r - x) <= 0.5 / p + 1e-9 * math.abs(x).max(1.0)
+    }
+
+  property("retry: total sleeps follow geometric backoff") =
+    forAll(Gen.chooseNum(1, 5), Gen.chooseNum(1L, 50L)) { (failures, interval) =>
+      var calls = 0
+      val slept = scala.collection.mutable.ArrayBuffer[Long]()
+      pipeline.Retry.withBackoff(
+        maxAttempts = failures + 1, intervalMs = interval, backoff = 2.0,
+        sleep = slept.append(_)) {
+        calls += 1
+        if (calls <= failures) throw new RuntimeException("boom")
+        calls
+      }
+      Prop(slept.toSeq == (0 until failures)
+        .map(i => (interval * math.pow(2, i)).toLong)) :| s"slept=$slept"
+    }
+}
