@@ -44,10 +44,42 @@ object TimeOps {
               date_format(col("session_window.start"), fmt).as("session_start"),
               col("n"))
 
+  /** As-of join, composed Spark-first (SURVEY preference (a): built-in
+    * composition before custom operators): each purchase event picks up
+    * the most recent prior-or-simultaneous click by the same user.
+    * Union both sides tagged, one window pass per user ordered by
+    * (ts, side) with `last(..., ignoreNulls)` carrying the b-side
+    * forward — a single shuffle on user_id, no range cross-product.
+    * DuckDB's native ASOF LEFT JOIN is the oracle. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+              lit(1).as("is_a"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+              lit(0).as("is_a"))
+    // b-side sorts before a-side at equal ts → `>=` (inclusive) semantics
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_a").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("click_id",
+        last(when(col("is_a") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_value",
+        last(when(col("is_a") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("is_a") === 1)
+      .select(col("event_id"), col("user_id"),
+              date_format(col("ts"), fmt).as("ats"),
+              col("click_id"), col("click_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "time_tumbling" -> tumbling _,
-    "time_sliding"  -> sliding _,
-    "time_session"  -> session _)
+    "time_tumbling"  -> tumbling _,
+    "time_sliding"   -> sliding _,
+    "time_session"   -> session _,
+    "time_asof_join" -> asofJoin _)
 
   val oracle: Map[String, String] = Map(
     "time_tumbling" ->
@@ -72,5 +104,11 @@ object TimeOps {
        "y AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts " +
        "ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
-       "count(*) AS n FROM y GROUP BY user_id, sid"))
+       "count(*) AS n FROM y GROUP BY user_id, sid"),
+    "time_asof_join" ->
+      ("SELECT a.event_id, a.user_id, strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ats, " +
+       "b.event_id AS click_id, b.value AS click_value " +
+       "FROM (SELECT * FROM events WHERE event_type = 'purchase') a " +
+       "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b " +
+       "ON a.user_id = b.user_id AND a.ts >= b.ts"))
 }
