@@ -54,6 +54,15 @@ object Sources {
       .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
+  /** Columnar ORC round-trip (beyond reference: second columnar format,
+    * same vectorized-read path as parquet). */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("orc_supplier")
+    Tables.supplier(spark, dir).coalesce(1).write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
   /** S7 + entry point 4: catalog registration + SQL — the Athena analog
     * (`Schema.json:1-92`, `RealEstatePipeline.asl.json:120-130`; no query
     * text exists in the reference, SURVEY §3.4 — this supplies the
@@ -72,6 +81,7 @@ object Sources {
     "src_csv_roundtrip"  -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
     "src_parquet_pushdown" -> parquetPushdown _,
+    "src_orc_roundtrip"  -> orcRoundtrip _,
     "sql_view_query"     -> sqlView _)
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +91,8 @@ object Sources {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "src_parquet_pushdown" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45",
+    "src_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "sql_view_query" ->
       ("SELECT n_name, count(*) AS n_customers, " +
        "round((avg(c_acctbal)) * 1e2) / 1e2 AS avg_bal " +

@@ -81,7 +81,28 @@ object Windows {
       .limit(10)
       .select("o_orderkey", "o_custkey", "o_totalprice")
 
+  /** Per-group top-k via the typed `TopKAggregator` — map-side-combined
+    * bounded buffers instead of a full per-group shuffle+sort (the scale
+    * shape for k ≪ group size; see functions/TopKAggregator). Result is
+    * provably identical to the window form (same oracle shape). */
+  def topkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+      .as[(String, Double, Long)]
+    val top = new graft.functions.TopKAggregator(5).toColumn
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(top.name("ids"))
+      .toDF("c_mktsegment", "ids")
+      .select(col("c_mktsegment"),
+              posexplode(col("ids")).as(Seq("pos", "c_custkey")))
+      .select(col("c_mktsegment"), col("c_custkey"),
+              (col("pos") + 1).cast("int").as("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_topk_agg"          -> topkAgg _,
     "window_sample_stratified" -> sampleStratified _,
     "window_sample_rand"       -> sampleRand _,
     "window_topk_per_group"    -> topkPerGroup _,
@@ -97,13 +118,18 @@ object Windows {
        "FROM customer) t WHERE rn <= 100"),
     // window_sample_rand: intentionally no oracle (rand(42) is
     // partitioning-dependent; rows-only check per the contract).
+    "window_topk_agg" ->
+      ("SELECT c_mktsegment, c_custkey, rn FROM (" +
+       "SELECT c_mktsegment, c_custkey, CAST(row_number() OVER (" +
+       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn " +
+       "FROM customer) t WHERE rn <= 5"),
     "window_topk_per_group" ->
       ("SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (" +
-       "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER (" +
-       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rn " +
+       "SELECT c_mktsegment, c_custkey, c_acctbal, CAST(row_number() OVER (" +
+       "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn " +
        "FROM customer) t WHERE rn <= 5"),
     "window_lag_rank" ->
-      ("SELECT o_orderkey, o_custkey, row_number() OVER w AS rn, " +
+      ("SELECT o_orderkey, o_custkey, CAST(row_number() OVER w AS INTEGER) AS rn, " +
        "lag(o_totalprice, 1) OVER w AS prev_price FROM orders " +
        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"),
     "window_running_sum" ->

@@ -14,6 +14,12 @@ import org.apache.spark.sql.types._
   * Scale notes: watermark bounds state; windowed aggregation state is
   * per (window × event_type) — O(active windows), not O(events).
   */
+/** Open-session accumulator for sessionizeStream (epoch millis). */
+case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
+
+/** A completed session emitted by sessionizeStream (epoch millis). */
+case class SessionOut(user_id: Long, session_start_ms: Long, n: Long)
+
 object EventStream {
 
   /** Schema of the events stream after ts normalization (parquet NANOS →
@@ -73,6 +79,50 @@ object EventStream {
           (user, n, s)
       }
       .toDF("user_id", "n_events", "sum_value")
+  }
+
+  /** Sessionization via flatMapGroupsWithState: per-user sessions closed
+    * by a 5-minute event-time gap, EMITTED only when the watermark proves
+    * no earlier event can arrive (event-time timeout) — the canonical
+    * custom-state streaming operator the built-in session_window can't
+    * generalize (e.g. per-session payloads, early triggers). */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapMs = 5 * 60 * 1000L
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startMs, s.n))
+          } else {
+            // batch-sorted fold: events within a micro-batch arrive unsorted
+            val sorted = evs.map(_._2.getTime).toSeq.sorted
+            var acc = state.getOption.getOrElse(
+              SessionAcc(sorted.head, sorted.head, 0L))
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { tMs =>
+              if (tMs - acc.lastMs >= gapMs) {
+                closed += SessionOut(user, acc.startMs, acc.n)
+                acc = SessionAcc(tMs, tMs, 1L)
+              } else {
+                acc = acc.copy(lastMs = tMs, n = acc.n + 1)
+              }
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastMs + gapMs)
+            closed.result().iterator
+          }
+      }
+      .toDF("user_id", "session_start_ms", "n")
   }
 
   /** Run a streaming frame to completion against a memory sink and

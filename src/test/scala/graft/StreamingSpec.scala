@@ -62,6 +62,39 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() === distinctIds)
   }
 
+  test("flatMapGroupsWithState sessionization matches a batch fold for completed sessions") {
+    val streamed = EventStream.runToMemory(
+      spark,
+      EventStream.sessionizeStream(spark, EventStream.readEvents(spark, streamDir)),
+      "sess_out", OutputMode.Append())
+    // batch reference: gaps-and-islands at the same ms precision
+    val e = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_millis(col("ts")).as("tms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tms")
+    val batch = e
+      .withColumn("new_s",
+        when(lag(col("tms"), 1).over(w).isNull ||
+             col("tms") - lag(col("tms"), 1).over(w) >= 300000L, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("tms").as("session_start_ms"), count(lit(1)).as("n"),
+           max("tms").as("last_ms"))
+    val batchKeyed = batch.select("user_id", "session_start_ms", "n")
+    assert(streamed.count() > 0)
+    // every emitted session exists identically in the batch fold
+    assert(streamed.exceptAll(batchKeyed).count() === 0)
+    // sessions the stream withheld must be tail sessions the watermark
+    // never closed: lastMs + gap > watermark (maxTs - 10 min)
+    val maxMs = Tables.events(spark, sf0001)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val wm = maxMs - 600000L
+    val withheld = batch.join(streamed,
+      Seq("user_id", "session_start_ms", "n"), "left_anti")
+    assert(withheld.filter(col("last_ms") + 300000L <= wm).count() === 0)
+  }
+
   test("stateful per-user totals match batch groupBy") {
     val streamed = EventStream.runToMemory(
       spark,
