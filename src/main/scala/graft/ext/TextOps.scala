@@ -112,7 +112,24 @@ object TextOps {
       s"FROM (SELECT doc_id, lang, $scores FROM documents) t"
   }
 
+  /** Corpus-level stats: per-language doc counts, token means, quality
+    * rate — the aggregate view a data-curation pipeline reports. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+              size(toks).as("n_tok"),
+              (size(toks).between(10, 2000) &&
+               size(array_distinct(toks)) >= 5).cast("int").as("ok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           Num.rnd(avg("n_tok"), 2).as("avg_tokens"),
+           Num.rnd(lit(100.0) * sum("ok") / count(lit(1)), 1).as("quality_pct"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats_agg"   -> statsAgg _,
     "text_tokens"      -> tokens _,
     "text_quality"     -> quality _,
     "text_langid"      -> langid _,
@@ -120,6 +137,14 @@ object TextOps {
     "text_rollhash"    -> rollhash _)
 
   val oracle: Map[String, String] = Map(
+    "text_stats_agg" ->
+      ("SELECT lang, count(*) AS n_docs, " +
+       "round((avg(n_tok)) * 1e2) / 1e2 AS avg_tokens, " +
+       "round((100.0 * sum(ok) / count(*)) * 1e1) / 1e1 AS quality_pct FROM (" +
+       "SELECT lang, len(string_split(text, ' ')) AS n_tok, " +
+       "CAST(len(string_split(text, ' ')) BETWEEN 10 AND 2000 " +
+       "AND len(list_distinct(string_split(text, ' '))) >= 5 AS INTEGER) AS ok " +
+       "FROM documents) t GROUP BY lang ORDER BY lang"),
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws, " +
        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]')) AS INTEGER) AS n_bpe " +

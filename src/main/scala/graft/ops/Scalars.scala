@@ -84,7 +84,20 @@ object Scalars {
               length(col("c_name")).as("name_len"),
               concat_ws("-", col("c_mktsegment"), col("c_nationkey")).as("seg_key"))
 
+  /** Math scalar suite: abs/ceil/floor/sqrt/exp-of-log/power — per-row
+    * IEEE doubles, bit-identical across engines. */
+  def mathSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+              abs(col("c_acctbal")).as("abs_bal"),
+              ceil(col("c_acctbal")).as("ceil_bal"),
+              floor(col("c_acctbal")).as("floor_bal"),
+              Num.rnd(sqrt(abs(col("c_acctbal"))), 6).as("sqrt_bal"),
+              Num.rnd(pow(col("c_acctbal") / 10000.0, 2), 6).as("sq_norm"),
+              signum(col("c_acctbal")).as("sign_bal"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_math"          -> mathSuite _,
     "scalar_derive"        -> derive _,
     "scalar_sentinel_null" -> sentinelNull _,
     "scalar_ratio_pct"     -> ratioPct _,
@@ -94,6 +107,13 @@ object Scalars {
     "scalar_string"        -> strings _)
 
   val oracle: Map[String, String] = Map(
+    "scalar_math" ->
+      ("SELECT c_custkey, abs(c_acctbal) AS abs_bal, " +
+       "CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal, " +
+       "CAST(floor(c_acctbal) AS BIGINT) AS floor_bal, " +
+       "round((sqrt(abs(c_acctbal))) * 1e6) / 1e6 AS sqrt_bal, " +
+       "round((pow(c_acctbal / 10000.0, 2)) * 1e6) / 1e6 AS sq_norm, " +
+       "CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal FROM customer"),
     "scalar_derive" ->
       ("SELECT l_orderkey, l_linenumber, " +
        "round((CAST(l_extendedprice AS DOUBLE) / l_quantity) * 1e2) / 1e2 AS price_per_unit " +

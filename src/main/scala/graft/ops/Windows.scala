@@ -101,7 +101,23 @@ object Windows {
               (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** Ranking-function suite: rank/dense_rank/ntile/percent_rank/cume_dist
+    * in one window pass (all Catalyst built-ins; doubles are ratios of
+    * identical ints — bit-stable across engines). */
+  def rankingSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+              rank().over(w).as("rnk"),
+              dense_rank().over(w).as("drnk"),
+              ntile(4).over(w).as("quartile"),
+              Num.rnd(percent_rank().over(w), 6).as("pct_rank"),
+              Num.rnd(cume_dist().over(w), 6).as("cdist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ranking_suite"     -> rankingSuite _,
     "window_topk_agg"          -> topkAgg _,
     "window_sample_stratified" -> sampleStratified _,
     "window_sample_rand"       -> sampleRand _,
@@ -111,6 +127,13 @@ object Windows {
     "sort_limit"               -> sortLimit _)
 
   val oracle: Map[String, String] = Map(
+    "window_ranking_suite" ->
+      ("SELECT c_mktsegment, c_custkey, CAST(rank() OVER w AS INTEGER) AS rnk, " +
+       "CAST(dense_rank() OVER w AS INTEGER) AS drnk, " +
+       "CAST(ntile(4) OVER w AS INTEGER) AS quartile, " +
+       "round((percent_rank() OVER w) * 1e6) / 1e6 AS pct_rank, " +
+       "round((cume_dist() OVER w) * 1e6) / 1e6 AS cdist FROM customer " +
+       "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)"),
     "window_sample_stratified" ->
       ("SELECT c_custkey, c_mktsegment FROM (" +
        "SELECT c_custkey, c_mktsegment, row_number() OVER (" +

@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan shape assertions for the 100 TB invariants — the plan
+  * itself is the contract, not just the result (BASELINE.md "plan-quality
+  * invariants", SURVEY §7.3 standing rules). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("parquet scans carry pushed filters and pruned schemas") {
+    val p = planOf("src_parquet_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("dimension joins broadcast; fact side never moves") {
+    for (q <- Seq("flagship", "join_broadcast_left", "join_match_rate")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q plan:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q should not sort-merge:\n$p")
+    }
+  }
+
+  test("global top-k lowers to TakeOrderedAndProject (no full sort)") {
+    val p = planOf("sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are partial+final HashAggregate pairs") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("no query collects unbounded data to the driver") {
+    // the one deliberate collect (semi_isin parity demo) is bounded by the
+    // 25-row nation table; every other query builds a single lazy plan.
+    // Spot-check the scale-sensitive paths stay fully lazy:
+    for (q <- Seq("dedup_ngram_jaccard", "sim_ann_topk", "window_topk_agg",
+                  "q5_region_volume", "skew_salted_agg")) {
+      // building the DataFrame must not trigger a Spark job
+      val tracker = new org.apache.spark.scheduler.SparkListener {
+        @volatile var jobs = List.empty[String]
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs ::= j.stageInfos.headOption.map(_.name).getOrElse("?")
+      }
+      spark.sparkContext.addSparkListener(tracker)
+      try {
+        SparkEntry.queries(q)(spark, sf0001) // plan only, no action
+        Thread.sleep(200) // let any stray job-start events drain
+        // parquet footer/schema-inference jobs are bounded metadata reads,
+        // not data collection — everything else is a laziness violation
+        val dataJobs = tracker.jobs.filterNot(_.startsWith("parquet at"))
+        assert(dataJobs.isEmpty, s"$q ran data jobs during plan construction: $dataJobs")
+      } finally spark.sparkContext.removeSparkListener(tracker)
+    }
+  }
+}
