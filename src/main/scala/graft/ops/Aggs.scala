@@ -75,7 +75,50 @@ object Aggs {
            count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** CUBE: all grouping-set combinations (beyond-reference built-in). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+
+  /** PIVOT: status × priority count matrix via conditional aggregation
+    * (expressed with explicit pivot columns so the plan is static — the
+    * dynamic-pivot variant needs a values scan first). */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Null handling: na.fill after sentinel normalization (F7 family). */
+  def naFill(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", when(col("value") > 10, col("value")))
+      .na.fill(Map("v" -> -1.0))
+      .groupBy("event_type")
+      .agg(count(when(col("v") === -1.0, 1)).as("n_filled"),
+           count(lit(1)).as("n_total"))
+      .orderBy("event_type")
+
+  /** Approximate aggregates — HLL count-distinct + approximate quantiles
+    * (sketch algorithms differ per engine → no oracle; tolerance vs exact
+    * is pinned in PartitionPruningSpec). */
+  def approxAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+             .as("apx_p50"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cube"          -> cubeAgg _,
+    "agg_pivot"         -> pivotAgg _,
+    "agg_na_fill"       -> naFill _,
+    "agg_approx"        -> approxAgg _,
     "agg_groupby_count" -> groupbyCount _,
     "agg_global"        -> globalStats _,
     "agg_stats"         -> groupStats _,
@@ -85,6 +128,22 @@ object Aggs {
     "q1_agg"            -> q1Agg _)
 
   val oracle: Map[String, String] = Map(
+    "agg_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
+       "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "agg_pivot" ->
+      ("SELECT o_orderpriority, " +
+       "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
+       "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +
+       "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "agg_na_fill" ->
+      ("SELECT event_type, " +
+       "count(CASE WHEN coalesce(CASE WHEN value > 10 THEN value END, -1.0) = -1.0 " +
+       "THEN 1 END) AS n_filled, count(*) AS n_total " +
+       "FROM events GROUP BY event_type ORDER BY event_type"),
+    // agg_approx: sketch algorithms are engine-specific — no oracle
+    // (rows-only); tolerance vs exact pinned in PartitionPruningSpec.
     "agg_groupby_count" ->
       ("SELECT o_orderpriority, count(*) AS n FROM orders " +
        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
