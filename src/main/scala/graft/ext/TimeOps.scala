@@ -75,11 +75,30 @@ object TimeOps {
               col("click_id"), col("click_value"))
   }
 
+  /** Interval (range) join: purchases within 1 hour after a click by the
+    * same user — the batch shape of EventStream.clickPurchaseJoin
+    * (StreamingSpec proves stream ≡ batch). Equi-key on user bounds the
+    * range explosion: shuffle by user, per-user interval scan. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("p_id"))
+    clicks.join(purchases,
+      expr("user_id = p_user AND p_ts >= click_ts " +
+           "AND p_ts <= click_ts + INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("p_id"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "time_tumbling"  -> tumbling _,
-    "time_sliding"   -> sliding _,
-    "time_session"   -> session _,
-    "time_asof_join" -> asofJoin _)
+    "time_tumbling"      -> tumbling _,
+    "time_sliding"       -> sliding _,
+    "time_session"       -> session _,
+    "time_asof_join"     -> asofJoin _,
+    "time_interval_join" -> intervalJoin _)
 
   val oracle: Map[String, String] = Map(
     "time_tumbling" ->
@@ -110,5 +129,11 @@ object TimeOps {
        "b.event_id AS click_id, b.value AS click_value " +
        "FROM (SELECT * FROM events WHERE event_type = 'purchase') a " +
        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b " +
-       "ON a.user_id = b.user_id AND a.ts >= b.ts"))
+       "ON a.user_id = b.user_id AND a.ts >= b.ts"),
+    "time_interval_join" ->
+      ("SELECT c.event_id AS click_id, p.event_id AS p_id, c.user_id " +
+       "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
+       "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
+       "ON c.user_id = p.user_id AND p.ts >= c.ts " +
+       "AND p.ts <= c.ts + INTERVAL 1 HOUR"))
 }

@@ -125,6 +125,25 @@ object EventStream {
       .toDF("user_id", "session_start_ms", "n")
   }
 
+  /** Stream-stream interval join: purchases within 1 hour AFTER a click
+    * by the same user. Both sides carry watermarks so join state is
+    * evicted once the interval can no longer match — bounded state, the
+    * only way a stream-stream join survives at scale. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("p_id"))
+    clicks.join(purchases,
+      expr("user_id = p_user AND p_ts >= click_ts " +
+           "AND p_ts <= click_ts + INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("p_id"), col("user_id"))
+  }
+
   /** Run a streaming frame to completion against a memory sink and
     * return the materialized result (deterministic replay for tests). */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,

@@ -95,6 +95,24 @@ class StreamingSpec extends SparkSpec {
     assert(withheld.filter(col("last_ms") + 300000L <= wm).count() === 0)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamEvents = EventStream.readEvents(spark, streamDir)
+    val streamed = EventStream.runToMemory(
+      spark, EventStream.clickPurchaseJoin(streamEvents),
+      "ssjoin_out", OutputMode.Append())
+    val e = Tables.events(spark, sf0001)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val batch = clicks.join(purchases,
+      expr("user_id = p_user AND p_ts >= click_ts AND p_ts <= click_ts + INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("p_id"), col("user_id"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stateful per-user totals match batch groupBy") {
     val streamed = EventStream.runToMemory(
       spark,
