@@ -98,13 +98,15 @@ object Dedup {
             Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // confirm candidates with exact Jaccard over the 3-gram shingle sets
+    // confirm candidates with exact Jaccard — computed for CANDIDATE pairs
+    // only (fan out candidates to their a-side shingles, then equi-join
+    // the b-side), never for every shingle-sharing pair
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("a_id", "b_id"))
+    inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
                  .withColumnRenamed("sz", "sz_a"), Seq("a_id"))
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -131,12 +133,63 @@ object Dedup {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** Connected-component clustering over near-dup pairs: iterative
+    * min-label propagation (each round: label ← min(label, neighbors'
+    * labels)) until fixpoint — the distributed keep-one-per-cluster step
+    * a real dedup pipeline ends with. Converges in O(diameter) rounds;
+    * every round is one shuffle-by-key join, no driver graph.
+    * Cluster id = smallest doc_id reachable (deterministic); the oracle
+    * reconstructs it with a recursive CTE. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select("a_id", "b_id")
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .withColumnsRenamed(Map("a_id" -> "u", "b_id" -> "v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    var labels = docs.withColumn("cluster", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(Map("doc_id" -> "v", "cluster" -> "vc")),
+              Seq("v"))
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("vc").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+                  .as("cluster"),
+                (col("nmin") < col("cluster")).as("chg"))
+      val mat = updated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = mat.filter(col("chg")).count()
+      labels = mat.select("doc_id", "cluster")
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters"      -> clusters _,
     "dedup_exact"         -> exact _,
     "dedup_exact_norm"    -> exactNorm _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_simhash"       -> simhash _)
+
+  /** Shared DuckDB CTE chain: word-5-gram shingles -> sizes -> candidate
+    * pairs -> integer-Jaccard-thresholded pairs (`jac`). */
+  private val ngramPairCte: String =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
+    "FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
+    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+    "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+    "jac AS (SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM pr " +
+    "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
+    "WHERE inter * 5 >= sa.sz + sb.sz - inter)"
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -146,14 +199,14 @@ object Dedup {
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
        "GROUP BY regexp_replace(lower(trim(text)), ' +', ' ', 'g')"),
     "dedup_ngram_jaccard" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-       "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
-       "FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
-       "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-       "pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
-       "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
-       "SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM pr " +
-       "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
-       "WHERE inter * 5 >= sa.sz + sb.sz - inter"))
+      s"WITH $ngramPairCte SELECT a_id, b_id, inter, uni FROM jac",
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $ngramPairCte, " +
+       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
+       "UNION SELECT b_id, a_id FROM jac), " +
+       "reach(u, v) AS (SELECT u, v FROM edges " +
+       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
+       "SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
+       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id"))
     // dedup_minhash_lsh / dedup_simhash: Spark-hash-specific, no oracle.
 }
