@@ -128,7 +128,25 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Corpus-wide token frequency: top 20 tokens (vocab head — the first
+    * thing a tokenizer-training pipeline inspects). */
+  def topTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20)
+
+  /** Document-length histogram in 100-char buckets. */
+  def lenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((floor(length(col("text")) / 100) * 100).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_tokens"  -> topTokens _,
+    "text_len_hist"    -> lenHist _,
     "text_stats_agg"   -> statsAgg _,
     "text_tokens"      -> tokens _,
     "text_quality"     -> quality _,
@@ -137,6 +155,13 @@ object TextOps {
     "text_rollhash"    -> rollhash _)
 
   val oracle: Map[String, String] = Map(
+    "text_top_tokens" ->
+      ("SELECT tok, count(*) AS n FROM (" +
+       "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t " +
+       "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"),
+    "text_len_hist" ->
+      ("SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket, " +
+       "count(*) AS n_docs FROM documents GROUP BY bucket ORDER BY bucket"),
     "text_stats_agg" ->
       ("SELECT lang, count(*) AS n_docs, " +
        "round((avg(n_tok)) * 1e2) / 1e2 AS avg_tokens, " +
