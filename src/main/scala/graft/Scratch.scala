@@ -14,6 +14,23 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "streamdemo") {
+      // drive the streaming surface end-to-end: file stream -> stateful
+      // agg -> foreachBatch idempotent parquet sink
+      val tmp = java.nio.file.Files.createTempDirectory("graft-streamdemo")
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+      streaming.EventStream.runToParquet(
+        streaming.EventStream.userTotals(
+          spark, streaming.EventStream.readEvents(spark, s"$tmp/in")),
+        s"$tmp/out", s"$tmp/ckpt")
+      val n = spark.read.parquet(s"$tmp/out").count()
+      println(s"STREAMDEMO_ROWS=$n")
+      spark.stop()
+      return
+    }
     val df = SparkEntry.queries(name)(spark, dir)
     println(s"===== $name (logical, optimized) =====")
     println(df.queryExecution.optimizedPlan.toString)

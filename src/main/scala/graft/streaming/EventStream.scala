@@ -144,6 +144,25 @@ object EventStream {
       .select(col("click_id"), col("p_id"), col("user_id"))
   }
 
+  /** foreachBatch parquet sink: each micro-batch lands in its own
+    * `batch_id=N` directory with overwrite — re-processing a batch after
+    * a failure rewrites the same path instead of duplicating rows
+    * (idempotent, the standard exactly-once file-sink recipe when the
+    * built-in file sink's log can't be used). */
+  def runToParquet(streamed: DataFrame, outDir: String,
+                   checkpointDir: String): Unit = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming frame to completion against a memory sink and
     * return the materialized result (deterministic replay for tests). */
   def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
