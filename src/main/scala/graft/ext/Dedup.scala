@@ -84,8 +84,13 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val sh = shingles(docs, 3) // reused 4x, same rationale as ngramJaccard
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one strong hash over the shingle STRING, then 32 cheap permutation
+    // hashes over that 8-byte long (wrap-around multiply would be the
+    // classic derivation but Spark 4 ANSI rejects long overflow; hashing
+    // the long costs far less than re-hashing the string 32×)
+    val base = xxhash64(col("sh"))
     val sigCols = (0 until NumHashes)
-      .map(j => min(xxhash64(lit(j), col("sh"))).as(s"h$j"))
+      .map(j => min(xxhash64(lit(j), base)).as(s"h$j"))
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = array((0 until Bands).map { bId =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
