@@ -96,7 +96,25 @@ object Scalars {
               Num.rnd(pow(col("c_acctbal") / 10000.0, 2), 6).as("sq_norm"),
               signum(col("c_acctbal")).as("sign_bal"))
 
+  /** Array + higher-order functions: per-order quantity vector (sorted
+    * collect for determinism) → size / element_at / filter / aggregate.
+    * Array stays internal; outputs are scalars so the oracle compare is
+    * type-robust. */
+  def arraySuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(col("l_orderkey"),
+              size(col("qs")).as("n_items"),
+              element_at(col("qs"), 1).as("min_q"),
+              element_at(col("qs"), -1).as("max_q"),
+              size(filter(col("qs"), q => q >= 25)).as("n_big"),
+              Num.rnd(aggregate(col("qs"), lit(0.0), (acc, q) => acc + q), 2)
+                .as("sum_q"))
+      .orderBy("l_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_array"         -> arraySuite _,
     "scalar_math"          -> mathSuite _,
     "scalar_derive"        -> derive _,
     "scalar_sentinel_null" -> sentinelNull _,
@@ -107,6 +125,13 @@ object Scalars {
     "scalar_string"        -> strings _)
 
   val oracle: Map[String, String] = Map(
+    "scalar_array" ->
+      ("SELECT l_orderkey, CAST(len(qs) AS INTEGER) AS n_items, " +
+       "qs[1] AS min_q, qs[-1] AS max_q, " +
+       "CAST(len(list_filter(qs, q -> q >= 25)) AS INTEGER) AS n_big, " +
+       "round((list_sum(qs)) * 1e2) / 1e2 AS sum_q FROM (" +
+       "SELECT l_orderkey, list_sort(list(l_quantity)) AS qs FROM lineitem " +
+       "GROUP BY l_orderkey) t ORDER BY l_orderkey"),
     "scalar_math" ->
       ("SELECT c_custkey, abs(c_acctbal) AS abs_bal, " +
        "CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal, " +
