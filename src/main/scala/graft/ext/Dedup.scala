@@ -175,7 +175,16 @@ object Dedup {
     labels
   }
 
+  /** The end product of the dedup pipeline: the kept document set — one
+    * survivor (min doc_id) per near-dup cluster, all singletons kept. */
+  def keepList(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir)
+      .groupBy("cluster")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("cluster_size"))
+      .select("doc_id", "cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_keep"          -> keepList _,
     "dedup_clusters"      -> clusters _,
     "dedup_exact"         -> exact _,
     "dedup_exact_norm"    -> exactNorm _,
@@ -212,6 +221,15 @@ object Dedup {
        "reach(u, v) AS (SELECT u, v FROM edges " +
        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
        "SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
-       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id"))
+       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id"),
+    "dedup_keep" ->
+      (s"WITH RECURSIVE $ngramPairCte, " +
+       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
+       "UNION SELECT b_id, a_id FROM jac), " +
+       "reach(u, v) AS (SELECT u, v FROM edges " +
+       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+       "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
+       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
+       "SELECT min(doc_id) AS doc_id, count(*) AS cluster_size FROM lab GROUP BY cluster"))
     // dedup_minhash_lsh / dedup_simhash: Spark-hash-specific, no oracle.
 }

@@ -138,6 +138,31 @@ object Similarity {
       .select("vec_id", "cell", "csim")
   }
 
+  /** IVF search: top-3 neighbors per vector WITHIN its IVF cell (assign
+    * via the coarse quantizer, shuffle by cell, exact cosine re-rank) —
+    * the probe phase completing ivfAssign. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(spark, dir).select("vec_id", "cell")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+      .join(assigned, Seq("vec_id"))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+                       col("cell"), col("nrm").as("nrm_a"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+                       col("cell"), col("nrm").as("nrm_b"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
+                .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id", "rn", "sim")
+  }
+
   // ---- generated oracle SQL ----
 
   private def planeSqlLit(j: Int): String =
@@ -155,7 +180,8 @@ object Similarity {
     "sim_lsh_buckets"  -> lshBuckets _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
-    "sim_ivf_assign"   -> ivfAssign _)
+    "sim_ivf_assign"   -> ivfAssign _,
+    "sim_ivf_topk"     -> ivfTopK _)
 
   val oracle: Map[String, String] = Map(
     "sim_norms" ->
@@ -191,5 +217,19 @@ object Similarity {
        "FROM embeddings e CROSS JOIN c), " +
        "r AS (SELECT vec_id, cell, csim, row_number() OVER (PARTITION BY vec_id " +
        "ORDER BY csim DESC, cell ASC) AS rn FROM s) " +
-       "SELECT vec_id, cell, csim FROM r WHERE rn = 1"))
+       "SELECT vec_id, cell, csim FROM r WHERE rn = 1"),
+    "sim_ivf_topk" ->
+      ("WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
+       "s AS (SELECT e.vec_id, c.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN c), " +
+       "asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (" +
+       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s) WHERE rn = 1), " +
+       "m AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id), " +
+       "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
+       "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+       "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
+       "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"))
 }

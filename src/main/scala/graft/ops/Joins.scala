@@ -82,7 +82,25 @@ object Joins {
       .select(l("c_custkey"), l("name"), r("s_suppkey"))
   }
 
+  /** Null-safe equi-join (`<=>`): null keys MATCH null keys — the
+    * semantics `=` silently drops. Keys are derived with a null-producing
+    * bucketing so both sides carry genuine nulls. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .withColumn("k", when(col("c_nationkey") % 5 === 0, lit(null))
+        .otherwise(col("c_nationkey") % 5))
+    val d = Tables.nation(spark, dir)
+      .withColumn("k", when(col("n_nationkey") % 5 === 0, lit(null))
+        .otherwise(col("n_nationkey") % 5))
+      .select(col("k"), col("n_nationkey"))
+    c.join(d, c("k") <=> d("k"))
+      .groupBy(c("k").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe"      -> nullSafeJoin _,
     "join_broadcast_left" -> broadcastLeft _,
     "semi_join"           -> semiJoin _,
     "anti_join"           -> antiJoin _,
@@ -91,6 +109,13 @@ object Joins {
     "join_ambiguous_proj" -> ambiguousProj _)
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      ("SELECT c.k, count(*) AS n FROM " +
+       "(SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_nationkey % 5 END AS k " +
+       "FROM customer) c JOIN " +
+       "(SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 5 END AS k " +
+       "FROM nation) d ON c.k IS NOT DISTINCT FROM d.k " +
+       "GROUP BY c.k ORDER BY c.k NULLS FIRST"),
     "join_broadcast_left" ->
       ("SELECT c_custkey, c_name, n_name FROM customer " +
        "LEFT JOIN nation ON c_nationkey = n_nationkey"),

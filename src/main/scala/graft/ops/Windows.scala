@@ -116,7 +116,20 @@ object Windows {
               Num.rnd(cume_dist().over(w), 6).as("cdist"))
   }
 
+  /** first/last/nth value over a full-partition frame. */
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+              first(col("o_totalprice")).over(w).as("first_price"),
+              last(col("o_totalprice")).over(w).as("last_price"),
+              nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_first_last"        -> firstLast _,
     "window_ranking_suite"     -> rankingSuite _,
     "window_topk_agg"          -> topkAgg _,
     "window_sample_stratified" -> sampleStratified _,
@@ -127,6 +140,12 @@ object Windows {
     "sort_limit"               -> sortLimit _)
 
   val oracle: Map[String, String] = Map(
+    "window_first_last" ->
+      ("SELECT o_orderkey, o_custkey, first_value(o_totalprice) OVER w AS first_price, " +
+       "last_value(o_totalprice) OVER w AS last_price, " +
+       "nth_value(o_totalprice, 2) OVER w AS second_price FROM orders " +
+       "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
     "window_ranking_suite" ->
       ("SELECT c_mktsegment, c_custkey, CAST(rank() OVER w AS INTEGER) AS rnk, " +
        "CAST(dense_rank() OVER w AS INTEGER) AS drnk, " +
