@@ -113,7 +113,21 @@ object Scalars {
                 .as("sum_q"))
       .orderBy("l_orderkey")
 
+  /** Date arithmetic (beyond reference — it never parses dates): day
+    * difference, offset, year/quarter extraction. Dates emitted as
+    * formatted strings for engine-neutral compare. */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+              datediff(to_timestamp(lit("2002-01-01 00:00:00")), col("o_orderdate"))
+                .as("days_to_2002"),
+              date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+                .as("plus_30d"),
+              year(col("o_orderdate")).as("yr"),
+              quarter(col("o_orderdate")).as("qtr"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_date_arith"    -> dateArith _,
     "scalar_array"         -> arraySuite _,
     "scalar_math"          -> mathSuite _,
     "scalar_derive"        -> derive _,
@@ -125,6 +139,13 @@ object Scalars {
     "scalar_string"        -> strings _)
 
   val oracle: Map[String, String] = Map(
+    "scalar_date_arith" ->
+      ("SELECT o_orderkey, " +
+       "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) " +
+       "AS days_to_2002, " +
+       "strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d, " +
+       "CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+       "CAST(quarter(o_orderdate) AS INTEGER) AS qtr FROM orders"),
     "scalar_array" ->
       ("SELECT l_orderkey, CAST(len(qs) AS INTEGER) AS n_items, " +
        "qs[1] AS min_q, qs[-1] AS max_q, " +
