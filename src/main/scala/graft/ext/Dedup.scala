@@ -1,22 +1,43 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators over `documents` — exact, n-gram Jaccard,
   * MinHash-LSH, SimHash (north star, BASELINE.json).
   *
   * Scale notes (100 TB): every variant is a pure shuffle-by-key pipeline —
   * no driver collection, no cross join. Candidate generation joins on
-  * shingle / band-bucket keys whose fan-out is bounded by construction
-  * (rare 5-gram shingles; 4-row MinHash bands), so the pairwise step
+  * shingle / band-bucket keys, and a document-frequency cap drops hot
+  * shingles before any self-join (a shingle shared by M docs creates M²
+  * candidate pairs and carries no dedup signal), so the pairwise step
   * touches only near-duplicate candidates, never O(n²).
+  *
+  * The shingle→pair pipeline is materialized ONCE per (session, dir) and
+  * reused by dedup_ngram_jaccard / dedup_clusters / dedup_keep — round 1
+  * re-ran it three times and leaked a persisted frame per cluster round,
+  * which showed up as a 12× bench regression on dedup_keep.
   *
   * Jaccard outputs are exact integers (intersection, union) — threshold
   * tests are integer comparisons, immune to float drift.
+  *
+  * MinHash and SimHash use a portable polynomial hash (fold of
+  * `acc*B + codepoint mod P`) instead of xxhash64 so the identical
+  * computation is expressible in DuckDB (`list_reduce`) — both are
+  * oracle-checked, not rows-only.
   */
 object Dedup {
+
+  /** Max documents a shingle may appear in before it is dropped from
+    * candidate generation. Hot shingles (boilerplate, stop-phrases) add
+    * O(df²) candidate pairs and no signal; the cap turns "rare by
+    * construction" into an enforced invariant. Mirrored in the oracle. */
+  private[graft] val MaxShingleDf = 100
+
+  private val P1 = 1000000007L // polyhash modulus (both engines, < 2^30)
+  private val P2 = 998244353L  // second modulus → simhash high bits
 
   /** Exact dedup: deterministic survivor (min doc_id) + multiplicity per
     * text key. `groupBy(key).agg(min(id))` rather than dropDuplicates so
@@ -44,68 +65,25 @@ object Dedup {
                      s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
       .distinct()
 
-  /** Exact n-gram Jaccard near-dup: candidate pairs share >= 1 word
-    * 5-gram (rare by construction → small join fan-out), then exact
-    * integer Jaccard over shingle sets, threshold 0.2. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // the shingle frame feeds four consumers (both join sides + both
-    // size lookups) and the executed plan shows Catalyst does NOT reuse
-    // its distinct-shuffle across them — persist materializes the
-    // tokenize+explode+distinct once instead of 4 full recomputations
-    // (at 100 TB: 1 shuffle instead of 4)
-    val sh = shingles(Tables.documents(spark, dir), 5)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id")
-                 .withColumnRenamed("sz", "sz_a"), Seq("a_id"))
-      .join(sizes.withColumnRenamed("doc_id", "b_id")
-                 .withColumnRenamed("sz", "sz_b"), Seq("b_id"))
-      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-      .filter(col("inter") * 5 >= col("uni")) // jaccard >= 0.2, exact ints
-      .select("a_id", "b_id", "inter", "uni")
+  /** Shingles with the document-frequency cap applied: shingles shared by
+    * more than [[MaxShingleDf]] docs are excluded from candidate
+    * generation AND from the Jaccard sets (the operator's semantics are
+    * "similarity over informative shingles"; the oracle applies the same
+    * cap). The cap join shuffles by shingle — the same key the candidate
+    * self-join needs, so the partitioning is reused. */
+  private[graft] def cappedShingles(df: DataFrame, n: Int): DataFrame = {
+    val sh = shingles(df, n)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf)
+      .select("sh")
+    sh.join(rare, Seq("sh"))
   }
 
-  private val NumHashes = 32
-  private val Bands = 8
-  private val RowsPerBand = NumHashes / Bands
-
-  /** MinHash + LSH banding near-dup. 32 minhashes from seeded xxhash64
-    * over word 3-gram shingles; 8 bands × 4 rows; pairs colliding in any
-    * band are candidates; exact integer Jaccard >= 0.5 confirms.
-    * (xxhash64 is Spark-specific → no DuckDB oracle; rows-only check.) */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sh = shingles(docs, 3) // reused 4x, same rationale as ngramJaccard
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one strong hash over the shingle STRING, then 32 cheap permutation
-    // hashes over that 8-byte long (wrap-around multiply would be the
-    // classic derivation but Spark 4 ANSI rejects long overflow; hashing
-    // the long costs far less than re-hashing the string 32×)
-    val base = xxhash64(col("sh"))
-    val sigCols = (0 until NumHashes)
-      .map(j => min(xxhash64(lit(j), base)).as(s"h$j"))
-    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandStructs = array((0 until Bands).map { bId =>
-      val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
-      struct(lit(bId).as("band"), xxhash64(lit(1000 + bId) +: cols: _*).as("bh"))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
-      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
-            Seq("band", "bh"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    // confirm candidates with exact Jaccard — computed for CANDIDATE pairs
-    // only (fan out candidates to their a-side shingles, then equi-join
-    // the b-side), never for every shingle-sharing pair
+  /** Jaccard-confirm a candidate-pair frame against a shingle frame:
+    * exact integer intersection (fan candidates out to a-side shingles,
+    * equi-join the b-side — never recompute all shingle-sharing pairs). */
+  private def confirmJaccard(cand: DataFrame, sh: DataFrame,
+                             num: Int, den: Int): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
@@ -117,24 +95,141 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "b_id")
                  .withColumnRenamed("sz", "sz_b"), Seq("b_id"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-      .filter(col("inter") * 2 >= col("uni")) // jaccard >= 0.5
+      .filter(col("inter") * den >= col("uni") * num) // jaccard >= num/den
       .select("a_id", "b_id", "inter", "uni")
   }
 
-  /** 64-bit SimHash per document: token hash bits weighted ±1, summed,
-    * sign → bit. (xxhash64-based → no oracle; rows-only check.) */
+  /** One materialized frame per (session, dir, key): the iterative /
+    * multi-consumer dedup pipelines are computed once, localCheckpoint'd
+    * (truncates lineage, caches the small result) and reused — the big
+    * intermediate shingle frames are unpersisted as soon as the result
+    * exists. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** 5-gram Jaccard >= 0.2 near-dup pairs, materialized once. The shingle
+    * self-join yields `inter` directly (one shuffle + one agg — no
+    * distinct-candidates detour; the DF cap bounds its fan-out). */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "jac5"), {
+      val sh = cappedShingles(Tables.documents(spark, dir), 5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+      val inter = a.join(b, Seq("sh"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+      val out = inter
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+                   .withColumnRenamed("sz", "sz_a"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+                   .withColumnRenamed("sz", "sz_b"), Seq("b_id"))
+        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+        .filter(col("inter") * 5 >= col("uni")) // jaccard >= 0.2, exact ints
+        .select("a_id", "b_id", "inter", "uni")
+        .localCheckpoint() // small pair set: cached, lineage-free
+      sh.unpersist()
+      out
+    })
+
+  /** Exact n-gram Jaccard near-dup: candidate pairs share >= 1 word
+    * 5-gram (DF-capped → bounded join fan-out), then exact integer
+    * Jaccard over shingle sets, threshold 0.2. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir)
+
+  // ---- portable polynomial hash (identical fold in Spark and DuckDB) ----
+
+  /** h(s) = fold over codepoints: acc ← (acc·base + code) mod m, acc₀=0.
+    * All arithmetic stays < base·m ≈ 2^37 — ANSI-safe, BIGINT-safe. */
+  private def polyHash(c: Column, base: Long, m: Long): Column =
+    when(length(c) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(c)),
+                  i => ascii(c.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, x) => (acc * lit(base) + x) % lit(m)))
+      .otherwise(lit(0L))
+
+  /** The same fold as DuckDB SQL (list_reduce with a BIGINT 0 seed). */
+  private def polyHashSql(e: String, base: Long, m: Long): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len($e)+1), " +
+    s"i -> CAST(ascii(($e)[i]) AS BIGINT)), (a,b) -> (a*$base + b) % $m)"
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Deterministic permutation constants (emitted as identical literals
+    * into the oracle SQL): h_j(H) = (a_j·H + b_j) mod P1, a_j ∈ [1,P1). */
+  private def permConst(k: Int): Long = {
+    var x = k.toLong * 2654435761L + 1013904223L
+    x ^= (x >>> 16); x *= 2246822519L; x ^= (x >>> 13)
+    math.floorMod(x, P1)
+  }
+  private val permA: IndexedSeq[Long] =
+    (0 until NumHashes).map(j => permConst(2 * j) % (P1 - 1) + 1)
+  private val permB: IndexedSeq[Long] =
+    (0 until NumHashes).map(j => permConst(2 * j + 1))
+
+  /** Band hash: fold the band's row minhashes from a per-band seed —
+    * identical structure emitted on both engines. */
+  private def bandFold(seed: Long, hs: Seq[Column]): Column =
+    hs.foldLeft(lit(seed): Column)((acc, h) => (acc * lit(31L) + h) % lit(P1))
+  private def bandFoldSql(seed: Long, hs: Seq[String]): String =
+    hs.foldLeft(seed.toString)((acc, h) => s"((($acc) * 31 + $h) % $P1)")
+
+  /** MinHash + LSH banding near-dup. 32 minhashes = affine permutations of
+    * ONE portable polyhash per 3-gram shingle; 8 bands × 4 rows; pairs
+    * colliding in any band are candidates; exact integer Jaccard >= 0.5
+    * confirms (computed for candidates only). Oracle-checked: the same
+    * hash/permutation/band constants are emitted into the DuckDB SQL.
+    * Banding → bucket join → confirm-on-candidates is the 100 TB shape. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "minhash"), {
+      val sh = cappedShingles(Tables.documents(spark, dir), 3)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hs = sh.select(col("doc_id"), polyHash(col("sh"), 31L, P1).as("h"))
+      val sigCols = (0 until NumHashes)
+        .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
+      val sigs = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandStructs = array((0 until Bands).map { bId =>
+        val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
+        struct(lit(bId).as("band"), bandFold(1000L + bId, cols).as("bh"))
+      }: _*)
+      val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+              Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val out = confirmJaccard(cand, sh, 1, 2).localCheckpoint()
+      sh.unpersist()
+      out
+    })
+
+  private val SimBits = 60 // 30 bits from each modulus (P1, P2 < 2^30)
+
+  /** 60-bit SimHash per document: two portable token polyhashes supply 30
+    * sign-weighted bits each; bit j set when Σ tokens(±1) > 0.
+    * Oracle-checked (same folds in DuckDB). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)).as(s"b$j")
+      .select(col("doc_id"),
+              polyHash(col("tok"), 31L, P1).as("h1"),
+              polyHash(col("tok"), 131L, P2).as("h2"))
+    val bitSums = (0 until SimBits).map { j =>
+      val src = if (j < 30) shiftright(col("h1"), j) else shiftright(col("h2"), j - 30)
+      sum(when(src.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map { j =>
-          when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        (0 until SimBits).map { j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
   }
 
@@ -143,37 +238,54 @@ object Dedup {
     * labels)) until fixpoint — the distributed keep-one-per-cluster step
     * a real dedup pipeline ends with. Converges in O(diameter) rounds;
     * every round is one shuffle-by-key join, no driver graph.
+    *
+    * Lifecycle per round: persist round k, count it (the one action),
+    * then unpersist round k-1; every 8 rounds localCheckpoint truncates
+    * the logical plan (otherwise Catalyst re-analyzes a tree that grows
+    * per round). Result memoized per (session, dir) — dedup_keep reuses
+    * it instead of re-running the loop.
     * Cluster id = smallest doc_id reachable (deterministic); the oracle
     * reconstructs it with a recursive CTE. */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select("a_id", "b_id")
-    val edges = pairs
-      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .withColumnsRenamed(Map("a_id" -> "u", "b_id" -> "v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    var labels = docs.withColumn("cluster", col("doc_id"))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 30) {
-      val neighborMin = edges
-        .join(labels.withColumnsRenamed(Map("doc_id" -> "v", "cluster" -> "vc")),
-              Seq("v"))
-        .groupBy(col("u").as("doc_id"))
-        .agg(min("vc").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-                least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-                  .as("cluster"),
-                (col("nmin") < col("cluster")).as("chg"))
-      val mat = updated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = mat.filter(col("chg")).count()
-      labels = mat.select("doc_id", "cluster")
-      rounds += 1
-    }
-    edges.unpersist()
-    labels
-  }
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "clusters"), {
+      val pairs = jaccardPairs(spark, dir).select("a_id", "b_id")
+      val edges = pairs
+        .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .withColumnsRenamed(Map("a_id" -> "u", "b_id" -> "v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      var labels = docs.withColumn("cluster", col("doc_id"))
+      var prevPersisted: Option[DataFrame] = None
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 30) {
+        val neighborMin = edges
+          .join(labels.withColumnsRenamed(Map("doc_id" -> "v", "cluster" -> "vc")),
+                Seq("v"))
+          .groupBy(col("u").as("doc_id"))
+          .agg(min("vc").as("nmin"))
+        val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+                    .as("cluster"),
+                  (col("nmin") < col("cluster")).as("chg"))
+        val mat = updated.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = mat.filter(col("chg")).count() // materializes this round
+        prevPersisted.foreach(_.unpersist())     // previous round now dead
+        prevPersisted = Some(mat)
+        labels = mat.select("doc_id", "cluster")
+        rounds += 1
+        if (rounds % 8 == 0) { // bound plan depth on long label chains
+          labels = labels.localCheckpoint()
+          prevPersisted.foreach(_.unpersist())
+          prevPersisted = None
+        }
+      }
+      val out = labels.localCheckpoint() // small, lineage-free, cached
+      prevPersisted.foreach(_.unpersist())
+      edges.unpersist()
+      out
+    })
 
   /** The end product of the dedup pipeline: the kept document set — one
     * survivor (min doc_id) per near-dup cluster, all singletons kept. */
@@ -192,18 +304,66 @@ object Dedup {
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_simhash"       -> simhash _)
 
-  /** Shared DuckDB CTE chain: word-5-gram shingles -> sizes -> candidate
-    * pairs -> integer-Jaccard-thresholded pairs (`jac`). */
-  private val ngramPairCte: String =
+  /** Shared DuckDB CTE chain for n-gram shingles with the DF cap:
+    * tokens -> distinct shingles -> rare (df <= cap) -> capped shingles. */
+  private def shingleCte(n: Int): String =
     "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-    "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
-    "FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
+    s"sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS s " +
+    s"FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 1))) AS u(i)), " +
+    s"rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $MaxShingleDf), " +
+    "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s))"
+
+  /** 5-gram capped shingles -> sizes -> candidate pairs ->
+    * integer-Jaccard-thresholded pairs (`jac`). */
+  private val ngramPairCte: String =
+    shingleCte(5) + ", " +
     "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
     "pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
     "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
     "jac AS (SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM pr " +
     "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
     "WHERE inter * 5 >= sa.sz + sb.sz - inter)"
+
+  /** MinHash oracle: the identical hash/permutation/band constants. */
+  private def minhashOracleSql: String = {
+    val ph = polyHashSql("s", 31L, P1)
+    val sigSelect = (0 until NumHashes)
+      .map(j => s"min((${permA(j)}*h + ${permB(j)}) % $P1) AS h$j")
+      .mkString(", ")
+    val bandSelects = (0 until Bands).map { bId =>
+      val hs = (0 until RowsPerBand).map(r => s"h${bId * RowsPerBand + r}")
+      s"SELECT doc_id, $bId AS band, ${bandFoldSql(1000L + bId, hs)} AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"WITH ${shingleCte(3)}, " +
+    s"hs AS (SELECT doc_id, s, $ph AS h FROM sh), " +
+    s"sig AS (SELECT doc_id, $sigSelect FROM hs GROUP BY doc_id), " +
+    s"bands AS ($bandSelects), " +
+    "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM bands x " +
+    "JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
+    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    "it AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c " +
+    "JOIN sh x ON x.doc_id = c.a_id JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s " +
+    "GROUP BY 1, 2) " +
+    "SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM it " +
+    "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
+    "WHERE inter * 2 >= sa.sz + sb.sz - inter"
+  }
+
+  /** SimHash oracle: same two folds, same 60 sign-bit sums. */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until SimBits).map { j =>
+      val src = if (j < 30) s"(h1 >> $j)" else s"(h2 >> ${j - 30})"
+      s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    val bitVals = (0 until SimBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+    s"th AS (SELECT doc_id, ${polyHashSql("tok", 31L, P1)} AS h1, " +
+    s"${polyHashSql("tok", 131L, P2)} AS h2 FROM tk), " +
+    s"bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id) " +
+    s"SELECT doc_id, CAST($bitVals AS BIGINT) AS simhash FROM bs"
+  }
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -214,6 +374,8 @@ object Dedup {
        "GROUP BY regexp_replace(lower(trim(text)), ' +', ' ', 'g')"),
     "dedup_ngram_jaccard" ->
       s"WITH $ngramPairCte SELECT a_id, b_id, inter, uni FROM jac",
+    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql,
     "dedup_clusters" ->
       (s"WITH RECURSIVE $ngramPairCte, " +
        "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
@@ -231,5 +393,4 @@ object Dedup {
        "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
        "SELECT min(doc_id) AS doc_id, count(*) AS cluster_size FROM lab GROUP BY cluster"))
-    // dedup_minhash_lsh / dedup_simhash: Spark-hash-specific, no oracle.
 }

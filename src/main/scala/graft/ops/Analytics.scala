@@ -37,7 +37,7 @@ object Analytics {
   /** Q5-shaped: revenue by nation where the supplying and buying nations
     * match, restricted to one region. 6-table join tree. */
   def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.region(spark, dir).filter(col("r_name") === "REGION_0")
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val n = Tables.nation(spark, dir)
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -79,6 +79,6 @@ object Analytics {
        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
        "JOIN nation ON s_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey " +
-       "WHERE r_name = 'REGION_0' " +
+       "WHERE r_name = 'ASIA' " +
        "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"))
 }

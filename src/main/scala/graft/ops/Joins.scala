@@ -25,19 +25,25 @@ object Joins {
 
   /** J2 (idiomatic): left-semi join — the scale-safe form of the
     * reference's collect+isin coverage filter (`real_estate_etl_job.py:41,96`).
-    * No data from the right side crosses the wire beyond the broadcast. */
+    * No hint: `orders` is a fact table, so a forced broadcast would OOM the
+    * driver at scale. Left-semi only moves the join key; AQE picks BHJ vs
+    * SMJ from runtime stats. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
-    c.join(broadcast(o), Seq("c_custkey"), "left_semi")
+    c.join(o, Seq("c_custkey"), "left_semi")
       .select("c_custkey", "c_mktsegment")
   }
 
-  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  /** Left-anti join: customers with no high-value order (NOT EXISTS over a
+    * filtered fact side — survivors exist at every SF, so the oracle check
+    * is non-vacuous). No broadcast hint, same rationale as [[semiJoin]]. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
-    c.join(broadcast(o), Seq("c_custkey"), "left_anti")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
 
@@ -124,7 +130,8 @@ object Joins {
        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
     "anti_join" ->
       ("SELECT c_custkey, c_name FROM customer c " +
-       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+       "AND o.o_totalprice > 300000)"),
     "join_inner_agg" ->
       ("SELECT o_orderpriority, round((sum(l_extendedprice * (1 - l_discount))) * 1e2) / 1e2 AS revenue, " +
        "count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

@@ -31,11 +31,17 @@ object Sets {
     c.intersect(s).orderBy("nkey")
   }
 
-  /** EXCEPT (distinct semantics): nations with customers but no suppliers. */
+  /** EXCEPT (distinct semantics): BUILDING-segment customers who placed no
+    * order in 1998 — two key projections that genuinely differ, so the
+    * oracle check is non-vacuous (77 rows at sf0.01). */
   def exceptQ(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nkey"))
-    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nkey"))
-    c.except(s).orderBy("nkey")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1998)
+      .select(col("o_custkey").as("k"))
+    c.except(o).orderBy("k")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -54,6 +60,6 @@ object Sets {
       ("SELECT c_nationkey AS nkey FROM customer INTERSECT " +
        "SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey"),
     "set_except" ->
-      ("SELECT c_nationkey AS nkey FROM customer EXCEPT " +
-       "SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey"))
+      ("SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' EXCEPT " +
+       "SELECT o_custkey AS k FROM orders WHERE year(o_orderdate) = 1998 ORDER BY k"))
 }

@@ -23,6 +23,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semi/anti joins carry no broadcast hint on the unbounded fact side") {
+    // orders is a fact table: a forced broadcast OOMs the driver at 100x.
+    // The logical plan must be hint-free; AQE picks BHJ vs SMJ from stats.
+    for (q <- Seq("semi_join", "anti_join")) {
+      val analyzed = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+             s"$q hints a broadcast of an unbounded side:\n$analyzed")
+    }
+  }
+
   test("global top-k lowers to TakeOrderedAndProject (no full sort)") {
     val p = planOf("sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -38,7 +49,10 @@ class PlanShapeSpec extends SparkSpec {
     // the one deliberate collect (semi_isin parity demo) is bounded by the
     // 25-row nation table; every other query builds a single lazy plan.
     // Spot-check the scale-sensitive paths stay fully lazy:
-    for (q <- Seq("dedup_ngram_jaccard", "sim_ann_topk", "window_topk_agg",
+    // dedup_ngram_jaccard / minhash / clusters are deliberately eager now:
+    // they localCheckpoint a shared candidate-pair frame (distributed
+    // materialization to executor cache, not driver collection).
+    for (q <- Seq("dedup_simhash", "sim_brute_topk", "window_topk_agg",
                   "q5_region_volume", "skew_salted_agg")) {
       // building the DataFrame must not trigger a Spark job
       val tracker = new org.apache.spark.scheduler.SparkListener {
