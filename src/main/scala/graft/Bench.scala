@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,20 +10,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink: full distributed evaluation of EVERY output column —
+    // unlike count(), which lets Catalyst skip projected expressions for
+    // some plans and understates real work non-uniformly
+    def exhaust(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // untimed warmup: JVM/JIT + whole-stage-codegen compiler + FS metadata
     // are one-time session costs that would otherwise land on whichever
     // query happens to run first
-    try { SparkEntry.flagship(spark, sfDir).count() }
+    try { exhaust(SparkEntry.flagship(spark, sfDir)) }
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout can get truncated in driver logs (BENCH_r01.json arrived
+    // unparseable); the file is the durable record
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     spark.stop()
   }
 }

@@ -77,12 +77,68 @@ object Sources {
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
   }
 
+  /** S5 reference-parity sink: ONE pretty-printed multi-line JSON ARRAY
+    * file (`CensusDataFetch.py:153-163` — `json.dump(..., indent=2)`),
+    * not JSON-lines. Single-partition streaming write: rows flow through
+    * an iterator (no whole-array materialization on any node). */
+  def writeJsonArray(df: DataFrame, out: String): Unit = {
+    import df.sparkSession.implicits._
+    df.toJSON.coalesce(1).mapPartitions { rows =>
+      val body = new Iterator[String] {
+        private var cur: String = if (rows.hasNext) rows.next() else null
+        def hasNext: Boolean = cur != null
+        def next(): String = {
+          val r = cur
+          cur = if (rows.hasNext) rows.next() else null
+          "  " + r + (if (cur != null) "," else "")
+        }
+      }
+      Iterator("[") ++ body ++ Iterator("]")
+    }.write.mode("overwrite").text(out)
+  }
+
+  /** S1+S5: the reference's exact census-file shape round-tripped — write
+    * the single JSON array file, read it back with multiLine. */
+  def jsonArrayRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("json_array_nation")
+    writeJsonArray(Tables.nation(spark, dir), out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.option("multiLine", "true").option("pathGlobFilter", "part-*")
+      .schema(schema).json(out)
+      .select("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  /** S7 persistent variant: `CREATE TABLE ... USING parquet` via
+    * saveAsTable at an explicit location — the durable catalog table the
+    * reference registers for Athena (`Schema.json`,
+    * `RealEstatePipeline.asl.json:120-130`), queryable by NAME in later
+    * SQL (vs the session-scoped temp view of [[sqlView]]). */
+  def catalogTable(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("catalog_nation_summary")
+    spark.sql("DROP TABLE IF EXISTS graft_nation_summary")
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           Num.rnd(sum("c_acctbal"), 2).as("total_bal"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", out).saveAsTable("graft_nation_summary")
+    spark.sql("SELECT n_name, n_customers, total_bal FROM graft_nation_summary " +
+              "ORDER BY n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip"  -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
+    "src_json_array_roundtrip" -> jsonArrayRoundtrip _,
     "src_parquet_pushdown" -> parquetPushdown _,
     "src_orc_roundtrip"  -> orcRoundtrip _,
-    "sql_view_query"     -> sqlView _)
+    "sql_view_query"     -> sqlView _,
+    "sql_catalog_table"  -> catalogTable _)
 
   val oracle: Map[String, String] = Map(
     "src_csv_roundtrip" ->
@@ -96,6 +152,13 @@ object Sources {
     "sql_view_query" ->
       ("SELECT n_name, count(*) AS n_customers, " +
        "round((avg(c_acctbal)) * 1e2) / 1e2 AS avg_bal " +
+       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+       "GROUP BY n_name ORDER BY n_name"),
+    "src_json_array_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "sql_catalog_table" ->
+      ("SELECT n_name, count(*) AS n_customers, " +
+       "round((sum(c_acctbal)) * 1e2) / 1e2 AS total_bal " +
        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
        "GROUP BY n_name ORDER BY n_name"))
 }

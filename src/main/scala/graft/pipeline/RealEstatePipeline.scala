@@ -99,11 +99,30 @@ object RealEstatePipeline {
   }
 
   /** Full run: read → transform → audit → write (STEP 10: single-file
-    * header CSV overwrite, `real_estate_etl_job.py:202`). Returns the
+    * header CSV overwrite, `real_estate_etl_job.py:202`), wrapped in the
+    * Step-Functions retry contract (`RealEstatePipeline.asl.json:62-72`:
+    * 2 attempts, 60 s interval, 2.0 backoff on TaskFailed; exhausted
+    * retries rethrow = the Catch → ProcessingFailed state `:73-81`).
+    * `onAttempt` is the TaskFailed seam (tests inject transient faults);
+    * `retrySleep` is injectable so tests don't wait 60 s. Returns the
     * enriched frame + the audit stats the Step Functions contract checks. */
   def run(spark: SparkSession, listingsCsv: String, censusJson: String,
           outDir: Option[String] = None, samplePerState: Int = 100,
-          sampleSeed: Long = 42L): (DataFrame, PipelineStats) = {
+          sampleSeed: Long = 42L, maxAttempts: Int = 2,
+          retrySleep: Long => Unit = Thread.sleep,
+          onAttempt: Int => Unit = _ => ()): (DataFrame, PipelineStats) = {
+    var attempt = 0
+    Retry.withBackoff(maxAttempts, intervalMs = 60000L, backoff = 2.0,
+                      sleep = retrySleep) {
+      attempt += 1
+      onAttempt(attempt)
+      runOnce(spark, listingsCsv, censusJson, outDir, samplePerState, sampleSeed)
+    }.get
+  }
+
+  private def runOnce(spark: SparkSession, listingsCsv: String, censusJson: String,
+                      outDir: Option[String], samplePerState: Int,
+                      sampleSeed: Long): (DataFrame, PipelineStats) = {
     val census = readCensus(spark, censusJson)
     val listings = readListings(spark, listingsCsv)
 
@@ -138,5 +157,18 @@ object RealEstatePipeline {
         .option("header", "true").csv(d)
     }
     (enriched, stats)
+  }
+
+  /** Persistent catalog registration — the durable 18-column table the
+    * reference declares for Athena (`/root/reference/Schema.json:1-92`,
+    * `RealEstatePipeline.asl.json:120-130`): `CREATE TABLE ... USING
+    * parquet` at an explicit location, queryable by name across the
+    * session catalog (vs the temp-view-only `sql_view_query`). */
+  def registerCatalog(spark: SparkSession, enriched: DataFrame,
+                      path: String,
+                      tableName: String = "real_estate_enriched"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    enriched.write.mode("overwrite").format("parquet")
+      .option("path", path).saveAsTable(tableName)
   }
 }

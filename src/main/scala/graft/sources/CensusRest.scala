@@ -37,6 +37,28 @@ object CensusRest {
     "doctorate" -> 7, "total_25plus" -> 8, "unemployed" -> 9,
     "labor_force" -> 10, "median_age" -> 11)
 
+  /** Default production transport: pure-JDK `java.net.http.HttpClient`
+    * GET with a 10 s timeout (`CensusDataFetch.py:37` —
+    * `requests.get(..., timeout=10)`); non-200 → exception, collected
+    * per-ZIP by [[fetchRaw]]. The injected-function seam stays the test /
+    * offline path; this completes S6 for real deployments. */
+  def httpTransport(urlFor: String => String,
+                    timeout: java.time.Duration = java.time.Duration.ofSeconds(10))
+      : String => String = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+    zip => {
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(urlFor(zip)))
+        .timeout(timeout).GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new RuntimeException(s"HTTP ${resp.statusCode()} for zip $zip")
+      resp.body()
+    }
+  }
+
   /** Sequential fetch with throttle; per-ZIP failures are collected, not
     * fatal (`CensusDataFetch.py:76-78,129-150`). */
   def fetchRaw(zips: Seq[String], transport: String => String,

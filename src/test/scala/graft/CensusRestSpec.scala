@@ -59,4 +59,34 @@ class CensusRestSpec extends SparkSpec {
     assert(malformed.isNullAt(2))             // "abc" → null
     assert(malformed.getDouble(4) === 100.0)  // 4 of 4 college
   }
+
+  test("default http transport GETs the built URL, returns body, surfaces non-200") {
+    // pure-JDK loopback server — no egress, exercises the real client path
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val payload = """[["NAME","B19013_001E"],["ZCTA5 01002","85000"]]"""
+    server.createContext("/acs", ex => {
+      val q = ex.getRequestURI.getQuery
+      val (code, body) =
+        if (q != null && q.contains("zip=01002")) (200, payload) else (404, "nope")
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val transport = CensusRest.httpTransport(
+        zip => s"http://127.0.0.1:$port/acs?zip=$zip")
+      assert(transport("01002") === payload)
+      val err = intercept[RuntimeException](transport("99999"))
+      assert(err.getMessage.contains("404"))
+      // and it plugs into fetchRaw's failure-collection contract
+      val (ok, failed) = CensusRest.fetchRaw(
+        Seq("01002", "99999"), transport, throttleMs = 0, sleep = _ => ())
+      assert(ok.map(_.zip_code) === Seq("01002"))
+      assert(failed.map(_._1) === Seq("99999"))
+    } finally server.stop(0)
+  }
 }

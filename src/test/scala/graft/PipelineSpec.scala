@@ -112,6 +112,58 @@ class PipelineSpec extends SparkSpec {
     assert(miss.left.exists(_.exists(_.contains("rows"))))
   }
 
+  test("run() itself retries like the Step Functions contract (x2 @60s, backoff 2.0)") {
+    var calls = 0
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    val (_, stats) = RealEstatePipeline.run(
+      spark, fixtures._1, fixtures._2, samplePerState = 10,
+      maxAttempts = 2, retrySleep = slept.append(_),
+      onAttempt = n => { calls += 1
+        if (n == 1) throw new RuntimeException("TaskFailed (transient)") })
+    assert(calls === 2)                 // failed once, succeeded on retry
+    assert(slept.toSeq === Seq(60000L)) // asl.json IntervalSeconds: 60
+    assert(stats.outputColumns === 18)
+    // exhausted retries rethrow — the Catch -> ProcessingFailed state
+    val thrown = intercept[RuntimeException] {
+      RealEstatePipeline.run(spark, fixtures._1, fixtures._2,
+        samplePerState = 10, maxAttempts = 2, retrySleep = _ => (),
+        onAttempt = _ => throw new RuntimeException("TaskFailed (permanent)"))
+    }
+    assert(thrown.getMessage.contains("permanent"))
+  }
+
+  test("enriched output registers as a persistent 18-column catalog table") {
+    val (enriched, _) = result
+    val loc = Tables.scratch("real_estate_catalog")
+    RealEstatePipeline.registerCatalog(spark, enriched, loc)
+    assert(spark.catalog.tableExists("real_estate_enriched"))
+    val back = spark.table("real_estate_enriched")
+    assert(back.columns.toSeq === RealEstatePipeline.outputColumns)
+    assert(back.count() === enriched.count())
+    // durable: backed by parquet files at the declared location
+    assert(new java.io.File(loc).listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("census JSON array sink writes ONE pretty-printed [-prefixed file that round-trips") {
+    val census = RealEstatePipeline.readCensus(spark, fixtures._2)
+    val out = Tables.scratch("census_array_sink")
+    ops.Sources.writeJsonArray(census, out)
+    val parts = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length === 1) // single file, like json.dump
+    val lines = Files.readAllLines(parts.head.toPath)
+    assert(lines.get(0) === "[")                      // array, not JSON-lines
+    assert(lines.get(1).startsWith("  {"))            // pretty-printed rows
+    assert(lines.get(1).endsWith(","))                // element separators
+    assert(lines.get(lines.size - 1) === "]")
+    // content equality: the file is readable by the pipeline's own
+    // multiLine census reader and matches the source exactly
+    val back = spark.read.option("multiLine", "true")
+      .option("pathGlobFilter", "part-*").json(out)
+    assert(back.count() === census.count())
+    assert(back.select(census.columns.map(org.apache.spark.sql.functions.col): _*)
+      .exceptAll(census).isEmpty)
+  }
+
   test("retry with backoff: succeeds after transient failures, exhausts on permanent") {
     var calls = 0
     val slept = scala.collection.mutable.ArrayBuffer[Long]()
