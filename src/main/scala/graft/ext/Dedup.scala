@@ -55,29 +55,39 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Distinct (doc_id, shingle) pairs: word n-grams via slice over the
-    * token array (higher-order functions, codegen-friendly, no UDF). */
-  private[graft] def shingles(df: DataFrame, n: Int): DataFrame =
+  /** Inverted shingle index in ONE shuffle: explode raw word n-grams
+    * (higher-order functions, codegen-friendly, no UDF), then
+    * `collect_set(doc_id)` per shingle — the set IS the distinct, the
+    * sorted id list feeds in-plan pair generation, and the
+    * document-frequency cap is a post-agg filter. Round 1's shape
+    * (distinct → df-count → cap join → self-join) paid four shuffles on
+    * the fat (doc_id, shingle) frame; this pays one.
+    *
+    * The cap drops shingles shared by more than [[MaxShingleDf]] docs
+    * from candidate generation AND from the Jaccard sets (the operator's
+    * semantics are "similarity over informative shingles"; the oracle
+    * applies the same cap). It also bounds the in-plan pair expansion at
+    * O(MaxShingleDf²) per shingle — the hot-key M² blowup cannot occur. */
+  private[graft] def shingleGroups(df: DataFrame, n: Int): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n) // docs shorter than n yield no shingles
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
                      s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
-      .distinct()
+      .groupBy("sh")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= MaxShingleDf)
 
-  /** Shingles with the document-frequency cap applied: shingles shared by
-    * more than [[MaxShingleDf]] docs are excluded from candidate
-    * generation AND from the Jaccard sets (the operator's semantics are
-    * "similarity over informative shingles"; the oracle applies the same
-    * cap). The cap join shuffles by shingle — the same key the candidate
-    * self-join needs, so the partitioning is reused. */
-  private[graft] def cappedShingles(df: DataFrame, n: Int): DataFrame = {
-    val sh = shingles(df, n)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf)
-      .select("sh")
-    sh.join(rare, Seq("sh"))
-  }
+  /** (doc_id, sh) row form of the capped index (for Jaccard confirms). */
+  private def shingleRows(grp: DataFrame): DataFrame =
+    grp.select(explode(col("ids")).as("doc_id"), col("sh"))
+
+  /** All ordered id pairs (a < b) per shingle, generated IN-PLAN from the
+    * sorted id list — no self-join: `ids` is sorted ascending, so pairing
+    * each element with its suffix yields a < b exactly once. */
+  private val pairExpr =
+    "flatten(transform(ids, (x, i) -> " +
+    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
 
   /** Jaccard-confirm a candidate-pair frame against a shingle frame:
     * exact integer intersection (fan candidates out to a-side shingles,
@@ -107,18 +117,19 @@ object Dedup {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  /** 5-gram Jaccard >= 0.2 near-dup pairs, materialized once. The shingle
-    * self-join yields `inter` directly (one shuffle + one agg — no
-    * distinct-candidates detour; the DF cap bounds its fan-out). */
+  /** 5-gram Jaccard >= 0.2 near-dup pairs, materialized once. Candidate
+    * pairs come straight out of the inverted index (in-plan suffix
+    * pairing per shingle), `inter` is one agg over them — no shingle
+    * self-join at all. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((spark, dir, "jac5"), {
-      val sh = cappedShingles(Tables.documents(spark, dir), 5)
+      val grp = shingleGroups(Tables.documents(spark, dir), 5)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-      val inter = a.join(b, Seq("sh"))
-        .filter(col("a_id") < col("b_id"))
+      val sizes = grp.select(explode(col("ids")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = grp.filter(size(col("ids")) >= 2)
+        .select(explode(expr(pairExpr)).as("p"))
+        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
         .groupBy("a_id", "b_id")
         .agg(count(lit(1)).as("inter"))
       val out = inter
@@ -130,7 +141,7 @@ object Dedup {
         .filter(col("inter") * 5 >= col("uni")) // jaccard >= 0.2, exact ints
         .select("a_id", "b_id", "inter", "uni")
         .localCheckpoint() // small pair set: cached, lineage-free
-      sh.unpersist()
+      grp.unpersist()
       out
     })
 
@@ -143,15 +154,11 @@ object Dedup {
   // ---- portable polynomial hash (identical fold in Spark and DuckDB) ----
 
   /** h(s) = fold over codepoints: acc ← (acc·base + code) mod m, acc₀=0.
-    * All arithmetic stays < base·m ≈ 2^37 — ANSI-safe, BIGINT-safe. */
+    * Spark side: single-pass codegen'd Catalyst expression
+    * ([[graft.functions.PolyHashMod]]); all arithmetic stays
+    * < base·m ≈ 2^37 — BIGINT-safe on the DuckDB side too. */
   private def polyHash(c: Column, base: Long, m: Long): Column =
-    when(length(c) > 0,
-      aggregate(
-        transform(sequence(lit(1), length(c)),
-                  i => ascii(c.substr(i, lit(1))).cast("long")),
-        lit(0L),
-        (acc, x) => (acc * lit(base) + x) % lit(m)))
-      .otherwise(lit(0L))
+    graft.functions.PolyHashMod.col(c, base, m)
 
   /** The same fold as DuckDB SQL (list_reduce with a BIGINT 0 seed). */
   private def polyHashSql(e: String, base: Long, m: Long): String =
@@ -189,9 +196,13 @@ object Dedup {
     * Banding → bucket join → confirm-on-candidates is the 100 TB shape. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((spark, dir, "minhash"), {
-      val sh = cappedShingles(Tables.documents(spark, dir), 3)
+      val grp = shingleGroups(Tables.documents(spark, dir), 3)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val hs = sh.select(col("doc_id"), polyHash(col("sh"), 31L, P1).as("h"))
+      // hash once per DISTINCT shingle (pre-explode), not once per
+      // (doc, shingle) occurrence
+      val hs = grp
+        .select(polyHash(col("sh"), 31L, P1).as("h"),
+                explode(col("ids")).as("doc_id"))
       val sigCols = (0 until NumHashes)
         .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
       val sigs = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -206,8 +217,8 @@ object Dedup {
               Seq("band", "bh"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      val out = confirmJaccard(cand, sh, 1, 2).localCheckpoint()
-      sh.unpersist()
+      val out = confirmJaccard(cand, shingleRows(grp), 1, 2).localCheckpoint()
+      grp.unpersist()
       out
     })
 

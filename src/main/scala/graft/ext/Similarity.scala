@@ -161,24 +161,32 @@ object Similarity {
     * broadcast join (centroids are tiny: ≤4096 rows), search shuffles by
     * cell — no cross product. Cell count grows with n (see sizing note
     * above) so the in-cell join stays ~O(n·32), not O(n²/16). */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val cents = emb.filter(col("vec_id") < ivfCells(embCount(spark, dir)))
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
-              col("nrm").as("cnrm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-    emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-              col("cell"),
-              Num.rnd(dotCols(col("embedding"), col("cv")) /
-                        (col("nrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell", "csim")
-  }
+  private val assignMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    // materialized once per (session, dir): sim_ivf_assign and
+    // sim_ivf_topk both need the assignment — the n×cells cosine scan is
+    // the expensive half, no reason to run it twice
+    assignMemo.getOrElseUpdate((spark, dir), {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+                sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+      val cents = emb.filter(col("vec_id") < ivfCells(embCount(spark, dir)))
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+                col("nrm").as("cnrm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+                col("cell"),
+                Num.rnd(dotCols(col("embedding"), col("cv")) /
+                          (col("nrm") * col("cnrm")), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cell", "csim")
+        .localCheckpoint()
+    })
 
   /** IVF search: top-3 neighbors per vector WITHIN its IVF cell (assign
     * via the coarse quantizer, shuffle by cell, exact cosine re-rank) —
