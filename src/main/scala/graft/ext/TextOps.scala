@@ -144,6 +144,68 @@ object TextOps {
       .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")
 
+  /** Repetition-based quality filter (Gopher/C4-style): fraction of
+    * duplicated tokens per document, computed IN-PLAN per row (array
+    * functions, no shuffle at all — embarrassingly parallel at 100 TB).
+    * keep = rep_ratio <= 0.5 (median on this corpus is ~0.54, so both
+    * classes are populated and the oracle check is non-vacuous). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(toks).as("n_tok"),
+              size(array_distinct(toks)).as("n_uniq"))
+      .withColumn("rep_ratio",
+        Num.rnd(lit(1.0) - col("n_uniq").cast("double") / col("n_tok"), 6))
+      .withColumn("keep", (col("rep_ratio") <= 0.5).cast("int"))
+  }
+
+  /** Length-outlier filter: keep documents inside the global
+    * [p10, p90] n_chars band. The two quantiles are ONE tiny aggregate
+    * broadcast to every row (no per-row shuffle); thresholds are rounded
+    * through Num.rnd so the boundary comparison is identical in DuckDB. */
+  def lengthBand(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = docs.agg(
+      Num.rnd(expr("percentile(n_chars, 0.10)"), 6).as("lo"),
+      Num.rnd(expr("percentile(n_chars, 0.90)"), 6).as("hi"))
+    docs.crossJoin(broadcast(q))
+      .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      .select("doc_id", "n_chars")
+  }
+
+  /** Deterministic per-source quota sample: k docs per source under a
+    * content-independent pseudo-random order (md5 of the doc id — the
+    * same hex string in both engines), the reproducible version of
+    * `ORDER BY rand()` stratified sampling. One shuffle by source. */
+  def samplePerSource(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("source", "doc_id", "rn")
+  }
+
+  /** The end of the curation pipeline, composed: exact-dedup survivors
+    * ∧ repetition keep ∧ length band — the final corpus selection a
+    * training-data pipeline ships. Each stage is one of the operators
+    * above; the survivors join is on doc_id (broadcast-able: survivors
+    * shrink monotonically). */
+  def corpusSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val repKeep = repetition(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+    val lenKeep = lengthBand(spark, dir).select("doc_id")
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+      .join(repKeep, Seq("doc_id"), "left_semi")
+      .join(lenKeep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_top_tokens"  -> topTokens _,
     "text_len_hist"    -> lenHist _,
@@ -152,7 +214,11 @@ object TextOps {
     "text_quality"     -> quality _,
     "text_langid"      -> langid _,
     "text_fingerprint" -> fingerprint _,
-    "text_rollhash"    -> rollhash _)
+    "text_rollhash"    -> rollhash _,
+    "text_repetition"  -> repetition _,
+    "text_length_band" -> lengthBand _,
+    "text_sample_per_source" -> ((s, d) => samplePerSource(s, d)),
+    "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
     "text_top_tokens" ->
@@ -185,5 +251,41 @@ object TextOps {
     "text_langid" -> langidSql,
     "text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp " +
-       "FROM documents"))
+       "FROM documents"),
+    "text_repetition" ->
+      ("SELECT doc_id, n_tok, n_uniq, " +
+       "round((1.0 - CAST(n_uniq AS DOUBLE) / n_tok) * 1e6) / 1e6 AS rep_ratio, " +
+       "CAST(round((1.0 - CAST(n_uniq AS DOUBLE) / n_tok) * 1e6) / 1e6 <= 0.5 " +
+       "AS INTEGER) AS keep FROM (" +
+       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
+       "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq " +
+       "FROM documents) t"),
+    "text_length_band" ->
+      ("WITH q AS (SELECT " +
+       "round((quantile_cont(CAST(n_chars AS DOUBLE), 0.10)) * 1e6) / 1e6 AS lo, " +
+       "round((quantile_cont(CAST(n_chars AS DOUBLE), 0.90)) * 1e6) / 1e6 AS hi " +
+       "FROM documents) " +
+       "SELECT doc_id, n_chars FROM documents, q " +
+       "WHERE n_chars >= lo AND n_chars <= hi"),
+    "text_sample_per_source" ->
+      ("SELECT source, doc_id, CAST(rn AS INTEGER) AS rn FROM (" +
+       "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+       "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t " +
+       "WHERE rn <= 5"),
+    "corpus_select" ->
+      ("WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+       "rep AS (SELECT doc_id FROM (SELECT doc_id, " +
+       "round((1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) " +
+       "/ len(string_split(text, ' '))) * 1e6) / 1e6 AS r FROM documents) t " +
+       "WHERE r <= 0.5), " +
+       "q AS (SELECT " +
+       "round((quantile_cont(CAST(n_chars AS DOUBLE), 0.10)) * 1e6) / 1e6 AS lo, " +
+       "round((quantile_cont(CAST(n_chars AS DOUBLE), 0.90)) * 1e6) / 1e6 AS hi " +
+       "FROM documents), " +
+       "lenk AS (SELECT doc_id FROM documents, q " +
+       "WHERE n_chars >= lo AND n_chars <= hi) " +
+       "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d " +
+       "WHERE d.doc_id IN (SELECT doc_id FROM surv) " +
+       "AND d.doc_id IN (SELECT doc_id FROM rep) " +
+       "AND d.doc_id IN (SELECT doc_id FROM lenk)"))
 }
