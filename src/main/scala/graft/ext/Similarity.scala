@@ -69,11 +69,11 @@ object Similarity {
   private def embCount(spark: SparkSession, dir: String): Long =
     countMemo.getOrElseUpdate((spark, dir), Tables.embeddings(spark, dir).count())
 
-  private[ext] def numPlanes(n: Long): Int = {
+  private[graft] def numPlanes(n: Long): Int = {
     val want = math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt
     math.max(8, math.min(20, want))
   }
-  private[ext] def ivfCells(n: Long): Int =
+  private[graft] def ivfCells(n: Long): Int =
     math.max(16, math.min(4096, math.ceil(n / 32.0).toInt))
 
   /** Hard cap on candidates drawn per bucket (deterministic: lowest

@@ -107,6 +107,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows(3).isNullAt(0))   // null in → null out
   }
 
+  test("adaptive index sizing: oracle regime reproduced at sf0.01, grows with n") {
+    // the static oracle SQL encodes 8 planes / 16 cells — these MUST be
+    // what the formulas derive at the driver's verification scale (n=500)
+    assert(ext.Similarity.numPlanes(500L) === 8)
+    assert(ext.Similarity.ivfCells(500L) === 16)
+    // growth at bench/production scales
+    assert(ext.Similarity.numPlanes(5000L) === 10)   // 1024 buckets at sf0.1
+    assert(ext.Similarity.numPlanes(5000000L) === 20) // clamped top
+    assert(ext.Similarity.ivfCells(5000L) === 157)
+    assert(ext.Similarity.ivfCells(1000000L) === 4096) // clamped top
+    // monotonic non-decreasing (no scale regression as data grows)
+    val planes = Seq(1L, 100L, 1000L, 10000L, 100000L).map(ext.Similarity.numPlanes)
+    assert(planes === planes.sorted)
+  }
+
+  test("poly_hash_mod: single-pass expression matches the portable fold; null-safe") {
+    import spark.implicits._
+    val P1 = 1000000007L
+    def refFold(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * 31 + cp) % P1)
+    val inputs = Seq(Some("hello world sample shingle"), Some(""), Some("naïve café"), None)
+    val rows = inputs.toDF("s")
+      .select(graft.functions.PolyHashMod.col(col("s"), 31L, P1).as("h"))
+      .collect()
+    assert(rows(0).getLong(0) === refFold("hello world sample shingle"))
+    assert(rows(0).getLong(0) === 628018604L) // pinned: DuckDB list_reduce value
+    assert(rows(1).getLong(0) === 0L)         // empty string → 0 (both engines)
+    assert(rows(2).getLong(0) === refFold("naïve café")) // non-ASCII codepoint path
+    assert(rows(3).isNullAt(0))               // null in → null out
+  }
+
+  test("hot-shingle DF cap: a boilerplate phrase shared by >cap docs yields no pairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-hotshingle").toString
+    val boiler = "this content is provided as is without any warranty"
+    // 120 docs (> MaxShingleDf = 100) share ONLY the boilerplate 5-grams;
+    // each doc's remaining text is unique → without the cap this would
+    // produce 120*119/2 = 7140 candidate pairs from pure boilerplate
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"$boiler unique$i alpha$i beta$i gamma$i delta$i epsilon$i",
+       "en", "srcX", 100L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(ext.Dedup.ngramJaccard(spark, dir).count() === 0L)
+  }
+
   test("poly_hash registers and runs from SQL") {
     org.apache.spark.sql.GraftSql.register(spark, "poly_hash",
       exprs => functions.PolyHash(exprs.head))
