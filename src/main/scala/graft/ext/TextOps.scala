@@ -163,7 +163,11 @@ object TextOps {
   /** Length-outlier filter: keep documents inside the global
     * [p10, p90] n_chars band. The two quantiles are ONE tiny aggregate
     * broadcast to every row (no per-row shuffle); thresholds are rounded
-    * through Num.rnd so the boundary comparison is identical in DuckDB. */
+    * through Num.rnd so the boundary comparison is identical in DuckDB.
+    * Scale note: Spark's exact `percentile` buffers value→count per
+    * DISTINCT value — memory is O(distinct lengths), bounded by the
+    * document-length range, not the corpus size, so this stays safe at
+    * 100 TB (swap to approx_percentile only if lengths were unbounded). */
   def lengthBand(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val q = docs.agg(
