@@ -216,6 +216,61 @@ object Similarity {
       .select("a_id", "b_id", "rn", "sim")
   }
 
+  /** Per-source embedding centroids (element-wise mean) in long form
+    * (source, pos, m) — the distributed reduce a clustering / domain-
+    * analysis stage needs: posexplode to (dim, value), ONE shuffle by
+    * (source, pos), partial+final avg. 64 dims × n_sources rows out.
+    * Elements rounded at 6 dp for the cross-engine check. */
+  def centroidBySource(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    emb.join(src, Seq("vec_id"))
+      .select(col("source"), posexplode(col("embedding")))
+      .groupBy(col("source"), col("pos").cast("int").as("pos"))
+      .agg(Num.rnd(avg(col("col").cast("double")), 6).as("m"))
+      .orderBy("source", "pos")
+  }
+
+  /** Int8-style scalar quantization per vector (min-max to 0..255) — the
+    * storage-compression step before ANN indexing at 100 TB. Pure
+    * per-row HOFs, zero shuffle. floor (not round) avoids the half-way
+    * rounding-mode divergence between engines; codes are emitted as a
+    * CSV string so the comparison is exact integers. Degenerate vectors
+    * (mx == mn) quantize to all-zero. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val mn = array_min(col("embedding")).cast("double")
+    val mx = array_max(col("embedding")).cast("double")
+    val codes = transform(col("embedding"), v =>
+      least(lit(255L), floor((v.cast("double") - col("mn")) /
+                             (col("mx") - col("mn")) * 255)).cast("int"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), mn.as("mn"), mx.as("mx"))
+      .select(col("vec_id"),
+              Num.rnd(col("mn"), 6).as("mn_r"),
+              Num.rnd(col("mx"), 6).as("mx_r"),
+              when(col("mx") > col("mn"), concat_ws(",", codes))
+                .otherwise(concat_ws(",",
+                  transform(col("embedding"), _ => lit(0)))).as("codes"))
+  }
+
+  /** Pairwise cosine similarity between source centroids — domain
+    * redundancy analysis over the (tiny) centroid table; the pairwise
+    * stage is n_sources², never n². Centroids are the ROUNDED 6-dp
+    * means, so both engines fold identical inputs. */
+  def centroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidBySource(spark, dir)
+      .groupBy("source")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("c"))
+    val a = cents.select(col("source").as("a_src"), col("c").as("ca"))
+    val b = cents.select(col("source").as("b_src"), col("c").as("cb"))
+    a.crossJoin(b)
+      .filter(col("a_src") < col("b_src"))
+      .select(col("a_src"), col("b_src"),
+              Num.rnd(cosine(col("ca"), col("cb")), 6).as("sim"))
+  }
+
   // ---- generated oracle SQL ----
   // The oracle encodes the sf0.01 index regime: numPlanes(500) == 8 and
   // ivfCells(500) == 16 by the sizing formulas above, and no sf0.01
@@ -239,9 +294,41 @@ object Similarity {
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
-    "sim_ivf_topk"     -> ivfTopK _)
+    "sim_ivf_topk"     -> ivfTopK _,
+    "emb_centroid_by_source" -> centroidBySource _,
+    "emb_quantize"     -> quantize _,
+    "emb_centroid_sim" -> centroidSim _)
+
+  /** Shared centroid CTE: 1-based list positions via range-unnest (DuckDB
+    * v1.0 has no WITH ORDINALITY), re-based to 0 to match posexplode. */
+  private val centroidCte: String =
+    "u AS (SELECT d.source, p.pos1, CAST(e.embedding[p.pos1] AS DOUBLE) AS val " +
+    "FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, " +
+    "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+    "cent AS (SELECT source, pos1, round((avg(val)) * 1e6) / 1e6 AS m " +
+    "FROM u GROUP BY source, pos1)"
 
   val oracle: Map[String, String] = Map(
+    "emb_centroid_by_source" ->
+      (s"WITH $centroidCte " +
+       "SELECT source, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM cent " +
+       "ORDER BY source, pos"),
+    "emb_quantize" ->
+      ("SELECT vec_id, round((mn) * 1e6) / 1e6 AS mn_r, " +
+       "round((mx) * 1e6) / 1e6 AS mx_r, " +
+       "CASE WHEN mx > mn THEN array_to_string(list_transform(embedding, " +
+       "v -> CAST(least(255, floor((CAST(v AS DOUBLE) - mn) / (mx - mn) * 255)) " +
+       "AS INTEGER)), ',') " +
+       "ELSE array_to_string(list_transform(embedding, v -> 0), ',') END AS codes " +
+       "FROM (SELECT vec_id, embedding, " +
+       "CAST(list_min(embedding) AS DOUBLE) AS mn, " +
+       "CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings) t"),
+    "emb_centroid_sim" ->
+      (s"WITH $centroidCte, " +
+       "cl AS (SELECT source, list(m ORDER BY pos1) AS c FROM cent GROUP BY source) " +
+       "SELECT x.source AS a_src, y.source AS b_src, " +
+       "round((list_cosine_similarity(x.c, y.c)) * 1e6) / 1e6 AS sim " +
+       "FROM cl x JOIN cl y ON x.source < y.source"),
     "sim_norms" ->
       ("SELECT vec_id, round((sqrt(list_dot_product(embedding::DOUBLE[], " +
        "embedding::DOUBLE[]))) * 1e6) / 1e6 AS nrm FROM embeddings"),
