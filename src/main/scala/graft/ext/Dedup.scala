@@ -226,18 +226,30 @@ object Dedup {
 
   /** 60-bit SimHash per document: two portable token polyhashes supply 30
     * sign-weighted bits each; bit j set when Σ tokens(±1) > 0.
-    * Oracle-checked (same folds in DuckDB). */
+    * Oracle-checked (same math in DuckDB).
+    *
+    * Computed in TF shape: occurrences collapse to (doc, token, count)
+    * first, tokens are hashed once per DISTINCT token, and the ±1
+    * per-occurrence sums become ±count — the 60-column aggregate then
+    * runs over |vocab per doc| rows instead of every token occurrence
+    * (at 100 TB: vocab ≪ corpus). No broadcast hint on the hash join —
+    * vocab is unbounded in general; AQE decides. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val tokHash = tf.select("tok").distinct()
+      .select(col("tok"),
               polyHash(col("tok"), 31L, P1).as("h1"),
               polyHash(col("tok"), 131L, P2).as("h2"))
     val bitSums = (0 until SimBits).map { j =>
       val src = if (j < 30) shiftright(col("h1"), j) else shiftright(col("h2"), j - 30)
-      sum(when(src.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+      sum(when(src.bitwiseAND(lit(1L)) === 1L, col("cnt")).otherwise(-col("cnt")))
+        .as(s"b$j")
     }
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    tf.join(tokHash, Seq("tok"))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until SimBits).map { j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))

@@ -36,11 +36,16 @@ object Similarity {
     * broadcast, the big side streams — scales linearly. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // query norm computed ONCE in the broadcast row, not per candidate
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("qnrm"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-              Num.rnd(cosine(col("embedding"), col("qv")), 6).as("sim"))
+              Num.rnd(dotCols(col("embedding"), col("qv")) /
+                        (sqrt(dotCols(col("embedding"), col("embedding"))) * col("qnrm")),
+                      6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
