@@ -257,16 +257,22 @@ object Dedup {
   }
 
   /** Connected-component clustering over near-dup pairs: iterative
-    * min-label propagation (each round: label ← min(label, neighbors'
-    * labels)) until fixpoint — the distributed keep-one-per-cluster step
-    * a real dedup pipeline ends with. Converges in O(diameter) rounds;
-    * every round is one shuffle-by-key join, no driver graph.
+    * min-label propagation PLUS pointer jumping — each round every doc
+    * takes (a) the min label among its neighbors and (b) its label's own
+    * current label (path halving). (a) alone converges in O(diameter)
+    * rounds, which a 30-round cap cannot cover for long near-dup chains
+    * at 100 TB; (b) doubles the label's reach each round, giving
+    * O(log n) convergence (DedupSimilaritySpec proves an 80-doc chain
+    * collapses well inside the cap). Every round is two shuffle joins,
+    * no driver graph.
     *
-    * Lifecycle per round: persist round k, count it (the one action),
-    * then unpersist round k-1; every 8 rounds localCheckpoint truncates
-    * the logical plan (otherwise Catalyst re-analyzes a tree that grows
-    * per round). Result memoized per (session, dir) — dedup_keep reuses
-    * it instead of re-running the loop.
+    * Lifecycle per round: localCheckpoint (eager) materializes the round
+    * AND truncates the logical plan to constant depth — without it the
+    * self-join lineage doubles per round and Catalyst analysis (and even
+    * plan tree-printing) blows up after a handful of rounds. The
+    * checkpointed label frame is two longs per doc; ≤30 of them is
+    * negligible cache. Result memoized per (session, dir) — dedup_keep
+    * reuses it instead of re-running the loop.
     * Cluster id = smallest doc_id reachable (deterministic); the oracle
     * reconstructs it with a recursive CTE. */
   def clusters(spark: SparkSession, dir: String): DataFrame =
@@ -277,8 +283,7 @@ object Dedup {
         .withColumnsRenamed(Map("a_id" -> "u", "b_id" -> "v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val docs = Tables.documents(spark, dir).select(col("doc_id"))
-      var labels = docs.withColumn("cluster", col("doc_id"))
-      var prevPersisted: Option[DataFrame] = None
+      var labels = docs.withColumn("cluster", col("doc_id")).localCheckpoint()
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 30) {
@@ -287,27 +292,26 @@ object Dedup {
                 Seq("v"))
           .groupBy(col("u").as("doc_id"))
           .agg(min("vc").as("nmin"))
-        val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        val stepped = labels.withColumnRenamed("cluster", "old")
+          .join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("old"),
+                  least(col("old"), coalesce(col("nmin"), col("old"))).as("c1"))
+        // pointer jumping: follow the label one hop (labels are doc ids,
+        // so c1 indexes back into this round's own label table)
+        val parent = stepped.select(col("doc_id").as("c1"), col("c1").as("pc"))
+        val mat = stepped.join(parent, Seq("c1"), "left")
           .select(col("doc_id"),
-                  least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-                    .as("cluster"),
-                  (col("nmin") < col("cluster")).as("chg"))
-        val mat = updated.persist(StorageLevel.MEMORY_AND_DISK)
-        changed = mat.filter(col("chg")).count() // materializes this round
-        prevPersisted.foreach(_.unpersist())     // previous round now dead
-        prevPersisted = Some(mat)
+                  least(col("c1"), coalesce(col("pc"), col("c1"))).as("cluster"),
+                  col("old"))
+          .select(col("doc_id"), col("cluster"),
+                  (col("cluster") < col("old")).as("chg")) // labels only decrease
+          .localCheckpoint() // eager: one action, constant plan depth
+        changed = mat.filter(col("chg")).count() // cheap: reads the checkpoint
         labels = mat.select("doc_id", "cluster")
         rounds += 1
-        if (rounds % 8 == 0) { // bound plan depth on long label chains
-          labels = labels.localCheckpoint()
-          prevPersisted.foreach(_.unpersist())
-          prevPersisted = None
-        }
       }
-      val out = labels.localCheckpoint() // small, lineage-free, cached
-      prevPersisted.foreach(_.unpersist())
       edges.unpersist()
-      out
+      labels
     })
 
   /** The end product of the dedup pipeline: the kept document set — one

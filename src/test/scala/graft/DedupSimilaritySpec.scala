@@ -154,6 +154,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ext.Dedup.ngramJaccard(spark, dir).count() === 0L)
   }
 
+  test("cluster propagation collapses an 80-doc near-dup chain within the round cap") {
+    import spark.implicits._
+    // doc i = phrase(i) ++ phrase(i+1): consecutive docs share exactly the
+    // 4 five-grams inside the common 8-token phrase -> jaccard exactly 0.2
+    // (passes), non-consecutive docs share nothing. Pure min-label
+    // propagation needs ~79 rounds for this chain (over the 30-round cap);
+    // pointer jumping collapses it in O(log n).
+    val dir = Files.createTempDirectory("graft-chain").toString
+    def phrase(k: Int) = (0 until 8).map(t => s"p${k}w$t").mkString(" ")
+    val docs = (0 until 80).map { i =>
+      (i.toLong, phrase(i) + " " + phrase(i + 1), "en", "srcC", 100L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cl = ext.Dedup.clusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size === 80 && cl.values.toSet === Set(0L)) // one component, min id
+    val keep = ext.Dedup.keepList(spark, dir).collect()
+    assert(keep.length === 1)
+    assert(keep.head.getLong(0) === 0L && keep.head.getLong(1) === 80L)
+  }
+
   test("poly_hash registers and runs from SQL") {
     org.apache.spark.sql.GraftSql.register(spark, "poly_hash",
       exprs => functions.PolyHash(exprs.head))
