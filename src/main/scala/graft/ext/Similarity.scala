@@ -276,6 +276,36 @@ object Similarity {
               Num.rnd(cosine(col("ca"), col("cb")), 6).as("sim"))
   }
 
+  /** Embedding-quality eval: nearest-label-centroid classification
+    * accuracy — assign every vector to the closest of the 10 label
+    * centroids (tiny broadcast), report per-label accuracy. The standard
+    * "are these embeddings any good" probe a training pipeline runs after
+    * an embed stage. Centroids are the ROUNDED per-dim means so both
+    * engines fold identical inputs. */
+  def labelEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label").as("plabel"), col("pos"))
+      .agg(Num.rnd(avg(col("col").cast("double")), 6).as("m"))
+      .groupBy("plabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("c"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("plabel").asc)
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("plabel"),
+              Num.rnd(cosine(col("embedding"), col("c")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("plabel") === col("label"), 1).otherwise(0)).as("n_correct"))
+      .withColumn("acc_pct",
+        Num.rnd(lit(100.0) * col("n_correct") / col("n"), 2))
+      .orderBy("label")
+  }
+
   // ---- generated oracle SQL ----
   // The oracle encodes the sf0.01 index regime: numPlanes(500) == 8 and
   // ivfCells(500) == 16 by the sizing formulas above, and no sf0.01
@@ -302,7 +332,8 @@ object Similarity {
     "sim_ivf_topk"     -> ivfTopK _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
-    "emb_centroid_sim" -> centroidSim _)
+    "emb_centroid_sim" -> centroidSim _,
+    "emb_label_eval"   -> labelEval _)
 
   /** Shared centroid CTE: 1-based list positions via range-unnest (DuckDB
     * v1.0 has no WITH ORDINALITY), re-based to 0 to match posexplode. */
@@ -334,6 +365,22 @@ object Similarity {
        "SELECT x.source AS a_src, y.source AS b_src, " +
        "round((list_cosine_similarity(x.c, y.c)) * 1e6) / 1e6 AS sim " +
        "FROM cl x JOIN cl y ON x.source < y.source"),
+    "emb_label_eval" ->
+      ("WITH u AS (SELECT e.label, p.pos1, CAST(e.embedding[p.pos1] AS DOUBLE) AS val " +
+       "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+       "cent AS (SELECT label AS plabel, pos1, round((avg(val)) * 1e6) / 1e6 AS m " +
+       "FROM u GROUP BY label, pos1), " +
+       "cl AS (SELECT plabel, list(m ORDER BY pos1) AS c FROM cent GROUP BY plabel), " +
+       "s AS (SELECT e.vec_id, e.label, cl.plabel, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], cl.c)) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings e CROSS JOIN cl), " +
+       "r AS (SELECT vec_id, label, plabel, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, plabel ASC) AS rn FROM s), " +
+       "a AS (SELECT label, count(*) AS n, " +
+       "CAST(sum(CASE WHEN plabel = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
+       "FROM r WHERE rn = 1 GROUP BY label) " +
+       "SELECT label, n, n_correct, " +
+       "round((100.0 * n_correct / n) * 1e2) / 1e2 AS acc_pct FROM a ORDER BY label"),
     "sim_norms" ->
       ("SELECT vec_id, round((sqrt(list_dot_product(embedding::DOUBLE[], " +
        "embedding::DOUBLE[]))) * 1e6) / 1e6 AS nrm FROM embeddings"),
