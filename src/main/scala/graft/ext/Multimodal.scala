@@ -72,10 +72,44 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_off", "frame_len")
   }
 
+  /** Feature extraction over the opaque payload — a REAL computation,
+    * not a stub: a 16-bin high-nibble byte histogram per item, the
+    * codec-free feature a filtering pipeline can always compute
+    * (magic-byte / entropy-ish screening). Same mapPartitions batch seam
+    * as the decoder; emits long-form (doc_id, bucket, cnt). The Spark
+    * side works on arbitrary bytes; the oracle reproduces it through
+    * codepoints because the testdata payload is ASCII text. */
+  def byteHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val counts = new Array[Long](16)
+        bytes.foreach(b => counts((b & 0xff) >> 4) += 1)
+        counts.iterator.zipWithIndex
+          .collect { case (c, bucket) if c > 0 => (id, bucket, c) }
+      })
+      .toDF("doc_id", "bucket", "cnt")
+  }
+
+  /** Resize stage (pure plan): fit the decoded dimensions into 224×224
+    * preserving aspect ratio — the geometry a real resampler would apply;
+    * integer-exact across engines via double-multiply + floor. */
+  def resizeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val longest = greatest(col("width"), col("height"), lit(1L))
+    mediaMetaPlan(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+              floor(col("width") * 224.0 / longest).cast("long").as("out_w"),
+              floor(col("height") * 224.0 / longest).cast("long").as("out_h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"      -> mediaMeta _,
     "mm_media_meta_plan" -> mediaMetaPlan _,
-    "mm_frame_sample"    -> frameSample _)
+    "mm_frame_sample"    -> frameSample _,
+    "mm_byte_histogram"  -> byteHistogram _,
+    "mm_resize_meta"     -> resizeMeta _)
 
   private val metaSql =
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
@@ -89,5 +123,15 @@ object Multimodal {
       ("SELECT doc_id, i AS frame_idx, i * 128 AS frame_off, " +
        "least(128, strlen(text) - i * 128) AS frame_len " +
        "FROM documents, " +
-       "UNNEST(range(0, CAST(ceil(strlen(text) / 128.0) AS BIGINT), 4)) AS t(i)"))
+       "UNNEST(range(0, CAST(ceil(strlen(text) / 128.0) AS BIGINT), 4)) AS t(i)"),
+    "mm_byte_histogram" ->
+      ("WITH ch AS (SELECT doc_id, UNNEST(list_transform(range(1, len(text)+1), " +
+       "i -> ascii(text[i]))) AS code FROM documents) " +
+       "SELECT doc_id, CAST(code // 16 AS INTEGER) AS bucket, count(*) AS cnt " +
+       "FROM ch GROUP BY doc_id, bucket"),
+    "mm_resize_meta" ->
+      ("SELECT doc_id, width, height, " +
+       "CAST(floor(width * 224.0 / greatest(width, height, 1)) AS BIGINT) AS out_w, " +
+       "CAST(floor(height * 224.0 / greatest(width, height, 1)) AS BIGINT) AS out_h " +
+       "FROM (" + metaSql + ") m"))
 }
