@@ -68,15 +68,22 @@ object Dedup {
     * semantics are "similarity over informative shingles"; the oracle
     * applies the same cap). It also bounds the in-plan pair expansion at
     * O(MaxShingleDf²) per shingle — the hot-key M² blowup cannot occur. */
-  private[graft] def shingleGroups(df: DataFrame, n: Int): DataFrame =
+  private[graft] def shingleGroups(df: DataFrame, n: Int): DataFrame = {
+    // BoundedCollectSet, not collect_set + size filter: the plain form
+    // materializes a hot key's FULL posting list in one aggregation
+    // buffer before discarding it; the bounded aggregator pins hot keys
+    // at cap+1 elements on the map side too — constant space per key.
+    val bounded = udaf(new graft.functions.BoundedCollectSet(MaxShingleDf),
+                       org.apache.spark.sql.Encoders.scalaLong)
     df.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n) // docs shorter than n yield no shingles
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
                      s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
       .groupBy("sh")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) <= MaxShingleDf)
+      .agg(bounded(col("doc_id")).as("ids")) // sorted, or null when > cap
+      .filter(col("ids").isNotNull)
+  }
 
   /** (doc_id, sh) row form of the capped index (for Jaccard confirms). */
   private def shingleRows(grp: DataFrame): DataFrame =
@@ -113,9 +120,10 @@ object Dedup {
     * multi-consumer dedup pipelines are computed once, localCheckpoint'd
     * (truncates lineage, caches the small result) and reused — the big
     * intermediate shingle frames are unpersisted as soon as the result
-    * exists. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+    * exists. Backed by the bounded [[CkptMemo]] so a long-lived
+    * multi-session application cannot accumulate checkpoints without
+    * limit. */
+  private def memo = CkptMemo
 
   /** 5-gram Jaccard >= 0.2 near-dup pairs, materialized once. Candidate
     * pairs come straight out of the inverted index (in-plan suffix
@@ -269,10 +277,13 @@ object Dedup {
     * Lifecycle per round: localCheckpoint (eager) materializes the round
     * AND truncates the logical plan to constant depth — without it the
     * self-join lineage doubles per round and Catalyst analysis (and even
-    * plan tree-printing) blows up after a handful of rounds. The
-    * checkpointed label frame is two longs per doc; ≤30 of them is
-    * negligible cache. Result memoized per (session, dir) — dedup_keep
-    * reuses it instead of re-running the loop.
+    * plan tree-printing) blows up after a handful of rounds. Once round
+    * k is materialized, round k-1's checkpoint RDD is unpersisted
+    * (Dataset.unpersist cannot free a local checkpoint;
+    * GraftSql.checkpointRdd reaches the backing RDD), so exactly ONE
+    * label frame is cached at any time. Result memoized per
+    * (session, dir) — dedup_keep reuses it instead of re-running the
+    * loop.
     * Cluster id = smallest doc_id reachable (deterministic); the oracle
     * reconstructs it with a recursive CTE. */
   def clusters(spark: SparkSession, dir: String): DataFrame =
@@ -284,6 +295,7 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val docs = Tables.documents(spark, dir).select(col("doc_id"))
       var labels = docs.withColumn("cluster", col("doc_id")).localCheckpoint()
+      var prevRdd = org.apache.spark.sql.GraftSql.checkpointRdd(labels)
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 30) {
@@ -307,11 +319,13 @@ object Dedup {
                   (col("cluster") < col("old")).as("chg")) // labels only decrease
           .localCheckpoint() // eager: one action, constant plan depth
         changed = mat.filter(col("chg")).count() // cheap: reads the checkpoint
+        prevRdd.foreach(_.unpersist(false)) // round k-1's checkpoint now dead
+        prevRdd = org.apache.spark.sql.GraftSql.checkpointRdd(mat)
         labels = mat.select("doc_id", "cluster")
         rounds += 1
       }
       edges.unpersist()
-      labels
+      labels // final round's checkpoint stays cached (it IS the result)
     })
 
   /** The end product of the dedup pipeline: the kept document set — one

@@ -85,8 +85,33 @@ object Similarity {
     * vec_ids kept). A skewed bucket of M rows yields at most M·cap pairs
     * instead of M² — linear, never quadratic. Sized far above any bucket
     * at test SFs (no effect on oracle results); at 100 TB it bounds the
-    * worst case that plane-count growth alone can't. */
+    * worst case that plane-count growth alone can't. HONESTY NOTE: when
+    * the cap fires, the b-side is truncated to the cap lowest vec_ids —
+    * pairs among higher-id members of an oversized bucket are not
+    * examined, so results are id-biased, not a uniform sample. The cap
+    * firing means a bucket is ~128× over the ~8-vector target — raise
+    * numPlanes (or re-shard the bucket) rather than rely on the cap;
+    * it is a guardrail against quadratic blowup, not a sampler. */
   private val MaxBucketCandidates = 1024
+
+  /** Shared candidate stage for the bucket/cell ANN family: self-join on
+    * the partition key with the b-side capped, exact cosine per pair
+    * from precomputed norms (ONE 64-dim fold per candidate). Callers
+    * filter (a != b or a < b) and rank/threshold. */
+  private def pairCandidates(withKey: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = withKey.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+                           col(key), col("nrm").as("nrm_a"))
+    val wCap = Window.partitionBy(key).orderBy(col("b_id").asc)
+    val b = withKey.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+                           col(key), col("nrm").as("nrm_b"))
+      .withColumn("rnb", row_number().over(wCap))
+      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
+    a.join(b, Seq(key))
+      .select(col("a_id"), col("b_id"),
+              Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
+                .as("sim"))
+  }
 
   private def bucketCol(planes: Int): Column =
     (0 until planes).map { j =>
@@ -112,19 +137,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
               bucketCol(numPlanes(embCount(spark, dir))),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"),
-                         col("bucket"), col("nrm").as("nrm_a"))
-    val wCap = Window.partitionBy("bucket").orderBy(col("b_id").asc)
-    val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
-                         col("bucket"), col("nrm").as("nrm_b"))
-      .withColumn("rnb", row_number().over(wCap))
-      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    a.join(b, Seq("bucket"))
+    pairCandidates(withB, "bucket")
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"),
-              Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
-                .as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("a_id", "b_id", "rn", "sim")
@@ -138,23 +153,12 @@ object Similarity {
     * the oracle check vacuous; at 0.4 real pairs survive, so the cosine
     * path is actually verified. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val withB = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               bucketCol(numPlanes(embCount(spark, dir))),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val a = withB.select(col("vec_id").as("a_id"), col("embedding").as("va"),
-                         col("bucket"), col("nrm").as("nrm_a"))
-    val wCap = Window.partitionBy("bucket").orderBy(col("b_id").asc)
-    val b = withB.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
-                         col("bucket"), col("nrm").as("nrm_b"))
-      .withColumn("rnb", row_number().over(wCap))
-      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
-    a.join(b, Seq("bucket"))
+    pairCandidates(withB, "bucket")
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-              Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
-                .as("sim"))
       .filter(col("sim") >= 0.4)
   }
 
@@ -166,14 +170,12 @@ object Similarity {
     * broadcast join (centroids are tiny: ≤4096 rows), search shuffles by
     * cell — no cross product. Cell count grows with n (see sizing note
     * above) so the in-cell join stays ~O(n·32), not O(n²/16). */
-  private val assignMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
     // materialized once per (session, dir): sim_ivf_assign and
     // sim_ivf_topk both need the assignment — the n×cells cosine scan is
-    // the expensive half, no reason to run it twice
-    assignMemo.getOrElseUpdate((spark, dir), {
+    // the expensive half, no reason to run it twice. CkptMemo bounds
+    // retention across sessions/dirs.
+    CkptMemo.getOrElseUpdate((spark, dir, "ivfassign"), {
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"),
                 sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
@@ -203,19 +205,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
       .join(assigned, Seq("vec_id"))
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"),
-                       col("cell"), col("nrm").as("nrm_a"))
-    val wCap = Window.partitionBy("cell").orderBy(col("b_id").asc)
-    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
-                       col("cell"), col("nrm").as("nrm_b"))
-      .withColumn("rnb", row_number().over(wCap))
-      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    a.join(b, Seq("cell"))
+    pairCandidates(emb, "cell")
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"),
-              Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
-                .as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("a_id", "b_id", "rn", "sim")

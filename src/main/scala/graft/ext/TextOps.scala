@@ -199,8 +199,8 @@ object TextOps {
     * shrink monotonically). */
   def corpusSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val survivors = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
+    // survivor definition comes from Dedup.exact — one source of truth
+    val survivors = Dedup.exact(spark, dir).select(col("keep_id").as("doc_id"))
     val repKeep = repetition(spark, dir)
       .filter(col("keep") === 1).select("doc_id")
     val lenKeep = lengthBand(spark, dir).select("doc_id")

@@ -30,17 +30,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"poly_hash_mod: $what must be an integer literal, got $other")
   }
 
+  private def requireArity(name: String, children: Seq[Expression], n: Int): Unit =
+    if (children.size != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${children.size}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head)))
+      (children: Seq[Expression]) => {
+        requireArity("poly_hash", children, 1)
+        PolyHash(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("poly_hash_mod"),
       new ExpressionInfo(classOf[PolyHashMod].getName, "poly_hash_mod"),
-      (children: Seq[Expression]) => PolyHashMod(
-        children.head,
-        lit2Long(children(1), "base"),
-        lit2Long(children(2), "mod"))))
+      (children: Seq[Expression]) => {
+        requireArity("poly_hash_mod", children, 3)
+        PolyHashMod(
+          children.head,
+          lit2Long(children(1), "base"),
+          lit2Long(children(2), "mod"))
+      }))
   }
 }

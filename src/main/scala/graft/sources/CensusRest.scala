@@ -46,7 +46,11 @@ object CensusRest {
                     timeout: java.time.Duration = java.time.Duration.ofSeconds(10))
       : String => String = {
     val client = java.net.http.HttpClient.newBuilder()
-      .connectTimeout(timeout).build()
+      .connectTimeout(timeout)
+      // requests.get follows redirects transparently; the JDK default is
+      // NEVER — NORMAL matches the reference (http→https upgrades etc.)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
     zip => {
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(urlFor(zip)))

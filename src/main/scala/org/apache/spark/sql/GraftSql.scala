@@ -21,4 +21,15 @@ object GraftSql {
                builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The RDD backing a `localCheckpoint()`ed Dataset (a `LogicalRDD`
+    * leaf), if any. `Dataset.unpersist` cannot free a local checkpoint
+    * (it is cached at the RDD level, not through the cache manager);
+    * unpersisting this RDD does. CAUTION: the data is gone afterwards —
+    * a LogicalRDD has no lineage to recompute from, so only free frames
+    * no caller retains. */
+  def checkpointRdd(df: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: execution.LogicalRDD => l.rdd
+    }
 }
