@@ -210,7 +210,32 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** Hashing-trick text embedding (feature hashing): each token hashes to
+    * a dimension (h mod 64) with a sign bit (h/64 mod 2), contributing
+    * ±count — the classic codec-free featurizer that turns `documents`
+    * into vectors for the Similarity ops. Exact integer output in long
+    * form (doc_id, dim, v); TF shape (hash per DISTINCT token, weight by
+    * count) like simhash, so the agg runs over per-doc vocab rows. */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val P1 = 1000000007L
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val tokHash = tf.select("tok").distinct()
+      .select(col("tok"),
+              graft.functions.PolyHashMod.col(col("tok"), 31L, P1).as("h"))
+    tf.join(tokHash, Seq("tok"))
+      .select(col("doc_id"),
+              (col("h") % 64).cast("int").as("dim"), // low 6 bits: dimension
+              (when(shiftright(col("h"), 6).bitwiseAND(lit(1L)) === 1L, 1L)
+                 .otherwise(-1L) * col("cnt")).as("contrib")) // bit 6: sign
+      .groupBy("doc_id", "dim")
+      .agg(sum("contrib").as("v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hash_embed"  -> hashEmbed _,
     "text_top_tokens"  -> topTokens _,
     "text_len_hist"    -> lenHist _,
     "text_stats_agg"   -> statsAgg _,
@@ -253,6 +278,18 @@ object TextOps {
        "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq " +
        "FROM documents) t"),
     "text_langid" -> langidSql,
+    "text_hash_embed" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2), " +
+       "th AS (SELECT tok, " +
+       "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(tok)+1), " +
+       "i -> CAST(ascii((tok)[i]) AS BIGINT)), (a,b) -> (a*31 + b) % 1000000007) AS h " +
+       "FROM (SELECT DISTINCT tok FROM tf) t) " +
+       "SELECT tf.doc_id, CAST(th.h % 64 AS INTEGER) AS dim, " +
+       "CAST(sum((CASE WHEN ((th.h >> 6) & 1) = 1 THEN 1 ELSE -1 END) * tf.cnt) " +
+       "AS BIGINT) AS v " +
+       "FROM tf JOIN th ON tf.tok = th.tok GROUP BY tf.doc_id, dim"),
     "text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp " +
        "FROM documents"),
