@@ -105,7 +105,31 @@ object Joins {
       .orderBy(col("k").asc_nulls_first)
   }
 
+  /** Banded numeric join via bucketing — |a.x − b.x| <= eps as an
+    * EQUI-join: a naive theta join is O(n²) (Catalyst can only nested-
+    * loop it); bucketing x by floor(x/eps) and exploding one side to its
+    * 3 adjacent buckets finds every in-band pair exactly once (the pair's
+    * bucket delta ∈ {-1,0,1} matches exactly one explode branch, so no
+    * dedup pass), then the exact predicate confirms. Shuffle-by-bucket =
+    * the 100 TB shape; fan-out bounded by band occupancy. The oracle is
+    * the plain theta join — bucketing only generates a candidate
+    * superset, so the result is definitionally identical. */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 1.0
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("x"))
+    val bkt = floor(col("x") / eps).cast("long")
+    val a = o.select(col("k").as("a_k"), col("x").as("a_x"),
+                     explode(array(bkt - 1, bkt, bkt + 1)).as("bk"))
+    val b = o.select(col("k").as("b_k"), col("x").as("b_x"), bkt.as("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("a_k") < col("b_k") && abs(col("a_x") - col("b_x")) <= eps)
+      .select(col("a_k"), col("b_k"), col("a_x"), col("b_x"),
+              Num.rnd(abs(col("a_x") - col("b_x")), 2).as("diff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_band_bucket"    -> bandJoin _,
     "join_null_safe"      -> nullSafeJoin _,
     "join_broadcast_left" -> broadcastLeft _,
     "semi_join"           -> semiJoin _,
@@ -115,6 +139,12 @@ object Joins {
     "join_ambiguous_proj" -> ambiguousProj _)
 
   val oracle: Map[String, String] = Map(
+    "join_band_bucket" ->
+      ("SELECT a.o_orderkey AS a_k, b.o_orderkey AS b_k, " +
+       "a.o_totalprice AS a_x, b.o_totalprice AS b_x, " +
+       "round((abs(a.o_totalprice - b.o_totalprice)) * 1e2) / 1e2 AS diff " +
+       "FROM orders a JOIN orders b ON a.o_orderkey < b.o_orderkey " +
+       "AND abs(a.o_totalprice - b.o_totalprice) <= 1.0"),
     "join_null_safe" ->
       ("SELECT c.k, count(*) AS n FROM " +
        "(SELECT CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_nationkey % 5 END AS k " +

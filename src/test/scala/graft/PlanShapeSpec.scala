@@ -34,6 +34,12 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("band join executes as an equi-join on the bucket, never a nested loop") {
+    val p = planOf("join_band_bucket")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+           s"band predicate fell back to a quadratic join:\n$p")
+  }
+
   test("global top-k lowers to TakeOrderedAndProject (no full sort)") {
     val p = planOf("sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
