@@ -45,6 +45,31 @@ class StreamingSpec extends SparkSpec {
     assert(batchOnly.filter(col("ws") < cutoff).count() === 0)
   }
 
+  test("streaming document curation equals the batch curation on replay") {
+    import graft.streaming.DocStream
+    // duplicate the whole corpus: same file twice → dedup must collapse it
+    val dir = Files.createTempDirectory("graft-docs-stream").toString
+    val src = Paths.get(s"$sf0001/documents.parquet")
+    Files.copy(src, Paths.get(s"$dir/docs-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, Paths.get(s"$dir/docs-001.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStream.runToMemory(
+      spark, DocStream.curate(DocStream.readDocs(spark, dir)),
+      "doc_curate_out", OutputMode.Append())
+    // batch reference: distinct texts passing the same repetition gate
+    val toks = split(col("text"), " ")
+    val batch = Tables.documents(spark, sf0001)
+      .withColumn("rep_ratio",
+        graft.ops.Num.rnd(lit(1.0) -
+          size(array_distinct(toks)).cast("double") / size(toks), 6))
+      .filter(col("rep_ratio") <= 0.5)
+      .select("text").distinct()
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())               // one per content
+    assert(streamed.select("text").distinct().count() === streamed.count())
+    assert(streamed.select("text").exceptAll(batch).count() === 0) // same set
+    assert(batch.exceptAll(streamed.select("text")).count() === 0)
+  }
+
   test("streaming dedup keeps one row per event_id") {
     // duplicate the whole stream: same file twice
     val dir = Files.createTempDirectory("graft-events-dup").toString
