@@ -126,7 +126,24 @@ object Scalars {
               year(col("o_orderdate")).as("yr"),
               quarter(col("o_orderdate")).as("qtr"))
 
+  /** Map-typed column functions — the §2.8 'map' slot: construct
+    * (`map`), cardinality (`size`), keyed lookup (`element_at`), and
+    * relational flattening (`explode` → key/value rows). The oracle
+    * reproduces the exploded rows as a UNION ALL — engine-neutral long
+    * form, no MAP type needed on the DuckDB side. */
+  def mapSuite(spark: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("price"), col("o_totalprice"),
+                lit("cust"), col("o_custkey").cast("double"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), m.as("m"))
+      .select(col("o_orderkey"),
+              size(col("m")).as("n_entries"),
+              element_at(col("m"), "price").as("price_val"),
+              explode(col("m"))) // -> key, value columns
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_map"           -> mapSuite _,
     "scalar_date_arith"    -> dateArith _,
     "scalar_array"         -> arraySuite _,
     "scalar_math"          -> mathSuite _,
@@ -139,6 +156,12 @@ object Scalars {
     "scalar_string"        -> strings _)
 
   val oracle: Map[String, String] = Map(
+    "scalar_map" ->
+      ("SELECT o_orderkey, CAST(2 AS INTEGER) AS n_entries, " +
+       "o_totalprice AS price_val, 'price' AS key, o_totalprice AS value " +
+       "FROM orders UNION ALL " +
+       "SELECT o_orderkey, CAST(2 AS INTEGER), o_totalprice, 'cust', " +
+       "CAST(o_custkey AS DOUBLE) FROM orders"),
     "scalar_date_arith" ->
       ("SELECT o_orderkey, " +
        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) " +
