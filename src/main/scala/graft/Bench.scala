@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.ext.CapMetrics.register(spark)
     // noop sink: full distributed evaluation of EVERY output column —
     // unlike count(), which lets Catalyst skip projected expressions for
     // some plans and understates real work non-uniformly

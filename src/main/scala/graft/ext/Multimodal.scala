@@ -76,9 +76,9 @@ object Multimodal {
     * not a stub: a 16-bin high-nibble byte histogram per item, the
     * codec-free feature a filtering pipeline can always compute
     * (magic-byte / entropy-ish screening). Same mapPartitions batch seam
-    * as the decoder; emits long-form (doc_id, bucket, cnt). The Spark
-    * side works on arbitrary bytes; the oracle reproduces it through
-    * codepoints because the testdata payload is ASCII text. */
+    * as the decoder; emits long-form (doc_id, bucket, cnt). Both sides
+    * are genuinely byte-based: the oracle walks hex(encode(text)) — the
+    * UTF-8 bytes — so the check holds for any corpus, not just ASCII. */
   def byteHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -124,11 +124,16 @@ object Multimodal {
        "least(128, strlen(text) - i * 128) AS frame_len " +
        "FROM documents, " +
        "UNNEST(range(0, CAST(ceil(strlen(text) / 128.0) AS BIGINT), 4)) AS t(i)"),
+    // byte-based (not codepoint-based): hex(encode(text)) is the UTF-8
+    // byte stream, 2 hex chars per byte; char 2i-1 is byte i's high
+    // nibble. Exact for arbitrary non-ASCII content.
     "mm_byte_histogram" ->
-      ("WITH ch AS (SELECT doc_id, UNNEST(list_transform(range(1, len(text)+1), " +
-       "i -> ascii(text[i]))) AS code FROM documents) " +
-       "SELECT doc_id, CAST(code // 16 AS INTEGER) AS bucket, count(*) AS cnt " +
-       "FROM ch GROUP BY doc_id, bucket"),
+      ("WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents), " +
+       "ch AS (SELECT doc_id, UNNEST(list_transform(range(1, len(hx)//2 + 1), " +
+       "i -> hx[2*i-1])) AS nib FROM h) " +
+       "SELECT doc_id, CAST(CASE WHEN nib BETWEEN '0' AND '9' " +
+       "THEN ascii(nib)-48 ELSE ascii(nib)-55 END AS INTEGER) AS bucket, " +
+       "count(*) AS cnt FROM ch GROUP BY doc_id, bucket"),
     "mm_resize_meta" ->
       ("SELECT doc_id, width, height, " +
        "CAST(floor(width * 224.0 / greatest(width, height, 1)) AS BIGINT) AS out_w, " +

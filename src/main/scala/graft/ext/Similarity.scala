@@ -69,10 +69,34 @@ object Similarity {
     * while bench/production scales get a bigger index. The count that
     * feeds the formula is one metadata-cheap job, memoized per
     * (session, dir) — the same role AQE's runtime stats play. */
+  // Weak session keys: a strong (SparkSession, dir) key would retain
+  // every session forever — the unbounded-growth/session-leak class
+  // CkptMemo guards against, reintroduced for a count cache. With a
+  // WeakHashMap the entry dies with its session; the bounded inner map
+  // caps distinct dirs per session.
   private val countMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-  private def embCount(spark: SparkSession, dir: String): Long =
-    countMemo.getOrElseUpdate((spark, dir), Tables.embeddings(spark, dir).count())
+    new java.util.WeakHashMap[SparkSession,
+                              java.util.LinkedHashMap[String, java.lang.Long]]()
+  private def embCount(spark: SparkSession, dir: String): Long = {
+    val perSession = countMemo.synchronized {
+      var m = countMemo.get(spark)
+      if (m == null) {
+        m = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size > 64
+        }
+        countMemo.put(spark, m)
+      }
+      m
+    }
+    val hit = perSession.synchronized(perSession.get(dir))
+    if (hit != null) hit.longValue()
+    else {
+      val n = Tables.embeddings(spark, dir).count()
+      perSession.synchronized(perSession.put(dir, java.lang.Long.valueOf(n)))
+      n
+    }
+  }
 
   private[graft] def numPlanes(n: Long): Int = {
     val want = math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt
@@ -97,8 +121,16 @@ object Similarity {
   /** Shared candidate stage for the bucket/cell ANN family: self-join on
     * the partition key with the b-side capped, exact cosine per pair
     * from precomputed norms (ONE 64-dim fold per candidate). Callers
-    * filter (a != b or a < b) and rank/threshold. */
-  private def pairCandidates(withKey: DataFrame, key: String): DataFrame = {
+    * filter (a != b or a < b) and rank/threshold.
+    *
+    * Cap firings are OBSERVABLE: an `observe` metric (CollectMetrics —
+    * computed during the normal action, no extra pass) reports how many
+    * candidate rows the cap dropped and the largest bucket seen;
+    * [[CapMetrics]] registers a listener that WARN-logs any truncation,
+    * so silently-degraded (id-biased) neighbor sets can't go unnoticed —
+    * the operator's own guidance is to raise numPlanes when this fires. */
+  private[graft] def pairCandidates(withKey: DataFrame, key: String,
+                                  cap: Int = MaxBucketCandidates): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = withKey.select(col("vec_id").as("a_id"), col("embedding").as("va"),
                            col(key), col("nrm").as("nrm_a"))
@@ -106,7 +138,10 @@ object Similarity {
     val b = withKey.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
                            col(key), col("nrm").as("nrm_b"))
       .withColumn("rnb", row_number().over(wCap))
-      .filter(col("rnb") <= MaxBucketCandidates).drop("rnb")
+      .observe(s"graft_bucket_cap_$key",
+        sum(when(col("rnb") > cap, 1L).otherwise(0L)).as("rows_truncated"),
+        max(col("rnb")).as("max_bucket_rows"))
+      .filter(col("rnb") <= cap).drop("rnb")
     a.join(b, Seq(key))
       .select(col("a_id"), col("b_id"),
               Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)

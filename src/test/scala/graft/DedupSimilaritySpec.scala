@@ -176,6 +176,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(keep.head.getLong(0) === 0L && keep.head.getLong(1) === 80L)
   }
 
+  test("pairCandidates cap truncation is observable (metric counts dropped rows)") {
+    import spark.implicits._
+    // one bucket of 5 vectors, cap = 2: the b-side keeps ids 0,1 → 10
+    // pairs survive, 3 b-rows are dropped — the observe metric must say so
+    val emb = Seq.tabulate(5)(i => (i.toLong, Array(1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "bucket")
+      .withColumn("nrm", lit(1.0))
+    val pairs = ext.Similarity.pairCandidates(emb, "bucket", cap = 2)
+    assert(pairs.collect().length === 5 * 2)
+    val m = pairs.queryExecution.observedMetrics("graft_bucket_cap_bucket")
+    assert(m.getAs[Long]("rows_truncated") === 3L)
+    assert(m.getAs[Number]("max_bucket_rows").intValue() === 5)
+  }
+
   test("poly_hash registers and runs from SQL") {
     org.apache.spark.sql.GraftSql.register(spark, "poly_hash",
       exprs => functions.PolyHash(exprs.head))
