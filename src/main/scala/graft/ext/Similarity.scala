@@ -248,6 +248,52 @@ object Similarity {
       .select("a_id", "b_id", "rn", "sim")
   }
 
+  /** IVF training — one distributed Lloyd (k-means) iteration that makes
+    * the coarse quantizer REAL instead of the seed stub: assign every
+    * vector to its nearest seed centroid (the memoized [[ivfAssign]]
+    * scan), then recompute each cell's centroid as the element-wise mean
+    * of its members. One shuffle by (cell, dim), partial+final avg —
+    * the same shape per iteration at any scale; more Lloyd rounds just
+    * repeat it (each round: n×cells broadcast-compare + one n×64-row
+    * shuffle; centroids stay a broadcast-size table ≤4096×64). Every
+    * seed belongs to its own cell (self-cosine 1.0), so no cell is ever
+    * empty. Means are rounded at 6 dp so the trained centroids are
+    * byte-identical across engines (the [[centroidBySource]] precedent).
+    * Long form (cell, pos, m). */
+  def ivfTrain(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "ivftrain"), {
+      val assigned = ivfAssign(spark, dir).select("vec_id", "cell")
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .join(assigned, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos").cast("int").as("pos"))
+        .agg(Num.rnd(avg(col("col").cast("double")), 6).as("m"))
+        .orderBy("cell", "pos")
+        .localCheckpoint()
+    })
+
+  /** Re-assignment against the TRAINED centroids — the quantizer a real
+    * IVF index serves queries with (seed assign → Lloyd step → final
+    * assign). Trained centroids are a tiny broadcast (cells×64 rounded
+    * doubles); the scan stays one pass over the vectors. */
+  def ivfAssignTrained(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfTrain(spark, dir)
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+              Num.rnd(cosine(col("embedding"), col("cv")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "csim")
+  }
+
   /** Per-source embedding centroids (element-wise mean) in long form
     * (source, pos, m) — the distributed reduce a clustering / domain-
     * analysis stage needs: posexplode to (dim, value), ONE shuffle by
@@ -357,6 +403,8 @@ object Similarity {
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
     "sim_ivf_topk"     -> ivfTopK _,
+    "sim_ivf_train"    -> ivfTrain _,
+    "sim_ivf_assign_trained" -> ivfAssignTrained _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
     "emb_centroid_sim" -> centroidSim _,
@@ -371,7 +419,35 @@ object Similarity {
     "cent AS (SELECT source, pos1, round((avg(val)) * 1e6) / 1e6 AS m " +
     "FROM u GROUP BY source, pos1)"
 
+  /** Shared CTE chain: seed assignment (= sim_ivf_assign) feeding the
+    * Lloyd-step centroid recomputation `tr`. */
+  private val ivfTrainCte: String =
+    "c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
+    "s AS (SELECT e.vec_id, c.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN c), " +
+    "asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (" +
+    "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s) WHERE rn = 1), " +
+    "tr AS (SELECT a.cell, p.pos1, " +
+    "round((avg(CAST(e.embedding[p.pos1] AS DOUBLE))) * 1e6) / 1e6 AS m " +
+    "FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, " +
+    "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1) " +
+    "GROUP BY a.cell, p.pos1)"
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf_train" ->
+      (s"WITH $ivfTrainCte " +
+       "SELECT cell, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM tr " +
+       "ORDER BY cell, pos"),
+    "sim_ivf_assign_trained" ->
+      (s"WITH $ivfTrainCte, " +
+       "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
+       "s2 AS (SELECT e.vec_id, t.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN tc t) " +
+       "SELECT vec_id, cell, csim FROM (SELECT vec_id, cell, csim, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+       "FROM s2) WHERE rn = 1"),
     "emb_centroid_by_source" ->
       (s"WITH $centroidCte " +
        "SELECT source, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM cent " +
