@@ -234,7 +234,107 @@ object TextOps {
       .agg(sum("contrib").as("v"))
   }
 
+  /** Benchmark-contamination detection: the pre-training hygiene check
+    * that flags training documents overlapping an evaluation set. The
+    * eval corpus here is one source's documents (a stand-in for a held-out
+    * benchmark); per training doc we report how many of its distinct
+    * 5-gram shingles appear anywhere in the eval set. Scale shape: the
+    * eval side is DISTINCT shingles of a benchmark — bounded by benchmark
+    * size, not corpus size — so it broadcasts; the training side streams
+    * through one hash join, output ≤ input rows (a membership probe, never
+    * pair generation, so no hot-shingle quadratic risk and no DF cap
+    * needed). Docs shorter than 5 tokens have no shingles and are absent,
+    * matching the oracle. */
+  def contamination(spark: SparkSession, dir: String,
+                    evalSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 4), " +
+                     "i -> concat_ws(' ', slice(toks, i, 5)))")).as("s"))
+      .distinct()
+    val evalSh = shingles(docs.filter(col("source") === evalSource))
+      .select("s").distinct().withColumn("hit", lit(1))
+    shingles(docs.filter(col("source") =!= evalSource))
+      .join(broadcast(evalSh), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("contam_pct",
+        Num.rnd(lit(100.0) * col("n_hit") / col("n_sh"), 2))
+  }
+
+  /** PII / pattern scan: per-doc counts of email-, US-phone- and
+    * SSN-shaped matches plus total word matches — the redaction pipeline's
+    * detection pass, zero shuffle. `n_word` is non-zero on any text corpus,
+    * so the oracle verifies the regexp-count machinery on real matches even
+    * when (as on this synthetic corpus) the PII families count zero;
+    * PiiFixtureSpec plants real emails/phones/SSNs and asserts each
+    * pattern fires. Patterns avoid backreferences/lookaround so the same
+    * regex text is valid for both Java (Spark) and RE2 (DuckDB). */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    // [.] not \. — backslashes are escape chars inside Spark SQL string
+    // literals (expr parses this), and [.] is identical in Java and RE2
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(expr(s"regexp_extract_all(text, '$email', 0)")).as("n_email"),
+              size(expr(s"regexp_extract_all(text, '$phone', 0)")).as("n_phone"),
+              size(expr(s"regexp_extract_all(text, '$ssn', 0)")).as("n_ssn"),
+              size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("n_word"))
+      .withColumn("has_pii",
+        (col("n_email") + col("n_phone") + col("n_ssn") > 0).cast("int"))
+  }
+
+  /** Document chunking: fixed-size sliding windows (200 chars, stride
+    * 160) — the tokenize-and-pack precursor every training pipeline runs.
+    * Pure per-row explode of an in-plan sequence: embarrassingly parallel,
+    * zero shuffle, output rows ~ n_chars/stride. Chunk text is emitted
+    * verbatim so the cross-engine check compares exact content. */
+  def chunk(spark: SparkSession, dir: String,
+            size0: Int = 200, stride: Int = 160): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(0, cast(floor((n - 1) / $stride) as int))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, chunk_idx * $stride + 1, $size0)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+
+  /** TF-IDF keyword extraction: top-5 tokens per document by
+    * tf·ln((N+1)/(df+1)). Two shuffles total — tf by (doc, token), df by
+    * token — then a broadcast 1-row corpus count; the window ranks within
+    * each doc. Scores rounded at 6 dp before ranking so ordering is
+    * identical cross-engine (ties break on token). */
+  def tfidf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        Num.rnd(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "tok", "tf", "df", "score", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> ((s, d) => contamination(s, d)),
+    "text_pii_scan"    -> piiScan _,
+    "text_chunk"       -> ((s, d) => chunk(s, d)),
+    "text_tfidf"       -> ((s, d) => tfidf(s, d)),
     "text_hash_embed"  -> hashEmbed _,
     "text_top_tokens"  -> topTokens _,
     "text_len_hist"    -> lenHist _,
@@ -250,6 +350,47 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    "text_contamination" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
+       "FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
+       "ev AS (SELECT DISTINCT s FROM sh0 JOIN documents d USING (doc_id) " +
+       "WHERE d.source = 'src0'), " +
+       "base AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN documents d USING (doc_id) " +
+       "WHERE d.source <> 'src0') " +
+       "SELECT b.doc_id, count(*) AS n_sh, " +
+       "CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+       "round((100.0 * sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) / count(*)) " +
+       "* 1e2) / 1e2 AS contam_pct " +
+       "FROM base b LEFT JOIN ev e ON b.s = e.s GROUP BY b.doc_id"),
+    "text_pii_scan" ->
+      ("SELECT doc_id, n_email, n_phone, n_ssn, n_word, " +
+       "CAST(n_email + n_phone + n_ssn > 0 AS INTEGER) AS has_pii FROM (" +
+       "SELECT doc_id, " +
+       "CAST(len(regexp_extract_all(text, " +
+       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS INTEGER) AS n_email, " +
+       "CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone, " +
+       "CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER) AS n_ssn, " +
+       "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word " +
+       "FROM documents) t"),
+    "text_chunk" ->
+      ("SELECT doc_id, chunk_idx, chunk, CAST(length(chunk) AS INTEGER) AS chunk_len " +
+       "FROM (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
+       "substr(text, CAST(i * 160 + 1 AS INTEGER), 200) AS chunk " +
+       "FROM documents, UNNEST(range(0, (length(text) - 1) // 160 + 1)) AS u(i) " +
+       "WHERE length(text) > 0) t"),
+    "text_tfidf" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2), " +
+       "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+       "n AS (SELECT count(*) AS n_docs FROM documents), " +
+       "sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, " +
+       "round((tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0))) * 1e6) / 1e6 AS score " +
+       "FROM tf JOIN dfq USING (tok) CROSS JOIN n) " +
+       "SELECT doc_id, tok, tf, df, score, CAST(rn AS INTEGER) AS rn FROM (" +
+       "SELECT sc.*, row_number() OVER (PARTITION BY doc_id " +
+       "ORDER BY score DESC, tok ASC) AS rn FROM sc) r WHERE rn <= 5"),
     "text_top_tokens" ->
       ("SELECT tok, count(*) AS n FROM (" +
        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t " +

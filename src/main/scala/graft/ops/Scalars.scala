@@ -142,7 +142,27 @@ object Scalars {
               explode(col("m"))) // -> key, value columns
   }
 
+  /** Z-order (Morton) key: interleave the low 8 bits of two dimensions —
+    * the multi-dimensional clustering key for data-skipping layouts.
+    * `df.repartitionByRange(col("zval")).sortWithinPartitions("zval")`
+    * before a parquet write co-locates rows that are near in BOTH dims,
+    * so row-group min/max stats prune scans filtered on either column
+    * (the Delta/Iceberg OPTIMIZE ZORDER technique, computed in-plan).
+    * Pure bit arithmetic: codegen'd, zero shuffle, exact cross-engine. */
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("zx"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("zy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("l_partkey") % 256).cast("long").as("zx"),
+              (col("l_suppkey") % 256).cast("long").as("zy"))
+      .withColumn("zval", z)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_zorder"        -> zorder _,
     "scalar_map"           -> mapSuite _,
     "scalar_date_arith"    -> dateArith _,
     "scalar_array"         -> arraySuite _,
@@ -155,7 +175,16 @@ object Scalars {
     "scalar_datetime"      -> datetime _,
     "scalar_string"        -> strings _)
 
+  private val zorderBits: String =
+    (0 until 8).map(i =>
+      s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "scalar_zorder" ->
+      (s"SELECT l_orderkey, l_linenumber, zx, zy, CAST($zorderBits AS BIGINT) AS zval " +
+       "FROM (SELECT l_orderkey, l_linenumber, l_partkey % 256 AS zx, " +
+       "l_suppkey % 256 AS zy FROM lineitem) t"),
     "scalar_map" ->
       ("SELECT o_orderkey, CAST(2 AS INTEGER) AS n_entries, " +
        "o_totalprice AS price_val, 'price' AS key, o_totalprice AS value " +
