@@ -330,7 +330,26 @@ object TextOps {
       .select("doc_id", "tok", "tf", "df", "score", "rn")
   }
 
+  /** Sequence packing — the concat-and-split step that turns variable-
+    * length documents into fixed-length training sequences: within each
+    * source stream, documents are concatenated in doc_id order and cut
+    * every `seqLen` tokens; a doc's sequence id is its running-sum start
+    * offset ÷ seqLen. ONE shuffle (window by source); at 100 TB the
+    * packing unit is the source shard, so parallelism = number of
+    * sources/shards and no global coordination is needed. */
+  def pack(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start_off") / seqLen).cast("long"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack"        -> ((s, d) => pack(s, d)),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "text_pii_scan"    -> piiScan _,
     "text_chunk"       -> ((s, d) => chunk(s, d)),
@@ -350,6 +369,14 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    "text_pack" ->
+      ("SELECT doc_id, source, n_tok, start_off, start_off // 512 AS seq_id " +
+       "FROM (SELECT doc_id, source, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(coalesce(sum(len(string_split(text, ' '))) OVER (" +
+       "PARTITION BY source ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+       "AS start_off FROM documents) t"),
     "text_contamination" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
        "sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +

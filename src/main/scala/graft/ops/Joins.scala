@@ -128,7 +128,40 @@ object Joins {
               Num.rnd(abs(col("a_x") - col("b_x")), 2).as("diff"))
   }
 
+  /** CDC snapshot apply — the MERGE/upsert a warehouse sync runs, as a
+    * pure-plan full-outer join (Spark core has no MERGE statement; this
+    * IS the distributed shape Delta/Iceberg MERGE lowers to). The change
+    * log is `events`: latest change per key wins (max event_id = log
+    * sequence number — deliberately NOT the nanos timestamp, whose
+    * micro-truncation could reorder ties cross-engine), value < 50 is
+    * the demo's tombstone convention (all four op classes populated at
+    * sf0.01: keys shifted +1400 so changes straddle the base key range).
+    * Scale shape: one window shuffle compacts the log per key, then one
+    * shuffle join on key; both sides stream — no driver materialization,
+    * and AQE picks broadcast when the compacted log is small. */
+  def cdcUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"),
+              col("c_acctbal").cast("double").as("old_val"))
+    val w = Window.partitionBy("key").orderBy(col("event_id").desc)
+    val upd = Tables.events(spark, dir)
+      .select((col("user_id") + 1400).as("key"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("key"), col("value").as("new_val"), lit(1).as("has_upd"))
+    base.join(upd, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("has_upd").isNull, lit("keep"))
+          .when(col("new_val") < 50.0, lit("delete"))
+          .when(col("old_val").isNull, lit("insert"))
+          .otherwise(lit("update")).as("op"),
+        when(col("has_upd").isNotNull && col("new_val") < 50.0, lit(null))
+          .otherwise(Num.rnd(coalesce(col("new_val"), col("old_val")), 2))
+          .as("val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_upsert"          -> cdcUpsert _,
     "join_band_bucket"    -> bandJoin _,
     "join_null_safe"      -> nullSafeJoin _,
     "join_broadcast_left" -> broadcastLeft _,
@@ -139,6 +172,20 @@ object Joins {
     "join_ambiguous_proj" -> ambiguousProj _)
 
   val oracle: Map[String, String] = Map(
+    "cdc_upsert" ->
+      ("WITH upd AS (SELECT key, value AS new_val FROM (" +
+       "SELECT user_id + 1400 AS key, event_id, value, " +
+       "row_number() OVER (PARTITION BY user_id + 1400 ORDER BY event_id DESC) AS rn " +
+       "FROM events) u WHERE rn = 1), " +
+       "base AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS old_val " +
+       "FROM customer) " +
+       "SELECT coalesce(b.key, u.key) AS key, " +
+       "CASE WHEN u.key IS NULL THEN 'keep' " +
+       "WHEN u.new_val < 50.0 THEN 'delete' " +
+       "WHEN b.key IS NULL THEN 'insert' ELSE 'update' END AS op, " +
+       "CASE WHEN u.key IS NOT NULL AND u.new_val < 50.0 THEN NULL " +
+       "ELSE round((coalesce(u.new_val, b.old_val)) * 1e2) / 1e2 END AS val " +
+       "FROM base b FULL OUTER JOIN upd u ON b.key = u.key"),
     "join_band_bucket" ->
       ("SELECT a.o_orderkey AS a_k, b.o_orderkey AS b_k, " +
        "a.o_totalprice AS a_x, b.o_totalprice AS b_x, " +
