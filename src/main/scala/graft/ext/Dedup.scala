@@ -159,6 +159,33 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir)
 
+  /** INCREMENTAL dedup — the asymmetric production shape: a NEW batch is
+    * screened against the EXISTING corpus (first half of doc_ids stands
+    * in for the corpus; at 100 TB the corpus side is a persisted shingle
+    * index you append to, and only batch×corpus candidates are generated,
+    * never corpus×corpus). A batch doc is dropped when it has >= 1
+    * corpus match at Jaccard >= 1/2 (exact dups are the j = 1 special
+    * case). Within-batch duplicates are deliberately NOT folded here —
+    * that is the in-batch [[keepList]] pass. The split is n/2 so the
+    * regime scales with the table; at sf0.01 (n=500) it is exactly the
+    * 250 the static oracle encodes. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.count() / 2 // metadata-cheap parquet count
+    val matches = jaccardPairs(spark, dir)
+      // pairs are ordered a < b, and corpus ids all precede batch ids,
+      // so cross pairs are exactly (a = corpus, b = batch)
+      .filter(col("a_id") < split && col("b_id") >= split)
+      .filter(col("inter") * 2 >= col("uni")) // jaccard >= 1/2, exact ints
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"))
+    docs.filter(col("doc_id") >= split).select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        (coalesce(col("n_corpus_matches"), lit(0L)) === 0).cast("int").as("keep"))
+  }
+
   // ---- portable polynomial hash (identical fold in Spark and DuckDB) ----
 
   /** h(s) = fold over codepoints: acc ← (acc·base + code) mod m, acc₀=0.
@@ -342,6 +369,7 @@ object Dedup {
     "dedup_exact"         -> exact _,
     "dedup_exact_norm"    -> exactNorm _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_incremental"   -> incremental _,
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_simhash"       -> simhash _)
 
@@ -415,6 +443,14 @@ object Dedup {
        "GROUP BY regexp_replace(lower(trim(text)), ' +', ' ', 'g')"),
     "dedup_ngram_jaccard" ->
       s"WITH $ngramPairCte SELECT a_id, b_id, inter, uni FROM jac",
+    "dedup_incremental" ->
+      (s"WITH $ngramPairCte, " +
+       "m AS (SELECT b_id AS doc_id, count(*) AS n_corpus_matches FROM jac " +
+       "WHERE a_id < 250 AND b_id >= 250 AND inter * 2 >= uni GROUP BY 1) " +
+       "SELECT d.doc_id, " +
+       "CAST(coalesce(m.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches, " +
+       "CAST(coalesce(m.n_corpus_matches, 0) = 0 AS INTEGER) AS keep " +
+       "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"),
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_clusters" ->

@@ -176,6 +176,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(keep.head.getLong(0) === 0L && keep.head.getLong(1) === 80L)
   }
 
+  test("incremental dedup screens the batch against the corpus only") {
+    // split = 5/2 = 2: corpus {0,1}, batch {2,3,4}. Doc 2 is a near-dup
+    // of corpus doc 0 (jaccard ~0.8 >= 1/2) -> dropped; doc 3 is
+    // unrelated and doc 4 only matches after case-normalization (shingles
+    // are case-sensitive) -> both kept.
+    val rows = ext.Dedup.incremental(spark, fixtureDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(rows.keySet === Set(2L, 3L, 4L))
+    assert(rows(2L)._1 >= 1L && rows(2L)._2 === 0)
+    assert(rows(3L) === ((0L, 1)))
+    assert(rows(4L) === ((0L, 1)))
+  }
+
   test("pairCandidates cap truncation is observable (metric counts dropped rows)") {
     import spark.implicits._
     // one bucket of 5 vectors, cap = 2: the b-side keeps ids 0,1 → 10
