@@ -348,7 +348,35 @@ object TextOps {
       .withColumn("seq_id", floor(col("start_off") / seqLen).cast("long"))
   }
 
+  /** Temperature resampling across sources — the p^α rebalancing a
+    * multilingual/multi-domain pipeline applies so high-resource sources
+    * don't drown low-resource ones (α = 0.5 here): per-source quota
+    * ∝ sqrt(share), then a deterministic md5-ordered take of quota docs
+    * per source. Two tiny aggregates broadcast to one windowed pass over
+    * the corpus — no per-row shuffle beyond the source partition. Weights
+    * are 6-dp-rounded BEFORE the floor so the integer quotas are
+    * byte-identical cross-engine. */
+  def temperatureSample(spark: SparkSession, dir: String,
+                        budget: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .withColumn("w0", Num.rnd(sqrt(col("c")), 6))
+    val tot = bySrc.agg(sum("w0").as("tw"))
+    val quota = bySrc.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        floor(lit(budget) * Num.rnd(col("w0") / col("tw"), 6)).cast("long"))
+      .select("source", "quota")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rn"), col("quota"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
     "text_pack"        -> ((s, d) => pack(s, d)),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "text_pii_scan"    -> piiScan _,
@@ -369,6 +397,16 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    "text_temperature_sample" ->
+      ("WITH bysrc AS (SELECT source, count(*) AS c, " +
+       "round((sqrt(count(*))) * 1e6) / 1e6 AS w0 FROM documents GROUP BY source), " +
+       "tot AS (SELECT sum(w0) AS tw FROM bysrc), " +
+       "q AS (SELECT source, CAST(floor(200 * (round((w0 / tw) * 1e6) / 1e6)) " +
+       "AS BIGINT) AS quota FROM bysrc, tot), " +
+       "r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+       "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+       "SELECT r.source, r.doc_id, CAST(r.rn AS INTEGER) AS rn, q.quota " +
+       "FROM r JOIN q USING (source) WHERE r.rn <= q.quota"),
     "text_pack" ->
       ("SELECT doc_id, source, n_tok, start_off, start_off // 512 AS seq_id " +
        "FROM (SELECT doc_id, source, " +

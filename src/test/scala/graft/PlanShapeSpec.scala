@@ -51,6 +51,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("contamination probes the eval set via broadcast, never a shuffle join") {
+    val p = planOf("text_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"eval membership probe shuffled:\n$p")
+  }
+
+  test("zorder key is computed in-plan with zero exchanges") {
+    val p = planOf("scalar_zorder")
+    assert(!p.contains("Exchange"), s"bit interleave should not shuffle:\n$p")
+    assert(p.contains("*(1)"), s"projection left whole-stage codegen:\n$p")
+  }
+
+  test("sequence packing shuffles once, by the source shard key") {
+    val p = planOf("text_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+  }
+
   test("no query collects unbounded data to the driver") {
     // the one deliberate collect (semi_isin parity demo) is bounded by the
     // 25-row nation table; every other query builds a single lazy plan.
