@@ -23,7 +23,10 @@ object CapMetrics {
                            durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (name, row) =>
         if (name.startsWith("graft_bucket_cap_")) {
-          val truncated = row.getAs[Number]("rows_truncated").longValue()
+          // defensive null guard even though the metric coalesces: a
+          // listener must never throw on the listener bus
+          val truncated = Option(row.getAs[Number]("rows_truncated"))
+            .fold(0L)(_.longValue())
           if (truncated > 0)
             log.warn(
               s"$name: candidate cap dropped $truncated rows " +

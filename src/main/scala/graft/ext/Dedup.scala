@@ -171,7 +171,8 @@ object Dedup {
     * 250 the static oracle encodes. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val split = docs.count() / 2 // metadata-cheap parquet count
+    val split =
+      CountMemo.get(spark, dir, "documents")(docs.count()) / 2
     val matches = jaccardPairs(spark, dir)
       // pairs are ordered a < b, and corpus ids all precede batch ids,
       // so cross pairs are exactly (a = corpus, b = batch)

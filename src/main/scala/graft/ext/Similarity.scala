@@ -69,34 +69,9 @@ object Similarity {
     * while bench/production scales get a bigger index. The count that
     * feeds the formula is one metadata-cheap job, memoized per
     * (session, dir) — the same role AQE's runtime stats play. */
-  // Weak session keys: a strong (SparkSession, dir) key would retain
-  // every session forever — the unbounded-growth/session-leak class
-  // CkptMemo guards against, reintroduced for a count cache. With a
-  // WeakHashMap the entry dies with its session; the bounded inner map
-  // caps distinct dirs per session.
-  private val countMemo =
-    new java.util.WeakHashMap[SparkSession,
-                              java.util.LinkedHashMap[String, java.lang.Long]]()
-  private def embCount(spark: SparkSession, dir: String): Long = {
-    val perSession = countMemo.synchronized {
-      var m = countMemo.get(spark)
-      if (m == null) {
-        m = new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size > 64
-        }
-        countMemo.put(spark, m)
-      }
-      m
-    }
-    val hit = perSession.synchronized(perSession.get(dir))
-    if (hit != null) hit.longValue()
-    else {
-      val n = Tables.embeddings(spark, dir).count()
-      perSession.synchronized(perSession.put(dir, java.lang.Long.valueOf(n)))
-      n
-    }
-  }
+  private def embCount(spark: SparkSession, dir: String): Long =
+    CountMemo.get(spark, dir, "embeddings")(
+      Tables.embeddings(spark, dir).count())
 
   private[graft] def numPlanes(n: Long): Int = {
     val want = math.ceil(math.log(math.max(n, 1L) / 8.0) / math.log(2.0)).toInt
@@ -139,8 +114,11 @@ object Similarity {
                            col(key), col("nrm").as("nrm_b"))
       .withColumn("rnb", row_number().over(wCap))
       .observe(s"graft_bucket_cap_$key",
-        sum(when(col("rnb") > cap, 1L).otherwise(0L)).as("rows_truncated"),
-        max(col("rnb")).as("max_bucket_rows"))
+        // coalesce: over 0 rows sum/max are NULL, which must read as
+        // "nothing truncated", not crash the metrics listener
+        coalesce(sum(when(col("rnb") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("rows_truncated"),
+        coalesce(max(col("rnb")), lit(0)).as("max_bucket_rows"))
       .filter(col("rnb") <= cap).drop("rnb")
     a.join(b, Seq(key))
       .select(col("a_id"), col("b_id"),
@@ -279,16 +257,21 @@ object Similarity {
     * doubles); the scan stays one pass over the vectors. */
   def ivfAssignTrained(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms precomputed once per vector / per centroid (the file-wide
+    // invariant): the n×cells stage then does ONE 64-dim fold per pair
     val cents = ivfTrain(spark, dir)
       .groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
                      x => x.getField("m")).as("cv"))
+      .withColumn("cnrm", sqrt(dotCols(col("cv"), col("cv"))))
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell"),
-              Num.rnd(cosine(col("embedding"), col("cv")), 6).as("csim"))
+              Num.rnd(dotCols(col("embedding"), col("cv")) /
+                        (col("nrm") * col("cnrm")), 6).as("csim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "cell", "csim")

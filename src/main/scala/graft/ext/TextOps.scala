@@ -248,16 +248,18 @@ object TextOps {
   def contamination(spark: SparkSession, dir: String,
                     evalSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // raw (doc_id, s) rows; each branch applies exactly the distinct it
+    // needs (eval only ever needs the s set — a (doc_id, s) distinct
+    // first would be a second shuffle over the eval corpus for nothing)
     def shingles(df: DataFrame): DataFrame = df
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(toks) - 4), " +
                      "i -> concat_ws(' ', slice(toks, i, 5)))")).as("s"))
-      .distinct()
     val evalSh = shingles(docs.filter(col("source") === evalSource))
       .select("s").distinct().withColumn("hit", lit(1))
-    shingles(docs.filter(col("source") =!= evalSource))
+    shingles(docs.filter(col("source") =!= evalSource)).distinct()
       .join(broadcast(evalSh), Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
@@ -323,8 +325,13 @@ object TextOps {
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
     tf.join(dfreq, Seq("tok"))
       .crossJoin(broadcast(nDocs))
+      // ln() is the one function here NOT exactly rounded by IEEE (unlike
+      // +,*,/,sqrt), so Java and libm can differ by 1 ulp. Rounding the
+      // ln to 6 dp FIRST pins both engines to the same double per
+      // distinct df; the remaining int-multiply and final round are exact.
       .withColumn("score",
-        Num.rnd(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+        Num.rnd(col("tf") *
+          Num.rnd(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("doc_id", "tok", "tf", "df", "score", "rn")
@@ -360,10 +367,14 @@ object TextOps {
                         budget: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // ONE per-source aggregate; the global total is a window over the
+    // tiny post-agg frame (n_sources rows on a single partition), not a
+    // second aggregation of the corpus — Catalyst does not dedupe a
+    // shared aggregate subtree, so the self-join form scans docs twice
     val bySrc = docs.groupBy("source").agg(count(lit(1)).as("c"))
       .withColumn("w0", Num.rnd(sqrt(col("c")), 6))
-    val tot = bySrc.agg(sum("w0").as("tw"))
-    val quota = bySrc.crossJoin(broadcast(tot))
+      .withColumn("tw", sum("w0").over(Window.partitionBy()))
+    val quota = bySrc
       .withColumn("quota",
         floor(lit(budget) * Num.rnd(col("w0") / col("tw"), 6)).cast("long"))
       .select("source", "quota")
@@ -451,7 +462,8 @@ object TextOps {
        "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
        "n AS (SELECT count(*) AS n_docs FROM documents), " +
        "sc AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, " +
-       "round((tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0))) * 1e6) / 1e6 AS score " +
+       "round((tf.tf * (round((ln((n.n_docs + 1.0) / (dfq.df + 1.0))) * 1e6) / 1e6)) " +
+       "* 1e6) / 1e6 AS score " +
        "FROM tf JOIN dfq USING (tok) CROSS JOIN n) " +
        "SELECT doc_id, tok, tf, df, score, CAST(rn AS INTEGER) AS rn FROM (" +
        "SELECT sc.*, row_number() OVER (PARTITION BY doc_id " +
