@@ -386,7 +386,34 @@ object TextOps {
       .select(col("source"), col("doc_id"), col("rn"), col("quota"))
   }
 
+  /** Heavy hitters via a Misra–Gries sketch + exact confirm: the
+    * bounded-memory form of "which tokens exceed 1/64 of the corpus".
+    * An exact groupBy(token) holds every distinct token on the reducers —
+    * unbounded at web scale; the MG summary holds <= 127 counters per
+    * partition (map-side combined), its candidate set is provably
+    * complete for any threshold > n/128, and the exact-count confirm
+    * join (counting ONLY candidates, a broadcast semi-join) removes the
+    * false positives — so the result is exact and oracle-checkable even
+    * though a sketch did the screening. Three scans of the token stream,
+    * but reducer memory is O(k), not O(vocabulary). */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cand = toks.select(col("tok")).as[String](Encoders.STRING)
+      .select(new graft.functions.MisraGries(127).toColumn) // typed select
+      .toDF("cand")
+      .select(explode(col("cand")).as("tok"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * 64 > col("n_total")) // exact integer threshold
+      .select("tok", "cnt", "n_total")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
     "text_pack"        -> ((s, d) => pack(s, d)),
     "text_contamination" -> ((s, d) => contamination(s, d)),
@@ -408,6 +435,14 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    // exact semantics: the MG sketch only screens candidates (provably
+    // complete above the threshold); the confirmed result equals the
+    // plain exact query
+    "text_heavy_hitters" ->
+      ("WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "n AS (SELECT count(*) AS n_total FROM tk), " +
+       "c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok) " +
+       "SELECT tok, cnt, n_total FROM c, n WHERE cnt * 64 > n_total"),
     "text_temperature_sample" ->
       ("WITH bysrc AS (SELECT source, count(*) AS c, " +
        "round((sqrt(count(*))) * 1e6) / 1e6 AS w0 FROM documents GROUP BY source), " +

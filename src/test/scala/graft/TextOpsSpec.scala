@@ -57,6 +57,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!rows.contains(0L) && !rows.contains(1L)) // eval docs excluded
   }
 
+  test("misra-gries keeps every item above the n/(k+1) guarantee, incl. across merges") {
+    val mg = new functions.MisraGries(9)
+    // 100 copies of "hot" in 600 items: f = 100 > 600/10 -> must survive
+    val stream = scala.util.Random.shuffle(
+      Seq.fill(100)("hot") ++ (0 until 500).map(i => s"noise$i")).toList
+    val whole = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(mg.finish(whole).contains("hot"))
+    val (l, r) = stream.splitAt(300)
+    val merged = mg.merge(l.foldLeft(mg.zero)(mg.reduce),
+                          r.foldLeft(mg.zero)(mg.reduce))
+    assert(mg.finish(merged).size <= 9)
+    assert(mg.finish(merged).contains("hot"))
+  }
+
   test("tfidf ranks doc-specific tokens above corpus-wide ones") {
     val top1 = ext.TextOps.tfidf(spark, fixtureDir).filter($"rn" === 1)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
