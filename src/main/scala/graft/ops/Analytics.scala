@@ -55,9 +55,32 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** Q18-shaped: large-quantity orders — a HAVING aggregate that SHRINKS
+    * the fact table first (rare heavy orders), then enrich joins against
+    * orders/customer move almost nothing. The agg-before-join ordering is
+    * the 100 TB discipline: the alternative (join first, filter later)
+    * shuffles the whole lineitem×orders product. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+              col("o_totalprice"),
+              Num.rnd(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_topk"          -> q3TopK _,
-    "q5_region_volume" -> q5RegionVolume _)
+    "q5_region_volume" -> q5RegionVolume _,
+    "q18_large_orders" -> q18LargeOrders _)
 
   val oracle: Map[String, String] = Map(
     "q3_topk" ->
@@ -80,5 +103,14 @@ object Analytics {
        "JOIN nation ON s_nationkey = n_nationkey " +
        "JOIN region ON n_regionkey = r_regionkey " +
        "WHERE r_name = 'ASIA' " +
-       "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"))
+       "GROUP BY n_name ORDER BY revenue DESC, n_name ASC"),
+    "q18_large_orders" ->
+      ("SELECT c_name, c_custkey, o_orderkey, " +
+       "strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice, " +
+       "round((total_qty) * 1e2) / 1e2 AS total_qty " +
+       "FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem " +
+       "GROUP BY 1 HAVING sum(l_quantity) > 300) b " +
+       "JOIN orders ON o_orderkey = b.l_orderkey " +
+       "JOIN customer ON o_custkey = c_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"))
 }

@@ -33,6 +33,20 @@ object DocStream {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
 
+  /** Stream-STATIC anti-join: screen a continuous ingest against the
+    * static existing-corpus fingerprint set — the streaming face of
+    * `Dedup.incremental`'s exact tier, and the one Structured Streaming
+    * join family (stream ⋈ static) the engine hadn't demonstrated yet.
+    * Stateless on the stream side (no watermark needed); the static side
+    * is one fingerprint per corpus doc, re-plannable per micro-batch and
+    * broadcast when small. */
+  def screenNew(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    val fp = corpus.select(md5(col("text")).as("fp")).distinct()
+    stream.withColumn("fp", md5(col("text")))
+      .join(fp, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Streaming curation: one survivor per exact text (first arrival) +
     * repetition gate (same expression as TextOps.repetition). */
   def curate(docs: DataFrame): DataFrame = {

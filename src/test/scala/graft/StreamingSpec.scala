@@ -45,6 +45,25 @@ class StreamingSpec extends SparkSpec {
     assert(batchOnly.filter(col("ws") < cutoff).count() === 0)
   }
 
+  test("stream-static screen drops exactly the corpus-fingerprinted docs") {
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft-docs-screen").toString
+    Files.copy(Paths.get(s"$sf0001/documents.parquet"),
+      Paths.get(s"$dir/docs-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // static corpus = first half of doc_ids; streamed ingest = everything
+    val corpus = Tables.documents(spark, sf0001).filter(col("doc_id") < 25)
+    val streamed = EventStream.runToMemory(
+      spark, DocStream.screenNew(DocStream.readDocs(spark, dir), corpus),
+      "doc_screen_out", OutputMode.Append())
+    val batch = Tables.documents(spark, sf0001)
+      .withColumn("fp", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("fp")).distinct(),
+            Seq("fp"), "left_anti")
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.select("doc_id").exceptAll(batch.select("doc_id")).count() === 0)
+  }
+
   test("streaming document curation equals the batch curation on replay") {
     import graft.streaming.DocStream
     // duplicate the whole corpus: same file twice → dedup must collapse it
