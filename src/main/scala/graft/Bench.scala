@@ -28,14 +28,28 @@ object Bench {
         Tables.documents, Tables.embeddings)
         .foreach(t => t(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic order, memo OWNERS first: the dedup pair frame, the
+    // cluster loop, and the IVF assignment/training are materialized once
+    // per (session, dir) and shared across their families — under Map
+    // iteration order whichever family member ran first paid the build,
+    // so per-query numbers migrated between runs (r2: minhash 44 s,
+    // r3: keep 91 s — same pipeline). Pinning the owners keeps every
+    // build cost on the same timed query each run; the family totals
+    // still include all real work (nothing hides in untimed warmup).
+    val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
+      "dedup_minhash_lsh", "sim_ivf_assign", "sim_ivf_train",
+      "sim_ivf_assign_trained", "sim_ivf_topk")
+    val ordered = owners.filter(SparkEntry.queries.contains) ++
+      SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
+    val results = ordered.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

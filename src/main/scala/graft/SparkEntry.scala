@@ -48,6 +48,7 @@ object SparkEntry {
       ext.TextOps.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
+      ext.Geo.queries ++
       ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +72,6 @@ object SparkEntry {
       ext.TextOps.oracle ++
       ext.Dedup.oracle ++
       ext.Similarity.oracle ++
+      ext.Geo.oracle ++
       ext.Multimodal.oracle
 }

@@ -93,6 +93,17 @@ object Similarity {
     * it is a guardrail against quadratic blowup, not a sampler. */
   private val MaxBucketCandidates = 1024
 
+  /** Salted deterministic order for cap truncation: a Knuth
+    * multiplicative scramble of the id, so an oversized bucket degrades
+    * to a pseudo-uniform SAMPLE instead of "the cap lowest vec_ids"
+    * (round 3's order was id-biased when the cap fired). Pure integer
+    * arithmetic — the identical formula is emitted into the oracle CTEs.
+    * ids < 2^31 keep the product < 2^63 (no overflow either engine). */
+  private[graft] def saltOrd(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(2147483648L))
+  private[graft] def saltOrdSql(e: String): String =
+    s"(($e) * 2654435761) % 2147483648"
+
   /** Shared candidate stage for the bucket/cell ANN family: self-join on
     * the partition key with the b-side capped, exact cosine per pair
     * from precomputed norms (ONE 64-dim fold per candidate). Callers
@@ -102,16 +113,25 @@ object Similarity {
     * computed during the normal action, no extra pass) reports how many
     * candidate rows the cap dropped and the largest bucket seen;
     * [[CapMetrics]] registers a listener that WARN-logs any truncation,
-    * so silently-degraded (id-biased) neighbor sets can't go unnoticed —
-    * the operator's own guidance is to raise numPlanes when this fires. */
+    * so silently-degraded neighbor sets can't go unnoticed — the
+    * operator's own guidance is to raise numPlanes when this fires. */
   private[graft] def pairCandidates(withKey: DataFrame, key: String,
-                                  cap: Int = MaxBucketCandidates): DataFrame = {
+                                  cap: Int = MaxBucketCandidates): DataFrame =
+    pairCandidatesAB(withKey, withKey, key, cap)
+
+  /** Asymmetric form: `aKeyed` supplies the probe side (may carry several
+    * key rows per vector — multi-probe IVF), `bKeyed` the indexed side
+    * (home key only, cap applies here). Both need (vec_id, embedding,
+    * key, nrm). */
+  private[graft] def pairCandidatesAB(aKeyed: DataFrame, bKeyed: DataFrame,
+                                      key: String, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = withKey.select(col("vec_id").as("a_id"), col("embedding").as("va"),
-                           col(key), col("nrm").as("nrm_a"))
-    val wCap = Window.partitionBy(key).orderBy(col("b_id").asc)
-    val b = withKey.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
-                           col(key), col("nrm").as("nrm_b"))
+    val a = aKeyed.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+                          col(key), col("nrm").as("nrm_a"))
+    val wCap = Window.partitionBy(key)
+      .orderBy(saltOrd(col("b_id")).asc, col("b_id").asc)
+    val b = bKeyed.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+                          col(key), col("nrm").as("nrm_b"))
       .withColumn("rnb", row_number().over(wCap))
       .observe(s"graft_bucket_cap_$key",
         // coalesce: over 0 rows sum/max are NULL, which must read as
@@ -175,19 +195,23 @@ object Similarity {
       .filter(col("sim") >= 0.4)
   }
 
+  /** Probe width for IVF search: every query probes its `NProbe` nearest
+    * cells (indexed vectors still live in ONE home cell). nprobe=1 missed
+    * true neighbors that fell just across a cell boundary — the classic
+    * IVF recall cliff; nprobe=2 roughly doubles the candidate set
+    * (cost ~2× the in-cell join, still no cross product) for most of the
+    * recall that higher nprobe buys. Static so the oracle SQL encodes the
+    * same constant at every scale. */
+  private[graft] val NProbe = 2
+
   /** IVF-style ANN: the first `ivfCells(n)` vectors act as the coarse
     * quantizer ("trained" centroids — a stub quantizer standing in for
-    * k-means, deterministic); every vector is assigned to its nearest
-    * centroid by cosine (argmin over a broadcast centroid table), then
-    * search runs within the cell. The scale path: assignment is a
-    * broadcast join (centroids are tiny: ≤4096 rows), search shuffles by
-    * cell — no cross product. Cell count grows with n (see sizing note
-    * above) so the in-cell join stays ~O(n·32), not O(n²/16). */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
-    // materialized once per (session, dir): sim_ivf_assign and
-    // sim_ivf_topk both need the assignment — the n×cells cosine scan is
-    // the expensive half, no reason to run it twice. CkptMemo bounds
-    // retention across sessions/dirs.
+    * k-means, deterministic); every vector is RANKED against the (tiny,
+    * broadcast) centroid table and the top [[NProbe]] cells are kept —
+    * rn = 1 is the home-cell assignment, rn > 1 the extra probe targets.
+    * Memoized once per (session, dir): the n×cells cosine scan is the
+    * expensive half and assignment/search/training all start from it. */
+  private def ivfAssignRanked(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "ivfassign"), {
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"),
@@ -203,23 +227,33 @@ object Similarity {
                 Num.rnd(dotCols(col("embedding"), col("cv")) /
                           (col("nrm") * col("cnrm")), 6).as("csim"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cell", "csim")
+        .filter(col("rn") <= NProbe)
+        .select("vec_id", "cell", "csim", "rn")
         .localCheckpoint()
     })
 
-  /** IVF search: top-3 neighbors per vector WITHIN its IVF cell (assign
-    * via the coarse quantizer, shuffle by cell, exact cosine re-rank) —
-    * the probe phase completing ivfAssign. */
+  /** Home-cell (rank-1) coarse assignment — the `sim_ivf_assign` query. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignRanked(spark, dir)
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "csim")
+
+  /** IVF search: top-3 neighbors per vector — each query probes its
+    * [[NProbe]] nearest cells, candidates are the indexed vectors whose
+    * HOME cell matches a probed cell (shuffle by cell, b-side capped),
+    * exact cosine re-rank. A pair appears at most once (the b side has
+    * one home cell), so no dedup stage is needed. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(spark, dir).select("vec_id", "cell")
+    val ranked = ivfAssignRanked(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-      .join(assigned, Seq("vec_id"))
+    val probes = emb.join(ranked.select("vec_id", "cell"), Seq("vec_id"))
+    val indexed = emb.join(ranked.filter(col("rn") === 1)
+                             .select("vec_id", "cell"), Seq("vec_id"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    pairCandidates(emb, "cell")
+    pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -477,21 +511,29 @@ object Similarity {
        "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id ASC LIMIT 10"),
     "sim_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings",
+    // bc mirrors the Spark-side bucket cap (salted-scramble order, cap
+    // 1024): no sf0.01 bucket approaches the cap, so results are
+    // unchanged — the CTE pins the truncation ORDER parity for when it
+    // would fire.
     "sim_ann_topk" ->
       ("WITH b AS (SELECT vec_id, embedding, CAST(" + bucketSql + " AS INTEGER) AS bucket " +
        "FROM embeddings), " +
+       "bc AS (SELECT * FROM b QUALIFY row_number() OVER (PARTITION BY bucket " +
+       s"ORDER BY ${saltOrdSql("vec_id")}, vec_id) <= 1024), " +
        "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
        "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-       "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id), " +
+       "FROM b x JOIN bc y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id), " +
        "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
        "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
        "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"),
     "dedup_embedding" ->
       ("WITH b AS (SELECT vec_id, embedding, CAST(" + bucketSql + " AS INTEGER) AS bucket " +
-       "FROM embeddings) " +
+       "FROM embeddings), " +
+       "bc AS (SELECT * FROM b QUALIFY row_number() OVER (PARTITION BY bucket " +
+       s"ORDER BY ${saltOrdSql("vec_id")}, vec_id) <= 1024) " +
        "SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
        "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-       "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id " +
+       "FROM b x JOIN bc y ON x.bucket = y.bucket AND x.vec_id < y.vec_id " +
        "WHERE round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 >= 0.4"),
     "sim_ivf_assign" ->
       ("WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
@@ -501,17 +543,24 @@ object Similarity {
        "r AS (SELECT vec_id, cell, csim, row_number() OVER (PARTITION BY vec_id " +
        "ORDER BY csim DESC, cell ASC) AS rn FROM s) " +
        "SELECT vec_id, cell, csim FROM r WHERE rn = 1"),
+    // multi-probe composition: pr ranks every (vector, cell); queries (x)
+    // take rn <= NProbe, the indexed side (y) its rn = 1 home cell, with
+    // the same salted-order cap as the Spark b-side.
     "sim_ivf_topk" ->
       ("WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
        "s AS (SELECT e.vec_id, c.cell, " +
        "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
        "FROM embeddings e CROSS JOIN c), " +
-       "asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (" +
-       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s) WHERE rn = 1), " +
-       "m AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id), " +
+       "pr AS (SELECT vec_id, cell, row_number() OVER (" +
+       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s), " +
+       s"probes AS (SELECT vec_id, cell FROM pr WHERE rn <= $NProbe), " +
+       "home AS (SELECT vec_id, cell FROM pr WHERE rn = 1), " +
+       "m AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
+       "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
+       s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
        "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
        "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-       "FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
+       "FROM m x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
        "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
        "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
        "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"))

@@ -80,8 +80,9 @@ object TextOps {
               md5(regexp_replace(lower(trim(col("text"))), " +", " ")).as("fp"))
 
   /** 64-bit rolling-hash fingerprint via the custom Catalyst expression
-    * `graft.functions.PolyHash` (codegen'd; no oracle — Spark-native
-    * expression, rows-only check). */
+    * `graft.functions.PolyHash` (codegen'd). Oracle-checked: the
+    * Σ byte·B^i mod 2^61-1 fold is a reversed-order Horner fold, which
+    * DuckDB reproduces exactly in HUGEINT (see the oracle entry). */
   def rollhash(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSql
     Tables.documents(spark, dir)
@@ -546,6 +547,17 @@ object TextOps {
     "text_fingerprint" ->
       ("SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp " +
        "FROM documents"),
+    // PolyHash computes h = Σ byte[i]·131^i mod 2^61-1, which is a Horner
+    // fold over the REVERSED byte sequence; DuckDB mirrors it exactly in
+    // HUGEINT (products < 2^68 fit int128; acc < 2^61 casts back to
+    // BIGINT). ascii(char) == byte because the corpus is ASCII — enforced
+    // by TestdataAsciiSpec, the same invariant mm_byte_histogram rests on.
+    "text_rollhash" ->
+      ("SELECT doc_id, CAST(list_reduce([CAST(0 AS HUGEINT)] || " +
+       "list_transform(range(len(text), 0, -1), " +
+       "i -> CAST(ascii(text[i]) AS HUGEINT)), " +
+       s"(a,b) -> (a*${graft.functions.PolyHash.Base} + b) % " +
+       s"${graft.functions.PolyHash.Mod}) AS BIGINT) AS rh FROM documents"),
     "text_repetition" ->
       ("SELECT doc_id, n_tok, n_uniq, " +
        "round((1.0 - CAST(n_uniq AS DOUBLE) / n_tok) * 1e6) / 1e6 AS rep_ratio, " +

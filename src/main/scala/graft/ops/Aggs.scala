@@ -103,15 +103,30 @@ object Aggs {
            count(lit(1)).as("n_total"))
       .orderBy("event_type")
 
-  /** Approximate aggregates — HLL count-distinct + approximate quantiles
-    * (sketch algorithms differ per engine → no oracle; tolerance vs exact
-    * is pinned in PartitionPruningSpec). */
+  /** Approximate aggregates — HLL count-distinct + approximate quantiles.
+    * Sketch algorithms differ per engine (HLL vs HLL++, GK vs t-digest),
+    * so raw sketch outputs can never hash-match; instead each engine
+    * bounds-checks ITS OWN sketch against ITS OWN exact aggregate and
+    * emits the boolean — both engines agree on (flag, n_exact, 1, 1)
+    * whenever both sketches honor their accuracy contracts, turning the
+    * tolerance property itself into the oracle-checked result.
+    * cd: |apx − exact| ≤ 10%·exact (rsd 0.02 → 5σ headroom);
+    * p50: approx median within the exact p45–p55 rank band (accuracy 1000
+    * → rank error ≤ n/1000 ≪ 5% of n). */
   def approxAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("apx_orders"),
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("apx"),
+           countDistinct(col("l_orderkey")).as("n_exact"),
            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-             .as("apx_p50"))
+             .as("apx_p50"),
+           expr("percentile(l_extendedprice, 0.45)").as("p45"),
+           expr("percentile(l_extendedprice, 0.55)").as("p55"))
+      .select(col("l_returnflag"), col("n_exact"),
+              (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.1)
+                .cast("int").as("cd_ok"),
+              col("apx_p50").between(col("p45"), col("p55"))
+                .cast("int").as("p50_ok"))
       .orderBy("l_returnflag")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -142,8 +157,17 @@ object Aggs {
        "count(CASE WHEN coalesce(CASE WHEN value > 10 THEN value END, -1.0) = -1.0 " +
        "THEN 1 END) AS n_filled, count(*) AS n_total " +
        "FROM events GROUP BY event_type ORDER BY event_type"),
-    // agg_approx: sketch algorithms are engine-specific — no oracle
-    // (rows-only); tolerance vs exact pinned in PartitionPruningSpec.
+    // agg_approx: sketch algorithms are engine-specific, so each engine
+    // bounds-checks its OWN sketch against its OWN exact value and the
+    // agreed-on booleans (+ the exact count) are what hash-matches.
+    "agg_approx" ->
+      ("SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact, " +
+       "CAST(abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) " +
+       "<= count(DISTINCT l_orderkey) * 0.1 AS INTEGER) AS cd_ok, " +
+       "CAST(approx_quantile(l_extendedprice, 0.5) BETWEEN " +
+       "quantile_cont(l_extendedprice, 0.45) AND " +
+       "quantile_cont(l_extendedprice, 0.55) AS INTEGER) AS p50_ok " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "agg_groupby_count" ->
       ("SELECT o_orderpriority, count(*) AS n FROM orders " +
        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar-function operators — SURVEY §2.8 (F1–F10).
@@ -149,16 +149,19 @@ object Scalars {
     * so row-group min/max stats prune scans filtered on either column
     * (the Delta/Iceberg OPTIMIZE ZORDER technique, computed in-plan).
     * Pure bit arithmetic: codegen'd, zero shuffle, exact cross-engine. */
-  def zorder(spark: SparkSession, dir: String): DataFrame = {
-    val z = (0 until 8).map { i =>
-      shiftleft(shiftright(col("zx"), i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(col("zy"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+  /** 16-bit Morton key from two 8-bit dims (bit-interleave; codegen'd). */
+  def mortonKey(zx: Column, zy: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(zx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(zy, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+
+  def zorder(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
               (col("l_partkey") % 256).cast("long").as("zx"),
               (col("l_suppkey") % 256).cast("long").as("zy"))
-      .withColumn("zval", z)
+      .withColumn("zval", mortonKey(col("zx"), col("zy")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

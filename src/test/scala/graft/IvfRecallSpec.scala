@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quantifies the multi-probe IVF claim (Similarity.NProbe scaladoc):
+  * probing the 2 nearest cells must recover top-3 neighbors that
+  * single-probe (home-cell-only) search misses across cell boundaries,
+  * and never lose any single-probe hit — multi-probe's candidate set is
+  * a strict superset per query. Measured against brute-force ground
+  * truth at sf0.001 (tiny: the exact top-3 cross join is affordable). */
+class IvfRecallSpec extends SparkSpec {
+
+  test("nprobe=2 recall@3 strictly improves on single-probe, never regresses per query") {
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    // brute-force ground truth: exact cosine top-3 per vector
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val dot = aggregate(zip_with(col("va"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(zip_with(col("va"), col("va"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(zip_with(col("vb"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val truth = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), (dot / (na * nb)).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth)
+
+    val multi = hits(ext.Similarity.ivfTopK(spark, sf0001))
+    // single-probe reference: restrict the SAME pipeline to home cells
+    val singleDf = {
+      val ranked = ext.Similarity.ivfAssign(spark, sf0001).select("vec_id", "cell")
+      val e = Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (s, x) => s + x)).as("nrm"))
+        .join(ranked, Seq("vec_id"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+      ext.Similarity.pairCandidatesAB(e, e, "cell", 1024)
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("rn", row_number().over(ws)).filter(col("rn") <= 3)
+    }
+    val single = hits(singleDf)
+
+    assert(single.subsetOf(multi),
+      s"multi-probe lost ${(single -- multi).size} single-probe hits")
+    assert(multi.size > single.size,
+      s"multi-probe recall@3 did not improve: ${multi.size} vs ${single.size} " +
+        s"of ${truth.size} — cell-boundary neighbors unrecovered")
+  }
+}

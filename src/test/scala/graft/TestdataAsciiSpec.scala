@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Enforces the cross-engine ASCII assumption two oracles rest on
+  * (flagged round 3): `mm_byte_histogram` equates UTF-8 byte high-nibbles
+  * (Spark) with codepoint//16 (DuckDB), and `text_rollhash` equates
+  * `ascii(char)` (DuckDB) with UTF-8 bytes (Spark's PolyHash). Both hold
+  * iff every `documents.text` byte is < 0x80. This spec turns that
+  * implicit testdata property into a gate failure the moment regenerated
+  * testdata gains non-ASCII text — the fix then is byte-based oracles,
+  * not silent divergence. */
+class TestdataAsciiSpec extends SparkSpec {
+
+  private def nonAsciiDocs(dir: String): Long =
+    Tables.documents(spark, dir)
+      // a string is pure ASCII iff its UTF-8 byte length == its char length
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+
+  test("documents.text is pure ASCII at every verify/bench scale") {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/documents.parquet").exists()) {
+        assert(nonAsciiDocs(dir) === 0L,
+          s"$sf has non-ASCII documents.text — mm_byte_histogram and " +
+            "text_rollhash oracles must switch to byte-based SQL")
+      }
+    }
+  }
+}
