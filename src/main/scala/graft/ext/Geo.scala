@@ -89,9 +89,37 @@ object Geo {
            Num.rnd(avg("lon"), 6).as("avg_lon"))
       .orderBy("cl", "cn")
 
+  /** Nearest-zone assignment: every listing to the zone with the closest
+    * bbox CENTROID by squared euclidean distance — the "which market does
+    * this listing belong to" lookup (inner-join semantics of bboxJoin
+    * leave uncovered points unassigned; this covers everything).
+    * Deliberately trig-free: haversine's sin/cos are not exactly-rounded
+    * cross-engine (libm vs Java), squared euclidean is IEEE-exact on
+    * identical inputs. Zone centroids are a tiny broadcast (one row per
+    * zone); ranking is one window per listing — same shape as the IVF
+    * coarse assign. d2 rounded at 6 dp BEFORE ranking so both engines
+    * rank identical values (ties broken by zone_id). */
+  def nearestZone(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = zones(spark, dir)
+      .select(col("zone_id"),
+              ((col("lat0") + col("lat1")) / 2.0).as("clat"),
+              ((col("lon0") + col("lon1")) / 2.0).as("clon"))
+    val d2 = (col("lat") - col("clat")) * (col("lat") - col("clat")) +
+      (col("lon") - col("clon")) * (col("lon") - col("clon"))
+    val w = Window.partitionBy("c_custkey").orderBy(col("d2").asc, col("zone_id").asc)
+    listings(spark, dir)
+      .crossJoin(broadcast(cents))
+      .select(col("c_custkey"), col("zone_id"), Num.rnd(d2, 6).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("c_custkey", "zone_id", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "geo_bbox_join" -> bboxJoin _,
-    "geo_grid_agg"  -> gridAgg _)
+    "geo_bbox_join"    -> bboxJoin _,
+    "geo_grid_agg"     -> gridAgg _,
+    "geo_nearest_zone" -> nearestZone _)
 
   private val ptsCte: String =
     "pts AS (SELECT c_custkey, " +
@@ -125,5 +153,16 @@ object Geo {
        "SELECT cl, cn, count(*) AS n_listings, " +
        "round((avg(lat)) * 1e6) / 1e6 AS avg_lat, " +
        "round((avg(lon)) * 1e6) / 1e6 AS avg_lon " +
-       "FROM p2 GROUP BY cl, cn ORDER BY cl, cn"))
+       "FROM p2 GROUP BY cl, cn ORDER BY cl, cn"),
+    "geo_nearest_zone" ->
+      (s"WITH $ptsCte, $zonesCte, " +
+       "cents AS (SELECT zone_id, (lat0 + lat1) / 2.0 AS clat, " +
+       "(lon0 + lon1) / 2.0 AS clon FROM z), " +
+       "d AS (SELECT p.c_custkey, c.zone_id, " +
+       "round(((p.lat - c.clat) * (p.lat - c.clat) + " +
+       "(p.lon - c.clon) * (p.lon - c.clon)) * 1e6) / 1e6 AS d2 " +
+       "FROM pts p CROSS JOIN cents c) " +
+       "SELECT c_custkey, zone_id, d2 FROM (SELECT c_custkey, zone_id, d2, " +
+       "row_number() OVER (PARTITION BY c_custkey ORDER BY d2 ASC, zone_id ASC) AS rn " +
+       "FROM d) WHERE rn = 1"))
 }

@@ -413,7 +413,67 @@ object TextOps {
       .select("tok", "cnt", "n_total")
   }
 
+  /** Model-based quality filter — the fasttext-style linear classifier
+    * every pretraining pipeline runs after the heuristic filters: score =
+    * Σ_tokens w[h(tok) mod 64] with a fixed integer weight table derived
+    * arithmetically from the dimension (so the identical table exists in
+    * the oracle SQL with no side channel). ALL-INTEGER score → exact
+    * cross-engine; only the per-token mean divides, once, at the end.
+    * Plan shape: hash each occurrence in-plan (PolyHashMod is one
+    * codegen'd pass over the token) and ONE groupBy(doc_id) — no
+    * vocabulary join, no second shuffle; at 100 TB the hashing is linear
+    * in corpus size and the agg is partial+final. A learned model swaps
+    * the weight formula for a broadcast weight table — same plan. */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val P1 = 1000000007L
+    val h = graft.functions.PolyHashMod.col(col("tok"), 31L, P1)
+    val w = (h % 64) * 37 % 21 - 10 // deterministic weights in [-10, 10]
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("w").as("score"))
+      .select(col("doc_id"), col("n_tok"), col("score"),
+              Num.rnd(col("score").cast("double") / col("n_tok"), 6)
+                .as("score_per_tok"),
+              (col("score") > 0).cast("int").as("keep"))
+  }
+
+  /** Cross-document duplicated-span fraction — the scalable proxy for
+    * exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): per doc, the fraction of its
+    * distinct word 8-grams that occur in ≥ 2 documents; docs past 0.5
+    * are flagged. Scale shape: shingle DF is a pure COUNT (no posting
+    * lists, so no hot-key buffer risk and no cap needed), and the
+    * join back is 1:1 per (doc, shingle) row — fan-out never exceeds
+    * input, unlike pair generation. Two shuffles (by shingle, by doc). */
+  def dupSpanFrac(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks) - 7), " +
+                     "i -> concat_ws(' ', slice(toks, i, 8)))")).as("s"))
+      .distinct()
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(df, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+              coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_sh") === 0, lit(0.0))
+          .otherwise(Num.rnd(col("n_dup").cast("double") / col("n_sh"), 6)))
+      .withColumn("keep", (col("dup_frac") <= 0.5).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> qualityModel _,
+    "text_dup_span_frac" -> dupSpanFrac _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
     "text_pack"        -> ((s, d) => pack(s, d)),
@@ -436,6 +496,31 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    "text_quality_model" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "th AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+       "list_transform(range(1, len(tok)+1), i -> CAST(ascii((tok)[i]) AS BIGINT)), " +
+       "(a,b) -> (a*31 + b) % 1000000007) AS h FROM tk), " +
+       "ag AS (SELECT doc_id, count(*) AS n_tok, " +
+       "CAST(sum((((h % 64) * 37) % 21) - 10) AS BIGINT) AS score FROM th GROUP BY doc_id) " +
+       "SELECT doc_id, n_tok, score, " +
+       "round((CAST(score AS DOUBLE) / n_tok) * 1e6) / 1e6 AS score_per_tok, " +
+       "CAST(score > 0 AS INTEGER) AS keep FROM ag"),
+    "text_dup_span_frac" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s " +
+       "FROM toks, UNNEST(range(1, greatest(len(t) - 6, 1))) AS u(i)), " +
+       "dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s), " +
+       "pd AS (SELECT sh.doc_id, count(*) AS n_sh, " +
+       "CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup " +
+       "FROM sh JOIN dfq USING (s) GROUP BY sh.doc_id) " +
+       "SELECT d.doc_id, CAST(coalesce(pd.n_sh, 0) AS BIGINT) AS n_sh, " +
+       "CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup, " +
+       "CASE WHEN coalesce(pd.n_sh, 0) = 0 THEN 0.0 " +
+       "ELSE round((CAST(pd.n_dup AS DOUBLE) / pd.n_sh) * 1e6) / 1e6 END AS dup_frac, " +
+       "CAST((CASE WHEN coalesce(pd.n_sh, 0) = 0 THEN 0.0 " +
+       "ELSE round((CAST(pd.n_dup AS DOUBLE) / pd.n_sh) * 1e6) / 1e6 END) <= 0.5 " +
+       "AS INTEGER) AS keep FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"),
     // exact semantics: the MG sketch only screens candidates (provably
     // complete above the threshold); the confirmed result equals the
     // plain exact query
