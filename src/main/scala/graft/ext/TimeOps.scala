@@ -93,12 +93,90 @@ object TimeOps {
       .select(col("click_id"), col("p_id"), col("user_id"))
   }
 
+  /** Ordered funnel (view → click → purchase): stage k's entry time is
+    * the user's earliest stage-k event STRICTLY AFTER their stage-(k-1)
+    * entry — the product-analytics sequence query (not mere membership:
+    * a purchase before the first view does not convert). Each stage is
+    * one filtered aggregate + an equi-join on user_id (shuffle by user,
+    * stage frames shrink monotonically); no window over the full event
+    * stream, no self-join explosion. Output: one row per stage with the
+    * surviving-user count. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = e.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    e.agg(countDistinct("user_id").as("n_users"))
+      .select(lit("0_all").as("stage"), col("n_users"))
+      .unionByName(s1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), col("n_users")))
+      .unionByName(s2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .orderBy("stage")
+  }
+
+  /** Day-7 retention cohorts: users grouped by first-activity day;
+    * per cohort, how many were active again exactly 7 days later. One
+    * first-seen aggregate + one distinct (user, day) frame, joined on
+    * user_id — the cohort matrix at any scale is |users| rows into a
+    * |cohorts|-row result, never events². (Day, not week: the 30-day
+    * synthetic stream has one week-1 cohort, which would make the
+    * check near-vacuous; day granularity yields multiple cohorts.) */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstSeen = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), date_trunc("day", col("first_ts")).as("w0"))
+    val active = e.select(col("user_id"),
+                          date_trunc("day", col("ts")).as("w")).distinct()
+    firstSeen.join(active, Seq("user_id"))
+      .groupBy("w0")
+      .agg(countDistinct("user_id").as("n_users"),
+           countDistinct(when(col("w") === col("w0") + expr("INTERVAL 7 DAYS"),
+                              col("user_id"))).as("n_retained_w1"))
+      .select(date_format(col("w0"), fmt).as("cohort_day"),
+              col("n_users"), col("n_retained_w1"),
+              Num.rnd(lit(100.0) * col("n_retained_w1") / col("n_users"), 2)
+                .as("retained_pct"))
+      .orderBy("cohort_day")
+  }
+
+  /** SCD2 (type-2 slowly-changing dimension) history from a change log:
+    * per user, each signup event's attribute value is valid from its
+    * own timestamp until the NEXT change (lead), open-ended (null +
+    * is_current) for the latest — the warehouse dimension-history build,
+    * one window over the change log partitioned by the dimension key.
+    * event_id breaks timestamp ties deterministically on both engines. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("vt", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_id"),
+              date_format(col("ts"), fmt).as("valid_from"),
+              date_format(col("vt"), fmt).as("valid_to"),
+              col("vt").isNull.cast("int").as("is_current"),
+              col("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "time_tumbling"      -> tumbling _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
-    "time_interval_join" -> intervalJoin _)
+    "time_interval_join" -> intervalJoin _,
+    "time_funnel"        -> funnel _,
+    "time_retention"     -> retention _,
+    "cdc_scd2"           -> scd2 _)
 
   val oracle: Map[String, String] = Map(
     "time_tumbling" ->
@@ -135,5 +213,38 @@ object TimeOps {
        "FROM (SELECT * FROM events WHERE event_type = 'click') c " +
        "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p " +
        "ON c.user_id = p.user_id AND p.ts >= c.ts " +
-       "AND p.ts <= c.ts + INTERVAL 1 HOUR"))
+       "AND p.ts <= c.ts + INTERVAL 1 HOUR"),
+    "time_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events " +
+       "WHERE event_type = 'view' GROUP BY user_id), " +
+       "s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e " +
+       "JOIN s1 USING (user_id) WHERE e.event_type = 'click' AND e.ts > s1.t1 " +
+       "GROUP BY e.user_id), " +
+       "s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e " +
+       "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' AND e.ts > s2.t2 " +
+       "GROUP BY e.user_id) " +
+       "SELECT '0_all' AS stage, count(DISTINCT user_id) AS n_users FROM events " +
+       "UNION ALL SELECT '1_view', count(*) FROM s1 " +
+       "UNION ALL SELECT '2_click', count(*) FROM s2 " +
+       "UNION ALL SELECT '3_purchase', count(*) FROM s3 " +
+       "ORDER BY stage"),
+    "time_retention" ->
+      ("WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS w0 " +
+       "FROM events GROUP BY user_id), " +
+       "act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS w FROM events), " +
+       "c AS (SELECT f.w0, count(DISTINCT f.user_id) AS n_users, " +
+       "count(DISTINCT CASE WHEN act.w = f.w0 + INTERVAL 7 DAY " +
+       "THEN f.user_id END) AS n_retained_w1 " +
+       "FROM f JOIN act USING (user_id) GROUP BY f.w0) " +
+       "SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS cohort_day, n_users, " +
+       "n_retained_w1, round((100.0 * n_retained_w1 / n_users) * 1e2) / 1e2 " +
+       "AS retained_pct FROM c ORDER BY cohort_day"),
+    "cdc_scd2" ->
+      ("SELECT user_id, event_id, " +
+       "strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from, " +
+       "strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to, " +
+       "CAST(vt IS NULL AS INTEGER) AS is_current, value FROM (" +
+       "SELECT user_id, event_id, ts, value, lead(ts) OVER (" +
+       "PARTITION BY user_id ORDER BY ts, event_id) AS vt " +
+       "FROM events WHERE event_type = 'signup') t"))
 }
