@@ -113,4 +113,27 @@ object AlgebraProps extends Properties("graft.algebra") {
       Prop(slept.toSeq == (0 until failures)
         .map(i => (interval * math.pow(2, i)).toLong)) :| s"slept=$slept"
     }
+
+  // pure-function property (no Spark jobs): any way of splitting the
+  // input into partials and merging must agree with a direct reduce —
+  // the exchange-safety contract Spark assumes of every Aggregator.
+  // Covers the open-addressed buffer's probe/tombstone paths under
+  // arbitrary duplicate patterns and overflow boundaries.
+  property("BoundedCollectSet: merge of any partial split == direct reduce") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 30L)), Gen.chooseNum(1, 12),
+           Gen.chooseNum(0, 100)) { (ids, cap, seed) =>
+      val agg = new functions.BoundedCollectSet(cap)
+      val direct = agg.finish(ids.foldLeft(agg.zero)(agg.reduce))
+      val rnd = new scala.util.Random(seed)
+      val chunks = ids.grouped(math.max(1, if (ids.isEmpty) 1
+        else rnd.nextInt(ids.length) + 1)).toList
+      val partials = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.finish(
+        if (partials.isEmpty) agg.zero
+        else partials.reduce(agg.merge))
+      val expected = if (ids.distinct.length > cap) None
+                     else Some(ids.distinct.sorted)
+      Prop(direct == expected && merged == expected) :|
+        s"direct=$direct merged=$merged expected=$expected"
+    }
 }

@@ -68,6 +68,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
   }
 
+  test("quality-model scorer is one shuffle, no vocabulary join") {
+    val p = planOf("text_quality_model")
+    assert(!p.contains("Join"), s"scorer must hash in-plan, not join a vocab:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+           s"expected exactly the groupBy(doc_id) exchange:\n$p")
+    assert(p.contains("partial_"), s"map-side combine missing:\n$p")
+  }
+
+  test("funnel stage scans push the event_type filter to parquet") {
+    val p = planOf("time_funnel")
+    assert(p.contains("EqualTo(event_type,view)") &&
+           p.contains("EqualTo(event_type,purchase)"),
+           s"stage filters did not reach the scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no query collects unbounded data to the driver") {
     // the one deliberate collect (semi_isin parity demo) is bounded by the
     // 25-row nation table; every other query builds a single lazy plan.
