@@ -81,6 +81,20 @@ object Aggs {
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("n"))
 
+  /** Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    * per-status totals, per-priority totals, and the grand total in ONE
+    * pass — Spark expands the sets into a single Expand + aggregate, one
+    * shuffle instead of a UNION ALL of three scans. gid disambiguates
+    * which set produced a row (null grouping keys vs null data). */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+                        Seq()),
+                    col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           (grouping(col("o_orderstatus")) * 2 +
+             grouping(col("o_orderpriority"))).cast("int").as("gid"))
+
   /** PIVOT: status × priority count matrix via conditional aggregation
     * (expressed with explicit pivot columns so the plan is static — the
     * dynamic-pivot variant needs a values scan first). */
@@ -143,6 +157,7 @@ object Aggs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_cube"          -> cubeAgg _,
+    "agg_grouping_sets" -> groupingSetsAgg _,
     "agg_pivot"         -> pivotAgg _,
     "agg_na_fill"       -> naFill _,
     "agg_approx"        -> approxAgg _,
@@ -158,6 +173,11 @@ object Aggs {
     "agg_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
+    "agg_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+       "CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) " +
+       "AS INTEGER) AS gid FROM orders " +
+       "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
     "agg_pivot" ->
       ("SELECT o_orderpriority, " +
        "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +

@@ -125,6 +125,45 @@ object EventStream {
       .toDF("user_id", "session_start_ms", "n")
   }
 
+  /** Streaming ordered funnel via mapGroupsWithState: per-user stage
+    * machine mirroring the batch `TimeOps.funnel` semantics (stage k
+    * advances on the first stage-k event STRICTLY AFTER stage k-1's
+    * entry). Processing a user's events in timestamp order makes the
+    * greedy online transition equal the batch min-ts definition: the
+    * first qualifying event in order IS the minimum. State is two
+    * numbers per user — O(users), never O(events); timestamps compare
+    * at micros, exactly like the batch TimestampType comparison (millis
+    * would erase sub-ms "strictly after" gaps). Events are sorted
+    * within each micro-batch; cross-batch regressions are bounded by
+    * the source's ordering guarantee (the deterministic-replay harness
+    * delivers one batch). Update-mode output: (user_id, stage). */
+  def funnelStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+              col("event_type"))
+      .as[(Long, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[(Long, Long, String)],
+         state: GroupState[(Int, Long)]) =>
+          var (stage, stageTs) = state.getOption.getOrElse((0, Long.MinValue))
+          evs.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, t) =>
+            (stage, t) match {
+              case (0, "view")                      => stage = 1; stageTs = ts
+              case (1, "click") if ts > stageTs     => stage = 2; stageTs = ts
+              case (2, "purchase") if ts > stageTs  => stage = 3; stageTs = ts
+              case _                                => ()
+            }
+          }
+          state.update((stage, stageTs))
+          (user, stage)
+      }
+      .toDF("user_id", "stage")
+  }
+
   /** Stream-stream interval join: purchases within 1 hour AFTER a click
     * by the same user. Both sides carry watermarks so join state is
     * evicted once the interval can no longer match — bounded state, the

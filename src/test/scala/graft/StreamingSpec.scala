@@ -177,6 +177,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === firstCount)
   }
 
+  test("streaming funnel stage counts equal the batch funnel") {
+    val streamed = EventStream.runToMemory(
+      spark,
+      EventStream.funnelStream(spark, EventStream.readEvents(spark, streamDir)),
+      "funnel_out", OutputMode.Update())
+    // per-user final stage -> surviving-user count per funnel stage
+    val stageCounts = (1 to 3).map { k =>
+      k -> streamed.filter(col("stage") >= k).count()
+    }.toMap
+    val batch = ext.TimeOps.funnel(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stageCounts(1) === batch("1_view"))
+    assert(stageCounts(2) === batch("2_click"))
+    assert(stageCounts(3) === batch("3_purchase"))
+    assert(stageCounts(3) > 0, "no full conversions — comparison vacuous")
+    // at sf0.001 every viewer happens to fully convert, so the strict
+    // ordering rule needs a crafted fixture: user 2's purchase PRECEDES
+    // any view and must not count (stage 2, not 3)
+    val spk = spark
+    import spk.implicits._
+    val hour = 3600L * 1000000000L // nanos
+    val fixture = Seq(
+      (1L, 1L * hour, 1L, "view", 1.0, "{}"),
+      (2L, 2L * hour, 1L, "click", 1.0, "{}"),
+      (3L, 3L * hour, 1L, "purchase", 1.0, "{}"),
+      (4L, 1L * hour, 2L, "purchase", 1.0, "{}"),
+      (5L, 2L * hour, 2L, "view", 1.0, "{}"),
+      (6L, 3L * hour, 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fixDir = Files.createTempDirectory("graft-funnel-fixture").toString
+    fixture.write.mode("overwrite").parquet(fixDir)
+    val fixed = EventStream.runToMemory(
+      spark,
+      EventStream.funnelStream(spark, EventStream.readEvents(spark, fixDir)),
+      "funnel_fixture_out", OutputMode.Update())
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fixed(1L) === 3, s"ordered user must fully convert: $fixed")
+    assert(fixed(2L) === 2,
+      s"purchase before first view must not convert: $fixed")
+  }
+
   test("stateful per-user totals match batch groupBy") {
     val streamed = EventStream.runToMemory(
       spark,
