@@ -471,7 +471,35 @@ object TextOps {
       .withColumn("keep", (col("dup_frac") <= 0.5).cast("int"))
   }
 
+  /** Unigram log-probability scoring — the perplexity-style LM quality
+    * filter (docs of improbable tokens score low): lp(tok) = ln(corpus
+    * frequency), doc score = mean lp over its occurrences. Float
+    * discipline (CLAUDE.md ln rule, the text_tfidf precedent) taken one
+    * step further: each token's ln is rounded at 6 dp and stored as an
+    * INTEGER micro-nat (round(ln·1e6) as long), so the per-doc sum is
+    * exact integer arithmetic — immune to the engines' different
+    * summation orders, which rounding-after-summing would not be. Scale
+    * shape: corpus TF (one shuffle), vocab join (no broadcast hint —
+    * vocab is unbounded, AQE decides), per-doc agg (one shuffle). */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val cnt = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("n"))
+    val lp = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+              round(log(col("c") / col("n")) * lit(1e6)).cast("long").as("lpm"))
+    tk.join(lp, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("lpm").as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_tok"), col("sum_lp_micro"),
+              Num.rnd(col("sum_lp_micro").cast("double") /
+                        (col("n_tok") * lit(1e6)), 6).as("avg_lp"))
+      .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_logprob" -> unigramLogprob _,
     "text_quality_model" -> qualityModel _,
     "text_dup_span_frac" -> dupSpanFrac _,
     "text_heavy_hitters" -> heavyHitters _,
@@ -496,6 +524,18 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    "text_unigram_logprob" ->
+      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok), " +
+       "tot AS (SELECT sum(c) AS n FROM cnt), " +
+       "lp AS (SELECT tok, CAST(round(ln(c / n) * 1e6) AS BIGINT) AS lpm FROM cnt, tot), " +
+       "pd AS (SELECT tk.doc_id, count(*) AS n_tok, " +
+       "CAST(sum(lp.lpm) AS BIGINT) AS sum_lp_micro FROM tk JOIN lp USING (tok) " +
+       "GROUP BY tk.doc_id) " +
+       "SELECT doc_id, n_tok, sum_lp_micro, " +
+       "round((CAST(sum_lp_micro AS DOUBLE) / (n_tok * 1e6)) * 1e6) / 1e6 AS avg_lp, " +
+       "CAST(round((CAST(sum_lp_micro AS DOUBLE) / (n_tok * 1e6)) * 1e6) / 1e6 >= -3.42 " +
+       "AS INTEGER) AS keep FROM pd"),
     "text_quality_model" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "th AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
