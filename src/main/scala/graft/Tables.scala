@@ -24,7 +24,11 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     * default: read nanos as long, floor-divide to micros (exactly what
-    * DuckDB's ns→µs truncation does) and rebuild a TimestampType col. */
+    * DuckDB's ns→µs truncation does — verified round 4: DuckDB reads
+    * this column as µs TIMESTAMP with epoch_ns % 1000 == 0 on every row
+    * even though the at-rest nanos have sub-µs components, so strict
+    * cross-engine ts comparisons see identical µs values) and rebuild a
+    * TimestampType col. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

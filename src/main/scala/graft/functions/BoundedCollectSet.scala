@@ -6,14 +6,18 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** Open-addressed long-hash buffer for [[BoundedCollectSet]]: a fixed
   * power-of-two table (linear probing, `Long.MinValue` = empty slot) plus
-  * a distinct count. `n = cap + 1` is the overflow tombstone. The table
-  * never fills (capacity >= 2·(cap+1)), so probes always terminate.
-  * A case class so the product `ExpressionEncoder` serializes it at
-  * shuffle/spill boundaries; between per-row updates it lives as a plain
-  * JVM object inside the `TypedImperativeAggregate` buffer, so inserts
-  * never touch the encoder.
+  * a distinct count. `Long.MinValue` itself cannot live in the table, so
+  * its presence is tracked out-of-band in `hasMin` (counted in `n` like
+  * any other id) — without this, a MinValue input would be written into a
+  * slot that still reads as empty and silently corrupt the count.
+  * `n = cap + 1` is the overflow tombstone. The table never fills
+  * (capacity >= 2·(cap+1)), so probes always terminate. A case class so
+  * the product `ExpressionEncoder` serializes it at shuffle/spill
+  * boundaries; between per-row updates it lives as a plain JVM object
+  * inside the `TypedImperativeAggregate` buffer, so inserts never touch
+  * the encoder.
   */
-case class BcsBuf(table: Array[Long], var n: Int)
+case class BcsBuf(table: Array[Long], var n: Int, var hasMin: Boolean)
 
 /** `collect_set(id)` with a HARD buffer bound — the constant-space form
   * of a document-frequency cap. A plain
@@ -30,8 +34,8 @@ case class BcsBuf(table: Array[Long], var n: Int)
   * distinct ids were seen. Round 3 used a flat `Seq[Long]` buffer whose
   * per-row `contains` scan was O(cap) — at one scan per (shingle, doc)
   * occurrence that constant dominated the dedup family bench; the
-  * open-addressed probe is O(1) per row at identical semantics.
-  * Ids must not equal `Long.MinValue` (the empty-slot sentinel).
+  * open-addressed probe is O(1) per row at identical semantics for the
+  * full Long domain (including `Long.MinValue`, handled out-of-band).
   */
 class BoundedCollectSet(cap: Int)
     extends Aggregator[Long, BcsBuf, Option[Seq[Long]]] {
@@ -50,6 +54,12 @@ class BoundedCollectSet(cap: Int)
     * distinct id instead of storing it. */
   private def add(b: BcsBuf, id: Long): Unit = {
     if (b.n > cap) return // overflowed: pinned
+    if (id == Empty) {
+      if (b.hasMin) return
+      if (b.n == cap) b.n = cap + 1 // tombstone
+      else { b.hasMin = true; b.n += 1 }
+      return
+    }
     var i = slot(id)
     while (b.table(i) != Empty) {
       if (b.table(i) == id) return
@@ -59,7 +69,7 @@ class BoundedCollectSet(cap: Int)
     else { b.table(i) = id; b.n += 1 }
   }
 
-  override def zero: BcsBuf = BcsBuf(Array.fill(capacity)(Empty), 0)
+  override def zero: BcsBuf = BcsBuf(Array.fill(capacity)(Empty), 0, false)
 
   override def reduce(b: BcsBuf, id: Long): BcsBuf = { add(b, id); b }
 
@@ -67,6 +77,7 @@ class BoundedCollectSet(cap: Int)
     if (a.n > cap) a
     else if (b.n > cap) b
     else {
+      if (b.hasMin) add(a, Empty)
       var i = 0
       while (i < capacity && a.n <= cap) {
         val id = b.table(i)
@@ -78,7 +89,10 @@ class BoundedCollectSet(cap: Int)
 
   override def finish(b: BcsBuf): Option[Seq[Long]] =
     if (b.n > cap) None
-    else Some(b.table.filter(_ != Empty).sorted.toSeq)
+    else {
+      val ids = b.table.filter(_ != Empty)
+      Some((if (b.hasMin) Empty +: ids else ids).sorted.toSeq)
+    }
 
   override def bufferEncoder: Encoder[BcsBuf] = ExpressionEncoder()
 

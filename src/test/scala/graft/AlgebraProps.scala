@@ -120,7 +120,10 @@ object AlgebraProps extends Properties("graft.algebra") {
   // Covers the open-addressed buffer's probe/tombstone paths under
   // arbitrary duplicate patterns and overflow boundaries.
   property("BoundedCollectSet: merge of any partial split == direct reduce") =
-    forAll(Gen.listOf(Gen.chooseNum(0L, 30L)), Gen.chooseNum(1, 12),
+    forAll(Gen.listOf(Gen.frequency(
+             9 -> Gen.chooseNum(0L, 30L),
+             1 -> Gen.const(Long.MinValue))), // the empty-slot sentinel
+           Gen.chooseNum(1, 12),
            Gen.chooseNum(0, 100)) { (ids, cap, seed) =>
       val agg = new functions.BoundedCollectSet(cap)
       val direct = agg.finish(ids.foldLeft(agg.zero)(agg.reduce))

@@ -41,6 +41,20 @@ class BoundedCollectSetSpec extends SparkSpec {
     assert(agg.finish(agg.merge(buf(1), over)).isEmpty)
   }
 
+  test("Long.MinValue (the empty-slot sentinel) is collected, deduped and counted") {
+    val agg = new BoundedCollectSet(4)
+    val b = Seq(Long.MinValue, 5L, Long.MinValue, 3L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b) === Some(Seq(Long.MinValue, 3L, 5L)))
+    // MinValue counts toward the cap like any other id
+    val over = Seq(Long.MinValue, 1L, 2L, 3L, 4L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(over).isEmpty)
+    // and survives merge from either side
+    val l = agg.reduce(agg.zero, Long.MinValue)
+    val r = agg.reduce(agg.zero, 9L)
+    assert(agg.finish(agg.merge(l, r)) === Some(Seq(Long.MinValue, 9L)))
+    assert(agg.finish(agg.merge(r, l)) === Some(Seq(Long.MinValue, 9L)))
+  }
+
   test("groupBy across a shuffle: cap keeps rare keys, drops hot ones") {
     val spk = spark
     import spk.implicits._

@@ -28,4 +28,13 @@ class TestdataAsciiSpec extends SparkSpec {
       }
     }
   }
+
+  // A third suspected invariant of this class — "the funnel/scd2/asof
+  // strict-ts oracles need microsecond-grain event timestamps" — was
+  // investigated and REFUTED: the at-rest nanos DO carry sub-µs
+  // components at every scale, but DuckDB reads parquet TIMESTAMP(NANOS)
+  // as its µs-resolution TIMESTAMP (DESCRIBE shows TIMESTAMP, and
+  // epoch_ns(ts) % 1000 = 0 for all rows), i.e. the SAME ns→µs
+  // truncation Tables.events applies. Both engines compare identical
+  // µs values; there is no grain assumption to enforce.
 }
