@@ -63,6 +63,27 @@ object Sources {
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
   }
 
+  /** Schema evolution — the data-lake reality the reference's fixed
+    * Schema.json cannot express: a column (`n_regionkey`) appears only
+    * in later batches. Two partition directories with DIFFERENT column
+    * sets read back as ONE table via `mergeSchema` (footer union at
+    * planning, null-fill for missing columns) + Hive-style partition
+    * discovery for the `batch` label. At 100 TB this is how years of
+    * accumulated parquet with drifting schemas stays queryable without
+    * a rewrite. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("evolving_nation")
+    val n = Tables.nation(spark, dir)
+    n.filter(col("n_nationkey") < 12)
+      .select("n_nationkey", "n_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=old")
+    n.filter(col("n_nationkey") >= 12)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=new")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select("n_nationkey", "n_name", "n_regionkey", "batch")
+  }
+
   /** S7 + entry point 4: catalog registration + SQL — the Athena analog
     * (`Schema.json:1-92`, `RealEstatePipeline.asl.json:120-130`; no query
     * text exists in the reference, SURVEY §3.4 — this supplies the
@@ -137,6 +158,7 @@ object Sources {
     "src_json_array_roundtrip" -> jsonArrayRoundtrip _,
     "src_parquet_pushdown" -> parquetPushdown _,
     "src_orc_roundtrip"  -> orcRoundtrip _,
+    "src_schema_evolution" -> schemaEvolution _,
     "sql_view_query"     -> sqlView _,
     "sql_catalog_table"  -> catalogTable _)
 
@@ -149,6 +171,14 @@ object Sources {
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 45",
     "src_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    // round-trip identity + evolution semantics expressed on the source
+    // table: early batch lacks n_regionkey (null-filled), batch label
+    // comes from the partition directory
+    "src_schema_evolution" ->
+      ("SELECT n_nationkey, n_name, " +
+       "CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey, " +
+       "CASE WHEN n_nationkey < 12 THEN 'old' ELSE 'new' END AS batch " +
+       "FROM nation"),
     "sql_view_query" ->
       ("SELECT n_name, count(*) AS n_customers, " +
        "round((avg(c_acctbal)) * 1e2) / 1e2 AS avg_bal " +
