@@ -84,6 +84,39 @@ object Sources {
       .select("n_nationkey", "n_name", "n_regionkey", "batch")
   }
 
+  /** Bad-record quarantine — the ingest-validation path the reference's
+    * declared-count checks gesture at (`Validate.scala` probes; the
+    * reference drops malformed rows silently inside Glue): read a CSV
+    * with a declared schema in PERMISSIVE mode, keep `_corrupt_record`,
+    * and SPLIT the batch into clean rows and a quarantine flag instead
+    * of failing the job or silently dropping. The malformed fixture
+    * lines are injected deterministically so the oracle can state the
+    * expected split exactly. Zero shuffle: per-row parse + flag. */
+  def quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("quarantine_region")
+    Tables.region(spark, dir)
+      .select(col("r_regionkey").cast("string"), col("r_name"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    // two deterministic malformed lines (type-mismatched keys); the file
+    // carries its own header line — with header=true Spark skips the
+    // first line of EVERY input file
+    val bad = Tables.scratch("quarantine_region_bad")
+    import spark.implicits._
+    Seq("r_regionkey,r_name", "not_a_number,BADLAND", "also_bad,NOWHERE")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(bad)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType),
+      StructField("_corrupt_record", StringType)))
+    spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(out, bad)
+      .select(col("r_regionkey"), col("r_name"),
+              col("_corrupt_record").isNotNull.cast("int").as("quarantined"))
+  }
+
   /** S7 + entry point 4: catalog registration + SQL — the Athena analog
     * (`Schema.json:1-92`, `RealEstatePipeline.asl.json:120-130`; no query
     * text exists in the reference, SURVEY §3.4 — this supplies the
@@ -159,6 +192,7 @@ object Sources {
     "src_parquet_pushdown" -> parquetPushdown _,
     "src_orc_roundtrip"  -> orcRoundtrip _,
     "src_schema_evolution" -> schemaEvolution _,
+    "src_quarantine"     -> quarantine _,
     "sql_view_query"     -> sqlView _,
     "sql_catalog_table"  -> catalogTable _)
 
@@ -179,6 +213,12 @@ object Sources {
        "CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey, " +
        "CASE WHEN n_nationkey < 12 THEN 'old' ELSE 'new' END AS batch " +
        "FROM nation"),
+    // clean rows pass through with flag 0; the two injected malformed
+    // lines surface with a null key, the parseable column kept, flag 1
+    "src_quarantine" ->
+      ("SELECT r_regionkey, r_name, 0 AS quarantined FROM region " +
+       "UNION ALL SELECT NULL, 'BADLAND', 1 " +
+       "UNION ALL SELECT NULL, 'NOWHERE', 1"),
     "sql_view_query" ->
       ("SELECT n_name, count(*) AS n_customers, " +
        "round((avg(c_acctbal)) * 1e2) / 1e2 AS avg_bal " +
