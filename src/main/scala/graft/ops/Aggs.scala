@@ -155,7 +155,33 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** HLL sketch RE-aggregation (Datasketches `hll_sketch_agg` +
+    * `hll_union_agg`) — the pattern that makes distinct-counting
+    * feasible at 100 TB: per-partition/per-group sketches are
+    * precomputed once (here per returnflag), then any rollup is a cheap
+    * sketch UNION instead of a re-scan of raw data. A naive sum of
+    * per-group distinct counts would overcount keys spanning groups
+    * (every l_orderkey spans flags); the union dedups in sketch space.
+    * Oracle shape follows agg_approx: each engine bounds-checks its own
+    * estimate against its own exact global (DuckDB has no mergeable
+    * sketch — it computes the global approx directly; the agreed
+    * booleans + exact counts hash-match). */
+  def sketchReagg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val per = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+    val merged = per.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("apx_global"),
+      count(lit(1)).as("n_groups"))
+    val exact = li.agg(countDistinct("l_orderkey").as("n_exact_global"))
+    merged.crossJoin(exact)
+      .select(col("n_groups"), col("n_exact_global"),
+              (abs(col("apx_global") - col("n_exact_global")) <=
+                col("n_exact_global") * 0.1).cast("int").as("global_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sketch_reagg"  -> sketchReagg _,
     "agg_cube"          -> cubeAgg _,
     "agg_grouping_sets" -> groupingSetsAgg _,
     "agg_pivot"         -> pivotAgg _,
@@ -189,6 +215,12 @@ object Aggs {
        "count(CASE WHEN coalesce(CASE WHEN value > 10 THEN value END, -1.0) = -1.0 " +
        "THEN 1 END) AS n_filled, count(*) AS n_total " +
        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "agg_sketch_reagg" ->
+      ("SELECT count(DISTINCT l_returnflag) AS n_groups, " +
+       "count(DISTINCT l_orderkey) AS n_exact_global, " +
+       "CAST(abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey)) " +
+       "<= count(DISTINCT l_orderkey) * 0.1 AS INTEGER) AS global_ok " +
+       "FROM lineitem"),
     // agg_approx: sketch algorithms are engine-specific, so each engine
     // bounds-checks its OWN sketch against its OWN exact value and the
     // agreed-on booleans (+ the exact count) are what hash-matches.
