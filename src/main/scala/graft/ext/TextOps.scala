@@ -498,7 +498,28 @@ object TextOps {
       .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
   }
 
+  /** Deterministic train/validation/test split — the reproducibility
+    * primitive every training pipeline needs: assignment is a pure
+    * function of doc_id (Knuth multiplicative scramble mod 100:
+    * 80/10/10), so reruns, engines, and partitionings all agree — no
+    * rand(), no seed plumbing, no shuffle for the assignment itself.
+    * Reported per (source, split) so stratification skew is visible
+    * (hash-splitting is only approximately stratified; the counts ARE
+    * the audit). One aggregate; assignment stays in-plan at any scale. */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)) % 100
+    Tables.documents(spark, dir)
+      .select(col("source"),
+              when(bucket < 80, "train")
+                .when(bucket < 90, "validation")
+                .otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split"       -> corpusSplit _,
     "text_unigram_logprob" -> unigramLogprob _,
     "text_quality_model" -> qualityModel _,
     "text_dup_span_frac" -> dupSpanFrac _,
@@ -524,6 +545,12 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    "corpus_split" ->
+      ("SELECT source, CASE WHEN b < 80 THEN 'train' " +
+       "WHEN b < 90 THEN 'validation' ELSE 'test' END AS split, " +
+       "count(*) AS n_docs FROM (SELECT source, " +
+       "((doc_id * 2654435761) % 2147483648) % 100 AS b FROM documents) t " +
+       "GROUP BY source, split ORDER BY source, split"),
     "text_unigram_logprob" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok), " +
