@@ -518,7 +518,30 @@ object TextOps {
       .orderBy("source", "split")
   }
 
+  /** URL parsing + domain allowlist — the domain-based filtering stage of
+    * a web-scrape curation pipeline (Common-Crawl-style: keep/drop by
+    * registered domain). The corpus has no URL column, so one is built
+    * deterministically from (source, doc_id, lang); Spark's `parse_url`
+    * (codegen'd Catalyst expression) then decomposes it and the oracle
+    * states each component from the SAME construction — ground-truth
+    * verification of the parser, not a parser-vs-parser comparison.
+    * Zero shuffle. */
+  def urlParse(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+                     col("doc_id"), lit("?lang="), col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+              expr("parse_url(url, 'HOST')").as("host"),
+              expr("parse_url(url, 'PATH')").as("path"),
+              expr("parse_url(url, 'QUERY')").as("query"))
+      .withColumn("domain_kept",
+        col("host").isin("src0.example.com", "src1.example.com",
+                         "src2.example.com").cast("int"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_parse"     -> urlParse _,
     "corpus_split"       -> corpusSplit _,
     "text_unigram_logprob" -> unigramLogprob _,
     "text_quality_model" -> qualityModel _,
@@ -545,6 +568,15 @@ object TextOps {
     "corpus_select"    -> corpusSelect _)
 
   val oracle: Map[String, String] = Map(
+    "text_url_parse" ->
+      ("SELECT doc_id, 'https://' || source || '.example.com/docs/' || doc_id " +
+       "|| '?lang=' || lang AS url, " +
+       "source || '.example.com' AS host, " +
+       "'/docs/' || doc_id AS path, " +
+       "'lang=' || lang AS query, " +
+       "CAST(source || '.example.com' IN ('src0.example.com', " +
+       "'src1.example.com', 'src2.example.com') AS INTEGER) AS domain_kept " +
+       "FROM documents"),
     "corpus_split" ->
       ("SELECT source, CASE WHEN b < 80 THEN 'train' " +
        "WHEN b < 90 THEN 'validation' ELSE 'test' END AS split, " +

@@ -47,6 +47,22 @@ object Joins {
       .select("c_custkey", "c_name")
   }
 
+  /** Right-outer join: all nations kept even when no customer matches the
+    * segment filter — the dimension-completeness report shape (the LEFT
+    * form from the dimension side; Catalyst plans both identically, but
+    * the API/semantics row deserves its own verified entry). Nulls on
+    * the unmatched side are the signal. */
+  def rightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "right_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_building"))
+      .orderBy("n_nationkey")
+  }
+
   /** Fact-to-fact equi-join + aggregation (revenue per order priority).
     * Shuffle join on the key both sides need anyway; AQE picks the
     * physical strategy at runtime. */
@@ -167,6 +183,7 @@ object Joins {
     "join_broadcast_left" -> broadcastLeft _,
     "semi_join"           -> semiJoin _,
     "anti_join"           -> antiJoin _,
+    "join_right_outer"    -> rightOuter _,
     "join_inner_agg"      -> innerAgg _,
     "join_match_rate"     -> matchRate _,
     "join_ambiguous_proj" -> ambiguousProj _)
@@ -209,6 +226,12 @@ object Joins {
       ("SELECT c_custkey, c_name FROM customer c " +
        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
        "AND o.o_totalprice > 300000)"),
+    "join_right_outer" ->
+      ("SELECT n_nationkey, n_name, count(c_custkey) AS n_building " +
+       "FROM (SELECT c_custkey, c_nationkey FROM customer " +
+       "WHERE c_mktsegment = 'BUILDING') c " +
+       "RIGHT JOIN nation ON c.c_nationkey = n_nationkey " +
+       "GROUP BY n_nationkey, n_name ORDER BY n_nationkey"),
     "join_inner_agg" ->
       ("SELECT o_orderpriority, round((sum(l_extendedprice * (1 - l_discount))) * 1e2) / 1e2 AS revenue, " +
        "count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

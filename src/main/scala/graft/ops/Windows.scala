@@ -73,6 +73,22 @@ object Windows {
       .select("o_orderkey", "o_custkey", "running_spend")
   }
 
+  /** RANGE-frame window (value-distance peers, vs the row-count frames
+    * above): per priority, how many orders fall within ±1000 of this
+    * order's price. Peers are defined by VALUE distance — ties share
+    * the frame, which ROWS frames cannot express. Ordering key is
+    * floor(price) cast to long on BOTH engines (DuckDB's double→int
+    * CAST rounds where Spark's truncates — floor first sidesteps it). */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("p").asc)
+      .rangeBetween(-1000L, 1000L)
+    Tables.orders(spark, dir)
+      .withColumn("p", floor(col("o_totalprice")).cast("long"))
+      .withColumn("n_near", count(lit(1)).over(w))
+      .select("o_orderkey", "o_orderpriority", "p", "n_near")
+  }
+
   /** O1+O2: global top-k — orderBy+limit lowers to
     * TakeOrderedAndProjectExec (no full global sort at scale). */
   def sortLimit(spark: SparkSession, dir: String): DataFrame =
@@ -137,6 +153,7 @@ object Windows {
     "window_topk_per_group"    -> topkPerGroup _,
     "window_lag_rank"          -> lagRank _,
     "window_running_sum"       -> runningSum _,
+    "window_range_frame"       -> rangeFrame _,
     "sort_limit"               -> sortLimit _)
 
   val oracle: Map[String, String] = Map(
@@ -174,6 +191,10 @@ object Windows {
       ("SELECT o_orderkey, o_custkey, CAST(row_number() OVER w AS INTEGER) AS rn, " +
        "lag(o_totalprice, 1) OVER w AS prev_price FROM orders " +
        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"),
+    "window_range_frame" ->
+      ("SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice) AS BIGINT) AS p, " +
+       "count(*) OVER (PARTITION BY o_orderpriority ORDER BY CAST(floor(o_totalprice) AS BIGINT) " +
+       "RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near FROM orders"),
     "window_running_sum" ->
       ("SELECT o_orderkey, o_custkey, round((sum(o_totalprice) OVER (" +
        "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
