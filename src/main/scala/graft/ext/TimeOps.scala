@@ -168,7 +168,38 @@ object TimeOps {
               col("value"))
   }
 
+  /** Gap fill / resample: hourly spine per event type with forward-filled
+    * aggregates — the step that turns an irregular event stream into the
+    * regular series downstream models need. The spine is generated
+    * IN-PLAN (sequence over the global [min, max] hour range — two tiny
+    * rows broadcast, exploded per type), outer-joined to the hourly
+    * aggregate, and empty hours forward-fill the last observed sum via
+    * `last(..., ignoreNulls)` — one window per type. Output marks filled
+    * rows so downstream can distinguish observation from carry. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"),
+                           col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.rnd(sum("value"), 2).as("sum_v"))
+    val bounds = e.agg(date_trunc("hour", min("ts")).as("h0"),
+                       date_trunc("hour", max("ts")).as("h1"))
+    val types = e.select("event_type").distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+              explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("event_type").orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("filled", col("n").isNull.cast("int"))
+      .select(col("event_type"), date_format(col("h"), fmt).as("hs"),
+              coalesce(col("n"), lit(0L)).as("n"),
+              last(col("sum_v"), ignoreNulls = true).over(w).as("sum_v_ff"),
+              col("filled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_gap_fill"      -> gapFill _,
     "time_tumbling"      -> tumbling _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
@@ -179,6 +210,22 @@ object TimeOps {
     "cdc_scd2"           -> scd2 _)
 
   val oracle: Map[String, String] = Map(
+    "time_gap_fill" ->
+      ("WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type, " +
+       "count(*) AS n, round((sum(value)) * 1e2) / 1e2 AS sum_v " +
+       "FROM events GROUP BY 1, 2), " +
+       "b AS (SELECT date_trunc('hour', min(ts)) AS h0, " +
+       "date_trunc('hour', max(ts)) AS h1 FROM events), " +
+       "spine AS (SELECT t.event_type, u.h FROM " +
+       "(SELECT DISTINCT event_type FROM events) t, b, " +
+       "UNNEST(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS u(h)) " +
+       "SELECT s.event_type, strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hs, " +
+       "coalesce(hourly.n, 0) AS n, " +
+       "last_value(hourly.sum_v IGNORE NULLS) OVER (PARTITION BY s.event_type " +
+       "ORDER BY s.h ROWS UNBOUNDED PRECEDING) AS sum_v_ff, " +
+       "CAST(hourly.n IS NULL AS INTEGER) AS filled " +
+       "FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type " +
+       "AND s.h = hourly.h"),
     "time_tumbling" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, " +
        "event_type, count(*) AS n, round((sum(value)) * 1e2) / 1e2 AS sum_v " +
