@@ -100,9 +100,9 @@ object Similarity {
     * arithmetic — the identical formula is emitted into the oracle CTEs.
     * ids < 2^31 keep the product < 2^63 (no overflow either engine). */
   private[graft] def saltOrd(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(2147483648L))
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(2147483648L))
   private[graft] def saltOrdSql(e: String): String =
-    s"(($e) * 2654435761) % 2147483648"
+    s"(((($e) % 2147483648) * 2654435761) % 2147483648)"
 
   /** Shared candidate stage for the bucket/cell ANN family: self-join on
     * the partition key with the b-side capped, exact cosine per pair

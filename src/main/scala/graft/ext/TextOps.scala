@@ -507,7 +507,8 @@ object TextOps {
     * (hash-splitting is only approximately stratified; the counts ARE
     * the audit). One aggregate; assignment stays in-plan at any scale. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)) % 100
+    val bucket = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+                      lit(2147483648L)) % 100
     Tables.documents(spark, dir)
       .select(col("source"),
               when(bucket < 80, "train")
@@ -581,7 +582,7 @@ object TextOps {
       ("SELECT source, CASE WHEN b < 80 THEN 'train' " +
        "WHEN b < 90 THEN 'validation' ELSE 'test' END AS split, " +
        "count(*) AS n_docs FROM (SELECT source, " +
-       "((doc_id * 2654435761) % 2147483648) % 100 AS b FROM documents) t " +
+       "(((doc_id % 2147483648) * 2654435761) % 2147483648) % 100 AS b FROM documents) t " +
        "GROUP BY source, split ORDER BY source, split"),
     "text_unigram_logprob" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -22,7 +22,11 @@ object Windows {
     * pseudo-random order (Knuth multiplicative hash of the key —
     * expressible identically in ANSI SQL). */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val ord = pmod(col("c_custkey") * lit(2654435761L), lit(1000003L))
+    // pre-mod bounds the product < 2^62: Long can't overflow, so this
+    // survives huge keys under ANSI (overflow THROWS in Spark 4) and in
+    // DuckDB (BIGINT overflow errors); identical values for keys < 2^31
+    val ord = pmod(pmod(col("c_custkey"), lit(2147483648L)) * lit(2654435761L),
+                   lit(1000003L))
     val w = Window.partitionBy("c_mktsegment").orderBy(ord, col("c_custkey"))
     Tables.customer(spark, dir)
       .withColumn("rn", row_number().over(w))
@@ -173,7 +177,7 @@ object Windows {
     "window_sample_stratified" ->
       ("SELECT c_custkey, c_mktsegment FROM (" +
        "SELECT c_custkey, c_mktsegment, row_number() OVER (" +
-       "PARTITION BY c_mktsegment ORDER BY (c_custkey * 2654435761) % 1000003, c_custkey) AS rn " +
+       "PARTITION BY c_mktsegment ORDER BY ((c_custkey % 2147483648) * 2654435761) % 1000003, c_custkey) AS rn " +
        "FROM customer) t WHERE rn <= 100"),
     // window_sample_rand: intentionally no oracle (rand(42) is
     // partitioning-dependent; rows-only check per the contract).
