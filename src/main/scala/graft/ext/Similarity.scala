@@ -98,7 +98,10 @@ object Similarity {
     * to a pseudo-uniform SAMPLE instead of "the cap lowest vec_ids"
     * (round 3's order was id-biased when the cap fired). Pure integer
     * arithmetic — the identical formula is emitted into the oracle CTEs.
-    * ids < 2^31 keep the product < 2^63 (no overflow either engine). */
+    * The pre-mod bounds the product below 2^63 for ALL non-negative ids
+    * (max (2^31-1)·2654435761 ≈ 5.7e18 < Long.MaxValue), so no id range
+    * can overflow — which THROWS under Spark 4 ANSI and errors in
+    * DuckDB. */
   private[graft] def saltOrd(id: Column): Column =
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(2147483648L))
   private[graft] def saltOrdSql(e: String): String =

@@ -507,8 +507,7 @@ object TextOps {
     * (hash-splitting is only approximately stratified; the counts ARE
     * the audit). One aggregate; assignment stays in-plan at any scale. */
   def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-                      lit(2147483648L)) % 100
+    val bucket = Similarity.saltOrd(col("doc_id")) % 100
     Tables.documents(spark, dir)
       .select(col("source"),
               when(bucket < 80, "train")
@@ -531,6 +530,12 @@ object TextOps {
     val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
                      col("doc_id"), lit("?lang="), col("lang"))
     Tables.documents(spark, dir)
+      // null guard pins cross-engine parity: a null component would make
+      // concat (and every parse_url) NULL on the Spark side while the
+      // oracle's per-column construction stays non-null — the filter is
+      // mirrored in the oracle's WHERE
+      .filter(col("source").isNotNull && col("lang").isNotNull &&
+              col("doc_id").isNotNull)
       .select(col("doc_id"), url.as("url"))
       .select(col("doc_id"), col("url"),
               expr("parse_url(url, 'HOST')").as("host"),
@@ -577,12 +582,13 @@ object TextOps {
        "'lang=' || lang AS query, " +
        "CAST(source || '.example.com' IN ('src0.example.com', " +
        "'src1.example.com', 'src2.example.com') AS INTEGER) AS domain_kept " +
-       "FROM documents"),
+       "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL " +
+       "AND doc_id IS NOT NULL"),
     "corpus_split" ->
       ("SELECT source, CASE WHEN b < 80 THEN 'train' " +
        "WHEN b < 90 THEN 'validation' ELSE 'test' END AS split, " +
        "count(*) AS n_docs FROM (SELECT source, " +
-       "(((doc_id % 2147483648) * 2654435761) % 2147483648) % 100 AS b FROM documents) t " +
+       s"${Similarity.saltOrdSql("doc_id")} % 100 AS b FROM documents) t " +
        "GROUP BY source, split ORDER BY source, split"),
     "text_unigram_logprob" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -22,7 +22,7 @@ object Windows {
     * pseudo-random order (Knuth multiplicative hash of the key —
     * expressible identically in ANSI SQL). */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    // pre-mod bounds the product < 2^62: Long can't overflow, so this
+    // pre-mod bounds the product < 2^63: Long can't overflow, so this
     // survives huge keys under ANSI (overflow THROWS in Spark 4) and in
     // DuckDB (BIGINT overflow errors); identical values for keys < 2^31
     val ord = pmod(pmod(col("c_custkey"), lit(2147483648L)) * lit(2654435761L),
