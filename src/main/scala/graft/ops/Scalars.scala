@@ -113,6 +113,22 @@ object Scalars {
                 .as("sum_q"))
       .orderBy("l_orderkey")
 
+  /** explode_outer null semantics — the one the plain explode
+    * (scalar_array) cannot show: rows whose array is NULL survive with a
+    * null element instead of vanishing. Losing them silently is the
+    * classic flatten bug (short docs dropped from a chunk pipeline).
+    * The oracle emulates outer-unnest by substituting [NULL] for the
+    * missing array before DuckDB's inner unnest. */
+  def explodeOuter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              when(size(toks) >= 50, slice(toks, 1, 3)).as("arr"))
+      .select(col("doc_id"),
+              explode_outer(col("arr")).as("tok"),
+              col("arr").isNotNull.cast("int").as("had_array"))
+  }
+
   /** Date arithmetic (beyond reference — it never parses dates): day
     * difference, offset, year/quarter extraction. Dates emitted as
     * formatted strings for engine-neutral compare. */
@@ -169,6 +185,7 @@ object Scalars {
     "scalar_map"           -> mapSuite _,
     "scalar_date_arith"    -> dateArith _,
     "scalar_array"         -> arraySuite _,
+    "scalar_explode_outer" -> explodeOuter _,
     "scalar_math"          -> mathSuite _,
     "scalar_derive"        -> derive _,
     "scalar_sentinel_null" -> sentinelNull _,
@@ -184,6 +201,11 @@ object Scalars {
       .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "scalar_explode_outer" ->
+      ("WITH t AS (SELECT doc_id, CASE WHEN len(tk) >= 50 THEN tk[1:3] END AS arr " +
+       "FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)) " +
+       "SELECT doc_id, unnest(coalesce(arr, [CAST(NULL AS VARCHAR)])) AS tok, " +
+       "CAST(arr IS NOT NULL AS INTEGER) AS had_array FROM t"),
     "scalar_zorder" ->
       (s"SELECT l_orderkey, l_linenumber, zx, zy, CAST($zorderBits AS BIGINT) AS zval " +
        "FROM (SELECT l_orderkey, l_linenumber, l_partkey % 256 AS zx, " +
