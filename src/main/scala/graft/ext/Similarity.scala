@@ -314,6 +314,31 @@ object Similarity {
       .select("vec_id", "cell", "csim")
   }
 
+  /** Training convergence: squared distance each cell's centroid moved in
+    * the Lloyd step (seed → trained) — the metric that tells a pipeline
+    * when to stop iterating. Per-dim squared diffs are stored as INTEGER
+    * pico-units (round(d²·1e12) as long, ≤ 4e12 each, 64 per cell — far
+    * inside Long), so the per-cell sum is exact integer arithmetic,
+    * immune to summation order (the text_unigram_logprob discipline).
+    * One broadcast join on (cell, pos) + one agg. */
+  def ivfTrainDelta(spark: SparkSession, dir: String): DataFrame = {
+    val seed = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < ivfCells(embCount(spark, dir)))
+      .select(col("vec_id").as("cell"), posexplode(col("embedding")))
+      .select(col("cell"), col("pos").cast("int").as("pos"),
+              col("col").cast("double").as("sv"))
+    val diff = col("m") - col("sv")
+    ivfTrain(spark, dir)
+      .join(seed, Seq("cell", "pos"))
+      .select(col("cell"),
+              round(diff * diff * lit(1e12)).cast("long").as("t"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_dims"),
+           Num.rnd(sum("t").cast("double") / lit(1e12), 6).as("d2"))
+      .withColumn("moved", (col("d2") > 0).cast("int"))
+      .orderBy("cell")
+  }
+
   /** Per-source embedding centroids (element-wise mean) in long form
     * (source, pos, m) — the distributed reduce a clustering / domain-
     * analysis stage needs: posexplode to (dim, value), ONE shuffle by
@@ -425,6 +450,7 @@ object Similarity {
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_ivf_train"    -> ivfTrain _,
     "sim_ivf_assign_trained" -> ivfAssignTrained _,
+    "sim_ivf_train_delta" -> ivfTrainDelta _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
     "emb_centroid_sim" -> centroidSim _,
@@ -459,6 +485,18 @@ object Similarity {
       (s"WITH $ivfTrainCte " +
        "SELECT cell, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM tr " +
        "ORDER BY cell, pos"),
+    "sim_ivf_train_delta" ->
+      (s"WITH $ivfTrainCte, " +
+       "sd AS (SELECT c.cell, p.pos1, CAST(e.embedding[p.pos1] AS DOUBLE) AS sv " +
+       "FROM embeddings e JOIN c ON e.vec_id = c.cell, " +
+       "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+       "d AS (SELECT tr.cell, " +
+       "CAST(round((tr.m - sd.sv) * (tr.m - sd.sv) * 1e12) AS BIGINT) AS t " +
+       "FROM tr JOIN sd ON tr.cell = sd.cell AND tr.pos1 = sd.pos1) " +
+       "SELECT cell, count(*) AS n_dims, " +
+       "round((CAST(sum(t) AS DOUBLE) / 1e12) * 1e6) / 1e6 AS d2, " +
+       "CAST(round((CAST(sum(t) AS DOUBLE) / 1e12) * 1e6) / 1e6 > 0 AS INTEGER) AS moved " +
+       "FROM d GROUP BY cell ORDER BY cell"),
     "sim_ivf_assign_trained" ->
       (s"WITH $ivfTrainCte, " +
        "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
