@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding elements cast float→double once, sequential left fold. */
+  /** Dot product via the codegen'd [[graft.functions.ArrayDot]]
+    * expression — bit-identical to the former
+    * `aggregate(zip_with(...))` HOF fold (same left-to-right double
+    * accumulation; see ArrayDot's scaladoc), but one tight primitive
+    * loop instead of interpreted lambda dispatch per element. Every
+    * oracle is unchanged. */
   private def dotCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayDot.col(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dotCols(a, b) / (sqrt(dotCols(a, a)) * sqrt(dotCols(b, b)))

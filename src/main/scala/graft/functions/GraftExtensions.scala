@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PolyHash(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => {
+        requireArity("array_dot", children, 2)
+        ArrayDot(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("poly_hash_mod"),
       new ExpressionInfo(classOf[PolyHashMod].getName, "poly_hash_mod"),
       (children: Seq[Expression]) => {
