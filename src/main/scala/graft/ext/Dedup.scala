@@ -41,17 +41,26 @@ object Dedup {
 
   /** Exact dedup: deterministic survivor (min doc_id) + multiplicity per
     * text key. `groupBy(key).agg(min(id))` rather than dropDuplicates so
-    * the survivor is well-defined for the oracle. */
+    * the survivor is well-defined for the oracle.
+    *
+    * The grouping key is `md5(text)`, NOT the text itself: a full-text
+    * key hash-partitions entire documents through the exchange — at the
+    * 100 TB design point the shuffle would carry the whole corpus as
+    * keys (round-4 verdict #2). The 16-byte digest keeps the exchange
+    * narrow; DuckDB's native `md5()` hashes the same UTF-8 bytes, so the
+    * oracle groups identically. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy("text")
+      .groupBy(md5(col("text").cast("binary")))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Exact dedup on normalized text (lower + trim + whitespace collapse). */
+  /** Exact dedup on normalized text (lower + trim + whitespace collapse);
+    * normalization stays INSIDE the md5 so only the digest shuffles. */
   def exactNorm(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(regexp_replace(lower(trim(col("text"))), " +", " ").as("norm"))
+      .groupBy(md5(regexp_replace(lower(trim(col("text"))), " +", " ")
+        .cast("binary")))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
@@ -85,10 +94,6 @@ object Dedup {
       .filter(col("ids").isNotNull)
   }
 
-  /** (doc_id, sh) row form of the capped index (for Jaccard confirms). */
-  private def shingleRows(grp: DataFrame): DataFrame =
-    grp.select(explode(col("ids")).as("doc_id"), col("sh"))
-
   /** All ordered id pairs (a < b) per shingle, generated IN-PLAN from the
     * sorted id list — no self-join: `ids` is sorted ascending, so pairing
     * each element with its suffix yields a < b exactly once. */
@@ -96,15 +101,22 @@ object Dedup {
     "flatten(transform(ids, (x, i) -> " +
     "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
 
-  /** Jaccard-confirm a candidate-pair frame against a shingle frame:
-    * exact integer intersection (fan candidates out to a-side shingles,
-    * equi-join the b-side — never recompute all shingle-sharing pairs). */
-  private def confirmJaccard(cand: DataFrame, sh: DataFrame,
+  /** Jaccard-confirm a candidate-pair frame against a HASHED shingle
+    * frame (doc_id, h): exact integer intersection (fan candidates out
+    * to a-side shingles, equi-join the b-side — never recompute all
+    * shingle-sharing pairs). The join key is the 8-byte portable
+    * polyhash the minhash signatures are already built from, not the
+    * raw shingle string — round-4 verdict #1a: string keys made this
+    * the family's hottest shuffle edge. A collision (two distinct
+    * shingles of the same doc pair at the same h, P ≈ 2^30) would count
+    * once extra on BOTH engines — the oracle folds the identical hash,
+    * so results stay in lockstep by construction. */
+  private def confirmJaccard(cand: DataFrame, hs: DataFrame,
                              num: Int, den: Int): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .join(hs.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
@@ -253,7 +265,9 @@ object Dedup {
               Seq("band", "bh"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      val out = confirmJaccard(cand, shingleRows(grp), 1, 2).localCheckpoint()
+      // confirm over the SAME hashed rows the signatures came from:
+      // the confirm shuffle carries (id, long), never shingle strings
+      val out = confirmJaccard(cand, hs, 1, 2).localCheckpoint()
       grp.unpersist()
       out
     })
@@ -410,9 +424,10 @@ object Dedup {
     s"bands AS ($bandSelects), " +
     "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM bands x " +
     "JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
-    "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+    // confirm joins on the HASH h, mirroring the Spark side's long keys
+    "sz AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id), " +
     "it AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c " +
-    "JOIN sh x ON x.doc_id = c.a_id JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s " +
+    "JOIN hs x ON x.doc_id = c.a_id JOIN hs y ON y.doc_id = c.b_id AND y.h = x.h " +
     "GROUP BY 1, 2) " +
     "SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM it " +
     "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
@@ -436,12 +451,15 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    // md5 grouping keys mirror the Spark side's narrow-shuffle-key plan
+    // (same UTF-8 byte digest on both engines; groups are identical to
+    // grouping by the text itself absent an md5 collision)
     "dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
-       "FROM documents GROUP BY text"),
+       "FROM documents GROUP BY md5(text)"),
     "dedup_exact_norm" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents " +
-       "GROUP BY regexp_replace(lower(trim(text)), ' +', ' ', 'g')"),
+       "GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))"),
     "dedup_ngram_jaccard" ->
       s"WITH $ngramPairCte SELECT a_id, b_id, inter, uni FROM jac",
     "dedup_incremental" ->
