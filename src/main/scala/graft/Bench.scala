@@ -41,17 +41,31 @@ object Bench {
       "sim_ivf_assign_trained", "sim_ivf_topk")
     val ordered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
+    // per-query executor task metrics (shuffle bytes / spill / peak mem /
+    // GC): wall time alone cannot decompose a cross-harness gap — round 4
+    // closed with minhash 13× slower under the driver at EQUAL anchors,
+    // unexplainable without these numbers in the durable record
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
     val results = ordered.map { name =>
       val fn = SparkEntry.queries(name)
+      val before = metrics.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
       try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, metrics.delta(spark.sparkContext, before))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val tm = results.map { case (k, _, m) =>
+      val fields = (BenchMetrics.Keys :+ "peak_exec_mem")
+        .map(f => s"\"" + f + "\":" + m(f)).mkString("{", ",", "}")
+      s"\"" + k + "\":" + fields
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""task_metrics":$tm,"sf":"$sfDir"}"""
     println(line)
     // stdout can get truncated in driver logs (BENCH_r01.json arrived
     // unparseable); the file is the durable record

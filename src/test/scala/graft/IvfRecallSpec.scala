@@ -54,8 +54,15 @@ class IvfRecallSpec extends SparkSpec {
 
     assert(single.subsetOf(multi),
       s"multi-probe lost ${(single -- multi).size} single-probe hits")
-    assert(multi.size > single.size,
-      s"multi-probe recall@3 did not improve: ${multi.size} vs ${single.size} " +
-        s"of ${truth.size} — cell-boundary neighbors unrecovered")
+    // the CONTRACT is the superset property above; strict improvement is
+    // data-dependent (vacuous if no top-3 neighbor crosses a cell
+    // boundary), so it only binds while single-probe recall is imperfect
+    if (single.size < truth.size)
+      assert(multi.size > single.size,
+        s"multi-probe recall@3 did not improve: ${multi.size} vs ${single.size} " +
+          s"of ${truth.size} — cell-boundary neighbors unrecovered")
+    else
+      info(s"single-probe recall already ${single.size}/${truth.size} — " +
+        "strict-improvement check skipped (nothing to recover)")
   }
 }
