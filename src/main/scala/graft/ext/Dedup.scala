@@ -137,33 +137,41 @@ object Dedup {
     * limit. */
   private def memo = CkptMemo
 
-  /** 5-gram Jaccard >= 0.2 near-dup pairs, materialized once. Candidate
-    * pairs come straight out of the inverted index (in-plan suffix
-    * pairing per shingle), `inter` is one agg over them — no shingle
-    * self-join at all. */
+  /** The 5-gram Jaccard >= 0.2 pipeline over an ARBITRARY documents
+    * frame (doc_id, text) — eager (localCheckpoints the small pair set,
+    * unpersists the fat shingle frame). Parameterized so the
+    * scale-regression spec can run the exact production pipeline over a
+    * synthetically blown-up corpus; production entry is the memoized
+    * [[jaccardPairs]]. Candidate pairs come straight out of the inverted
+    * index (in-plan suffix pairing per shingle), `inter` is one agg over
+    * them — no shingle self-join at all. */
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    val grp = shingleGroups(docs, 5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = grp.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grp.filter(size(col("ids")) >= 2)
+      .select(explode(expr(pairExpr)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+                 .withColumnRenamed("sz", "sz_a"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+                 .withColumnRenamed("sz", "sz_b"), Seq("b_id"))
+      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni")) // jaccard >= 0.2, exact ints
+      .select("a_id", "b_id", "inter", "uni")
+      .localCheckpoint() // small pair set: cached, lineage-free
+    grp.unpersist()
+    out
+  }
+
+  /** 5-gram Jaccard >= 0.2 near-dup pairs, materialized once. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, "jac5"), {
-      val grp = shingleGroups(Tables.documents(spark, dir), 5)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val sizes = grp.select(explode(col("ids")).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = grp.filter(size(col("ids")) >= 2)
-        .select(explode(expr(pairExpr)).as("p"))
-        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("inter"))
-      val out = inter
-        .join(sizes.withColumnRenamed("doc_id", "a_id")
-                   .withColumnRenamed("sz", "sz_a"), Seq("a_id"))
-        .join(sizes.withColumnRenamed("doc_id", "b_id")
-                   .withColumnRenamed("sz", "sz_b"), Seq("b_id"))
-        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-        .filter(col("inter") * 5 >= col("uni")) // jaccard >= 0.2, exact ints
-        .select("a_id", "b_id", "inter", "uni")
-        .localCheckpoint() // small pair set: cached, lineage-free
-      grp.unpersist()
-      out
-    })
+    memo.getOrElseUpdate((spark, dir, "jac5"),
+      jaccardPairsOf(Tables.documents(spark, dir)))
 
   /** Exact n-gram Jaccard near-dup: candidate pairs share >= 1 word
     * 5-gram (DF-capped → bounded join fan-out), then exact integer
@@ -243,34 +251,40 @@ object Dedup {
     * hash/permutation/band constants are emitted into the DuckDB SQL.
     * Banding → bucket join → confirm-on-candidates is the 100 TB shape. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, "minhash"), {
-      val grp = shingleGroups(Tables.documents(spark, dir), 3)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // hash once per DISTINCT shingle (pre-explode), not once per
-      // (doc, shingle) occurrence
-      val hs = grp
-        .select(polyHash(col("sh"), 31L, P1).as("h"),
-                explode(col("ids")).as("doc_id"))
-      val sigCols = (0 until NumHashes)
-        .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
-      val sigs = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bandStructs = array((0 until Bands).map { bId =>
-        val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
-        struct(lit(bId).as("band"), bandFold(1000L + bId, cols).as("bh"))
-      }: _*)
-      val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
-              Seq("band", "bh"))
-        .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      // confirm over the SAME hashed rows the signatures came from:
-      // the confirm shuffle carries (id, long), never shingle strings
-      val out = confirmJaccard(cand, hs, 1, 2).localCheckpoint()
-      grp.unpersist()
-      out
-    })
+    memo.getOrElseUpdate((spark, dir, "minhash"),
+      minhashPairsOf(Tables.documents(spark, dir)))
+
+  /** The MinHash-LSH pipeline over an ARBITRARY documents frame — eager,
+    * like [[jaccardPairsOf]], and parameterized for the same reason (the
+    * scale-regression spec runs it over a blown-up corpus). */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val grp = shingleGroups(docs, 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hash once per DISTINCT shingle (pre-explode), not once per
+    // (doc, shingle) occurrence
+    val hs = grp
+      .select(polyHash(col("sh"), 31L, P1).as("h"),
+              explode(col("ids")).as("doc_id"))
+    val sigCols = (0 until NumHashes)
+      .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
+    val sigs = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = array((0 until Bands).map { bId =>
+      val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
+      struct(lit(bId).as("band"), bandFold(1000L + bId, cols).as("bh"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // confirm over the SAME hashed rows the signatures came from:
+    // the confirm shuffle carries (id, long), never shingle strings
+    val out = confirmJaccard(cand, hs, 1, 2).localCheckpoint()
+    grp.unpersist()
+    out
+  }
 
   private val SimBits = 60 // 30 bits from each modulus (P1, P2 < 2^30)
 

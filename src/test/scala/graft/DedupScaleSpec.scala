@@ -1,0 +1,99 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Scale-regression harness for the near-dup family: testdata tops out
+  * at sf0.1, so the family's asymptotics were argued in comments and
+  * proved only at toy scale. These tests blow the sf0.01 corpus up ×8
+  * through the REAL pipelines (jaccardPairsOf / minhashPairsOf are the
+  * exact production code paths behind dedup_ngram_jaccard /
+  * dedup_minhash_lsh) and pin the growth law:
+  *
+  *  - DISJOINT growth (copy-tagged tokens — the 100 TB model: a corpus
+  *    10× bigger is mostly NEW content): candidate volume must grow
+  *    EXACTLY linearly — copies share no shingles, so pair structure
+  *    replicates per copy and any super-linear edge (a lost DF cap, a
+  *    stray cross join, a candidate generator that stopped being
+  *    per-shingle) breaks exact equality loudly.
+  *  - DUPLICATE growth (exact id-offset copies): every shingle's
+  *    document frequency multiplies by the copy count, so the
+  *    MaxShingleDf cap must bound every surviving posting list AND drop
+  *    exactly the shingles whose scaled DF crosses the cap — the
+  *    expected survivor count is DERIVED from the base corpus, not
+  *    pinned to today's data.
+  */
+class DedupScaleSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+  private val K = 8
+
+  private def docs: DataFrame =
+    Tables.documents(spark, dir).select("doc_id", "text")
+
+  /** `k` id-offset copies of the corpus. With `tag` every token gets a
+    * per-copy prefix, making the copies shingle-disjoint. */
+  private def scaled(tag: Boolean, k: Int = K): DataFrame =
+    (0 until k).map { i =>
+      val base = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1000000L))
+      if (!tag) base
+      else base.withColumn("text",
+        F.concat_ws(" ", F.transform(F.split(F.col("text"), " "),
+          t => F.concat(F.lit(s"c${i}_"), t))))
+    }.reduce(_ unionByName _)
+
+  test(s"disjoint x$K growth: jaccard pair volume grows exactly linearly") {
+    val basePairs = Dedup.jaccardPairsOf(docs).count()
+    assert(basePairs > 0, "base corpus produced no near-dup pairs")
+    val t0 = System.nanoTime()
+    val scaledPairs = Dedup.jaccardPairsOf(scaled(tag = true)).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(scaledPairs === K * basePairs,
+      s"disjoint x$K corpus must yield exactly $K x $basePairs pairs, " +
+        s"got $scaledPairs — super-linear candidate growth")
+    info(f"jaccard: base=$basePairs pairs, x$K=$scaledPairs in $sec%.1fs")
+  }
+
+  test(s"disjoint x$K growth: minhash confirmed pairs grow exactly linearly") {
+    val basePairs = Dedup.minhashPairsOf(docs).count()
+    assert(basePairs > 0, "base corpus produced no minhash near-dups")
+    val t0 = System.nanoTime()
+    val scaledPairs = Dedup.minhashPairsOf(scaled(tag = true)).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // accidental cross-copy band collisions are possible (bh is mod P1)
+    // but the exact-Jaccard confirm kills them: disjoint shingles mean
+    // zero intersection, so CONFIRMED pairs replicate exactly
+    assert(scaledPairs === K * basePairs,
+      s"disjoint x$K corpus must confirm exactly $K x $basePairs pairs, " +
+        s"got $scaledPairs")
+    info(f"minhash: base=$basePairs pairs, x$K=$scaledPairs in $sec%.1fs")
+  }
+
+  test("duplicate x32 growth: DF cap bounds posting lists, drops hot shingles") {
+    // x32 and 3-grams (the minhash shingle order) push the drop
+    // threshold down to base df > 3, which near-dup clusters do hit
+    val D = 32
+    val baseSizes = Dedup.shingleGroups(docs, 3)
+      .select(F.size(F.col("ids")).as("d"))
+    // scaled df = D * base df, so a shingle survives iff base df <= cap/D;
+    // base sizes are exact for every df <= cap, which covers that range
+    val keepDf = Dedup.MaxShingleDf / D
+    val expected = baseSizes.filter(F.col("d") <= keepDf).count()
+    val dropped = baseSizes.filter(F.col("d") > keepDf).count()
+    val scaledSizes = Dedup.shingleGroups(scaled(tag = false, k = D), 3)
+      .select(F.size(F.col("ids")).as("d"))
+      .persist()
+    val (nGroups, maxSize) = {
+      val r = scaledSizes.agg(F.count(F.lit(1)), F.max("d")).head()
+      (r.getLong(0), r.getInt(1))
+    }
+    scaledSizes.unpersist()
+    assert(maxSize <= Dedup.MaxShingleDf,
+      s"posting list of $maxSize ids exceeds the DF cap under x$D duplication")
+    assert(nGroups === expected,
+      s"expected $expected surviving shingles (base df <= $keepDf), got $nGroups")
+    assert(dropped > 0,
+      s"test lost its teeth: no base 3-gram has df > $keepDf — lower keepDf")
+    info(s"cap dropped $dropped hot shingles under x$D duplication; " +
+      s"max surviving posting list $maxSize <= ${Dedup.MaxShingleDf}")
+  }
+}
