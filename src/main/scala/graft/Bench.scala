@@ -51,21 +51,35 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val before = metrics.snapshot(spark.sparkContext)
       val t0 = System.nanoTime()
-      try { exhaust(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      // a failed query must be VISIBLE in bench.json (round-5 verdict
+      // item 4: silently-swallowed throws recorded ~0 s and looked fast);
+      // on failure, cancel any straggler stages before taking the metric
+      // delta so their tasks can't bleed into the next query's window
+      val err = try { exhaust(fn(spark, sfDir)); None } catch {
+        case t: Throwable =>
+          spark.sparkContext.cancelAllJobs()
+          Some(t.getClass.getName)
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, sec, metrics.delta(spark.sparkContext, before))
+      (name, sec, metrics.delta(spark.sparkContext, before), err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val tm = results.map { case (k, _, m) =>
+    val tm = results.map { case (k, _, m, _) =>
       val fields = (BenchMetrics.Keys :+ "peak_exec_mem")
         .map(f => s"\"" + f + "\":" + m(f)).mkString("{", ",", "}")
       s"\"" + k + "\":" + fields
     }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      s"\"" + k + "\":\"" + e + "\"" }
     val total = results.map(_._2).sum
+    if (errs.nonEmpty)
+      System.err.println(s"BENCH FAILURES: ${errs.length} " +
+        results.collect { case (k, _, _, Some(e)) => s"$k($e)" }.mkString(", "))
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""task_metrics":$tm,"sf":"$sfDir"}"""
+      s""""task_metrics":$tm,"n_errors":${errs.length},""" +
+      s""""errors":${errs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(line)
     // stdout can get truncated in driver logs (BENCH_r01.json arrived
     // unparseable); the file is the durable record

@@ -77,12 +77,49 @@ object Analytics {
       .limit(20)
   }
 
+  /** Correlation analytic — the literal question the reference's Athena
+    * layer exists to answer (`/root/reference/README.md:30` "does price
+    * correlate with income, education, unemployment"), expressed over the
+    * fact columns: per-group Pearson correlation, sample covariance, and
+    * the least-squares slope. All three are one-pass streaming co-moment
+    * aggregates (partial+final merge, one shuffle by group key) — the
+    * shape that scales to 100 TB, unlike a materialize-and-regress pass.
+    *
+    * Float discipline: corr/slope are O(1)-conditioned ratios of
+    * co-moments (no catastrophic cancellation in either engine's
+    * streaming update), so fp disagreement between Spark's and DuckDB's
+    * accumulation orders is ~1e-12 absolute — rounding at 6 dp has ≥1e5×
+    * margin. covar_samp is a co-moment over n (not a raw big sum), error
+    * ~1e-9 at sf scales — 4 dp is safe (the CLAUDE.md big-sum rule
+    * applies to un-normalized Σ of money columns, not per-row means). */
+  def corrAnalytic(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           Num.rnd(corr(col("l_quantity"), col("l_extendedprice")), 6)
+             .as("corr_qty_price"),
+           Num.rnd(corr(col("l_extendedprice"), col("l_discount")), 6)
+             .as("corr_price_disc"),
+           Num.rnd(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+             .as("covar_qty_price"),
+           Num.rnd(expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+             .as("slope_price_qty"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_topk"          -> q3TopK _,
     "q5_region_volume" -> q5RegionVolume _,
-    "q18_large_orders" -> q18LargeOrders _)
+    "q18_large_orders" -> q18LargeOrders _,
+    "agg_corr"         -> corrAnalytic _)
 
   val oracle: Map[String, String] = Map(
+    "agg_corr" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+       "round((corr(l_quantity, l_extendedprice)) * 1e6) / 1e6 AS corr_qty_price, " +
+       "round((corr(l_extendedprice, l_discount)) * 1e6) / 1e6 AS corr_price_disc, " +
+       "round((covar_samp(l_quantity, l_extendedprice)) * 1e4) / 1e4 AS covar_qty_price, " +
+       "round((regr_slope(l_extendedprice, l_quantity)) * 1e6) / 1e6 AS slope_price_qty " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q3_topk" ->
       ("SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate, " +
        "o_orderpriority, " +
