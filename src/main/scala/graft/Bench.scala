@@ -38,7 +38,7 @@ object Bench {
     // still include all real work (nothing hides in untimed warmup).
     val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
       "dedup_minhash_lsh", "sim_ivf_assign", "sim_ivf_train",
-      "sim_ivf_assign_trained", "sim_ivf_topk")
+      "sim_ivf_train_iter", "sim_ivf_assign_trained", "sim_ivf_topk")
     val ordered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // per-query executor task metrics (shuffle bytes / spill / peak mem /

@@ -29,6 +29,24 @@ object Similarity {
   private def cosine(a: Column, b: Column): Column =
     dotCols(a, b) / (sqrt(dotCols(a, a)) * sqrt(dotCols(b, b)))
 
+  /** Element-wise vector mean as ONE typed Aggregator
+    * ([[graft.functions.VecSum]]) — replaces the posexplode → groupBy
+    * (key, pos) → avg shape whose 64× row blowup hit the exchange
+    * before aggregation. The map side now combines to one
+    * (sums[64], counts[64]) buffer per key; value semantics (and the
+    * 6-dp-rounded outputs every oracle checks) are unchanged. */
+  private val vecMean = udaf(new graft.functions.VecSum,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+
+  /** Long-form centroid rows from a vecMean result: (key…, pos, m) with
+    * means rounded at 6 dp for the cross-engine check — posexplode here
+    * runs on the ALREADY-AGGREGATED tiny frame (keys×64 rows). */
+  private def meanLongForm(grouped: DataFrame, keyCol: String): DataFrame =
+    grouped
+      .select(col(keyCol), posexplode(col("mv")))
+      .select(col(keyCol), col("pos").cast("int").as("pos"),
+              Num.rnd(col("col"), 6).as("m"))
+
   /** L2 norm per vector (fold determinism probe for the oracle). */
   def norms(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -271,10 +289,11 @@ object Similarity {
     * the coarse quantizer REAL instead of the seed stub: assign every
     * vector to its nearest seed centroid (the memoized [[ivfAssign]]
     * scan), then recompute each cell's centroid as the element-wise mean
-    * of its members. One shuffle by (cell, dim), partial+final avg —
+    * of its members. One shuffle by cell carrying per-partition vecMean
+    * buffers (map-side combine in vector space — not 64× exploded rows);
     * the same shape per iteration at any scale; more Lloyd rounds just
-    * repeat it (each round: n×cells broadcast-compare + one n×64-row
-    * shuffle; centroids stay a broadcast-size table ≤4096×64). Every
+    * repeat it ([[ivfTrainIter]] does, reusing this step's result as
+    * round 1; centroids stay a broadcast-size table ≤4096×64). Every
     * seed belongs to its own cell (self-cosine 1.0), so no cell is ever
     * empty. Means are rounded at 6 dp so the trained centroids are
     * byte-identical across engines (the [[centroidBySource]] precedent).
@@ -282,12 +301,13 @@ object Similarity {
   def ivfTrain(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "ivftrain"), {
       val assigned = ivfAssign(spark, dir).select("vec_id", "cell")
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"))
-        .join(assigned, Seq("vec_id"))
-        .select(col("cell"), posexplode(col("embedding")))
-        .groupBy(col("cell"), col("pos").cast("int").as("pos"))
-        .agg(Num.rnd(avg(col("col").cast("double")), 6).as("m"))
+      meanLongForm(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))
+          .join(assigned, Seq("vec_id"))
+          .groupBy("cell")
+          .agg(vecMean(col("embedding")).as("mv")),
+        "cell")
         .orderBy("cell", "pos")
         .localCheckpoint()
     })
@@ -377,19 +397,156 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Total Lloyd steps the iterated trainer runs (counting the seed→1
+    * step that [[ivfTrain]] IS), unless movement hits zero earlier.
+    * STATIC so the unrolled-CTE oracle encodes the same depth; the
+    * early-stop never fires on random float testdata (IvfTrainIterSpec
+    * pins d2 > 0 for every executed round at sf0.01 — the lockstep
+    * guard, same discipline as the adaptive index knobs). */
+  private[graft] val LloydMaxRounds = 3
+
+  /** Long-form centroids → (cell, cv: Array[Double], cnrm) for the next
+    * assignment scan. Tiny frame (≤cells rows). */
+  private def centsOf(tr: DataFrame): DataFrame =
+    tr.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("cv"))
+      .withColumn("cnrm", sqrt(dotCols(col("cv"), col("cv"))))
+
+  /** One Lloyd step against arbitrary centroids: nearest-centroid assign
+    * (6-dp-rounded cosine, ties to the lower cell — identical on both
+    * engines) + 6-dp-rounded element-wise means via vecMean. `emb` must
+    * carry (vec_id, embedding, nrm). A centroid that captures no vectors
+    * simply vanishes from the next round's table — identically on both
+    * engines, since assignments are identical. */
+  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    val asg = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+              Num.rnd(dotCols(col("embedding"), col("cv")) /
+                        (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    meanLongForm(
+      emb.select("vec_id", "embedding").join(asg, Seq("vec_id"))
+        .groupBy("cell")
+        .agg(vecMean(col("embedding")).as("mv")),
+      "cell")
+  }
+
+  /** The full Lloyd trajectory, memoized: (iter, cell, pos, m) for
+    * iter = 0 (seed centroids, raw doubles) through the last executed
+    * round (6-dp-rounded means). Round 1 is the memoized [[ivfTrain]]
+    * result; rounds 2..[[LloydMaxRounds]] re-assign against the previous
+    * round's centroids and recompute — the Dedup.clusters lifecycle:
+    * localCheckpoint per round (eager, constant plan depth), the
+    * previous round's intermediate checkpoint unpersisted once the next
+    * exists (never ivfTrain's own — other queries retain it), exactly
+    * one loop intermediate cached at a time. Early stop when a round
+    * moves no centroid (max per-(cell,pos) pico-diff = 0 — exact integer
+    * compare of 6-dp-rounded values, no fp tolerance). Cost per round at
+    * any scale: one n×cells broadcast-compare + one vecMean shuffle —
+    * the 100 TB shape. */
+  private[graft] def lloydTrajectoryOf(embRaw: DataFrame, cells: Int,
+                                       round1: Option[DataFrame]): DataFrame = {
+    val emb = embRaw
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = embRaw
+      .filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), posexplode(col("embedding")))
+      .select(col("cell"), col("pos").cast("int").as("pos"),
+              col("col").cast("double").as("m"))
+    var acc = seed.withColumn("iter", lit(0))
+    // round 1: the caller's memoized ivfTrain result in production (not
+    // ours to free); computed from the seed centroids when absent (spec
+    // path) — semantically identical (same assign + mean step)
+    var cur = round1.getOrElse(lloydStep(emb, centsOf(seed)).localCheckpoint())
+    acc = acc.unionByName(cur.withColumn("iter", lit(1)))
+    val loopRdds = scala.collection.mutable.ListBuffer
+      .empty[Option[org.apache.spark.rdd.RDD[_]]]
+    if (round1.isEmpty)
+      loopRdds += org.apache.spark.sql.GraftSql.checkpointRdd(cur)
+    var iterN = 1
+    var moved = true
+    while (moved && iterN < LloydMaxRounds) {
+      val next = lloydStep(emb, centsOf(cur)).localCheckpoint()
+      loopRdds += org.apache.spark.sql.GraftSql.checkpointRdd(next)
+      val maxT = next
+        .join(cur.withColumnRenamed("m", "pm"), Seq("cell", "pos"))
+        .select(round((col("m") - col("pm")) * (col("m") - col("pm")) *
+                        lit(1e12)).cast("long").as("t"))
+        .agg(max("t")).head()
+      moved = !maxT.isNullAt(0) && maxT.getLong(0) > 0
+      iterN += 1
+      acc = acc.unionByName(next.withColumn("iter", lit(iterN)))
+      cur = next
+    }
+    val out = acc.select("iter", "cell", "pos", "m").localCheckpoint()
+    loopRdds.foreach(_.foreach(_.unpersist(false))) // out owns the data now
+    emb.unpersist()
+    out
+  }
+
+  private def lloydRounds(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "lloydrounds"),
+      lloydTrajectoryOf(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        ivfCells(embCount(spark, dir)),
+        Some(ivfTrain(spark, dir))))
+
+  /** Converged (or round-capped) trained centroids — the iterated form
+    * of [[ivfTrain]] (round-5 verdict task 1). Long form (cell, pos, m),
+    * the quantizer a production IVF index would persist. */
+  def ivfTrainIter(spark: SparkSession, dir: String): DataFrame = {
+    val r = lloydRounds(spark, dir)
+    // max(iter) is an action on the tiny checkpointed trajectory — cheap,
+    // and this query family is already deliberately eager (memo owner)
+    val last = r.agg(max("iter")).head().getInt(0)
+    r.filter(col("iter") === last)
+      .select("cell", "pos", "m")
+      .orderBy("cell", "pos")
+  }
+
+  /** Convergence trace: per (round, cell) squared centroid movement in
+    * exact integer pico-units (the [[ivfTrainDelta]] discipline), for
+    * every executed round — round r compares its centroids to round
+    * r-1's (round 1 vs the raw seed). The monotone decrease of the
+    * max/sum is what a training pipeline's stop rule watches;
+    * IvfTrainIterSpec asserts it on the real trajectory. */
+  def ivfTrainHist(spark: SparkSession, dir: String): DataFrame = {
+    val r = lloydRounds(spark, dir)
+    val prev = r.select((col("iter") + 1).as("iter"), col("cell"),
+                        col("pos"), col("m").as("pm"))
+    val diff = col("m") - col("pm")
+    r.filter(col("iter") >= 1)
+      .join(prev, Seq("iter", "cell", "pos"))
+      .select(col("iter"), col("cell"),
+              round(diff * diff * lit(1e12)).cast("long").as("t"))
+      .groupBy("iter", "cell")
+      .agg(count(lit(1)).as("n_dims"),
+           Num.rnd(sum("t").cast("double") / lit(1e12), 6).as("d2"))
+      .withColumn("moved", (col("d2") > 0).cast("int"))
+      .orderBy("iter", "cell")
+  }
+
   /** Per-source embedding centroids (element-wise mean) in long form
     * (source, pos, m) — the distributed reduce a clustering / domain-
-    * analysis stage needs: posexplode to (dim, value), ONE shuffle by
-    * (source, pos), partial+final avg. 64 dims × n_sources rows out.
-    * Elements rounded at 6 dp for the cross-engine check. */
+    * analysis stage needs: ONE shuffle by source carrying per-partition
+    * vecMean buffers (not 64× exploded rows), 64 dims × n_sources rows
+    * out. Elements rounded at 6 dp for the cross-engine check. */
   def centroidBySource(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val src = Tables.documents(spark, dir)
       .select(col("doc_id").as("vec_id"), col("source"))
-    emb.join(src, Seq("vec_id"))
-      .select(col("source"), posexplode(col("embedding")))
-      .groupBy(col("source"), col("pos").cast("int").as("pos"))
-      .agg(Num.rnd(avg(col("col").cast("double")), 6).as("m"))
+    meanLongForm(
+      emb.join(src, Seq("vec_id"))
+        .groupBy("source")
+        .agg(vecMean(col("embedding")).as("mv")),
+      "source")
       .orderBy("source", "pos")
   }
 
@@ -441,13 +598,12 @@ object Similarity {
   def labelEval(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
+    // vecMean yields each label's mean vector directly in dim order — no
+    // explode, no collect_list re-assembly; rounded per element at 6 dp
     val cents = emb
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label").as("plabel"), col("pos"))
-      .agg(Num.rnd(avg(col("col").cast("double")), 6).as("m"))
-      .groupBy("plabel")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-                     x => x.getField("m")).as("c"))
+      .groupBy(col("label").as("plabel"))
+      .agg(vecMean(col("embedding")).as("mv"))
+      .select(col("plabel"), transform(col("mv"), v => Num.rnd(v, 6)).as("c"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("plabel").asc)
     emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("plabel"),
@@ -487,6 +643,8 @@ object Similarity {
     "sim_ivf_assign"   -> ivfAssign _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_ivf_train"    -> ivfTrain _,
+    "sim_ivf_train_iter" -> ivfTrainIter _,
+    "sim_ivf_train_hist" -> ivfTrainHist _,
     "sim_ivf_assign_trained" -> ivfAssignTrained _,
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
     "sim_ivf_train_delta" -> ivfTrainDelta _,
@@ -519,7 +677,56 @@ object Similarity {
     "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1) " +
     "GROUP BY a.cell, p.pos1)"
 
+  /** Unrolled Lloyd trajectory as CTEs: `tr1` = the shared one-step
+    * chain ([[ivfTrainCte]]'s `tr`), then per round r: list-form
+    * centroids `cl(r-1)`, re-assignment `a r` (same rounded cosine +
+    * tie-break), recomputed means `tr r`. The STATIC unroll depth is
+    * [[LloydMaxRounds]] — in lockstep with the Spark loop because the
+    * early-stop provably can't fire at sf0.01 (IvfTrainIterSpec pins
+    * d2 > 0 per round). */
+  private def lloydCteSql(rounds: Int): String = {
+    val sb = new StringBuilder(ivfTrainCte)
+    sb ++= ", tr1 AS (SELECT cell, pos1, m FROM tr)"
+    for (r <- 2 to rounds) {
+      val p = r - 1
+      sb ++= s", cl$p AS (SELECT cell, list(m ORDER BY pos1) AS cv " +
+        s"FROM tr$p GROUP BY cell)"
+      sb ++= s", s$r AS (SELECT e.vec_id, t.cell, " +
+        "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+        s"FROM embeddings e CROSS JOIN cl$p t)"
+      sb ++= s", a$r AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+        s"FROM s$r) WHERE rn = 1)"
+      sb ++= s", tr$r AS (SELECT a.cell, p.pos1, " +
+        "round((avg(CAST(e.embedding[p.pos1] AS DOUBLE))) * 1e6) / 1e6 AS m " +
+        s"FROM embeddings e JOIN a$r a ON e.vec_id = a.vec_id, " +
+        "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1) " +
+        "GROUP BY a.cell, p.pos1)"
+    }
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf_train_iter" ->
+      (s"WITH ${lloydCteSql(LloydMaxRounds)} " +
+       s"SELECT cell, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM tr$LloydMaxRounds " +
+       "ORDER BY cell, pos"),
+    "sim_ivf_train_hist" ->
+      (s"WITH ${lloydCteSql(LloydMaxRounds)}, " +
+       "tr0 AS (SELECT c.cell, p.pos1, CAST(e.embedding[p.pos1] AS DOUBLE) AS m " +
+       "FROM embeddings e JOIN c ON e.vec_id = c.cell, " +
+       "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+       (1 to LloydMaxRounds).map { r =>
+         s"d$r AS (SELECT $r AS iter, cur.cell, " +
+         "CAST(round((cur.m - prev.m) * (cur.m - prev.m) * 1e12) AS BIGINT) AS t " +
+         s"FROM tr$r cur JOIN tr${r - 1} prev " +
+         "ON cur.cell = prev.cell AND cur.pos1 = prev.pos1)"
+       }.mkString(", ") + ", " +
+       s"dd AS (${(1 to LloydMaxRounds).map(r => s"SELECT * FROM d$r").mkString(" UNION ALL ")}) " +
+       "SELECT iter, cell, count(*) AS n_dims, " +
+       "round((CAST(sum(t) AS DOUBLE) / 1e12) * 1e6) / 1e6 AS d2, " +
+       "CAST(round((CAST(sum(t) AS DOUBLE) / 1e12) * 1e6) / 1e6 > 0 AS INTEGER) AS moved " +
+       "FROM dd GROUP BY iter, cell ORDER BY iter, cell"),
     "sim_ivf_train" ->
       (s"WITH $ivfTrainCte " +
        "SELECT cell, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM tr " +
