@@ -37,8 +37,9 @@ object Bench {
     // build cost on the same timed query each run; the family totals
     // still include all real work (nothing hides in untimed warmup).
     val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
-      "dedup_minhash_lsh", "sim_ivf_assign", "sim_ivf_train",
-      "sim_ivf_train_iter", "sim_ivf_assign_trained", "sim_ivf_topk")
+      "dedup_minhash_lsh", "dedup_incremental_minhash", "sim_ivf_assign",
+      "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
+      "sim_ivf_topk")
     val ordered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // per-query executor task metrics (shuffle bytes / spill / peak mem /

@@ -254,17 +254,18 @@ object Dedup {
     memo.getOrElseUpdate((spark, dir, "minhash"),
       minhashPairsOf(Tables.documents(spark, dir)))
 
-  /** The MinHash-LSH pipeline over an ARBITRARY documents frame — eager,
-    * like [[jaccardPairsOf]], and parameterized for the same reason (the
-    * scale-regression spec runs it over a blown-up corpus). */
-  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val grp = shingleGroups(docs, 3)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // hash once per DISTINCT shingle (pre-explode), not once per
-    // (doc, shingle) occurrence
-    val hs = grp
-      .select(polyHash(col("sh"), 31L, P1).as("h"),
-              explode(col("ids")).as("doc_id"))
+  /** Hashed-shingle rows (h, doc_id) from an inverted shingle index —
+    * hash once per DISTINCT shingle (pre-explode), not once per
+    * (doc, shingle) occurrence. */
+  private[graft] def hsOf(grp: DataFrame): DataFrame =
+    grp.select(polyHash(col("sh"), 31L, P1).as("h"),
+               explode(col("ids")).as("doc_id"))
+
+  /** LSH band buckets (doc_id, band, bh) from hashed shingles: 32
+    * minhash signatures (affine permutations of the one polyhash) folded
+    * into 8 band hashes. This is the SIGNATURE INDEX a production corpus
+    * persists — candidates are equi-joins on (band, bh). */
+  private[graft] def bandsOf(hs: DataFrame): DataFrame = {
     val sigCols = (0 until NumHashes)
       .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
     val sigs = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -272,8 +273,18 @@ object Dedup {
       val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
       struct(lit(bId).as("band"), bandFold(1000L + bId, cols).as("bh"))
     }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+    sigs.select(col("doc_id"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** The MinHash-LSH pipeline over an ARBITRARY documents frame — eager,
+    * like [[jaccardPairsOf]], and parameterized for the same reason (the
+    * scale-regression spec runs it over a blown-up corpus). */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val grp = shingleGroups(docs, 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = hsOf(grp)
+    val bands = bandsOf(hs)
     val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
       .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
             Seq("band", "bh"))
@@ -285,6 +296,74 @@ object Dedup {
     grp.unpersist()
     out
   }
+
+  /** Screen a NEW batch against a persisted corpus signature index —
+    * the production incremental shape (round-5 verdict task 2): corpus
+    * work happened ONCE at index-build time; each batch run shingles /
+    * signs / bands ONLY the batch, generates batch×corpus candidates by
+    * band-bucket equi-join (never corpus×corpus, never batch×corpus
+    * scans), and exact-Jaccard-confirms against the index's hashed
+    * shingles. Per-run cost is O(|batch| + matches) — DedupScaleSpec
+    * pins that an 8× corpus leaves both the candidate volume and the
+    * output unchanged. A batch doc is dropped (keep = 0) when >= 1
+    * corpus match confirms at Jaccard >= 1/2. */
+  private[graft] def incMinhashScreen(corpusHs: DataFrame,
+                                      corpusBands: DataFrame,
+                                      batchDocs: DataFrame): DataFrame = {
+    val bg = shingleGroups(batchDocs, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    val bhs = hsOf(bg)
+    val cand = bandsOf(bhs).select(col("doc_id").as("b_id"), col("band"), col("bh"))
+      .join(corpusBands.select(col("doc_id").as("a_id"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .select("a_id", "b_id").distinct()
+    // corpus and batch ids are disjoint, so one unioned hs frame serves
+    // both sides of the confirm (sizes stay per-side by construction)
+    val matches = confirmJaccard(cand, corpusHs.unionByName(bhs), 1, 2)
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"))
+    val out = batchDocs.select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_matches"), lit(0L)).as("n_corpus_matches"),
+        (coalesce(col("n_corpus_matches"), lit(0L)) === 0).cast("int").as("keep"))
+      .localCheckpoint()
+    bg.unpersist()
+    out
+  }
+
+  /** The memoized corpus MinHash index: hashed shingles (for confirms)
+    * and band buckets (for candidates) — in this engine the per-
+    * (session, dir) memo stands in for the persisted index a 100 TB
+    * pipeline appends to daily. Bands derive from the CHECKPOINTED hs,
+    * so corpus text is shingled exactly once across both entries. */
+  private def corpusMinhashIndex(spark: SparkSession, dir: String,
+                                 split: Long): (DataFrame, DataFrame) = {
+    val hs = memo.getOrElseUpdate((spark, dir, "mhidxhs"), {
+      val grp = shingleGroups(
+        Tables.documents(spark, dir).filter(col("doc_id") < split), 3)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val out = hsOf(grp).localCheckpoint()
+      grp.unpersist()
+      out
+    })
+    val bands = memo.getOrElseUpdate((spark, dir, "mhidxbands"),
+      bandsOf(hs).localCheckpoint())
+    (hs, bands)
+  }
+
+  /** INCREMENTAL dedup against the signature index — the operator a
+    * 100 TB ingest runs per batch drop. Same corpus/batch split contract
+    * as [[incremental]] (n/2; 250 at sf0.01 = the static oracle's
+    * constant), but screening costs |batch|, not |corpus|. */
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "incmh"), {
+      val split =
+        CountMemo.get(spark, dir, "documents")(
+          Tables.documents(spark, dir).count()) / 2
+      val (hs, bands) = corpusMinhashIndex(spark, dir, split)
+      incMinhashScreen(hs, bands,
+        Tables.documents(spark, dir).filter(col("doc_id") >= split))
+    })
 
   private val SimBits = 60 // 30 bits from each modulus (P1, P2 < 2^30)
 
@@ -399,17 +478,44 @@ object Dedup {
     "dedup_exact_norm"    -> exactNorm _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_incremental"   -> incremental _,
+    "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_simhash"       -> simhash _)
 
-  /** Shared DuckDB CTE chain for n-gram shingles with the DF cap:
-    * tokens -> distinct shingles -> rare (df <= cap) -> capped shingles. */
-  private def shingleCte(n: Int): String =
-    "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-    s"sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS s " +
-    s"FROM toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 1))) AS u(i)), " +
-    s"rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $MaxShingleDf), " +
-    "sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s))"
+  /** DuckDB CTE chain for n-gram shingles with the DF cap over a
+    * FILTERED document set: tokens -> distinct shingles -> rare
+    * (df <= cap, within the filtered set) -> capped shingles. `pfx`
+    * namespaces the CTEs so two document sets (corpus/batch) compose in
+    * one query. */
+  private def shingleCteFor(n: Int, pfx: String, where: String): String =
+    s"${pfx}toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
+    s"FROM documents $where), " +
+    s"${pfx}sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS s " +
+    s"FROM ${pfx}toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 1))) AS u(i)), " +
+    s"${pfx}rare AS (SELECT s FROM ${pfx}sh0 GROUP BY s HAVING count(*) <= $MaxShingleDf), " +
+    s"${pfx}sh AS (SELECT sh0.doc_id, sh0.s FROM ${pfx}sh0 sh0 " +
+    s"JOIN ${pfx}rare rare USING (s))"
+
+  /** Shared DuckDB CTE chain for n-gram shingles with the DF cap. */
+  private def shingleCte(n: Int): String = shingleCteFor(n, "", "")
+
+  /** Hashed shingles -> 32 minhash signatures -> 8 band buckets as CTEs
+    * (`pfx`-namespaced) — the oracle mirror of [[hsOf]] + [[bandsOf]]
+    * with identical hash/permutation/band constants. */
+  private def bandsSqlFor(pfx: String): String = {
+    val ph = polyHashSql("s", 31L, P1)
+    val sigSelect = (0 until NumHashes)
+      .map(j => s"min((${permA(j)}*h + ${permB(j)}) % $P1) AS h$j")
+      .mkString(", ")
+    val bandSelects = (0 until Bands).map { bId =>
+      val hs = (0 until RowsPerBand).map(r => s"h${bId * RowsPerBand + r}")
+      s"SELECT doc_id, $bId AS band, ${bandFoldSql(1000L + bId, hs)} AS bh " +
+        s"FROM ${pfx}sig"
+    }.mkString(" UNION ALL ")
+    s"${pfx}hs AS (SELECT doc_id, s, $ph AS h FROM ${pfx}sh), " +
+    s"${pfx}sig AS (SELECT doc_id, $sigSelect FROM ${pfx}hs GROUP BY doc_id), " +
+    s"${pfx}bands AS ($bandSelects)"
+  }
 
   /** 5-gram capped shingles -> sizes -> candidate pairs ->
     * integer-Jaccard-thresholded pairs (`jac`). */
@@ -423,19 +529,8 @@ object Dedup {
     "WHERE inter * 5 >= sa.sz + sb.sz - inter)"
 
   /** MinHash oracle: the identical hash/permutation/band constants. */
-  private def minhashOracleSql: String = {
-    val ph = polyHashSql("s", 31L, P1)
-    val sigSelect = (0 until NumHashes)
-      .map(j => s"min((${permA(j)}*h + ${permB(j)}) % $P1) AS h$j")
-      .mkString(", ")
-    val bandSelects = (0 until Bands).map { bId =>
-      val hs = (0 until RowsPerBand).map(r => s"h${bId * RowsPerBand + r}")
-      s"SELECT doc_id, $bId AS band, ${bandFoldSql(1000L + bId, hs)} AS bh FROM sig"
-    }.mkString(" UNION ALL ")
-    s"WITH ${shingleCte(3)}, " +
-    s"hs AS (SELECT doc_id, s, $ph AS h FROM sh), " +
-    s"sig AS (SELECT doc_id, $sigSelect FROM hs GROUP BY doc_id), " +
-    s"bands AS ($bandSelects), " +
+  private def minhashOracleSql: String =
+    s"WITH ${shingleCte(3)}, ${bandsSqlFor("")}, " +
     "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id FROM bands x " +
     "JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
     // confirm joins on the HASH h, mirroring the Spark side's long keys
@@ -446,7 +541,30 @@ object Dedup {
     "SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM it " +
     "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
     "WHERE inter * 2 >= sa.sz + sb.sz - inter"
-  }
+
+  /** Incremental-minhash oracle: corpus (doc_id < 250) and batch
+    * (doc_id >= 250) each get their OWN shingle/signature/band chain —
+    * mirroring that the index was built from corpus text alone and the
+    * batch is signed fresh (per-side DF caps included) — then candidates
+    * are the batch×corpus band-bucket join and the confirm runs over the
+    * unioned hashed shingles, exactly the Spark composition. */
+  private def incMinhashOracleSql: String =
+    s"WITH ${shingleCteFor(3, "c", "WHERE doc_id < 250")}, ${bandsSqlFor("c")}, " +
+    s"${shingleCteFor(3, "b", "WHERE doc_id >= 250")}, ${bandsSqlFor("b")}, " +
+    "cand AS (SELECT DISTINCT c.doc_id AS a_id, b.doc_id AS b_id " +
+    "FROM bbands b JOIN cbands c ON b.band = c.band AND b.bh = c.bh), " +
+    "uhs AS (SELECT doc_id, h FROM chs UNION ALL SELECT doc_id, h FROM bhs), " +
+    "sz AS (SELECT doc_id, count(*) AS sz FROM uhs GROUP BY doc_id), " +
+    "it AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c " +
+    "JOIN uhs x ON x.doc_id = c.a_id " +
+    "JOIN uhs y ON y.doc_id = c.b_id AND y.h = x.h GROUP BY 1, 2), " +
+    "m AS (SELECT b_id AS doc_id, count(*) AS n_corpus_matches FROM it " +
+    "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
+    "WHERE inter * 2 >= sa.sz + sb.sz - inter GROUP BY 1) " +
+    "SELECT d.doc_id, " +
+    "CAST(coalesce(m.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches, " +
+    "CAST(coalesce(m.n_corpus_matches, 0) = 0 AS INTEGER) AS keep " +
+    "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"
 
   /** SimHash oracle: same two folds, same 60 sign-bit sums. */
   private def simhashOracleSql: String = {
@@ -485,6 +603,7 @@ object Dedup {
        "CAST(coalesce(m.n_corpus_matches, 0) = 0 AS INTEGER) AS keep " +
        "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"),
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_incremental_minhash" -> incMinhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_clusters" ->
       (s"WITH RECURSIVE $ngramPairCte, " +

@@ -76,6 +76,51 @@ class DedupScaleSpec extends SparkSpec {
     info(f"minhash: per-copy=${perCopy.mkString(",")}, x$K=$scaledPairs in $sec%.1fs")
   }
 
+  test(s"incremental minhash: x$K corpus leaves candidates and output unchanged") {
+    // The production claim behind dedup_incremental_minhash: screening a
+    // batch costs |batch|, not |corpus|. Candidate volume is the
+    // measurable proxy — candidates come ONLY from the batch×corpus
+    // band-bucket join, so growing the corpus with disjoint (tagged)
+    // content must leave BOTH the candidate set (modulo accidental band
+    // collisions, which the exact confirm kills) and the confirmed
+    // output exactly as they were. A corpus×corpus edge, or a candidate
+    // generator scanning the corpus per batch doc, breaks this loudly.
+    val all = docs
+    val corpus = all.filter(F.col("doc_id") < 250)
+    val batch = all.filter(F.col("doc_id") >= 250)
+    def index(c: DataFrame): (DataFrame, DataFrame) = {
+      val hs = Dedup.hsOf(Dedup.shingleGroups(c, 3))
+      (hs, Dedup.bandsOf(hs))
+    }
+    def candidates(cBands: DataFrame, bBands: DataFrame): Long =
+      bBands.select(F.col("doc_id").as("b_id"), F.col("band"), F.col("bh"))
+        .join(cBands.select(F.col("doc_id").as("a_id"), F.col("band"), F.col("bh")),
+              Seq("band", "bh"))
+        .select("a_id", "b_id").distinct().count()
+
+    val (baseHs, baseBands) = index(corpus)
+    val bBands = Dedup.bandsOf(Dedup.hsOf(Dedup.shingleGroups(batch, 3)))
+    val baseCand = candidates(baseBands, bBands)
+    val baseOut = Dedup.incMinhashScreen(baseHs, baseBands, batch)
+      .collect().map(_.toSeq).toSet
+    assert(baseOut.exists(r => r(2) == 0), "no batch doc screened out — vacuous")
+
+    // corpus ∪ (K-1) tagged copies: disjoint from the batch AND each other
+    val bigCorpus = corpus.unionByName(
+      (1 until K).map(copy(_, tag = true))
+        .reduce(_ unionByName _).filter(F.col("doc_id") % 1000000L < 250))
+    val (bigHs, bigBands) = index(bigCorpus)
+    val scaledCand = candidates(bigBands, bBands)
+    val scaledOut = Dedup.incMinhashScreen(bigHs, bigBands, batch)
+      .collect().map(_.toSeq).toSet
+    assert(scaledOut === baseOut,
+      s"x$K disjoint corpus changed the screening verdicts")
+    assert(scaledCand === baseCand,
+      s"candidate volume moved with |corpus|: $baseCand -> $scaledCand " +
+        "(tagged corpus content shares no shingles with the batch; any " +
+        "growth is a candidate edge that scans the corpus)")
+  }
+
   test("duplicate x32 growth: DF cap bounds posting lists, drops hot shingles") {
     // x32 and 3-grams (the minhash shingle order) push the drop
     // threshold down to base df > 3, which near-dup clusters do hit
