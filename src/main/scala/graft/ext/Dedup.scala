@@ -338,17 +338,33 @@ object Dedup {
     * so corpus text is shingled exactly once across both entries. */
   private def corpusMinhashIndex(spark: SparkSession, dir: String,
                                  split: Long): (DataFrame, DataFrame) = {
-    val hs = memo.getOrElseUpdate((spark, dir, "mhidxhs"), {
-      val grp = shingleGroups(
-        Tables.documents(spark, dir).filter(col("doc_id") < split), 3)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val out = hsOf(grp).localCheckpoint()
-      grp.unpersist()
-      out
-    })
+    val hs = memo.getOrElseUpdate((spark, dir, "mhidxhs"),
+      indexHsOf(Tables.documents(spark, dir).filter(col("doc_id") < split)))
     val bands = memo.getOrElseUpdate((spark, dir, "mhidxbands"),
       bandsOf(hs).localCheckpoint())
     (hs, bands)
+  }
+
+  /** Checkpointed hashed-shingle index rows for a corpus frame — the
+    * persisted half of the signature index; shingles the corpus exactly
+    * once. */
+  private[graft] def indexHsOf(corpusDocs: DataFrame): DataFrame = {
+    val grp = shingleGroups(corpusDocs, 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = hsOf(grp).localCheckpoint()
+    grp.unpersist()
+    out
+  }
+
+  /** Build the full (hashed shingles, band buckets) signature index for
+    * an ARBITRARY corpus frame — the un-memoized seam the streaming
+    * screen (DocStream) and specs build their static side from; the
+    * per-(session, dir) [[corpusMinhashIndex]] memo wraps the same
+    * pieces. */
+  private[graft] def buildMinhashIndex(corpusDocs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val hs = indexHsOf(corpusDocs)
+    (hs, bandsOf(hs).localCheckpoint())
   }
 
   /** INCREMENTAL dedup against the signature index — the operator a

@@ -79,6 +79,45 @@ object CensusRest {
     (ok.result(), failed.result())
   }
 
+  /** Bounded-concurrency fetch (round-5 verdict optional #8): at most
+    * `maxConcurrentRequests` GETs in flight on a fixed pool; per-request
+    * failures are collected, not fatal, exactly as in [[fetchRaw]]; the
+    * ok/failed sequences preserve INPUT zip order regardless of
+    * completion order, so downstream frames stay deterministic.  The
+    * transport must be thread-safe ([[httpTransport]]'s JDK HttpClient
+    * is).  `maxConcurrentRequests = 1` degenerates to the reference's
+    * sequential loop shape; callers who also want the Lambda's 0.1 s
+    * pacing (`CensusDataFetch.py:148`) keep using [[fetchRaw]] — a
+    * throttle under a concurrent pool would pace per-thread, which is a
+    * different (and unreferenced) rate contract. */
+  def fetchRawConcurrent(zips: Seq[String], transport: String => String,
+                         maxConcurrentRequests: Int)
+      : (Seq[RawCensusPayload], Seq[(String, String)]) = {
+    require(maxConcurrentRequests >= 1,
+      s"maxConcurrentRequests must be >= 1, got $maxConcurrentRequests")
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(maxConcurrentRequests)
+    try {
+      // submit everything up front; the fixed pool IS the in-flight
+      // bound. Collect in submission (= input) order.
+      val futures = zips.map { z =>
+        z -> pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = transport(z)
+        })
+      }
+      val ok = Seq.newBuilder[RawCensusPayload]
+      val failed = Seq.newBuilder[(String, String)]
+      futures.foreach { case (z, f) =>
+        try ok += RawCensusPayload(z, f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            failed += (z -> e.getCause.getMessage)
+        }
+      }
+      (ok.result(), failed.result())
+    } finally pool.shutdown()
+  }
+
   /** Positional decode + derivations, all in-plan (no UDFs). The data
     * row is the SECOND array in the payload (first is the header row). */
   def decode(spark: SparkSession, raws: Seq[RawCensusPayload]): DataFrame = {

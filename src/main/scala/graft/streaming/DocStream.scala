@@ -47,6 +47,49 @@ object DocStream {
       .drop("fp")
   }
 
+  /** MinHash-tier streaming screen — the continuous-ingest face of
+    * `Dedup.incrementalMinhash`: every micro-batch of new documents is
+    * screened against the PERSISTED corpus signature index (hashed
+    * shingles + band buckets, built once by `Dedup.buildMinhashIndex`)
+    * via `foreachBatch`. The per-batch logic — shingle the batch, band,
+    * batch×corpus bucket equi-join, exact-Jaccard confirm — is a full
+    * batch pipeline whose confirm joins batch-derived shingles back to
+    * the candidate set, a self-referencing shape Structured Streaming's
+    * incremental planner cannot express as one continuous query;
+    * `foreachBatch` is the standard production recipe for exactly this.
+    *
+    * Each batch lands in its own `batch_id=N` overwrite path (idempotent
+    * re-processing, as EventStream.runToParquet). A doc's screen result
+    * depends only on the doc and the static index — never on micro-batch
+    * boundaries — so the union over ANY batching equals the one-shot
+    * batch screen (StreamingSpec proves it under maxFilesPerTrigger=1).
+    * At 100 TB: per-micro-batch cost is O(|batch| + matches) regardless
+    * of corpus size; the index is the daily-appended signature store. */
+  def screenNewMinhashToParquet(stream: DataFrame,
+                                corpusHs: DataFrame, corpusBands: DataFrame,
+                                outDir: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          val screened =
+            graft.ext.Dedup.incMinhashScreen(corpusHs, corpusBands, batch)
+          screened.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          // free the screen's localCheckpoint once the batch is on disk —
+          // a long-running stream must not accumulate one cached RDD per
+          // micro-batch (the memoized per-(session, dir) frames are a
+          // different lifecycle: retained by design)
+          org.apache.spark.sql.GraftSql.checkpointRdd(screened)
+            .foreach(_.unpersist(false))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming curation: one survivor per exact text (first arrival) +
     * repetition gate (same expression as TextOps.repetition). */
   def curate(docs: DataFrame): DataFrame = {

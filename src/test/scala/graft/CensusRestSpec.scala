@@ -26,6 +26,45 @@ class CensusRestSpec extends SparkSpec {
     assert(slept.toSeq === Seq(100L, 100L, 100L)) // one throttle per ZIP
   }
 
+  test("fetchRawConcurrent: in-flight bound reached but never exceeded, " +
+       "input-order output, failures collected") {
+    val max = 4
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val peak = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the first `max` calls hold until all `max` are simultaneously in
+    // flight — deterministically proves the pool reaches its bound
+    // (later calls find the latch already open and pass straight through)
+    val firstWave = new java.util.concurrent.CountDownLatch(max)
+    val zips = (1 to 12).map(i => f"$i%05d")
+    val (ok, failed) = CensusRest.fetchRawConcurrent(zips, transport = z => {
+      val n = inFlight.incrementAndGet()
+      peak.getAndUpdate(p => math.max(p, n))
+      firstWave.countDown()
+      firstWave.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      try {
+        if (z == "00007") throw new RuntimeException("HTTP 500")
+        s"body-$z"
+      } finally inFlight.decrementAndGet()
+    }, maxConcurrentRequests = max)
+    assert(peak.get() === max)   // reached the bound...
+    // ...and a 4-thread fixed pool structurally cannot exceed it; peak
+    // is the measured witness either way
+    assert(peak.get() <= max)
+    assert(ok.map(_.zip_code) === zips.filterNot(_ == "00007"))
+    assert(ok.forall(r => r.payload == s"body-${r.zip_code}"))
+    assert(failed === Seq("00007" -> "HTTP 500"))
+  }
+
+  test("fetchRawConcurrent: maxConcurrentRequests=1 is sequential input order") {
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val zips = Seq("01002", "93650", "10001")
+    val (ok, failed) = CensusRest.fetchRawConcurrent(zips,
+      transport = z => { order.add(z); s"body-$z" }, maxConcurrentRequests = 1)
+    assert(order.toArray.toSeq === zips) // single thread ⇒ submission order
+    assert(ok.map(_.zip_code) === zips)
+    assert(failed === Seq.empty)
+  }
+
   test("decode: positional fields, derivations, sentinel and or-0/or-1 semantics") {
     val raws = Seq(
       // normal: income 85000, pop 39000, college 100+200+50+50=400 of

@@ -89,6 +89,55 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed.select("text")).count() === 0)
   }
 
+  test("foreachBatch minhash screen over micro-batches equals the one-shot batch screen") {
+    import graft.streaming.DocStream
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val split = 25L
+    val corpus = docs.filter(col("doc_id") < split)
+    // batch side: second half PLUS a planted exact duplicate of a corpus
+    // doc under a fresh id — guarantees the screen fires (jaccard 1)
+    val planted = corpus.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(1000L))
+    val batchDocs = docs.filter(col("doc_id") >= split).unionByName(planted)
+    val (hs, bands) = Dedup.buildMinhashIndex(corpus)
+
+    // two stream files + maxFilesPerTrigger=1 → at least two micro-batches
+    val dir = Files.createTempDirectory("graft-docs-mh-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-mh-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeOne(batchDocs.filter(col("doc_id") % 2 === 0), "docs-000.parquet")
+    writeOne(batchDocs.filter(col("doc_id") % 2 =!= 0), "docs-001.parquet")
+
+    val out = Files.createTempDirectory("graft-mh-out").toString
+    val ckpt = Files.createTempDirectory("graft-mh-ckpt").toString
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    DocStream.screenNewMinhashToParquet(stream, hs, bands, out, ckpt)
+
+    // micro-batching actually happened (one batch_id dir per file)
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs.length >= 2)
+
+    val streamed = spark.read.parquet(s"$out/batch_id=*")
+      .select("doc_id", "n_corpus_matches", "keep")
+    val batch = Dedup.incMinhashScreen(hs, bands, batchDocs)
+      .select("doc_id", "n_corpus_matches", "keep")
+    // every batch doc screened exactly once, independent of batching
+    assert(streamed.count() === batchDocs.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // the planted duplicate is caught and dropped
+    val dup = streamed.filter(col("doc_id") === 1000L).head()
+    assert(dup.getLong(1) >= 1L) // n_corpus_matches
+    assert(dup.getInt(2) === 0)  // keep = 0
+  }
+
   test("streaming dedup keeps one row per event_id") {
     // duplicate the whole stream: same file twice
     val dir = Files.createTempDirectory("graft-events-dup").toString
