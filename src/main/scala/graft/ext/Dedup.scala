@@ -145,7 +145,29 @@ object Dedup {
     * [[jaccardPairs]]. Candidate pairs come straight out of the inverted
     * index (in-plan suffix pairing per shingle), `inter` is one agg over
     * them — no shingle self-join at all. */
-  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame =
+    ngramConfirmOf(docs, col("inter") * 5 >= col("uni"),
+      Seq("a_id", "b_id", "inter", "uni"))
+
+  /** 5-gram CONTAINMENT >= 4/5 pairs: same candidate stage, but the
+    * confirm keeps pairs where the SMALLER document's shingle set is
+    * >= 80% inside the other — the doc-inside-doc duplication symmetric
+    * Jaccard misses when sizes differ (a 16-shingle quote inside a
+    * 100-shingle page has jaccard ~0.16 but containment 1.0; the classic
+    * quoted-boilerplate case). Exact integer threshold:
+    * inter·5 >= min(sz)·4. */
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame =
+    ngramConfirmOf(docs, col("inter") * 5 >= least(col("sz_a"), col("sz_b")) * 4,
+      Seq("a_id", "b_id", "inter", "sz_a", "sz_b"))
+
+  /** Shared inverted-index candidate + exact-count confirm stage for the
+    * 5-gram pair family: candidate pairs straight out of the index
+    * (in-plan suffix pairing per shingle), `inter` one agg over them —
+    * no shingle self-join. The keep predicate sees
+    * `inter / sz_a / sz_b / uni`; the small survivor set is
+    * localCheckpoint'd BEFORE the fat shingle frame unpersists. */
+  private def ngramConfirmOf(docs: DataFrame, keep: Column,
+                             outCols: Seq[String]): DataFrame = {
     val grp = shingleGroups(docs, 5)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = grp.select(explode(col("ids")).as("doc_id"))
@@ -161,8 +183,8 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "b_id")
                  .withColumnRenamed("sz", "sz_b"), Seq("b_id"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-      .filter(col("inter") * 5 >= col("uni")) // jaccard >= 0.2, exact ints
-      .select("a_id", "b_id", "inter", "uni")
+      .filter(keep) // exact integer arithmetic, no fp thresholds
+      .select(outCols.map(col): _*)
       .localCheckpoint() // small pair set: cached, lineage-free
     grp.unpersist()
     out
@@ -178,6 +200,12 @@ object Dedup {
     * Jaccard over shingle sets, threshold 0.2. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir)
+
+  /** Containment near-dup pairs (doc-inside-doc; see
+    * [[containmentPairsOf]]), materialized once. */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "cont5"),
+      containmentPairsOf(Tables.documents(spark, dir)))
 
   /** INCREMENTAL dedup — the asymmetric production shape: a NEW batch is
     * screened against the EXISTING corpus (first half of doc_ids stands
@@ -493,6 +521,7 @@ object Dedup {
     "dedup_exact"         -> exact _,
     "dedup_exact_norm"    -> exactNorm _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_containment"   -> containment _,
     "dedup_incremental"   -> incremental _,
     "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
@@ -610,6 +639,16 @@ object Dedup {
        "GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))"),
     "dedup_ngram_jaccard" ->
       s"WITH $ngramPairCte SELECT a_id, b_id, inter, uni FROM jac",
+    // same candidate/stats CTEs as jac, containment threshold instead:
+    // smaller side >= 80% contained (inter*5 >= min(sz)*4, exact ints)
+    "dedup_containment" ->
+      (s"WITH ${shingleCte(5)}, " +
+       "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+       "pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+       "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+       "SELECT a_id, b_id, inter, sa.sz AS sz_a, sb.sz AS sz_b FROM pr " +
+       "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
+       "WHERE inter * 5 >= least(sa.sz, sb.sz) * 4"),
     "dedup_incremental" ->
       (s"WITH $ngramPairCte, " +
        "m AS (SELECT b_id AS doc_id, count(*) AS n_corpus_matches FROM jac " +

@@ -372,6 +372,38 @@ object Similarity {
       .select("a_id", "b_id", "rn", "sim")
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-confirm, after Abbas et
+    * al. 2023): embeddings that land in the same TRAINED coarse cell and
+    * confirm at cosine >= 0.4 are semantic duplicates; the keep-list
+    * retains a vector iff it has no confirmed dup with a smaller id (the
+    * deterministic greedy rule — within a dup chain the lowest id
+    * survives). Pairs are generated ONLY within a cell via the capped
+    * bucket join ([[pairCandidates]]): at 100 TB the cost is Σ|cell|²
+    * bounded by the cap and the trained cells' balance, never corpus².
+    * Reuses the memoized [[ivfTrainedRanked]] scan — the quantizer is
+    * trained once and serves assignment, search, AND dedup. Threshold
+    * 0.4 for the same near-orthogonal-synthetic-data reason as
+    * [[embeddingNearDup]]. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfTrainedRanked(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val withCell = emb.join(
+      ranked.filter(col("rn") === 1).select("vec_id", "cell"), Seq("vec_id"))
+    val dups = pairCandidates(withCell, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("sim") >= 0.4)
+    // a vector's dup-with-smaller-id count arrives on the b side (a < b)
+    val nSmaller = dups.groupBy(col("b_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups_smaller"))
+    withCell.select("vec_id", "cell")
+      .join(nSmaller, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
+        (coalesce(col("n_dups_smaller"), lit(0L)) === 0).cast("int").as("keep"))
+  }
+
   /** Training convergence: squared distance each cell's centroid moved in
     * the Lloyd step (seed → trained) — the metric that tells a pipeline
     * when to stop iterating. Per-dim squared diffs are stored as INTEGER
@@ -647,6 +679,7 @@ object Similarity {
     "sim_ivf_train_hist" -> ivfTrainHist _,
     "sim_ivf_assign_trained" -> ivfAssignTrained _,
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
+    "dedup_semantic"   -> semanticDedup _,
     "sim_ivf_train_delta" -> ivfTrainDelta _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
@@ -752,6 +785,31 @@ object Similarity {
        "SELECT vec_id, cell, csim FROM (SELECT vec_id, cell, csim, " +
        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
        "FROM s2) WHERE rn = 1"),
+    // SemDeDup: trained home-cell assignment (tc/s2/home as in
+    // sim_ivf_assign_trained), within-cell pairs at a < b, cosine
+    // confirm >= 0.4, keep iff no confirmed dup with a smaller id.
+    // The cap CTE is omitted: no sf0.01 cell approaches 1024 (the
+    // regime note at the top of this section), so the capped Spark
+    // plan and this uncapped SQL are byte-identical where verified.
+    "dedup_semantic" ->
+      (s"WITH $ivfTrainCte, " +
+       "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
+       "s2 AS (SELECT e.vec_id, t.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN tc t), " +
+       "home AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+       "FROM s2) WHERE rn = 1), " +
+       "m AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e " +
+       "JOIN home h ON e.vec_id = h.vec_id), " +
+       "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+       "d AS (SELECT b_id, count(*) AS n FROM p WHERE sim >= 0.4 GROUP BY b_id) " +
+       "SELECT m.vec_id, m.cell, " +
+       "coalesce(d.n, CAST(0 AS BIGINT)) AS n_dups_smaller, " +
+       "CAST(coalesce(d.n, CAST(0 AS BIGINT)) = 0 AS INTEGER) AS keep " +
+       "FROM m LEFT JOIN d ON d.b_id = m.vec_id"),
     // trained-index search: the sim_ivf_topk probe/home/cap composition
     // over the TRAINED cells (tc/s2 as in sim_ivf_assign_trained)
     "sim_ivf_topk_trained" ->

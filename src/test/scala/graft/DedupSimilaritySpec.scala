@@ -189,6 +189,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows(4L) === ((0L, 1)))
   }
 
+  test("containment catches doc-inside-doc that symmetric jaccard misses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cont-fixture").toString
+    // a 20-token quote fully embedded at the head of a 120-token page:
+    // quote has 16 5-gram shingles, all shared; jaccard = 16/116 < 0.2
+    // (missed) but containment = 16/16 = 1.0 (caught)
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val page = quote + " " + (1 to 100).map(i => s"f$i").mkString(" ")
+    Seq((0L, quote, "en", "srcA", quote.length.toLong),
+        (1L, page, "en", "srcB", page.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = ext.Dedup.containment(spark, dir).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((0L, 1L)))
+    val r = cont.head
+    assert(r.getLong(2) === 16L)  // inter: every quote shingle
+    assert(r.getLong(3) === 16L)  // sz_a
+    assert(r.getLong(4) === 116L) // sz_b
+    assert(ext.Dedup.jaccardPairsOf(Tables.documents(spark, dir)).count() === 0)
+  }
+
+  test("semantic dedup: one row per vector, per-cell min id always kept, " +
+       "greedy rule consistent with confirmed pairs") {
+    val out = ext.Similarity.semanticDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val nVec = Tables.embeddings(spark, sf0001).count()
+    assert(out.length.toLong === nVec)          // every vector judged once
+    assert(out.map(_._1).distinct.length === out.length)
+    // keep flag is exactly the n_dups_smaller == 0 predicate
+    assert(out.forall { case (_, _, n, keep) => (keep == 1) == (n == 0L) })
+    // the smallest vec_id in a cell can have no smaller in-cell dup
+    out.groupBy(_._2).foreach { case (cell, members) =>
+      val mn = members.minBy(_._1)
+      assert(mn._4 === 1, s"cell $cell: min vec_id ${mn._1} must be kept")
+    }
+  }
+
   test("pairCandidates cap truncation is observable (metric counts dropped rows)") {
     import spark.implicits._
     // one bucket of 5 vectors, cap = 2: the b-side keeps ids 0,1 → 10
