@@ -76,6 +76,20 @@ class DedupScaleSpec extends SparkSpec {
     info(f"minhash: per-copy=${perCopy.mkString(",")}, x$K=$scaledPairs in $sec%.1fs")
   }
 
+  test(s"disjoint x$K growth: containment pair volume grows exactly linearly") {
+    // containmentPairsOf shares jaccardPairsOf's candidate stage but its
+    // own threshold; the linearity law must hold for it independently
+    // (a future threshold tweak that accidentally re-derived candidates
+    // from an uncapped join would only break HERE, not in the jaccard
+    // twin)
+    val basePairs = Dedup.containmentPairsOf(docs).count()
+    assert(basePairs > 0, "base corpus produced no containment pairs")
+    val scaledPairs = Dedup.containmentPairsOf(scaled(tag = true)).count()
+    assert(scaledPairs === K * basePairs,
+      s"disjoint x$K corpus must yield exactly $K x $basePairs containment " +
+        s"pairs, got $scaledPairs — super-linear candidate growth")
+  }
+
   test(s"incremental minhash: x$K corpus leaves candidates and output unchanged") {
     // The production claim behind dedup_incremental_minhash: screening a
     // batch costs |batch|, not |corpus|. Candidate volume is the
