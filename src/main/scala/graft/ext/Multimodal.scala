@@ -104,11 +104,29 @@ object Multimodal {
               floor(col("height") * 224.0 / longest).cast("long").as("out_h"))
   }
 
+  /** Content-digest media dedup — the standard FIRST step of a media
+    * pipeline: drop byte-identical payloads BEFORE any decode spend
+    * (decoding is the expensive stage; a 100 TB crawl is full of
+    * re-hosted copies of the same bytes). Groups on md5 of the BINARY
+    * payload, so the exchange carries 16-byte digests, never payloads
+    * (the dedup_exact discipline). Oracle note: DuckDB's md5 takes
+    * VARCHAR only, so the oracle hashes `text`; payload IS the UTF-8
+    * encoding of `text` and the corpus is ASCII (TestdataAsciiSpec
+    * enforces it), so both engines hash identical bytes. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .groupBy(md5(col("payload")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+           max(octet_length(col("payload"))).cast("long").as("n_bytes"))
+      .select("fp", "keep_id", "n_copies", "n_bytes")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"      -> mediaMeta _,
     "mm_media_meta_plan" -> mediaMetaPlan _,
     "mm_frame_sample"    -> frameSample _,
     "mm_byte_histogram"  -> byteHistogram _,
+    "mm_dedup_media"     -> mediaDedup _,
     "mm_resize_meta"     -> resizeMeta _)
 
   private val metaSql =
@@ -119,6 +137,12 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "mm_media_meta"      -> metaSql,
     "mm_media_meta_plan" -> metaSql,
+    // md5(text) = md5(payload bytes) under the ASCII-corpus invariant
+    // (TestdataAsciiSpec); DuckDB md5 is VARCHAR-only
+    "mm_dedup_media" ->
+      ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +
+       "count(*) AS n_copies, CAST(max(strlen(text)) AS BIGINT) AS n_bytes " +
+       "FROM documents GROUP BY md5(text)"),
     "mm_frame_sample" ->
       ("SELECT doc_id, i AS frame_idx, i * 128 AS frame_off, " +
        "least(128, strlen(text) - i * 128) AS frame_len " +

@@ -33,6 +33,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!rows.contains(1L))
   }
 
+  test("media content-digest dedup folds byte-identical payloads") {
+    // docs 0 and 1 share text, hence identical UTF-8 payload bytes
+    val rows = ext.Multimodal.mediaDedup(spark, fixtureDir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rows(0L) === 2L)
+    assert(!rows.contains(1L))
+  }
+
   test("normalized dedup also folds case/whitespace variants") {
     // doc 4 differs only by case — lower+trim normalization folds it
     val plain = ext.Dedup.exact(spark, fixtureDir).count()
