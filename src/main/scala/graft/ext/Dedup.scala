@@ -190,10 +190,28 @@ object Dedup {
     out
   }
 
-  /** 5-gram Jaccard >= 0.2 near-dup pairs, materialized once. */
+  /** Shared 5-gram pair STATS, materialized once per (session, dir):
+    * survivors of EITHER the Jaccard or the containment threshold, with
+    * both metrics' columns. The shingle index + candidate-pair agg is
+    * the dedup family's heaviest stage; building it once and deriving
+    * both operators by (cheap, checkpointed-frame) filter halves the
+    * family's cost vs one build per threshold. Union-filtered so each
+    * derived query's row set is EXACTLY what its standalone pipeline
+    * (jaccardPairsOf / containmentPairsOf — kept as the parameterized
+    * production paths the scale spec drives) produces. */
+  private def pairStats(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "pairstats5"),
+      ngramConfirmOf(Tables.documents(spark, dir),
+        col("inter") * 5 >= col("uni") ||
+          col("inter") * 5 >= least(col("sz_a"), col("sz_b")) * 4,
+        Seq("a_id", "b_id", "inter", "uni", "sz_a", "sz_b")))
+
+  /** 5-gram Jaccard >= 0.2 near-dup pairs, derived from the shared
+    * stats frame. */
   private def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, "jac5"),
-      jaccardPairsOf(Tables.documents(spark, dir)))
+    pairStats(spark, dir)
+      .filter(col("inter") * 5 >= col("uni"))
+      .select("a_id", "b_id", "inter", "uni")
 
   /** Exact n-gram Jaccard near-dup: candidate pairs share >= 1 word
     * 5-gram (DF-capped → bounded join fan-out), then exact integer
@@ -202,10 +220,12 @@ object Dedup {
     jaccardPairs(spark, dir)
 
   /** Containment near-dup pairs (doc-inside-doc; see
-    * [[containmentPairsOf]]), materialized once. */
+    * [[containmentPairsOf]]), derived from the shared stats frame —
+    * the shingle index is built once for the whole 5-gram family. */
   def containment(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, "cont5"),
-      containmentPairsOf(Tables.documents(spark, dir)))
+    pairStats(spark, dir)
+      .filter(col("inter") * 5 >= least(col("sz_a"), col("sz_b")) * 4)
+      .select("a_id", "b_id", "inter", "sz_a", "sz_b")
 
   /** INCREMENTAL dedup — the asymmetric production shape: a NEW batch is
     * screened against the EXISTING corpus (first half of doc_ids stands

@@ -108,8 +108,11 @@ object Multimodal {
     * pipeline: drop byte-identical payloads BEFORE any decode spend
     * (decoding is the expensive stage; a 100 TB crawl is full of
     * re-hosted copies of the same bytes). Groups on md5 of the BINARY
-    * payload, so the exchange carries 16-byte digests, never payloads
-    * (the dedup_exact discipline). Oracle note: DuckDB's md5 takes
+    * payload, so the exchange carries 16-byte digests, never payloads —
+    * the same digest-group/min-survivor shape as `Dedup.exact`
+    * (deliberately: this is exact dedup entered through the binary
+    * column; keep the two expressions in lockstep with their oracles).
+    * Oracle note: DuckDB's md5 takes
     * VARCHAR only, so the oracle hashes `text`; payload IS the UTF-8
     * encoding of `text` and the corpus is ASCII (TestdataAsciiSpec
     * enforces it), so both engines hash identical bytes. */

@@ -472,15 +472,22 @@ object Similarity {
     * iter = 0 (seed centroids, raw doubles) through the last executed
     * round (6-dp-rounded means). Round 1 is the memoized [[ivfTrain]]
     * result; rounds 2..[[LloydMaxRounds]] re-assign against the previous
-    * round's centroids and recompute — the Dedup.clusters lifecycle:
-    * localCheckpoint per round (eager, constant plan depth), the
-    * previous round's intermediate checkpoint unpersisted once the next
-    * exists (never ivfTrain's own — other queries retain it), exactly
-    * one loop intermediate cached at a time. Early stop when a round
-    * moves no centroid (max per-(cell,pos) pico-diff = 0 — exact integer
-    * compare of 6-dp-rounded values, no fp tolerance). Cost per round at
-    * any scale: one n×cells broadcast-compare + one vecMean shuffle —
-    * the 100 TB shape. */
+    * round's centroids and recompute. Lifecycle — deliberately NOT the
+    * Dedup.clusters one-frame-at-a-time rule: the output IS the union of
+    * every round, so each round's checkpoint must stay cached until the
+    * final trajectory materializes (a localCheckpoint has no lineage to
+    * recompute from; freeing round k early would corrupt the union).
+    * That is safe because a round is centroids only — cells×64 rows,
+    * ~2 MB at the 4096-cell clamp — so even all [[LloydMaxRounds]]
+    * rounds together are broadcast-scale; ALL loop checkpoints are freed
+    * in one sweep after the (also tiny) trajectory checkpoint exists
+    * (never ivfTrain's own — other queries retain it). The clusters rule
+    * applies when rounds are corpus-sized; do not "fix" this loop to
+    * match it. localCheckpoint per round still bounds plan depth. Early
+    * stop when a round moves no centroid (max per-(cell,pos) pico-diff
+    * = 0 — exact integer compare of 6-dp-rounded values, no fp
+    * tolerance). Cost per round at any scale: one n×cells
+    * broadcast-compare + one vecMean shuffle — the 100 TB shape. */
   private[graft] def lloydTrajectoryOf(embRaw: DataFrame, cells: Int,
                                        round1: Option[DataFrame]): DataFrame = {
     val emb = embRaw

@@ -59,12 +59,21 @@ object DocStream {
     * `foreachBatch` is the standard production recipe for exactly this.
     *
     * Each batch lands in its own `batch_id=N` overwrite path (idempotent
-    * re-processing, as EventStream.runToParquet). A doc's screen result
-    * depends only on the doc and the static index — never on micro-batch
-    * boundaries — so the union over ANY batching equals the one-shot
-    * batch screen (StreamingSpec proves it under maxFilesPerTrigger=1).
-    * At 100 TB: per-micro-batch cost is O(|batch| + matches) regardless
-    * of corpus size; the index is the daily-appended signature store. */
+    * re-processing, as EventStream.runToParquet). Batching invariance:
+    * a doc's signature depends on the doc and the static index PLUS one
+    * batch-scoped input — the hot-shingle DF cap, which Dedup's shingle
+    * stage computes over whatever frame it is given. While no batch
+    * shingle's document frequency crosses the cap (MaxShingleDf = 100;
+    * a micro-batch is a day's drop, not a corpus), the union over ANY
+    * batching equals the one-shot batch screen — StreamingSpec proves
+    * that regime under maxFilesPerTrigger=1. A batch whose docs share a
+    * boilerplate shingle >cap times would sign that shingle differently
+    * per batching (the cap is a robustness bound, not content-keyed
+    * curation) — flag it, don't average over it: such a batch should
+    * raise the cap or pre-split by source, same guidance as the LSH
+    * bucket cap. At 100 TB: per-micro-batch cost is O(|batch| + matches)
+    * regardless of corpus size; the index is the daily-appended
+    * signature store. */
   def screenNewMinhashToParquet(stream: DataFrame,
                                 corpusHs: DataFrame, corpusBands: DataFrame,
                                 outDir: String, checkpointDir: String): Unit = {

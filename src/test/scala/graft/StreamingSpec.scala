@@ -128,7 +128,9 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "n_corpus_matches", "keep")
     val batch = Dedup.incMinhashScreen(hs, bands, batchDocs)
       .select("doc_id", "n_corpus_matches", "keep")
-    // every batch doc screened exactly once, independent of batching
+    // every batch doc screened exactly once; stream ≡ one-shot batch in
+    // the no-cap-firing regime this corpus is in (no batch shingle's DF
+    // approaches MaxShingleDf — the invariance caveat in the scaladoc)
     assert(streamed.count() === batchDocs.count())
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
