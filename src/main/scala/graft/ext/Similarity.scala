@@ -383,7 +383,15 @@ object Similarity {
     * Reuses the memoized [[ivfTrainedRanked]] scan — the quantizer is
     * trained once and serves assignment, search, AND dedup. Threshold
     * 0.4 for the same near-orthogonal-synthetic-data reason as
-    * [[embeddingNearDup]]. */
+    * [[embeddingNearDup]]. Recall envelope (IvfRecallSpec measures it):
+    * within-cell behavior is EXACT vs brute force, and cross-cell pairs
+    * are the designed loss — 17/66 truth pairs share a cell at sf0.001,
+    * because 0.4-cosine pairs on near-orthogonal synthetic vectors are
+    * weak associations scattered across cells. Real SemDeDup operates
+    * at near-dup thresholds (~0.95 on real embeddings) where duplicate
+    * groups concentrate inside one cell; for cross-bucket coverage at
+    * lower thresholds use [[embeddingNearDup]] (LSH buckets are
+    * similarity-keyed, not partition-of-space). */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val ranked = ivfTrainedRanked(spark, dir)
     val emb = Tables.embeddings(spark, dir)

@@ -65,4 +65,56 @@ class IvfRecallSpec extends SparkSpec {
       info(s"single-probe recall already ${single.size}/${truth.size} — " +
         "strict-improvement check skipped (nothing to recover)")
   }
+
+  test("semantic dedup is exact inside its cell envelope vs brute-force truth") {
+    // SemDeDup examines only within-cell pairs BY DESIGN — cross-cell
+    // near-dups are the accepted boundary loss. This pins both halves of
+    // that contract against brute-force ground truth: every truth pair
+    // sharing a trained home cell IS confirmed (larger id dropped, count
+    // exact), and nothing outside the truth set is ever dropped. The
+    // measured boundary loss is reported, not asserted (data-dependent).
+    val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    // independent HOF cosine (deliberately not ArrayDot), rounded with
+    // the same 6-dp HALF_UP the production threshold applies
+    val dot = aggregate(zip_with(col("va"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(zip_with(col("va"), col("va"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(zip_with(col("vb"), col("vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, x) => s + x))
+    val truth = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              (round(dot / (na * nb) * 1e6) / 1e6).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellOf = ext.Similarity.ivfAssignTrained(spark, sf0001)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inCell = truth.filter { case (x, y) => cellOf(x) == cellOf(y) }
+    assert(inCell.nonEmpty, "no truth pair shares a trained cell — vacuous")
+
+    val out = ext.Similarity.semanticDedup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val counts = out.map(r => r._1 -> r._2).toMap
+    val dropped = out.collect { case (id, _, 0) => id }.toSet
+    // completeness: every cell-sharing truth pair confirmed
+    inCell.foreach { case (x, y) =>
+      assert(dropped.contains(y),
+        s"truth pair ($x,$y) shares cell ${cellOf(x)} but $y was kept")
+    }
+    // exactness: per-vec dup counts equal the in-cell truth counts
+    val expected = inCell.groupBy(_._2).map { case (v, ps) => v -> ps.size.toLong }
+    out.foreach { case (id, n, _) =>
+      assert(n === expected.getOrElse(id, 0L),
+        s"vec $id: n_dups_smaller $n != in-cell truth ${expected.getOrElse(id, 0L)}")
+    }
+    // soundness: nothing dropped without an in-cell truth partner
+    dropped.foreach { v =>
+      assert(expected.contains(v), s"$v dropped with no in-cell truth dup")
+    }
+    info(s"semantic dedup covers ${inCell.size}/${truth.size} truth pairs " +
+      "(the gap is the designed cross-cell boundary loss)")
+  }
 }
