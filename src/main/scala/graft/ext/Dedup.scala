@@ -441,8 +441,11 @@ object Dedup {
     * runs over |vocab per doc| rows instead of every token occurrence
     * (at 100 TB: vocab ≪ corpus). No broadcast hint on the hash join —
     * vocab is unbounded in general; AQE decides. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(spark, dir))
+
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("cnt"))
@@ -461,6 +464,53 @@ object Dedup {
         (0 until SimBits).map { j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming-band parameters for [[simhashPairs]] (Manku et al., WWW'07:
+    * "Detecting Near-Duplicates for Web Crawling"). Splitting the 60-bit
+    * fingerprint into 4 bands of 15 bits makes banding EXACT for the
+    * threshold, not approximate: a pair differing in ≤ 3 bits cannot
+    * touch all 4 bands (pigeonhole), so at least one band matches and
+    * the pair is generated — recall 1.0 vs brute force, verified by
+    * SimhashPairsSpec. */
+  private[graft] val HamBands = 4
+  private val HamBandBits = SimBits / HamBands // 15
+  private[graft] val MaxHamming = HamBands - 1 // 3: the pigeonhole bound
+
+  /** SimHash near-dup PAIRS — the detection step the [[simhash]]
+    * fingerprints exist for. Band-bucket equi-join (shuffle on the
+    * 15-bit band key), never an all-pairs XOR scan: candidates are docs
+    * sharing any band, confirm is one `bit_count(a XOR b) <= 3` per
+    * candidate. At 100 TB the candidate volume is Σ|bucket|² over
+    * 4·2^15 buckets; a hot bucket means many documents share 15
+    * fingerprint bits — overwhelmingly true near-dups, i.e. output, not
+    * waste (boilerplate-heavy shards aside, which exact dedup upstream
+    * removes first). DISTINCT collapses pairs matching in several bands.
+    * Oracle-checked: identical fingerprint chain + band split + XOR
+    * popcount in DuckDB. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.documents(spark, dir))
+
+  private[graft] def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val sh = simhashOf(docs)
+    val bandKeys = (0 until HamBands).map { b =>
+      shiftright(col("simhash"), b * HamBandBits)
+        .bitwiseAND(lit((1L << HamBandBits) - 1))
+    }
+    val bands = sh
+      .select(col("doc_id"), col("simhash"), posexplode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("simhash"),
+              col("pos").as("band"), col("col").as("bk"))
+    val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"),
+                         col("band"), col("bk"))
+    val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"),
+                         col("band"), col("bk"))
+    a.join(b, Seq("band", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .distinct()
   }
 
   /** Connected-component clustering over near-dup pairs: iterative
@@ -545,7 +595,8 @@ object Dedup {
     "dedup_incremental"   -> incremental _,
     "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
-    "dedup_simhash"       -> simhash _)
+    "dedup_simhash"       -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _)
 
   /** DuckDB CTE chain for n-gram shingles with the DF cap over a
     * FILTERED document set: tokens -> distinct shingles -> rare
@@ -631,8 +682,10 @@ object Dedup {
     "CAST(coalesce(m.n_corpus_matches, 0) = 0 AS INTEGER) AS keep " +
     "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"
 
-  /** SimHash oracle: same two folds, same 60 sign-bit sums. */
-  private def simhashOracleSql: String = {
+  /** SimHash fingerprint chain as a CTE ending in `shh(doc_id, simhash)`
+    * — same two folds, same 60 sign-bit sums as the Spark side; shared
+    * by the fingerprint query and the hamming-band pair oracle. */
+  private def simhashCteSql: String = {
     val bitSums = (0 until SimBits).map { j =>
       val src = if (j < 30) s"(h1 >> $j)" else s"(h2 >> ${j - 30})"
       s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS b$j"
@@ -640,12 +693,28 @@ object Dedup {
     val bitVals = (0 until SimBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+    "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
     s"th AS (SELECT doc_id, ${polyHashSql("tok", 31L, P1)} AS h1, " +
     s"${polyHashSql("tok", 131L, P2)} AS h2 FROM tk), " +
-    s"bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id) " +
-    s"SELECT doc_id, CAST($bitVals AS BIGINT) AS simhash FROM bs"
+    s"bs AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id), " +
+    s"shh AS (SELECT doc_id, CAST($bitVals AS BIGINT) AS simhash FROM bs)"
   }
+
+  private def simhashOracleSql: String =
+    s"WITH $simhashCteSql SELECT doc_id, simhash FROM shh"
+
+  /** Hamming-band pair oracle: same band split ((simhash >> 15·band) &
+    * 32767) and XOR-popcount confirm as [[simhashPairs]]. */
+  private def simhashPairsOracleSql: String =
+    s"WITH $simhashCteSql, " +
+    "bands AS (SELECT doc_id, simhash, band, " +
+    s"(simhash >> ($HamBandBits*CAST(band AS INTEGER))) & ${(1L << HamBandBits) - 1} AS bk " +
+    s"FROM shh, UNNEST(range(0,$HamBands)) AS u(band)), " +
+    "p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, " +
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
+    "FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk " +
+    "AND a.doc_id < b.doc_id) " +
+    s"SELECT a_id, b_id, hamming FROM p WHERE hamming <= $MaxHamming"
 
   val oracle: Map[String, String] = Map(
     // md5 grouping keys mirror the Spark side's narrow-shuffle-key plan
@@ -680,6 +749,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_incremental_minhash" -> incMinhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
+    "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "dedup_clusters" ->
       (s"WITH RECURSIVE $ngramPairCte, " +
        "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
