@@ -619,6 +619,38 @@ object Similarity {
                   transform(col("embedding"), _ => lit(0)))).as("codes"))
   }
 
+  /** Per-dimension corpus statistics (n, mean, sample variance, min,
+    * max) — the embed-stage health check that catches dead dimensions
+    * (var ≈ 0), collapsed scales, and outlier dims before an index is
+    * trained on them. Moments are EXACT integers: each element is
+    * quantized once (x·1e6 and x²·1e12, rounded to BIGINT — identical
+    * scalar ops both engines) and summed into DECIMAL(38,0) accumulators
+    * (no overflow until ~10^25 absolute mass — comfortable at 100 TB,
+    * where a plain BIGINT second-moment sum overflows past ~6·10^5
+    * rows), so results are invariant to partitioning, parallelism, and
+    * summation order — the text_unigram_logprob discipline applied to
+    * doubles. One shuffle (64 groups), partial aggregation map-side. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("int").as("pos"), col("col").cast("double").as("x"))
+      .select(col("pos"), col("x"),
+        round(col("x") * lit(1e6)).cast("decimal(38,0)").as("t1"),
+        round(col("x") * col("x") * lit(1e12)).cast("decimal(38,0)").as("t2"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("t1").as("s1"), sum("t2").as("s2"),
+           min("x").as("mnx"), max("x").as("mxx"))
+      .select(col("pos"), col("n"),
+        Num.rnd(col("s1").cast("double") / lit(1e6) / col("n"), 6).as("mean"),
+        Num.rnd((col("s2").cast("double") / lit(1e12) -
+                 (col("s1").cast("double") / lit(1e6)) *
+                   (col("s1").cast("double") / lit(1e6)) / col("n"))
+                  / (col("n") - 1), 6).as("var_samp"),
+        Num.rnd(col("mnx"), 6).as("mn"),
+        Num.rnd(col("mxx"), 6).as("mx"))
+      .orderBy("pos")
+  }
+
   /** Pairwise cosine similarity between source centroids — domain
     * redundancy analysis over the (tiny) centroid table; the pairwise
     * stage is n_sources², never n². Centroids are the ROUNDED 6-dp
@@ -665,6 +697,153 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ---- product quantization (the compression half of IVF-PQ) ----
+
+  /** PQ geometry: 64-dim vectors split into [[PqSubs]] contiguous
+    * subspaces of [[PqSubDim]] dims, each quantized to its nearest of
+    * [[PqCodes]] trained sub-centroids — a vector compresses to 8 small
+    * codes instead of 256 bytes of floats (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the storage step that
+    * makes a 100 TB embedding store fit hot memory for ANN serving.
+    * Sizes are STATIC (the [[NProbe]] discipline) so the oracle encodes
+    * the identical codebook at every scale; codebook tables stay
+    * broadcast-tiny (8×16 rows) by construction. */
+  private[graft] val PqSubs = 8
+  private[graft] val PqSubDim = 8
+  private[graft] val PqCodes = 16
+  private[graft] val PqQueries = 4 // ADC probe set: vec_id < 4
+
+  /** Long-form subvectors (vec_id, sub, sv[8], dxx): one row per
+    * (vector, subspace); dxx = sv·sv precomputed once per subvector (the
+    * file-wide norms invariant — the assignment scans then pay ONE
+    * 8-dim fold per (subvector, code) candidate). */
+  private[graft] def pqSubvectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(array((0 until PqSubs).map { s =>
+        slice(col("embedding"), s * PqSubDim + 1, PqSubDim)
+      }: _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("sub"), col("col").as("sv"))
+      .withColumn("dxx", dotCols(col("sv"), col("sv")))
+
+  /** Nearest-sub-centroid assignment: squared L2 expanded as
+    * ((sv·sv − 2·sv·cv) + cv·cv) — ArrayDot folds with this EXACT
+    * association mirrored in the oracle SQL, 6-dp-rounded, ties to the
+    * lower code. `cb` must carry (sub, code, cv, dcc) and is
+    * broadcast-tiny; all 8 subspaces assign in ONE plan keyed by sub. */
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(col("d2").asc, col("code").asc)
+    subs.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        Num.rnd(col("dxx") - lit(2.0) * dotCols(col("sv"), col("cv")) + col("dcc"), 6)
+          .as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "code", "d2")
+  }
+
+  /** Trained PQ codebook (sub, code, cv, dcc): seeds are the first
+    * [[PqCodes]] vectors' subvectors (every seed captures its own
+    * subvector — d2 exactly 0 — so no code starts empty), then one
+    * Lloyd step per subspace: seed assign → per-(sub, code) [[vecMean]]
+    * rounded at 6 dp — the [[ivfTrain]] discipline at subvector grain,
+    * every subspace training in the same single plan. Memoized: the
+    * codes query and ADC search both start from it. */
+  private[graft] def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "pqcb"), {
+      val subs = pqSubvectors(spark, dir)
+      val seed = subs.filter(col("vec_id") < PqCodes)
+        .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"),
+                col("dxx").as("dcc"))
+      val asg0 = pqAssign(subs, seed).select("vec_id", "sub", "code")
+      subs.join(asg0, Seq("vec_id", "sub"))
+        .groupBy("sub", "code")
+        .agg(vecMean(col("sv")).as("mv"))
+        .select(col("sub"), col("code"),
+                transform(col("mv"), v => Num.rnd(v, 6)).as("cv"))
+        .withColumn("dcc", dotCols(col("cv"), col("cv")))
+        .localCheckpoint()
+    })
+
+  /** PQ encode: every (vector, subspace) assigned to its trained code —
+    * the compressed representation a 100 TB store persists (n×8 rows of
+    * small ints; the float vectors are only needed again for exact
+    * re-rank). Memoized — ADC search scans these codes. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "pqcodes"),
+      pqAssign(pqSubvectors(spark, dir), pqCodebook(spark, dir))
+        .localCheckpoint())
+
+  /** ADC (asymmetric distance computation) top-3: each query vector
+    * precomputes its distance to every (sub, code) centroid ONCE — a
+    * queries×8×16 table in exact integer micro-units — then a candidate's
+    * approximate distance is 8 table lookups summed, never a 64-dim
+    * float fold per candidate. The lookup table is broadcast; the codes
+    * scan is embarrassingly parallel; per-(query, candidate) sums are
+    * exact integers (the text_unigram_logprob discipline), so ranking is
+    * engine- and order-invariant. */
+  /** Candidates an ADC pass shortlists per query before exact re-rank —
+    * static (the [[NProbe]] discipline) so the oracle composes the same
+    * constant. */
+  private[graft] val PqShortlist = 32
+
+  /** ADC-ranked candidates per query, kept to the re-rank shortlist
+    * (rn ≤ [[PqShortlist]]) — shared by the ADC top-k query and the
+    * exact re-rank stage; memoized (tiny: queries×32 rows). */
+  private def pqAdcRanked(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "pqadc"), {
+      import org.apache.spark.sql.expressions.Window
+      val dtab = pqSubvectors(spark, dir)
+        .filter(col("vec_id") < PqQueries)
+        .select(col("vec_id").as("q_id"), col("sub"), col("sv"), col("dxx"))
+        .join(pqCodebook(spark, dir), Seq("sub"))
+        .select(col("q_id"), col("sub"), col("code"),
+          round((col("dxx") - lit(2.0) * dotCols(col("sv"), col("cv")) + col("dcc"))
+                  * lit(1e6)).cast("long").as("t"))
+      val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+      pqCodes(spark, dir).select("vec_id", "sub", "code")
+        .join(broadcast(dtab), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(Num.rnd(sum("t").cast("double") / lit(1e6), 6).as("adist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= PqShortlist)
+        .select("q_id", "vec_id", "rn", "adist")
+        .localCheckpoint()
+    })
+
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcRanked(spark, dir)
+      .filter(col("rn") <= 3)
+      .select("q_id", "vec_id", "rn", "adist")
+
+  /** The full PQ serving path: ADC shortlist ([[PqShortlist]] table-
+    * lookup candidates per query — cheap, compressed-domain) then EXACT
+    * squared-L2 re-rank of only those candidates against the float
+    * vectors (the recall-repair step every production PQ index runs;
+    * Jégou et al. §5). Per query the exact stage touches 32 vectors
+    * regardless of corpus size — the 100 TB read pattern: codes stay
+    * hot, floats are fetched for a constant-size shortlist. */
+  def pqRerankTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              dotCols(col("embedding"), col("embedding")).as("vv"))
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+                       col("vv").as("qq"))
+      .filter(col("q_id") < PqQueries)
+    val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("vec_id").asc)
+    pqAdcRanked(spark, dir).select("q_id", "vec_id")
+      .join(emb, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.rnd(col("qq") - lit(2.0) * dotCols(col("qv"), col("embedding"))
+                  + col("vv"), 6).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "vec_id", "rn", "d2")
+  }
+
   // ---- generated oracle SQL ----
   // The oracle encodes the sf0.01 index regime: numPlanes(500) == 8 and
   // ivfCells(500) == 16 by the sizing formulas above, and no sf0.01
@@ -696,8 +875,12 @@ object Similarity {
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
     "dedup_semantic"   -> semanticDedup _,
     "sim_ivf_train_delta" -> ivfTrainDelta _,
+    "sim_pq_codes"     -> pqCodes _,
+    "sim_pq_adc_topk"  -> pqAdcTopK _,
+    "sim_pq_rerank_topk" -> pqRerankTopK _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
+    "emb_dim_stats"    -> dimStats _,
     "emb_centroid_sim" -> centroidSim _,
     "emb_label_eval"   -> labelEval _)
 
@@ -754,7 +937,79 @@ object Similarity {
     sb.toString
   }
 
+  /** Squared-L2 oracle expression with the EXACT association of
+    * [[pqAssign]]: ((sv·sv − 2·sv·cv) + cv·cv), identical IEEE ops over
+    * identical inputs ⇒ bit-identical before the rounding. */
+  private def pqD2Sql(sv: String, cv: String): String =
+    s"((list_dot_product($sv, $sv) - 2 * list_dot_product($sv, $cv)) + " +
+    s"list_dot_product($cv, $cv))"
+
+  /** PQ CTE chain: subvectors `psub`, seed codebook `pcb0`, seed assign
+    * `pa0`, one-Lloyd-step trained codebook `ptr`/`pcl`, final codes
+    * `pfin` — the [[pqCodebook]]+[[pqCodes]] composition with the same
+    * constants (8 subspaces × 8 dims, 16 codes). */
+  private def pqCteSql: String = {
+    val d0 = pqD2Sql("p.sv", "c.cv")
+    s"psub AS (SELECT e.vec_id, CAST(s.sub AS INTEGER) AS sub, " +
+    s"(e.embedding[s.sub*$PqSubDim+1 : s.sub*$PqSubDim+$PqSubDim])::DOUBLE[] AS sv " +
+    s"FROM embeddings e, UNNEST(range(0, $PqSubs)) AS s(sub)), " +
+    s"pcb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM psub WHERE vec_id < $PqCodes), " +
+    s"pax AS (SELECT p.vec_id, p.sub, c.code, round(($d0) * 1e6) / 1e6 AS d2 " +
+    "FROM psub p JOIN pcb0 c USING (sub)), " +
+    "pa0 AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
+    "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn " +
+    "FROM pax) WHERE rn = 1), " +
+    "ptr AS (SELECT a.sub, a.code, p.pos1, round((avg(s.sv[p.pos1])) * 1e6) / 1e6 AS m " +
+    "FROM psub s JOIN pa0 a ON s.vec_id = a.vec_id AND s.sub = a.sub, " +
+    s"UNNEST(range(1, ${PqSubDim + 1})) AS p(pos1) GROUP BY a.sub, a.code, p.pos1), " +
+    "pcl AS (SELECT sub, code, list(m ORDER BY pos1) AS cv FROM ptr GROUP BY sub, code), " +
+    s"pfx AS (SELECT p.vec_id, p.sub, c.code, round(($d0) * 1e6) / 1e6 AS d2 " +
+    "FROM psub p JOIN pcl c USING (sub)), " +
+    "pfin AS (SELECT vec_id, sub, code, d2 FROM (SELECT vec_id, sub, code, d2, " +
+    "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn " +
+    "FROM pfx) WHERE rn = 1)"
+  }
+
+  /** [[pqCteSql]] extended with the ADC ranking: query distance table
+    * `qd` (exact integer micro-units), per-candidate sums `ad`, ranked
+    * shortlist `rk` — shared by the ADC top-k and re-rank oracles. */
+  private def pqAdcCteSql: String =
+    s"$pqCteSql, " +
+    "qd AS (SELECT q.vec_id AS q_id, q.sub, c.code, " +
+    s"CAST(round((${pqD2Sql("q.sv", "c.cv")}) * 1e6) AS BIGINT) AS t " +
+    s"FROM psub q JOIN pcl c USING (sub) WHERE q.vec_id < $PqQueries), " +
+    "ad AS (SELECT d.q_id, f.vec_id, sum(d.t) AS ts FROM pfin f " +
+    "JOIN qd d ON f.sub = d.sub AND f.code = d.code AND f.vec_id <> d.q_id " +
+    "GROUP BY 1, 2), " +
+    "rk AS (SELECT q_id, vec_id, round((CAST(ts AS DOUBLE) / 1e6) * 1e6) / 1e6 AS adist, " +
+    "row_number() OVER (PARTITION BY q_id ORDER BY ts ASC, vec_id ASC) AS rn " +
+    s"FROM ad QUALIFY rn <= $PqShortlist)"
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_codes" ->
+      s"WITH $pqCteSql SELECT vec_id, sub, code, d2 FROM pfin",
+    // ADC: per-query (sub, code) distance table in exact integer
+    // micro-units; candidate distance = sum of 8 lookups (exact BIGINT
+    // sum, order-invariant); rank by the sum, ties to the lower id.
+    "sim_pq_adc_topk" ->
+      (s"WITH $pqAdcCteSql " +
+       "SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rn, adist FROM rk WHERE rn <= 3"),
+    // serving path: ADC shortlist (rn <= 32) then exact squared-L2
+    // re-rank against the float vectors, same ((qq - 2qv) + vv)
+    // association as the Spark side
+    "sim_pq_rerank_topk" ->
+      (s"WITH $pqAdcCteSql, " +
+       s"sl AS (SELECT q_id, vec_id FROM rk WHERE rn <= $PqShortlist), " +
+       "ex AS (SELECT s.q_id, s.vec_id, " +
+       "round(((list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) - " +
+       "2 * list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])) + " +
+       "list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * 1e6) / 1e6 AS d2 " +
+       "FROM sl s JOIN embeddings e ON e.vec_id = s.vec_id " +
+       "JOIN embeddings q ON q.vec_id = s.q_id) " +
+       "SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rn, d2 FROM (" +
+       "SELECT q_id, vec_id, d2, row_number() OVER (" +
+       "PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rn FROM ex) " +
+       "WHERE rn <= 3"),
     "sim_ivf_train_iter" ->
       (s"WITH ${lloydCteSql(LloydMaxRounds)} " +
        s"SELECT cell, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM tr$LloydMaxRounds " +
@@ -860,6 +1115,23 @@ object Similarity {
        "FROM (SELECT vec_id, embedding, " +
        "CAST(list_min(embedding) AS DOUBLE) AS mn, " +
        "CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings) t"),
+    // exact integer-moment per-dim stats: identical element quantization
+    // (round(x*1e6), round(x*x*1e12)) and exact big-integer sums on both
+    // engines (DuckDB sums BIGINT into HUGEINT; Spark uses DECIMAL(38,0)
+    // accumulators), so every downstream double op folds identical inputs
+    "emb_dim_stats" ->
+      ("WITH x AS (SELECT CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
+       "CAST(e.embedding[p.pos1] AS DOUBLE) AS x " +
+       "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+       "t AS (SELECT pos, x, CAST(round(x * 1e6) AS BIGINT) AS t1, " +
+       "CAST(round(x * x * 1e12) AS BIGINT) AS t2 FROM x), " +
+       "g AS (SELECT pos, count(*) AS n, CAST(sum(t1) AS DOUBLE) AS s1, " +
+       "CAST(sum(t2) AS DOUBLE) AS s2, min(x) AS mnx, max(x) AS mxx " +
+       "FROM t GROUP BY pos) " +
+       "SELECT pos, n, round(((s1 / 1e6) / n) * 1e6) / 1e6 AS mean, " +
+       "round((((s2 / 1e12) - ((s1 / 1e6) * (s1 / 1e6)) / n) / (n - 1)) * 1e6) / 1e6 AS var_samp, " +
+       "round((mnx) * 1e6) / 1e6 AS mn, round((mxx) * 1e6) / 1e6 AS mx " +
+       "FROM g ORDER BY pos"),
     "emb_centroid_sim" ->
       (s"WITH $centroidCte, " +
        "cl AS (SELECT source, list(m ORDER BY pos1) AS c FROM cent GROUP BY source) " +
