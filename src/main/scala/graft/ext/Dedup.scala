@@ -97,7 +97,7 @@ object Dedup {
   /** All ordered id pairs (a < b) per shingle, generated IN-PLAN from the
     * sorted id list — no self-join: `ids` is sorted ascending, so pairing
     * each element with its suffix yields a < b exactly once. */
-  private val pairExpr =
+  private[graft] val pairExpr =
     "flatten(transform(ids, (x, i) -> " +
     "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
 

@@ -124,12 +124,68 @@ object Multimodal {
            max(octet_length(col("payload"))).cast("long").as("n_bytes"))
       .select("fp", "keep_id", "n_copies", "n_bytes")
 
+  /** Fixed-block chunk size for [[mediaChunkDedup]] — small against the
+    * test corpus (docs ≤ ~550 bytes → 1-5 chunks) so the operator's
+    * pair/threshold behavior is exercised; a production media store
+    * would use 64 KiB-class blocks, changing only this constant. */
+  private val ChunkBytes = 128
+
+  /** Max media items a chunk digest may appear in before it is dropped
+    * from candidate generation — the [[Dedup.MaxShingleDf]] rule at byte
+    * grain (an all-zeros padding block shared by M items would otherwise
+    * generate M² candidate pairs and carries no dedup signal). */
+  private val MaxChunkDf = 100
+
+  /** Chunk-digest near-dup over the binary payload — the
+    * backup/dedupe-system shape (fixed-block content chunking): split
+    * each payload into [[ChunkBytes]]-byte blocks, digest each block,
+    * and flag pairs sharing ≥ 50% of the smaller side's DISTINCT chunk
+    * digests. Catches what [[mediaDedup]]'s whole-payload digest cannot:
+    * the same bytes re-hosted with an appended trailer / prepended
+    * header-block edit (as long as edits are block-aligned; content-
+    * defined chunking is the variable-boundary refinement, same plan
+    * shape). Scale: candidates come from an inverted chunk-digest index
+    * (one shuffle, [[graft.functions.BoundedCollectSet]]-capped posting
+    * lists, in-plan suffix pairing — the proven `Dedup.shingleGroups`
+    * machinery at byte grain), never payload×payload; the exchange
+    * carries 16-byte digests only. Exact integer containment confirm. */
+  def mediaChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaChunkDedupOf(Tables.documents(spark, dir))
+
+  private[graft] def mediaChunkDedupOf(docs: DataFrame): DataFrame = {
+    val bounded = udaf(new graft.functions.BoundedCollectSet(MaxChunkDf),
+                       org.apache.spark.sql.Encoders.scalaLong)
+    // distinct (doc, chunk-digest): set semantics, like shingle sets
+    val ch = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (greatest(octet_length(payload), 1) - 1) div $ChunkBytes), " +
+        s"i -> md5(substring(payload, i * $ChunkBytes + 1, $ChunkBytes)))")).as("d"))
+      .distinct()
+    val grp = ch.groupBy("d").agg(bounded(col("doc_id")).as("ids"))
+      .filter(col("ids").isNotNull) // null = hot digest over the DF cap
+    // capped long-form frame: sizes and pairs both derive from it, so the
+    // cap applies to sets AND candidates consistently (the ngram rule)
+    val chr = grp.select(col("d"), explode(col("ids")).as("doc_id"))
+    val sz = chr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = grp
+      .select(explode(expr(graft.ext.Dedup.pairExpr)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("sz").as("sz_a")), Seq("a_id"))
+      .join(sz.select(col("doc_id").as("b_id"), col("sz").as("sz_b")), Seq("b_id"))
+      .filter(col("inter") * 2 >= least(col("sz_a"), col("sz_b")))
+      .select("a_id", "b_id", "inter", "sz_a", "sz_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta"      -> mediaMeta _,
     "mm_media_meta_plan" -> mediaMetaPlan _,
     "mm_frame_sample"    -> frameSample _,
     "mm_byte_histogram"  -> byteHistogram _,
     "mm_dedup_media"     -> mediaDedup _,
+    "mm_dedup_chunks"    -> mediaChunkDedup _,
     "mm_resize_meta"     -> resizeMeta _)
 
   private val metaSql =
@@ -146,6 +202,23 @@ object Multimodal {
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +
        "count(*) AS n_copies, CAST(max(strlen(text)) AS BIGINT) AS n_bytes " +
        "FROM documents GROUP BY md5(text)"),
+    // chunk digests over text[i*128+1 : i*128+128] = the payload's
+    // 128-byte blocks under the ASCII-corpus invariant (DuckDB md5 and
+    // slicing are VARCHAR-based); DF cap and containment threshold
+    // mirrored exactly
+    "mm_dedup_chunks" ->
+      ("WITH ch AS (SELECT DISTINCT doc_id, " +
+       "md5(text[CAST(i*128+1 AS INTEGER) : CAST(i*128+128 AS INTEGER)]) AS d " +
+       "FROM documents, " +
+       "UNNEST(range(0, (greatest(strlen(text), 1) - 1)//128 + 1)) AS u(i)), " +
+       "rare AS (SELECT d FROM ch GROUP BY d HAVING count(*) <= 100), " +
+       "chr AS (SELECT ch.doc_id, ch.d FROM ch JOIN rare USING (d)), " +
+       "sz AS (SELECT doc_id, count(*) AS sz FROM chr GROUP BY doc_id), " +
+       "pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+       "FROM chr x JOIN chr y ON x.d = y.d AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+       "SELECT a_id, b_id, inter, sa.sz AS sz_a, sb.sz AS sz_b FROM pr " +
+       "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
+       "WHERE inter * 2 >= least(sa.sz, sb.sz)"),
     "mm_frame_sample" ->
       ("SELECT doc_id, i AS frame_idx, i * 128 AS frame_off, " +
        "least(128, strlen(text) - i * 128) AS frame_len " +
