@@ -49,6 +49,7 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.Geo.queries ++
+      ext.Graph.queries ++
       ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +74,6 @@ object SparkEntry {
       ext.Dedup.oracle ++
       ext.Similarity.oracle ++
       ext.Geo.oracle ++
+      ext.Graph.oracle ++
       ext.Multimodal.oracle
 }

@@ -498,6 +498,117 @@ object TextOps {
       .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
   }
 
+  /** Per-source quantile gating — "keep each source's longest half" —
+    * the relative-threshold curation rule (absolute cutoffs misfire
+    * when sources have different length profiles). The lower median is
+    * computed positionally (row_number vs count — exact, no
+    * interpolation, so engines can't drift) with ONE window shuffle by
+    * source; the median frame is |sources| rows and broadcast back.
+    * At 100 TB the quantile state per source is one row — the pattern
+    * holds for any per-shard relative gate. */
+  def quantileSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), length(col("text")).as("n_char"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_char").asc, col("doc_id").asc)
+    val med = d
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("source"), col("n_char").as("med_chars"))
+    d.join(broadcast(med), Seq("source"))
+      .groupBy("source", "med_chars")
+      .agg(count(lit(1)).as("n_docs"),
+           sum((col("n_char") >= col("med_chars")).cast("int")).as("n_kept"),
+           Num.rnd(lit(100.0) *
+             sum((col("n_char") >= col("med_chars")).cast("int")) /
+             count(lit(1)), 2).as("kept_pct"))
+      .orderBy("source")
+  }
+
+  /** Bigram language-model scoring with add-one smoothing — the
+    * next-token-surprise quality signal one step up from
+    * [[unigramLogprob]]: fluent text has predictable bigrams, shuffled
+    * or template text does not. ln(p) per DISTINCT bigram is micronized
+    * to BIGINT (ln rounded once, engine-portable) and per-doc totals
+    * are exact integer sums. The model table is |distinct bigrams| —
+    * built with one hash aggregation, joined back by bigram key; at
+    * 100 TB both sides shuffle on the same key and the model side is
+    * the small one. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val t = split(col("text"), " ")
+    val bg = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1).as("w1"),
+          slice(t, lit(2), size(t) - 1).as("w2"))).as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val tk = docs.select(explode(t).as("tok"))
+    val c1 = tk.groupBy("tok").agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("tok", "w1")
+    val vocab = tk.agg(countDistinct(col("tok")).as("v"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val lp = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6))
+          .cast("long").as("lpm"))
+    bg.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"), sum("lpm").as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_bi"), col("sum_lp_micro"),
+              Num.rnd(col("sum_lp_micro").cast("double") /
+                        (col("n_bi") * lit(1e6)), 6).as("avg_lp"))
+  }
+
+  /** BM25 ranked retrieval over an inverted index — the search shape a
+    * curation pipeline uses to probe a corpus (pull docs matching an
+    * audit query, mine domain-specific training data, spot-check a
+    * mixture). Cost scales with the POSTINGS OF THE QUERY TERMS only —
+    * the fact-side token stream is filtered to the (tiny, literal) term
+    * set before any shuffle, so at 100 TB this is |postings|, never
+    * |corpus|; df/corpus stats are broadcast scalars. Determinism: idf
+    * is ln-rounded at 6 dp (the one non-IEEE-exact op), each per-term
+    * partial score is micronized to BIGINT, and per-doc totals are
+    * EXACT integer sums — no cross-engine fp-order drift. Final top-k
+    * via TakeOrderedAndProject (distributed heap), ranked after. */
+  def bm25(spark: SparkSession, dir: String,
+           terms: Seq[String] = Seq("spark", "vector", "dup"),
+           k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
+    // k1 = 1.2, b = 0.75; norm = (1-b) + b*dl/avgdl with avgdl exact
+    // double division. Every op below is IEEE-exact-rounded with an
+    // identical operand tree in the oracle, so doubles are bit-equal.
+    val idf = Num.rnd(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val norm = lit(0.25) + lit(0.75) *
+      (col("dl").cast("double") /
+        (col("n_toks").cast("double") / col("n_docs")))
+    val scored = tf.join(broadcast(dfq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc_micro",
+        round(idf * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * norm)) * lit(1e6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("sc_micro").as("score_micro"))
+    val w = Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored
+      .orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("score",
+        col("score_micro").cast("double") / lit(1e6))
+      .select("doc_id", "n_hit", "score_micro", "score", "rn")
+  }
+
   /** Deterministic train/validation/test split — the reproducibility
     * primitive every training pipeline needs: assignment is a pure
     * function of doc_id (Knuth multiplicative scramble mod 100:
@@ -548,6 +659,9 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_parse"     -> urlParse _,
+    "text_bm25"          -> ((s, d) => bm25(s, d)),
+    "text_bigram_logprob" -> bigramLogprob _,
+    "corpus_quantile_select" -> quantileSelect _,
     "corpus_split"       -> corpusSplit _,
     "text_unigram_logprob" -> unigramLogprob _,
     "text_quality_model" -> qualityModel _,
@@ -584,6 +698,57 @@ object TextOps {
        "'src1.example.com', 'src2.example.com') AS INTEGER) AS domain_kept " +
        "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL " +
        "AND doc_id IS NOT NULL"),
+    "text_bm25" ->
+      // fractional literals that multiply INTEGER columns are CAST to
+      // DOUBLE: DuckDB would otherwise compute tf*2.2 in exact DECIMAL,
+      // diverging from Spark's double product at the ulp level
+      ("WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM (" +
+       "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t " +
+       "WHERE tok IN ('spark', 'vector', 'dup') GROUP BY doc_id, tok), " +
+       "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+       "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl), " +
+       "sc AS (SELECT tf.doc_id, CAST(round(" +
+       "(round((ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))) * 1e6) / 1e6) " +
+       "* ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * " +
+       "(0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(n_toks AS DOUBLE) / n_docs))))) " +
+       "* 1e6) AS BIGINT) AS sc_micro " +
+       "FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st), " +
+       "pd AS (SELECT doc_id, count(*) AS n_hit, " +
+       "CAST(sum(sc_micro) AS BIGINT) AS score_micro FROM sc GROUP BY doc_id), " +
+       "top AS (SELECT * FROM pd ORDER BY score_micro DESC, doc_id LIMIT 10) " +
+       "SELECT doc_id, n_hit, score_micro, " +
+       "CAST(score_micro AS DOUBLE) / 1e6 AS score, " +
+       "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn " +
+       "FROM top"),
+    "text_bigram_logprob" ->
+      ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       // parallel unnests expand in positional lockstep: (t[i], t[i+1])
+       "bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM tk), " +
+       "uni AS (SELECT unnest(t) AS tok FROM tk), " +
+       "c1 AS (SELECT tok AS w1, count(*) AS c1 FROM uni GROUP BY tok), " +
+       "vc AS (SELECT count(DISTINCT tok) AS v FROM uni), " +
+       "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), " +
+       "lp AS (SELECT c2.w1, c2.w2, CAST(round(" +
+       "ln((CAST(c2 AS DOUBLE) + 1.0) / (c1 + v)) * 1e6) AS BIGINT) AS lpm " +
+       "FROM c2 JOIN c1 USING (w1) CROSS JOIN vc) " +
+       "SELECT bg.doc_id, count(*) AS n_bi, " +
+       "CAST(sum(lp.lpm) AS BIGINT) AS sum_lp_micro, " +
+       "round((CAST(sum(lp.lpm) AS DOUBLE) / (count(*) * 1e6)) * 1e6) / 1e6 AS avg_lp " +
+       "FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2 " +
+       "GROUP BY bg.doc_id"),
+    "corpus_quantile_select" ->
+      ("WITH d AS (SELECT source, doc_id, len(text) AS n_char FROM documents), " +
+       "r AS (SELECT source, doc_id, n_char, " +
+       "row_number() OVER (PARTITION BY source ORDER BY n_char, doc_id) AS rn, " +
+       "count(*) OVER (PARTITION BY source) AS cnt FROM d), " +
+       "m AS (SELECT source, CAST(n_char AS INTEGER) AS med_chars " +
+       "FROM r WHERE rn = (cnt + 1) // 2) " +
+       "SELECT d.source, m.med_chars, count(*) AS n_docs, " +
+       "CAST(sum(CASE WHEN d.n_char >= m.med_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+       "round((100.0 * CAST(sum(CASE WHEN d.n_char >= m.med_chars THEN 1 ELSE 0 END) " +
+       "AS DOUBLE) / count(*)) * 1e2) / 1e2 AS kept_pct " +
+       "FROM d JOIN m USING (source) GROUP BY d.source, m.med_chars ORDER BY d.source"),
     "corpus_split" ->
       ("SELECT source, CASE WHEN b < 80 THEN 'train' " +
        "WHEN b < 90 THEN 'validation' ELSE 'test' END AS split, " +

@@ -144,6 +144,37 @@ object Joins {
               Num.rnd(abs(col("a_x") - col("b_x")), 2).as("diff"))
   }
 
+  /** Runtime Bloom-filter pruned fact-dim join — the shuffle-reduction
+    * pattern a 100 TB star join lives on: the filtered dimension side
+    * (selective predicate on `orders`) is tree-aggregated into a Bloom
+    * filter (`stat.bloomFilter` — one distributed pass, sketch merged at
+    * the driver exactly like Spark's own runtime-filter injection), and
+    * the fact side (`lineitem`) is pruned by a codegen'd
+    * [[graft.functions.BloomMightContain]] probe BEFORE its shuffle, so
+    * only ~matching rows ever move. False positives survive the probe
+    * but die in the exact equi-join, so the result is definitionally
+    * identical to the unfiltered join — the oracle IS the plain join.
+    * Construction is deliberately eager (the bloom build is a job), the
+    * same documented trade as the memoized dedup frames. */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // capacity is a fixed pre-sized knob (fact of the filter, not the
+    // data): 1<<17 keys at 3% fpp ≈ 115 KB — broadcast-trivial
+    val bloom = dim.stat.bloomFilter("o_orderkey", 1 << 17, 0.03)
+    val fact = Tables.lineitem(spark, dir)
+      .filter(graft.functions.BloomMightContain.col(col("l_orderkey"), bloom))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(Num.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("month")
+  }
+
   /** CDC snapshot apply — the MERGE/upsert a warehouse sync runs, as a
     * pure-plan full-outer join (Spark core has no MERGE statement; this
     * IS the distributed shape Delta/Iceberg MERGE lowers to). The change
@@ -178,6 +209,7 @@ object Joins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_upsert"          -> cdcUpsert _,
+    "join_bloom_prune"    -> bloomPruneJoin _,
     "join_band_bucket"    -> bandJoin _,
     "join_null_safe"      -> nullSafeJoin _,
     "join_broadcast_left" -> broadcastLeft _,
@@ -203,6 +235,13 @@ object Joins {
        "CASE WHEN u.key IS NOT NULL AND u.new_val < 50.0 THEN NULL " +
        "ELSE round((coalesce(u.new_val, b.old_val)) * 1e2) / 1e2 END AS val " +
        "FROM base b FULL OUTER JOIN upd u ON b.key = u.key"),
+    "join_bloom_prune" ->
+      ("SELECT strftime(o_orderdate, '%Y-%m') AS month, " +
+       "round((sum(l_extendedprice * (1 - l_discount))) * 1e2) / 1e2 AS revenue, " +
+       "count(*) AS n_items " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000 " +
+       "GROUP BY 1 ORDER BY month"),
     "join_band_bucket" ->
       ("SELECT a.o_orderkey AS a_k, b.o_orderkey AS b_k, " +
        "a.o_totalprice AS a_x, b.o_totalprice AS b_x, " +

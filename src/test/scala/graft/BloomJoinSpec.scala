@@ -38,4 +38,65 @@ class BloomJoinSpec extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  // ---- explicit BloomMightContain operator (join_bloom_prune) ----
+  // The config-injected variant above needs size thresholds to fire;
+  // the operator builds the filter explicitly so the pruning is
+  // unconditional and visible on a plain session.
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("join_bloom_prune result is identical to the unfiltered join") {
+    val bloomed = ops.Joins.bloomPruneJoin(spark, sf001)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val dim = Tables.orders(spark, sf001)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fact = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val plain = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(graft.ops.Num.rnd(
+             sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(bloomed.nonEmpty && bloomed.sameElements(plain),
+           "bloom pruning changed the join result")
+  }
+
+  test("the bloom probe prunes the fact side and admits every true match") {
+    val dim = Tables.orders(spark, sf001)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_totalprice") > 150000)
+      .select(col("o_orderkey"))
+    val bloom = dim.stat.bloomFilter("o_orderkey", 1 << 17, 0.03)
+    val fact = Tables.lineitem(spark, sf001)
+    val total = fact.count()
+    val kept = fact
+      .filter(functions.BloomMightContain.col(col("l_orderkey"), bloom))
+      .count()
+    val trueMatches = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"),
+                                "left_semi").count()
+    assert(kept < total, s"bloom probe pruned nothing ($kept of $total)")
+    assert(kept >= trueMatches,
+           s"bloom probe dropped true matches ($kept < $trueMatches)")
+    // fpp 3% on a 17-bit capacity: the surviving superset stays close to
+    // the exact semi-join (generous 10% slack keeps this data-robust)
+    assert(kept <= trueMatches + (total * 0.10).toLong,
+           s"bloom probe barely pruned: kept=$kept exact=$trueMatches")
+  }
+
+  test("BloomMightContain is codegen-compatible and interpreted-consistent") {
+    val dim = Tables.orders(spark, sf001).limit(200).select(col("o_orderkey"))
+    val bloom = dim.stat.bloomFilter("o_orderkey", 1 << 10, 0.03)
+    val keys = Tables.orders(spark, sf001).select(col("o_orderkey"))
+    val probe = functions.BloomMightContain.col(col("o_orderkey"), bloom)
+    val viaPlan = keys.filter(probe).count()
+    // interpreted path (nullSafeEval) must agree with the codegen path
+    val interpreted = keys.collect()
+      .count(r => bloom.mightContainLong(r.getLong(0)))
+    assert(viaPlan === interpreted.toLong)
+  }
 }

@@ -78,4 +78,46 @@ class TextOpsSpec extends SparkSpec {
     // doc 3's only token is "xxx...": df=1, tf=1 -> it is the top token
     assert(top1(3L) === "x" * 500)
   }
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("bm25 puts the rare discriminative term's docs on top") {
+    // 'dup' appears in 25 of 500 docs: idf(dup) ~ ln(20) dwarfs the
+    // common terms' ~0 idf, so every top-ranked doc must contain it.
+    val rows = ext.TextOps.bm25(spark, sf001).collect()
+    assert(rows.length === 10)
+    val dupDocs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter($"text".contains("dup")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val topDocs = rows.map(_.getLong(0))
+    assert(topDocs.forall(dupDocs.contains),
+           s"top-10 contains non-'dup' docs: ${topDocs.mkString(",")}")
+    // ranks strictly follow score_micro desc, doc_id asc
+    val ord = rows.sortBy(_.getInt(4))
+      .map(r => (-r.getLong(2), r.getLong(0))).toSeq
+    assert(ord === ord.sorted, "rn disagrees with (score desc, doc_id) order")
+  }
+
+  test("bigram logprob covers every adjacent pair and scores fluency negative") {
+    val nTok = ext.TextOps.tokens(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = ext.TextOps.bigramLogprob(spark, sf001).collect()
+    assert(rows.length === nTok.count(_._2 >= 2))
+    rows.foreach { r =>
+      val (id, nBi) = (r.getLong(0), r.getLong(1))
+      assert(nBi === nTok(id) - 1L, s"doc $id: $nBi bigrams for ${nTok(id)} tokens")
+      assert(r.getDouble(3) < 0.0, s"doc $id: avg log-prob must be negative")
+    }
+  }
+
+  test("quantile gate keeps at least half of every source") {
+    val rows = ext.TextOps.quantileSelect(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nKept) = (r.getLong(2), r.getLong(3))
+      assert(nKept * 2 >= nDocs,
+             s"${r.getString(0)}: lower-median gate kept $nKept of $nDocs")
+      assert(nKept < nDocs, s"${r.getString(0)}: gate dropped nothing")
+    }
+  }
 }
