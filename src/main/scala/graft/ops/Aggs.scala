@@ -180,7 +180,38 @@ object Aggs {
                 col("n_exact_global") * 0.1).cast("int").as("global_ok"))
   }
 
+  /** Winsorized (5th/95th-percentile-clipped) robust aggregation — the
+    * outlier-tolerant stats a curation dashboard wants when a handful of
+    * extreme rows would otherwise dominate a mean. Percentiles are
+    * POSITIONAL (value at row_number (n·p) div 100 — exact selection,
+    * no interpolation, so engines can't drift); the value at a rank is
+    * well-defined under ties, so no tiebreak column is needed. Shape:
+    * one window shuffle by group ranks the column, the bounds frame is
+    * |groups| rows broadcast back, then one aggregation of the clipped
+    * column — holds at any scale since per-group state is two doubles. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    val w = Window.partitionBy("flag").orderBy(col("x").asc)
+    val bounds = l
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      .filter(col("rn") === expr("(n * 5) div 100 + 1") ||
+              col("rn") === expr("(n * 95) div 100"))
+      .groupBy("flag").agg(min("x").as("lo"), max("x").as("hi"))
+    l.join(broadcast(bounds), Seq("flag"))
+      .select(col("flag"), col("lo"), col("hi"),
+              greatest(col("lo"), least(col("hi"), col("x"))).as("cx"))
+      .groupBy("flag", "lo", "hi")
+      .agg(count(lit(1)).as("n"),
+           Num.rnd(sum("cx"), 2).as("sum_w"),
+           Num.rnd(avg("cx"), 2).as("avg_w"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorize"      -> winsorize _,
     "agg_sketch_reagg"  -> sketchReagg _,
     "agg_cube"          -> cubeAgg _,
     "agg_grouping_sets" -> groupingSetsAgg _,
@@ -196,6 +227,16 @@ object Aggs {
     "q1_agg"            -> q1Agg _)
 
   val oracle: Map[String, String] = Map(
+    "agg_winsorize" ->
+      ("WITH l AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem), " +
+       "r AS (SELECT flag, x, row_number() OVER (PARTITION BY flag ORDER BY x) AS rn, " +
+       "count(*) OVER (PARTITION BY flag) AS n FROM l), " +
+       "b AS (SELECT flag, min(x) AS lo, max(x) AS hi FROM r " +
+       "WHERE rn = (n * 5) // 100 + 1 OR rn = (n * 95) // 100 GROUP BY flag) " +
+       "SELECT l.flag, b.lo, b.hi, count(*) AS n, " +
+       "round((sum(greatest(b.lo, least(b.hi, l.x)))) * 1e2) / 1e2 AS sum_w, " +
+       "round((avg(greatest(b.lo, least(b.hi, l.x)))) * 1e2) / 1e2 AS avg_w " +
+       "FROM l JOIN b USING (flag) GROUP BY l.flag, b.lo, b.hi ORDER BY l.flag"),
     "agg_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders " +
        "GROUP BY CUBE (o_orderstatus, o_orderpriority)"),

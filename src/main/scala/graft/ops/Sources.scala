@@ -185,7 +185,27 @@ object Sources {
               "ORDER BY n_name")
   }
 
+  /** Hive-partitioned parquet sink + partition-pruned read-back — the
+    * layout a 100 TB table actually ships with: the sink shards by the
+    * filter column, and the read-back's predicate prunes to ONE
+    * partition directory before any IO (PartitionFilters in the scan —
+    * asserted by PartitionPruningSpec; this query adds the
+    * oracle-checked content half: what survives the pruned scan is
+    * exactly the source rows with that key). */
+  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("part_orders")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Num.rnd(sum("o_totalprice"), 2).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_partitioned_roundtrip" -> partitionedRoundtrip _,
     "src_csv_roundtrip"  -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
     "src_json_array_roundtrip" -> jsonArrayRoundtrip _,
@@ -197,6 +217,10 @@ object Sources {
     "sql_catalog_table"  -> catalogTable _)
 
   val oracle: Map[String, String] = Map(
+    "src_partitioned_roundtrip" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+       "round((sum(o_totalprice)) * 1e2) / 1e2 AS total " +
+       "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority"),
     "src_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",
     "src_json_roundtrip" ->
