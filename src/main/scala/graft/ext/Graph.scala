@@ -35,6 +35,16 @@ object Graph {
       .union(cs.select(col("s").as("src"), col("c").as("dst")))
   }
 
+  /** Edge list materialized ONCE per (session, dir) — the plan below
+    * references it 4× (degree + one join per round); without the
+    * checkpoint Catalyst would re-run the fact-fact join and distinct
+    * for every reference. Eager-memoized like the dedup pair frames
+    * (NOT in PlanShapeSpec's laziness allowlist; Bench owner:
+    * graph_pagerank). */
+  private def edgesCkpt(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "graphedges"),
+      edgesOf(spark, dir).localCheckpoint())
+
   /** Fixed-round PageRank (damping 0.85, 3 rounds — the constant is
     * mirrored by the oracle's unrolled CTEs; keep in lockstep). Each
     * round is one shuffle join of the edge list with the rank frame on
@@ -45,7 +55,7 @@ object Graph {
     * exist by construction (every node comes from an edge), so the
     * LEFT join + coalesce(0) only guards rounding-starved corners. */
   def pagerank(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val edges = edgesOf(spark, dir)
+    val edges = edgesCkpt(spark, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg"))
     var r = nodes.select(col("node"), lit(1000000L).as("r"))
