@@ -498,6 +498,38 @@ object TextOps {
       .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
   }
 
+  /** URL-canonicalization dedup — the re-crawl collapse a web corpus
+    * runs before any content dedup: the same page arrives as
+    * case-varied hosts, trailing-slash variants, and tracking-query
+    * decorations; canonicalize (lowercase host, drop query/fragment,
+    * strip trailing slash) and keep one doc per canonical URL. Raw URLs
+    * are CONSTRUCTED deterministically (groups of 4 doc_ids share a
+    * base page, each with a different decoration), so the oracle states
+    * the canonical form from the construction — ground-truth
+    * verification of the parse_url+normalize path, same idiom as
+    * [[urlParse]]. Zero shuffle until the one canonical-key groupBy. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val baseId = expr("doc_id div 4")
+    val host = concat(lit("h"), expr("(doc_id div 4) % 7"), lit(".example.com"))
+    val stem = concat(lit("https://"), host, lit("/docs/"), baseId)
+    val raw =
+      when(col("doc_id") % 4 === 0, stem)
+        .when(col("doc_id") % 4 === 1,
+              concat(lit("https://"), upper(host), lit("/docs/"), baseId))
+        .when(col("doc_id") % 4 === 2, concat(stem, lit("/")))
+        .otherwise(concat(stem, lit("?utm_source=feed#frag")))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), raw.as("url"))
+      .withColumn("canon",
+        concat(lower(expr("parse_url(url, 'HOST')")),
+               regexp_replace(expr("parse_url(url, 'PATH')"), "/$", "")))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_dups"),
+           min("doc_id").as("keep_doc"),
+           countDistinct(col("url")).as("n_variants"))
+  }
+
   /** Per-source quantile gating — "keep each source's longest half" —
     * the relative-threshold curation rule (absolute cutoffs misfire
     * when sources have different length profiles). The lower median is
@@ -660,6 +692,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_parse"     -> urlParse _,
     "text_bm25"          -> ((s, d) => bm25(s, d)),
+    "dedup_url"          -> urlDedup _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
     "corpus_split"       -> corpusSplit _,
@@ -721,6 +754,22 @@ object TextOps {
        "CAST(score_micro AS DOUBLE) / 1e6 AS score, " +
        "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn " +
        "FROM top"),
+    "dedup_url" ->
+      // the oracle rebuilds raw AND canonical from the construction —
+      // ground truth for the parse_url + normalize path, not a second
+      // parser
+      ("WITH u AS (SELECT doc_id, " +
+       "'h' || CAST((doc_id // 4) % 7 AS VARCHAR) || '.example.com/docs/' || " +
+       "CAST(doc_id // 4 AS VARCHAR) AS canon, " +
+       "CASE doc_id % 4 " +
+       "WHEN 0 THEN 'https://h' || CAST((doc_id // 4) % 7 AS VARCHAR) || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR) " +
+       "WHEN 1 THEN 'https://H' || CAST((doc_id // 4) % 7 AS VARCHAR) || '.EXAMPLE.COM/docs/' || CAST(doc_id // 4 AS VARCHAR) " +
+       "WHEN 2 THEN 'https://h' || CAST((doc_id // 4) % 7 AS VARCHAR) || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR) || '/' " +
+       "ELSE 'https://h' || CAST((doc_id // 4) % 7 AS VARCHAR) || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed#frag' " +
+       "END AS url " +
+       "FROM documents WHERE doc_id IS NOT NULL) " +
+       "SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_doc, " +
+       "count(DISTINCT url) AS n_variants FROM u GROUP BY canon"),
     "text_bigram_logprob" ->
       ("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
        // parallel unnests expand in positional lockstep: (t[i], t[i+1])

@@ -47,6 +47,31 @@ object DocStream {
       .drop("fp")
   }
 
+  /** Bloom-accelerated stream-static screen — [[screenNew]] with the
+    * corpus fingerprint set pre-baked into a Bloom filter probed by the
+    * codegen'd [[graft.functions.BloomMightContain]]: rows the bloom
+    * rejects are DEFINITELY new (no false negatives) and bypass the
+    * join entirely; only bloom-positive candidates reach the exact
+    * md5 anti-join, where false positives die. Result is identical to
+    * [[screenNew]] by construction. At 100 TB the difference is the
+    * join input: a mostly-novel ingest sends ~|dups| + fp·|batch| rows
+    * through the stream-static join instead of the whole stream, and
+    * the ~115 KB filter rides the closure to every executor — the
+    * streaming twin of `join_bloom_prune`. */
+  def screenNewBloom(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    val bloom = corpus.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", 1 << 17, 0.03)
+    val probed = stream.withColumn("maybe",
+      graft.functions.BloomMightContain.col(xxhash64(col("text")), bloom))
+    val fresh = probed.filter(!col("maybe")).drop("maybe")
+    val fp = corpus.select(md5(col("text")).as("fp")).distinct()
+    val confirmed = probed.filter(col("maybe"))
+      .withColumn("fp", md5(col("text")))
+      .join(fp, Seq("fp"), "left_anti")
+      .drop("fp", "maybe")
+    fresh.unionByName(confirmed)
+  }
+
   /** MinHash-tier streaming screen — the continuous-ingest face of
     * `Dedup.incrementalMinhash`: every micro-batch of new documents is
     * screened against the PERSISTED corpus signature index (hashed

@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select("doc_id").exceptAll(batch.select("doc_id")).count() === 0)
   }
 
+  test("bloom-screened stream equals the plain screen, and the bloom diverts rows") {
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft-docs-bloomscreen").toString
+    Files.copy(Paths.get(s"$sf0001/documents.parquet"),
+      Paths.get(s"$dir/docs-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val corpus = Tables.documents(spark, sf0001).filter(col("doc_id") < 25)
+    val streamed = EventStream.runToMemory(
+      spark, DocStream.screenNewBloom(DocStream.readDocs(spark, dir), corpus),
+      "doc_bloomscreen_out", OutputMode.Append())
+    val plain = Tables.documents(spark, sf0001)
+      .withColumn("fp", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("fp")).distinct(),
+            Seq("fp"), "left_anti")
+    assert(streamed.count() > 0)
+    assert(streamed.count() === plain.count())
+    assert(streamed.select("doc_id").exceptAll(plain.select("doc_id")).count() === 0)
+    assert(plain.select("doc_id").exceptAll(streamed.select("doc_id")).count() === 0)
+    // the fast path must actually fire: some ingested docs are
+    // bloom-negative (definitely-new) and bypass the join
+    val bloom = corpus.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", 1 << 17, 0.03)
+    val negatives = Tables.documents(spark, sf0001)
+      .filter(!functions.BloomMightContain.col(xxhash64(col("text")), bloom))
+      .count()
+    assert(negatives > 0, "bloom rejected nothing — fast path untested")
+  }
+
   test("streaming document curation equals the batch curation on replay") {
     import graft.streaming.DocStream
     // duplicate the whole corpus: same file twice → dedup must collapse it
