@@ -285,6 +285,24 @@ object Similarity {
       .select("a_id", "b_id", "rn", "sim")
   }
 
+  /** Mutual-kNN graph edges — keep only pairs where EACH endpoint ranks
+    * the other in its top-3 ([[ivfTopK]]'s result joined to its own
+    * reversal). Mutuality is the standard symmetrization for building
+    * an embedding-neighborhood graph to cluster (SemDeDup-style
+    * cluster-then-dedup, community detection): one-directional
+    * neighbors are mostly hub artifacts. Input is the already-bounded
+    * k·n top-k frame, so this adds one |topk|-row self-join on the pair
+    * key — nothing rescans the embeddings. Cosine is symmetric (and
+    * 6-dp-rounded identically on both orientations), so the surviving
+    * (a<b) row's sim equals its mirror's. */
+  def knnMutual(spark: SparkSession, dir: String): DataFrame = {
+    val t = ivfTopK(spark, dir).select("a_id", "b_id", "sim")
+    val rev = t.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+    t.join(rev, Seq("a_id", "b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
   /** IVF training — one distributed Lloyd (k-means) iteration that makes
     * the coarse quantizer REAL instead of the seed stub: assign every
     * vector to its nearest seed centroid (the memoized [[ivfAssign]]
@@ -868,6 +886,7 @@ object Similarity {
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
     "sim_ivf_topk"     -> ivfTopK _,
+    "sim_knn_mutual"   -> knnMutual _,
     "sim_ivf_train"    -> ivfTrain _,
     "sim_ivf_train_iter" -> ivfTrainIter _,
     "sim_ivf_train_hist" -> ivfTrainHist _,
@@ -1200,21 +1219,32 @@ object Similarity {
     // take rn <= NProbe, the indexed side (y) its rn = 1 home cell, with
     // the same salted-order cap as the Spark b-side.
     "sim_ivf_topk" ->
-      ("WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
-       "s AS (SELECT e.vec_id, c.cell, " +
-       "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
-       "FROM embeddings e CROSS JOIN c), " +
-       "pr AS (SELECT vec_id, cell, row_number() OVER (" +
-       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s), " +
-       s"probes AS (SELECT vec_id, cell FROM pr WHERE rn <= $NProbe), " +
-       "home AS (SELECT vec_id, cell FROM pr WHERE rn = 1), " +
-       "m AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
-       "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
-       s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
-       "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
-       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-       "FROM m x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
-       "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
-       "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
-       "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"))
+      (ivfTopKCteSql + " SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"),
+    // mutual-kNN = the top-3 frame joined to its own reversal; the CTE
+    // chain is shared verbatim with sim_ivf_topk (keep in lockstep)
+    "sim_knn_mutual" ->
+      (ivfTopKCteSql + ", t AS (SELECT a_id, b_id, sim FROM r WHERE rn <= 3) " +
+       "SELECT t.a_id, t.b_id, t.sim FROM t JOIN t u " +
+       "ON t.a_id = u.b_id AND t.b_id = u.a_id WHERE t.a_id < t.b_id"))
+
+  /** The sim_ivf_topk oracle's full CTE chain through `r` (ranked
+    * multi-probe candidates) — shared by the top-k and mutual-kNN
+    * oracles so the two can never drift. */
+  private def ivfTopKCteSql: String =
+    "WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
+    "s AS (SELECT e.vec_id, c.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN c), " +
+    "pr AS (SELECT vec_id, cell, row_number() OVER (" +
+    "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s), " +
+    s"probes AS (SELECT vec_id, cell FROM pr WHERE rn <= $NProbe), " +
+    "home AS (SELECT vec_id, cell FROM pr WHERE rn = 1), " +
+    "m AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
+    "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
+    s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+    "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM m x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
+    "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM p)"
 }
