@@ -585,7 +585,37 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("cluster_size"))
       .select("doc_id", "cluster_size")
 
+  /** Blocked edit-distance fuzzy matching — the record-linkage modality
+    * the n-gram/minhash family can't express: catalog names that differ
+    * by a typo-scale edit ("red bolt" / "old bolt"). The production
+    * shape is dedup-the-dictionary: extract DISTINCT names (with
+    * bearer counts), block by a cheap deterministic key (the trailing
+    * word) so candidates are same-block pairs only — never all-pairs —
+    * then confirm with exact `levenshtein` ≤ 2. Block fan-out is
+    * bounded by the per-block distinct-name count (the adjective vocab
+    * here; a DF cap like the shingle stage's would bound adversarial
+    * blocks). Distinct-frame size ≪ row count at any scale, and the
+    * candidate join shuffles on the block key. */
+  def fuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+      // split_part (not element_at): empty-string out-of-range semantics
+      // match DuckDB's, so a malformed one-word name can't ANSI-throw
+      .withColumn("blk", expr("split_part(name, ' ', 2)"))
+    val a = names.select(col("blk"), col("name").as("a_name"),
+                         col("n_rows").as("n_a"))
+    val b = names.select(col("blk"), col("name").as("b_name"),
+                         col("n_rows").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_name") < col("b_name"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 2)
+      .select("a_name", "b_name", "n_a", "n_b", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_clusters"      -> clusters _,
     "dedup_exact"         -> exact _,
@@ -717,6 +747,14 @@ object Dedup {
     s"SELECT a_id, b_id, hamming FROM p WHERE hamming <= $MaxHamming"
 
   val oracle: Map[String, String] = Map(
+    "dedup_fuzzy" ->
+      ("WITH nm AS (SELECT p_name AS name, count(*) AS n_rows, " +
+       "split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name) " +
+       "SELECT a.name AS a_name, b.name AS b_name, " +
+       "a.n_rows AS n_a, b.n_rows AS n_b, " +
+       "CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist " +
+       "FROM nm a JOIN nm b ON a.blk = b.blk AND a.name < b.name " +
+       "WHERE levenshtein(a.name, b.name) <= 2"),
     // md5 grouping keys mirror the Spark side's narrow-shuffle-key plan
     // (same UTF-8 byte digest on both engines; groups are identical to
     // grouping by the text itself absent an md5 collision)

@@ -498,6 +498,33 @@ object TextOps {
       .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
   }
 
+  /** Per-source token-distribution Shannon entropy — the
+    * information-theoretic corpus profile (low entropy = templated or
+    * repetitive source, high = diverse): H = −Σ p·ln p in nats over
+    * each source's token histogram. Same integer discipline as
+    * [[unigramLogprob]]: ln(c/n) micronized once per DISTINCT
+    * (source, token), Σ c·lpm is an exact BIGINT sum, and only the
+    * final normalization divides — no fp-order drift. Two hash
+    * aggregations + one broadcast of the |sources|-row totals. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val cnt = tk.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source")
+      .agg(sum("c").as("n"), count(lit(1)).as("vocab"))
+    cnt.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("n"), col("vocab"),
+              (col("c") *
+                round(log(col("c") / col("n")) * lit(1e6)).cast("long"))
+                .as("clpm"))
+      .groupBy("source", "n", "vocab")
+      .agg(sum("clpm").as("sum_clpm"))
+      .select(col("source"), col("n").as("n_tok"), col("vocab"),
+              Num.rnd(-col("sum_clpm").cast("double") /
+                        (col("n") * lit(1e6)), 6).as("entropy"))
+      .orderBy("source")
+  }
+
   /** URL-canonicalization dedup — the re-crawl collapse a web corpus
     * runs before any content dedup: the same page arrives as
     * case-varied hosts, trailing-slash variants, and tracking-query
@@ -693,6 +720,7 @@ object TextOps {
     "text_url_parse"     -> urlParse _,
     "text_bm25"          -> ((s, d) => bm25(s, d)),
     "dedup_url"          -> urlDedup _,
+    "text_entropy"       -> entropy _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
     "corpus_split"       -> corpusSplit _,
@@ -754,6 +782,17 @@ object TextOps {
        "CAST(score_micro AS DOUBLE) / 1e6 AS score, " +
        "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn " +
        "FROM top"),
+    "text_entropy" ->
+      ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "cnt AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY source, tok), " +
+       "tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS vocab " +
+       "FROM cnt GROUP BY source), " +
+       "t AS (SELECT cnt.source, tot.n, tot.vocab, " +
+       "cnt.c * CAST(round(ln(cnt.c / tot.n) * 1e6) AS BIGINT) AS clpm " +
+       "FROM cnt JOIN tot USING (source)) " +
+       "SELECT source, n AS n_tok, vocab, " +
+       "round((-CAST(sum(clpm) AS DOUBLE) / (n * 1e6)) * 1e6) / 1e6 AS entropy " +
+       "FROM t GROUP BY source, n, vocab ORDER BY source"),
     "dedup_url" ->
       // the oracle rebuilds raw AND canonical from the construction —
       // ground truth for the parse_url + normalize path, not a second

@@ -248,6 +248,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m.getAs[Number]("max_bucket_rows").intValue() === 5)
   }
 
+  test("fuzzy dedup equals brute force restricted to same-block pairs") {
+    val sf001 = "/root/testdata/sf0.01"
+    val got = ext.Dedup.fuzzy(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(4))).toSet
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, d) => d >= 1 && d <= 2 })
+    // brute force over the distinct-name dictionary (tiny by design)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+                           prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val names = Tables.part(spark, sf001).select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val brute = (for {
+      x <- names; y <- names
+      if x < y && x.split(" ")(1) == y.split(" ")(1) && lev(x, y) <= 2
+    } yield (x, y, lev(x, y))).toSet
+    assert(got === brute,
+           s"blocked result differs from in-block brute force: " +
+             s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("per-source entropy is positive and bounded by ln(vocab)") {
+    val rows = ext.TextOps.entropy(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, h) = (r.getLong(2), r.getDouble(3))
+      assert(h > 0.0, s"${r.getString(0)}: entropy $h not positive")
+      assert(h <= math.log(vocab.toDouble) + 1e-6,
+             s"${r.getString(0)}: entropy $h exceeds ln($vocab)")
+    }
+  }
+
   test("poly_hash registers and runs from SQL") {
     org.apache.spark.sql.GraftSql.register(spark, "poly_hash",
       exprs => functions.PolyHash(exprs.head))
