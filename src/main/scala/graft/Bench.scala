@@ -39,7 +39,7 @@ object Bench {
     val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
       "dedup_minhash_lsh", "dedup_incremental_minhash", "sim_ivf_assign",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
-      "sim_ivf_topk", "sim_pq_codes", "graph_pagerank")
+      "sim_ivf_topk", "sim_pq_codes", "graph_pagerank", "emb_pca_power")
     val ordered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // per-query executor task metrics (shuffle bytes / spill / peak mem /

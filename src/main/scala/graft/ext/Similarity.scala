@@ -637,6 +637,61 @@ object Similarity {
                   transform(col("embedding"), _ => lit(0)))).as("codes"))
   }
 
+  /** Milli-quantized centered element frame for [[pcaPower]] —
+    * (vec_id, pos, c) with c = round(x·1e3) − integer-mean(pos), all
+    * BIGINT. Materialized once per (session, dir): the two power rounds
+    * reference it four times (two matvecs each). Eager-memoized (NOT in
+    * PlanShapeSpec's laziness allowlist; Bench owner: emb_pca_power). */
+  private def pcaCentered(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "pcace"), {
+      val ce0 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("int").as("pos"),
+                round(col("col").cast("double") * lit(1e3)).cast("long").as("t"))
+      // integer mean via sign-split division: `div` truncates toward
+      // zero on Spark while DuckDB's // floors — they agree only on
+      // non-negative operands, so divide |s| and re-apply the sign
+      val means = ce0.groupBy("pos")
+        .agg(sum("t").as("s"), count(lit(1)).as("n"))
+        .select(col("pos"),
+                (when(col("s") < 0, lit(-1L)).otherwise(lit(1L)) *
+                  expr("abs(s) div n")).as("mean"))
+      ce0.join(broadcast(means), Seq("pos"))
+        .select(col("vec_id"), col("pos"), (col("t") - col("mean")).as("c"))
+        .localCheckpoint()
+    })
+
+  /** Top principal component by distributed power iteration — two
+    * Pregel-ish matvec rounds (x ↦ CᵀCx) over the milli-quantized,
+    * integer-centered element frame, renormalizing the iterate to
+    * max|v| = 100 between rounds. EVERY operation is BIGINT arithmetic
+    * (products ≤ ~8.5·10⁹·n — within int64 to ~10⁹ rows), so the
+    * eigenvector estimate is exactly reproducible across engines,
+    * partitionings, and reruns — the property float PCA can never give
+    * an oracle. Shape per half-round: one |elements|-row join + one
+    * aggregation, state = |dims| or |rows| scalars; the classic
+    * map-reduce PCA at any scale. Sign is pinned by the all-ones start
+    * vector. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val ce = pcaCentered(spark, dir)
+    def normalize(u: DataFrame, ucol: String, vcol: String): DataFrame = {
+      val m = u.agg(max(abs(col(ucol))).as("m"))
+      u.crossJoin(broadcast(m))
+        .select(col("pos"), col(ucol),
+                (when(col(ucol) < 0, lit(-1L)).otherwise(lit(1L)) *
+                  expr(s"(abs($ucol) * 100) div m")).as(vcol))
+    }
+    val s1 = ce.groupBy("vec_id").agg(sum("c").as("sc")) // v0 = all-ones
+    val u1 = ce.join(s1, Seq("vec_id"))
+      .groupBy("pos").agg(sum(col("c") * col("sc")).as("u1"))
+    val v1 = normalize(u1, "u1", "v1").select("pos", "v1")
+    val s2 = ce.join(broadcast(v1), Seq("pos"))
+      .groupBy("vec_id").agg(sum(col("c") * col("v1")).as("sc"))
+    val u2 = ce.join(s2, Seq("vec_id"))
+      .groupBy("pos").agg(sum(col("c") * col("sc")).as("u2"))
+    normalize(u2, "u2", "v2").orderBy("pos")
+  }
+
   /** Per-dimension corpus statistics (n, mean, sample variance, min,
     * max) — the embed-stage health check that catches dead dimensions
     * (var ≈ 0), collapsed scales, and outlier dims before an index is
@@ -899,6 +954,7 @@ object Similarity {
     "sim_pq_rerank_topk" -> pqRerankTopK _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
+    "emb_pca_power"    -> pcaPower _,
     "emb_dim_stats"    -> dimStats _,
     "emb_centroid_sim" -> centroidSim _,
     "emb_label_eval"   -> labelEval _)
@@ -1138,6 +1194,30 @@ object Similarity {
     // (round(x*1e6), round(x*x*1e12)) and exact big-integer sums on both
     // engines (DuckDB sums BIGINT into HUGEINT; Spark uses DECIMAL(38,0)
     // accumulators), so every downstream double op folds identical inputs
+    "emb_pca_power" ->
+      // integer power iteration, unrolled: the CTE chain mirrors
+      // pcaCentered + two matvec rounds 1:1. // only ever divides
+      // NON-NEGATIVE operands (sign split) because DuckDB floors where
+      // Spark's div truncates — they differ on negatives.
+      ("WITH x AS (SELECT e.vec_id, CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
+       "CAST(round(CAST(e.embedding[p.pos1] AS DOUBLE) * 1e3) AS BIGINT) AS t " +
+       "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+       "mn AS (SELECT pos, (CASE WHEN CAST(sum(t) AS BIGINT) < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(CAST(sum(t) AS BIGINT)) // count(*)) AS mean FROM x GROUP BY pos), " +
+       "ce AS (SELECT x.vec_id, x.pos, x.t - mn.mean AS c FROM x JOIN mn USING (pos)), " +
+       "s1 AS (SELECT vec_id, CAST(sum(c) AS BIGINT) AS sc FROM ce GROUP BY vec_id), " +
+       "u1c AS (SELECT ce.pos, CAST(sum(ce.c * s1.sc) AS BIGINT) AS u1 " +
+       "FROM ce JOIN s1 USING (vec_id) GROUP BY ce.pos), " +
+       "m1 AS (SELECT max(abs(u1)) AS m FROM u1c), " +
+       "v1c AS (SELECT pos, (CASE WHEN u1 < 0 THEN -1 ELSE 1 END) * " +
+       "((abs(u1) * 100) // m) AS v1 FROM u1c CROSS JOIN m1), " +
+       "s2 AS (SELECT ce.vec_id, CAST(sum(ce.c * v1c.v1) AS BIGINT) AS sc " +
+       "FROM ce JOIN v1c USING (pos) GROUP BY ce.vec_id), " +
+       "u2c AS (SELECT ce.pos, CAST(sum(ce.c * s2.sc) AS BIGINT) AS u2 " +
+       "FROM ce JOIN s2 USING (vec_id) GROUP BY ce.pos), " +
+       "m2 AS (SELECT max(abs(u2)) AS m FROM u2c) " +
+       "SELECT pos, u2, (CASE WHEN u2 < 0 THEN -1 ELSE 1 END) * " +
+       "((abs(u2) * 100) // m) AS v2 FROM u2c CROSS JOIN m2 ORDER BY pos"),
     "emb_dim_stats" ->
       ("WITH x AS (SELECT CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
        "CAST(e.embedding[p.pos1] AS DOUBLE) AS x " +

@@ -1,0 +1,54 @@
+package graft
+
+/** Integer power iteration vs a double-precision reference: the
+  * milli-quantization + integer centering + two renormalized rounds must
+  * land close to the true top principal component (the oracle hash pins
+  * cross-engine equality; this pins that the answer is RIGHT). */
+class PcaSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("integer power rounds raise the Rayleigh quotient toward the top eigenvalue") {
+    // The synthetic embeddings are near-isotropic (lam1/lam2 ~ 1.01 at
+    // sf0.01), so EIGENVECTOR alignment is ill-posed for any fixed round
+    // count — the sound power-iteration invariant is the monotone
+    // Rayleigh quotient: rho(v2) must clearly beat the all-ones start
+    // and reach a solid fraction of the (reference-estimated) lam1.
+    val v2 = ext.Similarity.pcaPower(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2).toDouble).sortBy(_._1).map(_._2)
+    assert(v2.length === 64)
+    assert(v2.map(math.abs).max === 100.0, "renormalization must pin max|v| to 100")
+    val rows = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = rows.length
+    val dims = rows.head.length
+    val mean = Array.tabulate(dims)(j => rows.map(_(j)).sum / n)
+    val c = rows.map(r => Array.tabulate(dims)(j => r(j) - mean(j)))
+    def rho(v: Array[Double]): Double = {
+      val s = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      s.map(x => x * x).sum / v.map(x => x * x).sum
+    }
+    // lam1 proxy: 50 double-precision power rounds from the same start
+    var v = Array.fill(dims)(1.0)
+    for (_ <- 1 to 50) {
+      val s = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val u = Array.tabulate(dims)(j => c.zip(s).map { case (row, si) => row(j) * si }.sum)
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(_ / nrm)
+    }
+    val (r0, r2, rTop) = (rho(Array.fill(dims)(1.0)), rho(v2), rho(v))
+    assert(r2 > r0 * 1.2,
+           s"2 integer rounds did not clearly improve Rayleigh: $r0 -> $r2")
+    assert(r2 >= rTop * 0.6,
+           s"integer estimate too far from converged reference: $r2 vs $rTop")
+  }
+
+  test("integer pca is exactly rerun-deterministic") {
+    val a = ext.Similarity.pcaPower(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = ext.Similarity.pcaPower(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}
