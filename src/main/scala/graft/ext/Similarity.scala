@@ -692,6 +692,46 @@ object Similarity {
     normalize(u2, "u2", "v2").orderBy("pos")
   }
 
+  /** Project every embedding onto the learned top component — the
+    * "apply" half of [[pcaPower]]'s "train" (the same closure the IVF
+    * family has in train → assign_trained → topk_trained): score_i =
+    * Σ_j c_ij·v2_j, exact BIGINT, one |elements|-row join + one agg.
+    * The score is the 1-D reduction a curation pipeline bands, samples,
+    * or drift-monitors on. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val v2 = pcaPower(spark, dir).select(col("pos"), col("v2"))
+    val sc = pcaCentered(spark, dir).join(broadcast(v2), Seq("pos"))
+      .groupBy("vec_id").agg(sum(col("c") * col("v2")).as("score"))
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(sc, Seq("vec_id"))
+  }
+
+  /** The integer power-iteration oracle chain through `v2c`
+    * (pos, u2, v2) — shared by emb_pca_power and emb_pca_project so the
+    * two cannot drift. The CTEs mirror pcaCentered + two matvec rounds
+    * 1:1; `//` only ever divides NON-NEGATIVE operands (sign split)
+    * because DuckDB floors where Spark's div truncates. */
+  private def pcaCteSql: String =
+    "WITH x AS (SELECT e.vec_id, CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
+    "CAST(round(CAST(e.embedding[p.pos1] AS DOUBLE) * 1e3) AS BIGINT) AS t " +
+    "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+    "mn AS (SELECT pos, (CASE WHEN CAST(sum(t) AS BIGINT) < 0 THEN -1 ELSE 1 END) * " +
+    "(abs(CAST(sum(t) AS BIGINT)) // count(*)) AS mean FROM x GROUP BY pos), " +
+    "ce AS (SELECT x.vec_id, x.pos, x.t - mn.mean AS c FROM x JOIN mn USING (pos)), " +
+    "s1 AS (SELECT vec_id, CAST(sum(c) AS BIGINT) AS sc FROM ce GROUP BY vec_id), " +
+    "u1c AS (SELECT ce.pos, CAST(sum(ce.c * s1.sc) AS BIGINT) AS u1 " +
+    "FROM ce JOIN s1 USING (vec_id) GROUP BY ce.pos), " +
+    "m1 AS (SELECT max(abs(u1)) AS m FROM u1c), " +
+    "v1c AS (SELECT pos, (CASE WHEN u1 < 0 THEN -1 ELSE 1 END) * " +
+    "((abs(u1) * 100) // m) AS v1 FROM u1c CROSS JOIN m1), " +
+    "s2 AS (SELECT ce.vec_id, CAST(sum(ce.c * v1c.v1) AS BIGINT) AS sc " +
+    "FROM ce JOIN v1c USING (pos) GROUP BY ce.vec_id), " +
+    "u2c AS (SELECT ce.pos, CAST(sum(ce.c * s2.sc) AS BIGINT) AS u2 " +
+    "FROM ce JOIN s2 USING (vec_id) GROUP BY ce.pos), " +
+    "m2 AS (SELECT max(abs(u2)) AS m FROM u2c), " +
+    "v2c AS (SELECT pos, u2, (CASE WHEN u2 < 0 THEN -1 ELSE 1 END) * " +
+    "((abs(u2) * 100) // m) AS v2 FROM u2c CROSS JOIN m2)"
+
   /** Per-dimension corpus statistics (n, mean, sample variance, min,
     * max) — the embed-stage health check that catches dead dimensions
     * (var ≈ 0), collapsed scales, and outlier dims before an index is
@@ -955,6 +995,7 @@ object Similarity {
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
     "emb_pca_power"    -> pcaPower _,
+    "emb_pca_project"  -> pcaProject _,
     "emb_dim_stats"    -> dimStats _,
     "emb_centroid_sim" -> centroidSim _,
     "emb_label_eval"   -> labelEval _)
@@ -1195,29 +1236,15 @@ object Similarity {
     // engines (DuckDB sums BIGINT into HUGEINT; Spark uses DECIMAL(38,0)
     // accumulators), so every downstream double op folds identical inputs
     "emb_pca_power" ->
-      // integer power iteration, unrolled: the CTE chain mirrors
-      // pcaCentered + two matvec rounds 1:1. // only ever divides
-      // NON-NEGATIVE operands (sign split) because DuckDB floors where
-      // Spark's div truncates — they differ on negatives.
-      ("WITH x AS (SELECT e.vec_id, CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
-       "CAST(round(CAST(e.embedding[p.pos1] AS DOUBLE) * 1e3) AS BIGINT) AS t " +
-       "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
-       "mn AS (SELECT pos, (CASE WHEN CAST(sum(t) AS BIGINT) < 0 THEN -1 ELSE 1 END) * " +
-       "(abs(CAST(sum(t) AS BIGINT)) // count(*)) AS mean FROM x GROUP BY pos), " +
-       "ce AS (SELECT x.vec_id, x.pos, x.t - mn.mean AS c FROM x JOIN mn USING (pos)), " +
-       "s1 AS (SELECT vec_id, CAST(sum(c) AS BIGINT) AS sc FROM ce GROUP BY vec_id), " +
-       "u1c AS (SELECT ce.pos, CAST(sum(ce.c * s1.sc) AS BIGINT) AS u1 " +
-       "FROM ce JOIN s1 USING (vec_id) GROUP BY ce.pos), " +
-       "m1 AS (SELECT max(abs(u1)) AS m FROM u1c), " +
-       "v1c AS (SELECT pos, (CASE WHEN u1 < 0 THEN -1 ELSE 1 END) * " +
-       "((abs(u1) * 100) // m) AS v1 FROM u1c CROSS JOIN m1), " +
-       "s2 AS (SELECT ce.vec_id, CAST(sum(ce.c * v1c.v1) AS BIGINT) AS sc " +
-       "FROM ce JOIN v1c USING (pos) GROUP BY ce.vec_id), " +
-       "u2c AS (SELECT ce.pos, CAST(sum(ce.c * s2.sc) AS BIGINT) AS u2 " +
-       "FROM ce JOIN s2 USING (vec_id) GROUP BY ce.pos), " +
-       "m2 AS (SELECT max(abs(u2)) AS m FROM u2c) " +
-       "SELECT pos, u2, (CASE WHEN u2 < 0 THEN -1 ELSE 1 END) * " +
-       "((abs(u2) * 100) // m) AS v2 FROM u2c CROSS JOIN m2 ORDER BY pos"),
+      (pcaCteSql + " SELECT pos, u2, v2 FROM v2c ORDER BY pos"),
+    // projection composes the SAME chain (keep in lockstep): one more
+    // ce ⋈ v2 matvec, still exact BIGINT
+    "emb_pca_project" ->
+      (pcaCteSql + ", sc AS (SELECT ce.vec_id, " +
+       "CAST(sum(ce.c * v2c.v2) AS BIGINT) AS score " +
+       "FROM ce JOIN v2c USING (pos) GROUP BY ce.vec_id) " +
+       "SELECT e.vec_id, e.label, sc.score " +
+       "FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id"),
     "emb_dim_stats" ->
       ("WITH x AS (SELECT CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
        "CAST(e.embedding[p.pos1] AS DOUBLE) AS x " +

@@ -44,6 +44,33 @@ class PcaSpec extends SparkSpec {
            s"integer estimate too far from converged reference: $r2 vs $rTop")
   }
 
+  test("projection spreads the data wider than the all-ones direction") {
+    val rows = ext.Similarity.pcaProject(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val nEmb = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.length.toLong === nEmb, "one score per embedding")
+    assert(rows.map(_._2).distinct.length > 10, "degenerate projection")
+    // per-unit-norm variance is what the top PC maximizes: the learned
+    // direction must beat the round-0 all-ones direction on the same
+    // float-centered data
+    val v2 = ext.Similarity.pcaPower(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2).toDouble).sortBy(_._1).map(_._2)
+    val x = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = x.head.length
+    val mean = Array.tabulate(dims)(j => x.map(_(j)).sum / x.length)
+    val c = x.map(r => Array.tabulate(dims)(j => r(j) - mean(j)))
+    def perNormVar(v: Array[Double]): Double = {
+      val s = c.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      val m = s.sum / s.length
+      s.map(t => (t - m) * (t - m)).sum / s.length / v.map(t => t * t).sum
+    }
+    val gain = perNormVar(v2) / perNormVar(Array.fill(dims)(1.0))
+    assert(gain > 1.2,
+           s"learned direction does not clearly beat all-ones: gain = $gain")
+  }
+
   test("integer pca is exactly rerun-deterministic") {
     val a = ext.Similarity.pcaPower(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
