@@ -498,6 +498,42 @@ object TextOps {
       .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
   }
 
+  /** Token-pair collocation mining by pointwise mutual information —
+    * PMI(x,y) = ln(n·c_xy / (c_x·c_y)) over document-level
+    * co-occurrence. The model table is |vocab²| (inherently bounded by
+    * the distinct-token count), the stream side is per-doc DISTINCT
+    * tokens, and the in-doc pair join fans out quadratically only in
+    * per-doc distinct vocabulary — never in corpus size. Counts are
+    * exact integers, the PMI ratio is integer·integer / integer·integer
+    * folded in one exactly-rounded double division, and the ln is
+    * micronized — deterministic ranking. Top-20 via orderBy+limit
+    * (TakeOrderedAndProject), ranked after. */
+  def pmi(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val n = dt.select(countDistinct(col("doc_id")).as("n"))
+    val cx = dt.groupBy("tok").agg(count(lit(1)).as("cx"))
+    val pairs = dt.as("a")
+      .join(dt.as("b"), Seq("doc_id"))
+      .filter(col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val scored = pairs
+      .join(broadcast(cx.select(col("tok").as("x"), col("cx"))), Seq("x"))
+      .join(broadcast(cx.select(col("tok").as("y"), col("cx").as("cy"))), Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("cxy"),
+        round(log((col("cxy") * col("n")).cast("double") /
+                  (col("cx") * col("cy"))) * lit(1e6))
+          .cast("long").as("pmi_micro"))
+    val w = Window.orderBy(col("pmi_micro").desc, col("x").asc, col("y").asc)
+    scored
+      .orderBy(col("pmi_micro").desc, col("x").asc, col("y").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
   /** Per-source token-distribution Shannon entropy — the
     * information-theoretic corpus profile (low entropy = templated or
     * repetitive source, high = diverse): H = −Σ p·ln p in nats over
@@ -721,6 +757,7 @@ object TextOps {
     "text_bm25"          -> ((s, d) => bm25(s, d)),
     "dedup_url"          -> urlDedup _,
     "text_entropy"       -> entropy _,
+    "text_pmi"           -> ((s, d) => pmi(s, d)),
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
     "corpus_split"       -> corpusSplit _,
@@ -781,6 +818,21 @@ object TextOps {
        "SELECT doc_id, n_hit, score_micro, " +
        "CAST(score_micro AS DOUBLE) / 1e6 AS score, " +
        "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn " +
+       "FROM top"),
+    "text_pmi" ->
+      ("WITH dt AS (SELECT DISTINCT doc_id, tok FROM (" +
+       "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t), " +
+       "n AS (SELECT count(DISTINCT doc_id) AS n FROM dt), " +
+       "cx AS (SELECT tok, count(*) AS cx FROM dt GROUP BY tok), " +
+       "pr AS (SELECT a.tok AS x, b.tok AS y, count(*) AS cxy " +
+       "FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok " +
+       "GROUP BY a.tok, b.tok), " +
+       "sc AS (SELECT pr.x, pr.y, pr.cxy, CAST(round(" +
+       "ln(CAST(pr.cxy * n.n AS DOUBLE) / (cx1.cx * cx2.cx)) * 1e6) AS BIGINT) AS pmi_micro " +
+       "FROM pr JOIN cx cx1 ON pr.x = cx1.tok JOIN cx cx2 ON pr.y = cx2.tok CROSS JOIN n), " +
+       "top AS (SELECT * FROM sc ORDER BY pmi_micro DESC, x, y LIMIT 20) " +
+       "SELECT x, y, cxy, pmi_micro, " +
+       "CAST(row_number() OVER (ORDER BY pmi_micro DESC, x, y) AS INTEGER) AS rn " +
        "FROM top"),
     "text_entropy" ->
       ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +

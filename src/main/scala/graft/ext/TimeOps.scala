@@ -198,7 +198,32 @@ object TimeOps {
               col("filled"))
   }
 
+  /** Trailing-window spike detection on the hourly event-rate series —
+    * the ops-side anomaly monitor over the same stream the windowed
+    * aggregations feed. A spike = an hour whose count more than doubles
+    * the trailing-24h mean (with ≥ 12 trailing hours of warm-up). The
+    * test is ALL-INTEGER — `c·k > 2·s24` instead of a float mean — so
+    * flags are exactly reproducible. One aggregation to |hours| rows,
+    * then a window over the tiny series: at 100 TB the raw-to-hourly
+    * reduction happens map-side and the anomaly pass is O(hours). */
+  def spike(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("h").rowsBetween(-24, -1)
+    hourly
+      .withColumn("s24", coalesce(sum("c").over(w), lit(0L)))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(date_format(col("h"), fmt).as("h"),
+              col("c"), col("s24"), col("k"),
+              (col("k") >= 12 && col("c") * col("k") > col("s24") * 2)
+                .cast("int").as("is_spike"))
+      .orderBy("h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_spike"    -> spike _,
     "time_gap_fill"      -> gapFill _,
     "time_tumbling"      -> tumbling _,
     "time_sliding"       -> sliding _,
@@ -226,6 +251,17 @@ object TimeOps {
        "CAST(hourly.n IS NULL AS INTEGER) AS filled " +
        "FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type " +
        "AND s.h = hourly.h"),
+    "time_spike" ->
+      ("WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c " +
+       "FROM events GROUP BY 1) " +
+       "SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, c, " +
+       "CAST(coalesce(sum(c) OVER w, 0) AS BIGINT) AS s24, " +
+       "count(*) OVER w AS k, " +
+       "CAST(count(*) OVER w >= 12 AND c * (count(*) OVER w) > " +
+       "(coalesce(sum(c) OVER w, 0)) * 2 AS INTEGER) AS is_spike " +
+       "FROM hourly " +
+       "WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) " +
+       "ORDER BY h"),
     "time_tumbling" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, " +
        "event_type, count(*) AS n, round((sum(value)) * 1e2) / 1e2 AS sum_v " +

@@ -110,6 +110,18 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("pmi top-20 are genuine collocations, ranked consistently") {
+    val rows = ext.TextOps.pmi(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(rows.length === 20)
+    // every top-20 pair must co-occur MORE than independence predicts
+    assert(rows.forall(_._4 > 0L), "non-positive PMI in top-20")
+    val byRank = rows.sortBy(_._5)
+    val keys = byRank.map(t => (-t._4, t._1, t._2)).toSeq
+    assert(keys === keys.sorted, "rn disagrees with (pmi desc, x, y) order")
+    assert(byRank.forall(t => t._1 < t._2), "pair not ordered x < y")
+  }
+
   test("quantile gate keeps at least half of every source") {
     val rows = ext.TextOps.quantileSelect(spark, sf001).collect()
     assert(rows.nonEmpty)
