@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Graph analytics over the purchase graph (customer ↔ supplier edges
   * derived from `orders` ⋈ `lineitem` — the entity-relationship shape
-  * the reference's star schema implies but never analyzes). Complements
+  * the reference's star schema implies but never analyzes; its Athena
+  * layer stops at joins/aggregations, `/root/reference/README.md:28-31`).
+  * Complements
   * the dedup family's connected components (`Dedup.clusters`) with an
   * ITERATIVE VALUE computation: Pregel-style rounds expressed as
   * join + aggregate, the shape GraphX/Pregel lowers to.

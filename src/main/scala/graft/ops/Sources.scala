@@ -204,7 +204,30 @@ object Sources {
       .agg(count(lit(1)).as("n"), Num.rnd(sum("o_totalprice"), 2).as("total"))
   }
 
+  /** Small-files compaction — the table-maintenance job every real lake
+    * runs: a fragmented ingest (64 shards here — the micro-batch/
+    * per-producer file spray) is rewritten into a few right-sized files
+    * (`repartition(4)`; production sizes by target bytes). Query
+    * results must be invariant under the rewrite — the oracle reads the
+    * SOURCE table, so the hash check proves content preservation; the
+    * file-count collapse itself is asserted by CompactionSpec. At
+    * 100 TB this job is why scan costs stay sane: footer/open overhead
+    * scales with file count, not bytes. */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    val frag = Tables.scratch("frag_orders")
+    val compact = Tables.scratch("compact_orders")
+    Tables.orders(spark, dir)
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag)
+      .repartition(4).write.mode("overwrite").parquet(compact)
+    spark.read.parquet(compact)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Num.rnd(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_compaction" -> compaction _,
     "src_partitioned_roundtrip" -> partitionedRoundtrip _,
     "src_csv_roundtrip"  -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
@@ -217,6 +240,10 @@ object Sources {
     "sql_catalog_table"  -> catalogTable _)
 
   val oracle: Map[String, String] = Map(
+    "src_compaction" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+       "round((sum(o_totalprice)) * 1e2) / 1e2 AS total " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "src_partitioned_roundtrip" ->
       ("SELECT o_orderpriority, count(*) AS n, " +
        "round((sum(o_totalprice)) * 1e2) / 1e2 AS total " +
