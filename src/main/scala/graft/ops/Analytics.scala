@@ -106,13 +106,66 @@ object Analytics {
              .as("slope_price_qty"))
       .orderBy("l_returnflag")
 
+  /** Referential-integrity audit across the star schema in one result —
+    * the data-quality gate a warehouse load runs before publishing:
+    * orphan counts for each FK edge (fact rows whose parent is
+    * missing). Each edge is a left-anti count — only join KEYS move,
+    * dimensions broadcast where small, and the per-edge aggregates are
+    * single scalars unioned into one report. The reference hand-rolls
+    * the idea as per-table count assertions
+    * (`/root/reference/real_estate_etl_job.py:136-150`); this is the
+    * join-level generalization. */
+  def refIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    // one pass per edge (J3's count(col)-skips-nulls idiom): left join
+    // onto distinct parent keys, orphans = rows with no hit — total and
+    // orphan counts come from the same aggregate, nothing runs eagerly
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+                edge: String): DataFrame =
+      fact.select(col(fk).as("k"))
+        .join(dim.select(col(pk).as("k"), lit(1).as("hit")).distinct(),
+              Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+             (count(lit(1)) - count(col("hit"))).as("n_orphans"))
+        .select(lit(edge).as("fk_edge"), col("n_orphans"), col("n_rows"))
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    orphans(l, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+      .unionByName(orphans(l, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+      .unionByName(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+      .unionByName(orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+      .orderBy("fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audit_referential" -> refIntegrity _,
     "q3_topk"          -> q3TopK _,
     "q5_region_volume" -> q5RegionVolume _,
     "q18_large_orders" -> q18LargeOrders _,
     "agg_corr"         -> corrAnalytic _)
 
   val oracle: Map[String, String] = Map(
+    "audit_referential" ->
+      ("WITH e1 AS (SELECT 'lineitem->orders' AS fk_edge, " +
+       "CAST(count(*) - count(o.k) AS BIGINT) AS n_orphans, count(*) AS n_rows " +
+       "FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o " +
+       "ON l.l_orderkey = o.k), " +
+       "e2 AS (SELECT 'lineitem->supplier' AS fk_edge, " +
+       "CAST(count(*) - count(s.k) AS BIGINT) AS n_orphans, count(*) AS n_rows " +
+       "FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) s " +
+       "ON l.l_suppkey = s.k), " +
+       "e3 AS (SELECT 'orders->customer' AS fk_edge, " +
+       "CAST(count(*) - count(c.k) AS BIGINT) AS n_orphans, count(*) AS n_rows " +
+       "FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c " +
+       "ON o.o_custkey = c.k), " +
+       "e4 AS (SELECT 'customer->nation' AS fk_edge, " +
+       "CAST(count(*) - count(n.k) AS BIGINT) AS n_orphans, count(*) AS n_rows " +
+       "FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) n " +
+       "ON c.c_nationkey = n.k) " +
+       "SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL " +
+       "SELECT * FROM e3 UNION ALL SELECT * FROM e4 ORDER BY fk_edge"),
     "agg_corr" ->
       ("SELECT l_returnflag, count(*) AS n, " +
        "round((corr(l_quantity, l_extendedprice)) * 1e6) / 1e6 AS corr_qty_price, " +
