@@ -84,6 +84,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bloom probe sits on the fact scan, dimension broadcasts") {
+    val p = planOf("join_bloom_prune")
+    assert(p.contains("bloom_might_contain"),
+           s"explicit bloom probe missing from plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+           s"filtered dimension should broadcast:\n$p")
+  }
+
+  test("bm25 top-k avoids a global sort") {
+    val p = planOf("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+           s"top-k fell back to a global sort:\n$p")
+  }
+
+  test("fuzzy dedup and referential audit never go quadratic") {
+    for (q <- Seq("dedup_fuzzy", "audit_referential")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+             s"$q plan went quadratic:\n$p")
+    }
+  }
+
   test("no query collects unbounded data to the driver") {
     // the one deliberate collect (semi_isin parity demo) is bounded by the
     // 25-row nation table; every other query builds a single lazy plan.
