@@ -279,6 +279,28 @@ class DedupSimilaritySpec extends SparkSpec {
              s"missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("fuzzy dedup output scales with the dictionary, not the row count") {
+    // 4x-duplicated rows: same distinct names, so the SAME pairs at the
+    // SAME distances must come back, with only the bearer counts scaled
+    val sf001 = "/root/testdata/sf0.01"
+    val base = ext.Dedup.fuzzy(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(4)) ->
+                ((r.getLong(2), r.getLong(3)))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-4x").toString
+    val p = Tables.part(spark, sf001)
+    p.unionAll(p).unionAll(p).unionAll(p)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val scaled = ext.Dedup.fuzzy(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(4)) ->
+                ((r.getLong(2), r.getLong(3)))).toMap
+    assert(scaled.keySet === base.keySet,
+           "pair set changed under row duplication")
+    base.foreach { case (k, (na, nb)) =>
+      assert(scaled(k) === ((na * 4, nb * 4)),
+             s"$k: bearer counts not scaled 4x: ${scaled(k)} vs ($na,$nb)")
+    }
+  }
+
   test("per-source entropy is positive and bounded by ln(vocab)") {
     val rows = ext.TextOps.entropy(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
