@@ -498,6 +498,32 @@ object TextOps {
       .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
   }
 
+  /** Zipf rank-frequency slope — the one-number corpus-health fingerprint
+    * (natural text ≈ −1; templated/synthetic corpora flatten toward 0):
+    * least-squares slope of ln(freq) on ln(rank) over the vocabulary.
+    * The regression is EXACT integer algebra — ln(rank) and ln(freq)
+    * micronized once per vocab row, then k·Σxy − Σx·Σy over BIGINTs;
+    * only the final slope divides. Model size = |vocab|; the token
+    * count is the only corpus-sized pass. */
+  def zipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ranked = cnt.withColumn("rn",
+      row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
+    val t = ranked.select(
+      round(log(col("rn").cast("double")) * lit(1e6)).cast("long").as("x"),
+      round(log(col("c").cast("double")) * lit(1e6)).cast("long").as("y"))
+    t.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"),
+        Num.rnd((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"))
+  }
+
   /** Token-pair collocation mining by pointwise mutual information —
     * PMI(x,y) = ln(n·c_xy / (c_x·c_y)) over document-level
     * co-occurrence. The model table is |vocab²| (inherently bounded by
@@ -758,6 +784,7 @@ object TextOps {
     "dedup_url"          -> urlDedup _,
     "text_entropy"       -> entropy _,
     "text_pmi"           -> ((s, d) => pmi(s, d)),
+    "text_zipf"          -> zipf _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
     "corpus_split"       -> corpusSplit _,
@@ -819,6 +846,17 @@ object TextOps {
        "CAST(score_micro AS DOUBLE) / 1e6 AS score, " +
        "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn " +
        "FROM top"),
+    "text_zipf" ->
+      ("WITH cnt AS (SELECT tok, count(*) AS c FROM (" +
+       "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t GROUP BY tok), " +
+       "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM cnt), " +
+       "q AS (SELECT CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x, " +
+       "CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y FROM r), " +
+       "s AS (SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx, " +
+       "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+       "CAST(sum(x * x) AS BIGINT) AS sxx FROM q) " +
+       "SELECT k, round((CAST(k * sxy - sx * sy AS DOUBLE) / " +
+       "(k * sxx - sx * sx)) * 1e6) / 1e6 AS zipf_slope FROM s"),
     "text_pmi" ->
       ("WITH dt AS (SELECT DISTINCT doc_id, tok FROM (" +
        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t), " +

@@ -222,7 +222,28 @@ object TimeOps {
       .orderBy("h")
   }
 
+  /** Full cohort-retention matrix — [[retention]]'s day-7 column
+    * generalized to every (cohort_day, day_offset) cell: distinct
+    * active users per cohort per day-since-first-seen, the curve a
+    * product dashboard plots. Two shuffles (first-seen per user,
+    * cohort-cell aggregate); the matrix is |days|² cells regardless of
+    * event volume. */
+  def cohortMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstSeen = e.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("w0"))
+    val active = e.select(col("user_id"),
+                          date_trunc("day", col("ts")).as("w")).distinct()
+    firstSeen.join(active, Seq("user_id"))
+      .groupBy(col("w0"), datediff(col("w"), col("w0")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .select(date_format(col("w0"), fmt).as("cohort_day"),
+              col("day_offset"), col("n_active"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_cohort"   -> cohortMatrix _,
     "time_spike"    -> spike _,
     "time_gap_fill"      -> gapFill _,
     "time_tumbling"      -> tumbling _,
@@ -311,6 +332,16 @@ object TimeOps {
        "UNION ALL SELECT '2_click', count(*) FROM s2 " +
        "UNION ALL SELECT '3_purchase', count(*) FROM s3 " +
        "ORDER BY stage"),
+    "time_cohort" ->
+      ("WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS w0 " +
+       "FROM events GROUP BY user_id), " +
+       "act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS w FROM events) " +
+       "SELECT strftime(f.w0, '%Y-%m-%d %H:%M:%S') AS cohort_day, " +
+       "CAST(date_diff('day', f.w0, act.w) AS INTEGER) AS day_offset, " +
+       "count(DISTINCT f.user_id) AS n_active " +
+       "FROM f JOIN act USING (user_id) " +
+       "GROUP BY f.w0, date_diff('day', f.w0, act.w) " +
+       "ORDER BY cohort_day, day_offset"),
     "time_retention" ->
       ("WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS w0 " +
        "FROM events GROUP BY user_id), " +
