@@ -498,6 +498,21 @@ object TextOps {
       .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
   }
 
+  /** Boilerplate-prefix detection — groups of documents opening with the
+    * same 8 tokens (shared headers/templates/lead-ins), the web-curation
+    * step between whole-doc dedup and span-level dedup: a shared opening
+    * marks template families even when bodies diverge. One groupBy on
+    * the bounded prefix key (production would group on its digest, the
+    * `dedup_exact` md5 lesson, when prefixes are long). */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val pfx = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pfx.as("pfx"))
+      .groupBy("pfx")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Zipf rank-frequency slope — the one-number corpus-health fingerprint
     * (natural text ≈ −1; templated/synthetic corpora flatten toward 0):
     * least-squares slope of ln(freq) on ln(rank) over the vocabulary.
@@ -785,6 +800,7 @@ object TextOps {
     "text_entropy"       -> entropy _,
     "text_pmi"           -> ((s, d) => pmi(s, d)),
     "text_zipf"          -> zipf _,
+    "text_boilerplate"   -> boilerplate _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
     "corpus_split"       -> corpusSplit _,
@@ -846,6 +862,10 @@ object TextOps {
        "CAST(score_micro AS DOUBLE) / 1e6 AS score, " +
        "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn " +
        "FROM top"),
+    "text_boilerplate" ->
+      ("SELECT pfx, count(*) AS n_docs, min(doc_id) AS keep_doc FROM (" +
+       "SELECT doc_id, array_to_string(string_split(text, ' ')[1:8], ' ') AS pfx " +
+       "FROM documents) p GROUP BY pfx HAVING count(*) > 1"),
     "text_zipf" ->
       ("WITH cnt AS (SELECT tok, count(*) AS c FROM (" +
        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t GROUP BY tok), " +
