@@ -706,6 +706,43 @@ object Similarity {
       .join(sc, Seq("vec_id"))
   }
 
+  /** Per-dimension z-score whitening — the normalize-before-index step
+    * an embed stage runs so no dimension's scale dominates distances:
+    * z = (x − μ_pos)/σ_pos using [[dimStats]]' EXACT-moment, 6-dp-rounded
+    * mean/variance (identical doubles cross-engine), so every z is a
+    * fixed tree of exactly-rounded IEEE ops. Dead dimensions
+    * (var = 0) are dropped — mirrored in the oracle's WHERE. Broadcast
+    * of the |dims|-row stats frame; zero extra shuffles beyond the
+    * moments pass. */
+  def whiten(spark: SparkSession, dir: String): DataFrame = {
+    val st = dimStats(spark, dir)
+      .select(col("pos"), col("mean"), col("var_samp"))
+      .filter(col("var_samp") > 0)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"),
+              col("col").cast("double").as("x"))
+      .join(broadcast(st), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        Num.rnd((col("x") - col("mean")) / sqrt(col("var_samp")), 4).as("z"))
+  }
+
+  /** The dim-stats oracle chain through `ds` (pos, n, mean, var_samp,
+    * mn, mx — 6-dp-rounded) — shared by emb_dim_stats and emb_whiten so
+    * the moment arithmetic cannot drift. */
+  private def dimStatsCteSql: String =
+    "WITH x AS (SELECT e.vec_id, CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
+    "CAST(e.embedding[p.pos1] AS DOUBLE) AS x " +
+    "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+    "t AS (SELECT pos, x, CAST(round(x * 1e6) AS BIGINT) AS t1, " +
+    "CAST(round(x * x * 1e12) AS BIGINT) AS t2 FROM x), " +
+    "g AS (SELECT pos, count(*) AS n, CAST(sum(t1) AS DOUBLE) AS s1, " +
+    "CAST(sum(t2) AS DOUBLE) AS s2, min(x) AS mnx, max(x) AS mxx " +
+    "FROM t GROUP BY pos), " +
+    "ds AS (SELECT pos, n, round(((s1 / 1e6) / n) * 1e6) / 1e6 AS mean, " +
+    "round((((s2 / 1e12) - ((s1 / 1e6) * (s1 / 1e6)) / n) / (n - 1)) * 1e6) / 1e6 AS var_samp, " +
+    "round((mnx) * 1e6) / 1e6 AS mn, round((mxx) * 1e6) / 1e6 AS mx FROM g)"
+
   /** The integer power-iteration oracle chain through `v2c`
     * (pos, u2, v2) — shared by emb_pca_power and emb_pca_project so the
     * two cannot drift. The CTEs mirror pcaCentered + two matvec rounds
@@ -996,6 +1033,7 @@ object Similarity {
     "emb_quantize"     -> quantize _,
     "emb_pca_power"    -> pcaPower _,
     "emb_pca_project"  -> pcaProject _,
+    "emb_whiten"       -> whiten _,
     "emb_dim_stats"    -> dimStats _,
     "emb_centroid_sim" -> centroidSim _,
     "emb_label_eval"   -> labelEval _)
@@ -1246,18 +1284,14 @@ object Similarity {
        "SELECT e.vec_id, e.label, sc.score " +
        "FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id"),
     "emb_dim_stats" ->
-      ("WITH x AS (SELECT CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
-       "CAST(e.embedding[p.pos1] AS DOUBLE) AS x " +
-       "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
-       "t AS (SELECT pos, x, CAST(round(x * 1e6) AS BIGINT) AS t1, " +
-       "CAST(round(x * x * 1e12) AS BIGINT) AS t2 FROM x), " +
-       "g AS (SELECT pos, count(*) AS n, CAST(sum(t1) AS DOUBLE) AS s1, " +
-       "CAST(sum(t2) AS DOUBLE) AS s2, min(x) AS mnx, max(x) AS mxx " +
-       "FROM t GROUP BY pos) " +
-       "SELECT pos, n, round(((s1 / 1e6) / n) * 1e6) / 1e6 AS mean, " +
-       "round((((s2 / 1e12) - ((s1 / 1e6) * (s1 / 1e6)) / n) / (n - 1)) * 1e6) / 1e6 AS var_samp, " +
-       "round((mnx) * 1e6) / 1e6 AS mn, round((mxx) * 1e6) / 1e6 AS mx " +
-       "FROM g ORDER BY pos"),
+      (dimStatsCteSql + " SELECT pos, n, mean, var_samp, mn, mx FROM ds ORDER BY pos"),
+    // whitening composes the SAME moment chain (keep in lockstep): the
+    // 6-dp-rounded mean/σ are identical doubles on both engines, and
+    // (x−mean)/sqrt(var) is a fixed tree of exactly-rounded IEEE ops
+    "emb_whiten" ->
+      (dimStatsCteSql + " SELECT x.vec_id, x.pos, " +
+       "round(((x.x - ds.mean) / sqrt(ds.var_samp)) * 1e4) / 1e4 AS z " +
+       "FROM x JOIN ds USING (pos) WHERE ds.var_samp > 0"),
     "emb_centroid_sim" ->
       (s"WITH $centroidCte, " +
        "cl AS (SELECT source, list(m ORDER BY pos1) AS c FROM cent GROUP BY source) " +
