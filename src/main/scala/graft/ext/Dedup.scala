@@ -614,7 +614,21 @@ object Dedup {
       .select("a_name", "b_name", "n_a", "n_b", "dist")
   }
 
+  /** Cluster-size histogram over [[clusters]] — the one-page report a
+    * dedup run publishes: how many singletons, how many pairs, how big
+    * the largest template family is, and (as Σ size·count) how many
+    * docs each band holds. Two tiny aggregations over the memoized
+    * |docs|-row label frame. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+           sum("cluster_size").as("n_docs"))
+      .orderBy("cluster_size")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_stats" -> clusterStats _,
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_clusters"      -> clusters _,
@@ -796,6 +810,20 @@ object Dedup {
        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
        "SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id"),
+    "dedup_cluster_stats" ->
+      // the clusters chain verbatim (keep in lockstep with
+      // dedup_clusters/dedup_keep), rolled up to the size histogram
+      (s"WITH RECURSIVE $ngramPairCte, " +
+       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
+       "UNION SELECT b_id, a_id FROM jac), " +
+       "reach(u, v) AS (SELECT u, v FROM edges " +
+       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+       "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
+       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id), " +
+       "csz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster) " +
+       "SELECT cluster_size, count(*) AS n_clusters, " +
+       "CAST(sum(cluster_size) AS BIGINT) AS n_docs " +
+       "FROM csz GROUP BY cluster_size ORDER BY cluster_size"),
     "dedup_keep" ->
       (s"WITH RECURSIVE $ngramPairCte, " +
        "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
