@@ -724,7 +724,11 @@ object Similarity {
               col("col").cast("double").as("x"))
       .join(broadcast(st), Seq("pos"))
       .select(col("vec_id"), col("pos"),
-        Num.rnd((col("x") - col("mean")) / sqrt(col("var_samp")), 4).as("z"))
+        // + 0.0 normalizes IEEE −0.0 → +0.0: zero-centered outputs can
+        // round to a signed zero, and DuckDB's float round keeps the
+        // sign where Spark's BigDecimal round does not (mirrored oracle)
+        (Num.rnd((col("x") - col("mean")) / sqrt(col("var_samp")), 4)
+          + lit(0.0)).as("z"))
   }
 
   /** The dim-stats oracle chain through `ds` (pos, n, mean, var_samp,
@@ -1290,7 +1294,7 @@ object Similarity {
     // (x−mean)/sqrt(var) is a fixed tree of exactly-rounded IEEE ops
     "emb_whiten" ->
       (dimStatsCteSql + " SELECT x.vec_id, x.pos, " +
-       "round(((x.x - ds.mean) / sqrt(ds.var_samp)) * 1e4) / 1e4 AS z " +
+       "(round(((x.x - ds.mean) / sqrt(ds.var_samp)) * 1e4) / 1e4) + 0.0 AS z " +
        "FROM x JOIN ds USING (pos) WHERE ds.var_samp > 0"),
     "emb_centroid_sim" ->
       (s"WITH $centroidCte, " +
