@@ -714,11 +714,16 @@ object Similarity {
     * (var = 0) are dropped — mirrored in the oracle's WHERE. Broadcast
     * of the |dims|-row stats frame; zero extra shuffles beyond the
     * moments pass. */
-  def whiten(spark: SparkSession, dir: String): DataFrame = {
-    val st = dimStats(spark, dir)
+  def whiten(spark: SparkSession, dir: String): DataFrame =
+    whitenOf(Tables.embeddings(spark, dir))
+
+  /** [[whiten]] over any (vec_id, embedding) frame — standalone so specs
+    * can drive it on crafted fixtures (scale-inflated dimensions). */
+  private[graft] def whitenOf(embRaw: DataFrame): DataFrame = {
+    val st = dimStatsOf(embRaw)
       .select(col("pos"), col("mean"), col("var_samp"))
       .filter(col("var_samp") > 0)
-    Tables.embeddings(spark, dir)
+    embRaw
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("int").as("pos"),
               col("col").cast("double").as("x"))
@@ -729,6 +734,46 @@ object Similarity {
         // sign where Spark's BigDecimal round does not (mirrored oracle)
         (Num.rnd((col("x") - col("mean")) / sqrt(col("var_samp")), 4)
           + lit(0.0)).as("z"))
+  }
+
+  /** Coarse IVF assignment over WHITENED vectors — closes the
+    * train→apply loop the [[whiten]] docstring promises: normalize so no
+    * dimension's raw scale dominates distances, THEN build the index.
+    * The z-scores (4-dp, negative-zero-normalized — identical doubles
+    * cross-engine) are collected back to position-sorted arrays
+    * (dead dims dropped consistently on every vector, so arrays stay
+    * aligned), and the seed quantizer (vec_id < cells, [[ivfCells]] via
+    * the memoized count — 16 at the oracle's n=500) assigns by rounded
+    * cosine with the [[ivfAssignRanked]] tie-break. Cosines of
+    * zero-centered vectors CAN round to a signed zero, so csim gets the
+    * `+ 0.0` normalization (CLAUDE.md float rule). Scale shape: one
+    * 64-group stats shuffle + one |n|-group collect + a broadcast
+    * cells×64 crossJoin — the same n×cells scan as every assign in the
+    * family; whitening is per-dimension (mean, σ) so the stats frame is
+    * |dims| rows no matter the corpus size. WhitenIndexSpec pins the
+    * capability claim: whitened assignment is invariant under
+    * per-dimension scale inflation while raw-cosine assignment is not. */
+  def ivfAssignWhitened(spark: SparkSession, dir: String): DataFrame =
+    ivfAssignWhitenedOf(whiten(spark, dir), ivfCells(embCount(spark, dir)))
+
+  private[graft] def ivfAssignWhitenedOf(whitened: DataFrame,
+                                         cells: Int): DataFrame = {
+    val wv = whitened.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("z")))),
+                     x => x.getField("z")).as("wv"))
+      .withColumn("nrm", sqrt(dotCols(col("wv"), col("wv"))))
+    val cents = wv.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cell"), col("wv").as("cv"),
+              col("nrm").as("cnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    wv.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        (Num.rnd(dotCols(col("wv"), col("cv")) /
+                   (col("nrm") * col("cnrm")), 6) + lit(0.0)).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "csim")
   }
 
   /** The dim-stats oracle chain through `ds` (pos, n, mean, var_samp,
@@ -784,8 +829,13 @@ object Similarity {
     * rows), so results are invariant to partitioning, parallelism, and
     * summation order — the text_unigram_logprob discipline applied to
     * doubles. One shuffle (64 groups), partial aggregation map-side. */
-  def dimStats(spark: SparkSession, dir: String): DataFrame = {
-    Tables.embeddings(spark, dir)
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    dimStatsOf(Tables.embeddings(spark, dir))
+
+  /** [[dimStats]] over any (vec_id, embedding) frame — standalone so
+    * specs can drive it on crafted fixtures. */
+  private[graft] def dimStatsOf(embRaw: DataFrame): DataFrame = {
+    embRaw
       .select(posexplode(col("embedding")))
       .select(col("pos").cast("int").as("pos"), col("col").cast("double").as("x"))
       .select(col("pos"), col("x"),
@@ -1038,6 +1088,7 @@ object Similarity {
     "emb_pca_power"    -> pcaPower _,
     "emb_pca_project"  -> pcaProject _,
     "emb_whiten"       -> whiten _,
+    "sim_ivf_assign_whitened" -> ivfAssignWhitened _,
     "emb_dim_stats"    -> dimStats _,
     "emb_centroid_sim" -> centroidSim _,
     "emb_label_eval"   -> labelEval _)
@@ -1360,6 +1411,23 @@ object Similarity {
        "r AS (SELECT vec_id, cell, csim, row_number() OVER (PARTITION BY vec_id " +
        "ORDER BY csim DESC, cell ASC) AS rn FROM s) " +
        "SELECT vec_id, cell, csim FROM r WHERE rn = 1"),
+    // whiten -> index composition: the emb_whiten z chain (dimStatsCteSql
+    // + w, keep in lockstep) rebuilt to pos-ordered lists, then the
+    // sim_ivf_assign shape over whitened vectors; + 0.0 on csim because
+    // cosines of zero-centered vectors can round to a signed zero
+    "sim_ivf_assign_whitened" ->
+      (dimStatsCteSql + ", " +
+       "w AS (SELECT x.vec_id, x.pos, " +
+       "(round(((x.x - ds.mean) / sqrt(ds.var_samp)) * 1e4) / 1e4) + 0.0 AS z " +
+       "FROM x JOIN ds USING (pos) WHERE ds.var_samp > 0), " +
+       "wl AS (SELECT vec_id, list(z ORDER BY pos) AS wv FROM w GROUP BY vec_id), " +
+       "wc AS (SELECT vec_id AS cell, wv AS cv FROM wl WHERE vec_id < 16), " +
+       "ws AS (SELECT a.vec_id, c.cell, " +
+       "(round((list_cosine_similarity(a.wv, c.cv)) * 1e6) / 1e6) + 0.0 AS csim " +
+       "FROM wl a CROSS JOIN wc c), " +
+       "wr AS (SELECT vec_id, cell, csim, row_number() OVER (PARTITION BY vec_id " +
+       "ORDER BY csim DESC, cell ASC) AS rn FROM ws) " +
+       "SELECT vec_id, cell, csim FROM wr WHERE rn = 1"),
     // multi-probe composition: pr ranks every (vector, cell); queries (x)
     // take rn <= NProbe, the indexed side (y) its rn = 1 home cell, with
     // the same salted-order cap as the Spark b-side.
