@@ -39,7 +39,8 @@ object Bench {
     val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
       "dedup_minhash_lsh", "dedup_incremental_minhash", "sim_ivf_assign",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
-      "sim_ivf_topk", "sim_pq_codes", "graph_pagerank", "emb_pca_power")
+      "sim_ivf_topk", "sim_pq_codes", "sim_ivfpq_topk", "graph_pagerank",
+      "emb_pca_power")
     val ordered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // per-query executor task metrics (shuffle bytes / spill / peak mem /
@@ -81,9 +82,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""task_metrics":$tm,"n_errors":${errs.length},""" +
       s""""errors":${errs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
-    println(line)
-    // stdout can get truncated in driver logs (BENCH_r01.json arrived
-    // unparseable); the file is the durable record
+    // stdout gets the COMPACT record only (the driver-contract shape —
+    // totals + per-query seconds, no task_metrics): the full line grew
+    // past what driver logs keep and BENCH_r06.json arrived with
+    // parsed: null from a truncated tail. bench.json stays the full
+    // durable record with task metrics.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""n_errors":${errs.length},""" +
+      s""""errors":${errs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    println(compact)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
     spark.stop()
   }

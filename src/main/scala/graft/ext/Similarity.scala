@@ -38,6 +38,10 @@ object Similarity {
   private val vecMean = udaf(new graft.functions.VecSum,
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
 
+  /** Double-array variant for residual space (IVF-PQ). */
+  private val vecMeanD = udaf(new graft.functions.VecSumD,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+
   /** Long-form centroid rows from a vecMean result: (key…, pos, m) with
     * means rounded at 6 dp for the cross-engine check — posexplode here
     * runs on the ALREADY-AGGREGATED tiny frame (keys×64 rows). */
@@ -1048,6 +1052,112 @@ object Similarity {
       .select("q_id", "vec_id", "rn", "d2")
   }
 
+  // ---- IVF-PQ: the composed billion-vector serving shape ----
+
+  /** Trained coarse centroids rebuilt to position-sorted lists — the
+    * broadcast-size (cells×64) frame both residual stages join. */
+  private def trainedCentroidList(spark: SparkSession, dir: String): DataFrame =
+    ivfTrain(spark, dir)
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("cv"))
+
+  /** Residual subvectors w.r.t. a (vec_id, cell) pair set: residual =
+    * embedding − trained centroid of `cell` (float→double cast, then an
+    * exact IEEE element-wise subtract — the 6-dp-rounded centroids are
+    * identical doubles cross-engine), split into the [[PqSubs]]×
+    * [[PqSubDim]] PQ geometry with per-subvector norms precomputed
+    * (the file-wide invariant). Passing the HOME assignment gives the
+    * index side; passing the probe set gives the per-probed-cell query
+    * residuals — same code path, mirrored CTEs. */
+  private[graft] def residualSubs(spark: SparkSession, dir: String,
+                                  pairs: DataFrame): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(pairs, Seq("vec_id"))
+      .join(broadcast(trainedCentroidList(spark, dir)), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding").cast("array<double>"), col("cv"),
+                 (a, b) => a - b).as("res"))
+      .select(col("vec_id"), col("cell"),
+              posexplode(array((0 until PqSubs).map { s =>
+        slice(col("res"), s * PqSubDim + 1, PqSubDim)
+      }: _*)))
+      .select(col("vec_id"), col("cell"), col("pos").cast("int").as("sub"),
+              col("col").as("sv"))
+      .withColumn("dxx", dotCols(col("sv"), col("sv")))
+
+  /** PQ codebook trained on per-cell RESIDUALS (vector − its trained
+    * coarse centroid) — the IVF-PQ composition (Jégou et al. 2011 §III):
+    * the coarse quantizer absorbs the corpus-scale structure, so the
+    * residuals are small and near-isotropic and the 8×16 sub-codebooks
+    * spend their precision where it matters. Same seed + one-Lloyd-step
+    * discipline as [[pqCodebook]]. Memoized (owner: sim_ivfpq_topk):
+    * the codes scan and the ADC table both start from it, and the memo
+    * caps the train chain at one execution per (session, dir). */
+  private[graft] def ivfpqCodebook(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "ivfpqcb"), {
+      val home = ivfAssignTrained(spark, dir).select("vec_id", "cell")
+      val rsubs = residualSubs(spark, dir, home)
+      val seed = rsubs.filter(col("vec_id") < PqCodes)
+        .select(col("sub"), col("vec_id").as("code"), col("sv").as("cv"),
+                col("dxx").as("dcc"))
+      val asg0 = pqAssign(rsubs, seed).select("vec_id", "sub", "code")
+      rsubs.join(asg0, Seq("vec_id", "sub"))
+        .groupBy("sub", "code")
+        .agg(vecMeanD(col("sv")).as("mv"))
+        .select(col("sub"), col("code"),
+                transform(col("mv"), v => Num.rnd(v, 6)).as("cv"))
+        .withColumn("dcc", dotCols(col("cv"), col("cv")))
+        .localCheckpoint()
+    })
+
+  /** Residual PQ codes + home cell per vector — what an IVF-PQ index
+    * persists: (cell, 8 codes) per vector, floats needed only for
+    * re-rank. */
+  private[graft] def ivfpqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val home = ivfAssignTrained(spark, dir).select("vec_id", "cell")
+    pqAssign(residualSubs(spark, dir, home), ivfpqCodebook(spark, dir))
+      .select("vec_id", "sub", "code")
+      .join(home, Seq("vec_id"))
+  }
+
+  /** IVF-PQ search — the standard billion-vector serving shape, composed
+    * from the two halves the repo already has: each query probes its
+    * [[NProbe]] nearest TRAINED cells (the memoized
+    * [[ivfTrainedRanked]] scan), computes its residual against EACH
+    * probed cell's centroid, builds the per-(probe-cell, sub, code) ADC
+    * table in exact integer micro-units, and scores exactly the
+    * candidates whose home cell is probed — 8 BIGINT table lookups per
+    * candidate, never a float fold. At 100 TB: codes are 9 small ints
+    * per vector (hot memory), the ADC table is queries×NProbe×128 rows
+    * (broadcast), candidates come only from probed cells (the inverted
+    * list), and the integer sums make ranking engine- and
+    * order-invariant. A candidate pairs with a query through at most
+    * one cell (home is unique), so no dedup stage exists. */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = ivfpqCodebook(spark, dir)
+    val probes = ivfTrainedRanked(spark, dir)
+      .filter(col("rn") <= NProbe)
+      .filter(col("vec_id") < PqQueries)
+      .select("vec_id", "cell")
+    val dtab = residualSubs(spark, dir, probes)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("q_id"), col("cell"), col("sub"), col("code"),
+        round((col("dxx") - lit(2.0) * dotCols(col("sv"), col("cv"))
+                 + col("dcc")) * lit(1e6)).cast("long").as("t"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    ivfpqCodes(spark, dir)
+      .join(broadcast(dtab), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(Num.rnd(sum("t").cast("double") / lit(1e6), 6).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "vec_id", "rn", "adist")
+  }
+
   // ---- generated oracle SQL ----
   // The oracle encodes the sf0.01 index regime: numPlanes(500) == 8 and
   // ivfCells(500) == 16 by the sizing formulas above, and no sf0.01
@@ -1083,6 +1193,7 @@ object Similarity {
     "sim_pq_codes"     -> pqCodes _,
     "sim_pq_adc_topk"  -> pqAdcTopK _,
     "sim_pq_rerank_topk" -> pqRerankTopK _,
+    "sim_ivfpq_topk"   -> ivfpqTopK _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
     "emb_pca_power"    -> pcaPower _,
@@ -1194,6 +1305,60 @@ object Similarity {
     "row_number() OVER (PARTITION BY q_id ORDER BY ts ASC, vec_id ASC) AS rn " +
     s"FROM ad QUALIFY rn <= $PqShortlist)"
 
+  /** Per-(vec_id, cell) residual subvector CTE body — element-wise
+    * (embedding − trained centroid) over the PQ geometry, mirroring
+    * [[residualSubs]]; `src` must provide (vec_id, cell). */
+  private def residualSubSql(src: String): String =
+    s"SELECT h.vec_id, h.cell, CAST(s.sub AS INTEGER) AS sub, " +
+    s"list_transform(range(1, ${PqSubDim + 1}), i -> " +
+    s"CAST(e.embedding[s.sub*$PqSubDim + i] AS DOUBLE) - t.cv[s.sub*$PqSubDim + i]) AS sv " +
+    s"FROM $src h JOIN embeddings e ON e.vec_id = h.vec_id " +
+    s"JOIN tc t ON t.cell = h.cell, UNNEST(range(0, $PqSubs)) AS s(sub)"
+
+  /** IVF-PQ oracle chain: trained coarse ranking (tc/s2/pr2 — the
+    * sim_ivf_assign_trained chain, keep in lockstep), home + probe
+    * splits, residual subvectors, residual codebook (seed + one Lloyd
+    * step, the pqCteSql discipline), final codes `vfin`, query ADC
+    * table `vqd`, candidate sums `vad`. */
+  private def ivfpqCteSql: String = {
+    val d0 = pqD2Sql("p.sv", "c.cv")
+    s"$ivfTrainCte, " +
+    "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
+    "s2 AS (SELECT e.vec_id, t.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN tc t), " +
+    "pr2 AS (SELECT vec_id, cell, row_number() OVER (" +
+    "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s2), " +
+    "vhome AS (SELECT vec_id, cell FROM pr2 WHERE rn = 1), " +
+    s"vprobes AS (SELECT vec_id, cell FROM pr2 WHERE rn <= $NProbe " +
+    s"AND vec_id < $PqQueries), " +
+    s"vrsub AS (${residualSubSql("vhome")}), " +
+    s"vcb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM vrsub WHERE vec_id < $PqCodes), " +
+    s"vax AS (SELECT p.vec_id, p.sub, c.code, round(($d0) * 1e6) / 1e6 AS d2 " +
+    "FROM vrsub p JOIN vcb0 c USING (sub)), " +
+    "va0 AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
+    "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn " +
+    "FROM vax) WHERE rn = 1), " +
+    "vtr AS (SELECT a.sub, a.code, p.pos1, round((avg(s.sv[p.pos1])) * 1e6) / 1e6 AS m " +
+    "FROM vrsub s JOIN va0 a ON s.vec_id = a.vec_id AND s.sub = a.sub, " +
+    s"UNNEST(range(1, ${PqSubDim + 1})) AS p(pos1) GROUP BY a.sub, a.code, p.pos1), " +
+    "vcl AS (SELECT sub, code, list(m ORDER BY pos1) AS cv FROM vtr GROUP BY sub, code), " +
+    s"vfx AS (SELECT p.vec_id, p.sub, c.code, round(($d0) * 1e6) / 1e6 AS d2 " +
+    "FROM vrsub p JOIN vcl c USING (sub)), " +
+    "vfin AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, " +
+    "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn " +
+    "FROM vfx) WHERE rn = 1), " +
+    s"vqs AS (${residualSubSql("vprobes")}), " +
+    "vqd AS (SELECT p.vec_id AS q_id, p.cell, p.sub, c.code, " +
+    s"CAST(round(($d0) * 1e6) AS BIGINT) AS t " +
+    "FROM vqs p JOIN vcl c USING (sub)), " +
+    "vcand AS (SELECT f.vec_id, h.cell, f.sub, f.code FROM vfin f " +
+    "JOIN vhome h ON h.vec_id = f.vec_id), " +
+    "vad AS (SELECT d.q_id, c.vec_id, sum(d.t) AS ts FROM vcand c " +
+    "JOIN vqd d ON c.cell = d.cell AND c.sub = d.sub AND c.code = d.code " +
+    "AND c.vec_id <> d.q_id GROUP BY 1, 2)"
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_pq_codes" ->
       s"WITH $pqCteSql SELECT vec_id, sub, code, d2 FROM pfin",
@@ -1219,6 +1384,15 @@ object Similarity {
        "SELECT q_id, vec_id, d2, row_number() OVER (" +
        "PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rn FROM ex) " +
        "WHERE rn <= 3"),
+    // IVF-PQ: residual codebook within trained coarse cells, ADC over
+    // probed cells only — the integer micro-unit sum ranks identically
+    // on both engines (order-invariant BIGINT)
+    "sim_ivfpq_topk" ->
+      (s"WITH $ivfpqCteSql " +
+       "SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rn, adist FROM (" +
+       "SELECT q_id, vec_id, round((CAST(ts AS DOUBLE) / 1e6) * 1e6) / 1e6 AS adist, " +
+       "row_number() OVER (PARTITION BY q_id ORDER BY ts ASC, vec_id ASC) AS rn " +
+       "FROM vad) WHERE rn <= 3"),
     "sim_ivf_train_iter" ->
       (s"WITH ${lloydCteSql(LloydMaxRounds)} " +
        s"SELECT cell, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM tr$LloydMaxRounds " +

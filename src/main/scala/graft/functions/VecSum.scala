@@ -81,3 +81,51 @@ final class VecSum extends Aggregator[Array[Float], VecSumBuf, Array[Double]] {
   override def bufferEncoder: Encoder[VecSumBuf] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
 }
+
+/** [[VecSum]] over DOUBLE arrays — the residual-space variant: IVF-PQ
+  * residuals are exact IEEE doubles (float embedding − 6-dp centroid),
+  * and narrowing them back to float would break the cross-engine
+  * bit-identity the oracles rest on. Identical buffer, merge, and
+  * per-dim-count semantics. */
+final class VecSumD extends Aggregator[Array[Double], VecSumBuf, Array[Double]] {
+
+  override def zero: VecSumBuf =
+    VecSumBuf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+  private def grow(b: VecSumBuf, len: Int): Unit =
+    if (b.s.length < len) {
+      b.s = java.util.Arrays.copyOf(b.s, len)
+      b.n = java.util.Arrays.copyOf(b.n, len)
+    }
+
+  override def reduce(b: VecSumBuf, a: Array[Double]): VecSumBuf = {
+    if (a != null) {
+      grow(b, a.length)
+      var i = 0
+      while (i < a.length) { b.s(i) += a(i); b.n(i) += 1; i += 1 }
+    }
+    b
+  }
+
+  override def merge(x: VecSumBuf, y: VecSumBuf): VecSumBuf = {
+    grow(x, y.s.length)
+    var i = 0
+    while (i < y.s.length) { x.s(i) += y.s(i); x.n(i) += y.n(i); i += 1 }
+    x
+  }
+
+  override def finish(b: VecSumBuf): Array[Double] =
+    if (b.s.isEmpty) null
+    else {
+      val out = new Array[Double](b.s.length)
+      var i = 0
+      while (i < b.s.length) {
+        out(i) = if (b.n(i) == 0) Double.NaN else b.s(i) / b.n(i)
+        i += 1
+      }
+      out
+    }
+
+  override def bufferEncoder: Encoder[VecSumBuf] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+}
