@@ -676,24 +676,81 @@ object Similarity {
     * aggregation, state = |dims| or |rows| scalars; the classic
     * map-reduce PCA at any scale. Sign is pinned by the all-ones start
     * vector. */
-  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+  def pcaPower(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "pcav2"), {
+      val ce = pcaCentered(spark, dir)
+      val s1 = ce.groupBy("vec_id").agg(sum("c").as("sc")) // v0 = all-ones
+      val u1 = ce.join(s1, Seq("vec_id"))
+        .groupBy("pos").agg(sum(col("c") * col("sc")).as("u1"))
+      val v1 = normPow(u1, "u1", "v1").select("pos", "v1")
+      val s2 = ce.join(broadcast(v1), Seq("pos"))
+        .groupBy("vec_id").agg(sum(col("c") * col("v1")).as("sc"))
+      val u2 = ce.join(s2, Seq("vec_id"))
+        .groupBy("pos").agg(sum(col("c") * col("sc")).as("u2"))
+      // memoized (64 rows): emb_pca_project and the deflated second
+      // component reference the learned v2 several times each — without
+      // the checkpoint every reference re-runs both matvec rounds
+      normPow(u2, "u2", "v2").orderBy("pos").localCheckpoint()
+    })
+
+  /** Renormalize a power iterate to max|v| = 100 — exact integer
+    * division with the sign split (Spark `div` truncates toward zero,
+    * DuckDB `//` floors; they agree only on non-negative operands). */
+  private def normPow(u: DataFrame, ucol: String, vcol: String): DataFrame = {
+    val m = u.agg(max(abs(col(ucol))).as("m"))
+    u.crossJoin(broadcast(m))
+      .select(col("pos"), col(ucol),
+              (when(col(ucol) < 0, lit(-1L)).otherwise(lit(1L)) *
+                expr(s"(abs($ucol) * 100) div m")).as(vcol))
+  }
+
+  /** Top-2 PCA by DEFLATED power iteration — extends [[pcaPower]] to the
+    * second component with the SAME exact-int64 discipline: after every
+    * renormalization the iterate t is orthogonalized against the learned
+    * top component v at the ITERATE level, multiplied through by
+    * vv = Σv² so no division (and no float) ever enters:
+    * w = t·vv − (t·v)·v. Orthogonalizing the 64-scalar iterate (not the
+    * n×64 matrix) keeps every magnitude inside [[pcaPower]]'s published
+    * bounds — |t| ≤ 100 after renorm, so |w| ≤ 100·vv + 64·100²·100 ≈
+    * 1.3e8 and the matvec products stay ≤ ~6.4e9·n, exactly the
+    * ~10⁹-row int64 envelope of the first component (matrix-level
+    * deflation would have squared it). Two rounds from the
+    * v-orthogonalized all-ones start, renormalize → orthogonalize →
+    * renormalize per round; truncation keeps w only approximately
+    * v-orthogonal — PcaSpec bounds the residual angle. Eager by
+    * construction (iterates localCheckpoint per step, the lloydrounds
+    * discipline — 64-row frames, constant plan depth). */
+  def pcaTop2(spark: SparkSession, dir: String): DataFrame = {
     val ce = pcaCentered(spark, dir)
-    def normalize(u: DataFrame, ucol: String, vcol: String): DataFrame = {
-      val m = u.agg(max(abs(col(ucol))).as("m"))
-      u.crossJoin(broadcast(m))
-        .select(col("pos"), col(ucol),
-                (when(col(ucol) < 0, lit(-1L)).otherwise(lit(1L)) *
-                  expr(s"(abs($ucol) * 100) div m")).as(vcol))
+    val v2 = pcaPower(spark, dir).select(col("pos"), col("v2"))
+    val vq = v2.agg(sum(col("v2") * col("v2")).as("vv"),
+                    sum(col("v2")).as("sv"))
+    def renorm(u: DataFrame, ucol: String, out: String): DataFrame =
+      normPow(u, ucol, out).select(col("pos"), col(out)).localCheckpoint()
+    def orthog(t: DataFrame, tcol: String, out: String): DataFrame = {
+      val tv = t.join(v2, Seq("pos"))
+        .agg(sum(col(tcol) * col("v2")).as("tv"))
+      renorm(
+        t.join(v2, Seq("pos")).crossJoin(broadcast(vq)).crossJoin(broadcast(tv))
+          .select(col("pos"),
+                  (col(tcol) * col("vv") - col("tv") * col("v2")).as("g")),
+        "g", out)
     }
-    val s1 = ce.groupBy("vec_id").agg(sum("c").as("sc")) // v0 = all-ones
-    val u1 = ce.join(s1, Seq("vec_id"))
-      .groupBy("pos").agg(sum(col("c") * col("sc")).as("u1"))
-    val v1 = normalize(u1, "u1", "v1").select("pos", "v1")
-    val s2 = ce.join(broadcast(v1), Seq("pos"))
-      .groupBy("vec_id").agg(sum(col("c") * col("v1")).as("sc"))
-    val u2 = ce.join(s2, Seq("vec_id"))
-      .groupBy("pos").agg(sum(col("c") * col("sc")).as("u2"))
-    normalize(u2, "u2", "v2").orderBy("pos")
+    // v-orthogonalized all-ones start: g = 1·vv − (Σv)·v
+    val g1 = renorm(
+      v2.crossJoin(broadcast(vq))
+        .select(col("pos"), (col("vv") - col("sv") * col("v2")).as("g")),
+      "g", "v")
+    def round(vin: DataFrame, out: String): DataFrame = {
+      val s = ce.join(broadcast(vin), Seq("pos"))
+        .groupBy("vec_id").agg(sum(col("c") * col("v")).as("sc"))
+      val u = ce.join(s, Seq("vec_id"))
+        .groupBy("pos").agg(sum(col("c") * col("sc")).as("u"))
+      orthog(renorm(u, "u", "t"), "t", out)
+    }
+    val w1 = round(g1, "v")
+    val w2 = round(w1, "w2")
+    v2.join(w2, Seq("pos")).orderBy("pos")
   }
 
   /** Project every embedding onto the learned top component — the
@@ -802,12 +859,17 @@ object Similarity {
     * 1:1; `//` only ever divides NON-NEGATIVE operands (sign split)
     * because DuckDB floors where Spark's div truncates. */
   private def pcaCteSql: String =
+    // ce / v2c are MATERIALIZED: DuckDB 1.0 re-evaluates a CTE per
+    // reference, and the deflated-top2 chain references this base many
+    // times — without materialization the re-evaluation compounds
+    // exponentially with chain depth (observed: emb_pca_top2's oracle
+    // ran for minutes; with it, seconds). Results are unchanged.
     "WITH x AS (SELECT e.vec_id, CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
     "CAST(round(CAST(e.embedding[p.pos1] AS DOUBLE) * 1e3) AS BIGINT) AS t " +
     "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
     "mn AS (SELECT pos, (CASE WHEN CAST(sum(t) AS BIGINT) < 0 THEN -1 ELSE 1 END) * " +
     "(abs(CAST(sum(t) AS BIGINT)) // count(*)) AS mean FROM x GROUP BY pos), " +
-    "ce AS (SELECT x.vec_id, x.pos, x.t - mn.mean AS c FROM x JOIN mn USING (pos)), " +
+    "ce AS MATERIALIZED (SELECT x.vec_id, x.pos, x.t - mn.mean AS c FROM x JOIN mn USING (pos)), " +
     "s1 AS (SELECT vec_id, CAST(sum(c) AS BIGINT) AS sc FROM ce GROUP BY vec_id), " +
     "u1c AS (SELECT ce.pos, CAST(sum(ce.c * s1.sc) AS BIGINT) AS u1 " +
     "FROM ce JOIN s1 USING (vec_id) GROUP BY ce.pos), " +
@@ -819,7 +881,7 @@ object Similarity {
     "u2c AS (SELECT ce.pos, CAST(sum(ce.c * s2.sc) AS BIGINT) AS u2 " +
     "FROM ce JOIN s2 USING (vec_id) GROUP BY ce.pos), " +
     "m2 AS (SELECT max(abs(u2)) AS m FROM u2c), " +
-    "v2c AS (SELECT pos, u2, (CASE WHEN u2 < 0 THEN -1 ELSE 1 END) * " +
+    "v2c AS MATERIALIZED (SELECT pos, u2, (CASE WHEN u2 < 0 THEN -1 ELSE 1 END) * " +
     "((abs(u2) * 100) // m) AS v2 FROM u2c CROSS JOIN m2)"
 
   /** Per-dimension corpus statistics (n, mean, sample variance, min,
@@ -1197,6 +1259,7 @@ object Similarity {
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
     "emb_pca_power"    -> pcaPower _,
+    "emb_pca_top2"     -> pcaTop2 _,
     "emb_pca_project"  -> pcaProject _,
     "emb_whiten"       -> whiten _,
     "sim_ivf_assign_whitened" -> ivfAssignWhitened _,
@@ -1256,6 +1319,26 @@ object Similarity {
     }
     sb.toString
   }
+
+  /** One deflated power round as CTEs (matvec over `ce` from iterate
+    * `in`.v, renorm to `et r`, orthogonalize against v2c scaled by
+    * vq.vv, renorm to `ew r`.`vcol`) — mirrors [[pcaTop2]]'s `round`
+    * 1:1. */
+  private def pcaTop2RoundSql(r: Int, in: String, vcol: String): String =
+    s"es$r AS (SELECT ce.vec_id, CAST(sum(ce.c * $in.v) AS BIGINT) AS sc " +
+    s"FROM ce JOIN $in USING (pos) GROUP BY ce.vec_id), " +
+    s"eu$r AS (SELECT ce.pos, CAST(sum(ce.c * es$r.sc) AS BIGINT) AS u " +
+    s"FROM ce JOIN es$r USING (vec_id) GROUP BY ce.pos), " +
+    s"em$r AS (SELECT max(abs(u)) AS m FROM eu$r), " +
+    s"et$r AS MATERIALIZED (SELECT pos, (CASE WHEN u < 0 THEN -1 ELSE 1 END) * " +
+    s"((abs(u) * 100) // m) AS t FROM eu$r CROSS JOIN em$r), " +
+    s"ed$r AS (SELECT CAST(sum(et$r.t * v2c.v2) AS BIGINT) AS tv " +
+    s"FROM et$r JOIN v2c USING (pos)), " +
+    s"eg$r AS (SELECT et$r.pos, et$r.t * vq.vv - ed$r.tv * v2c.v2 AS g " +
+    s"FROM et$r JOIN v2c USING (pos) CROSS JOIN vq CROSS JOIN ed$r), " +
+    s"eh$r AS (SELECT max(abs(g)) AS m FROM eg$r), " +
+    s"ew$r AS MATERIALIZED (SELECT pos, (CASE WHEN g < 0 THEN -1 ELSE 1 END) * " +
+    s"((abs(g) * 100) // m) AS $vcol FROM eg$r CROSS JOIN eh$r)"
 
   /** Squared-L2 oracle expression with the EXACT association of
     * [[pqAssign]]: ((sv·sv − 2·sv·cv) + cv·cv), identical IEEE ops over
@@ -1504,6 +1587,21 @@ object Similarity {
     // accumulators), so every downstream double op folds identical inputs
     "emb_pca_power" ->
       (pcaCteSql + " SELECT pos, u2, v2 FROM v2c ORDER BY pos"),
+    // deflated second component: the SAME chain (keep in lockstep) plus
+    // per-round matvec -> renorm -> iterate-level orthogonalization
+    // (w = t*vv - (t*v)*v, multiplied through by vv so no division);
+    // every sum CAST to BIGINT, every // behind abs() (sign split)
+    "emb_pca_top2" ->
+      (pcaCteSql + ", " +
+       "vq AS (SELECT CAST(sum(v2*v2) AS BIGINT) AS vv, " +
+       "CAST(sum(v2) AS BIGINT) AS sv FROM v2c), " +
+       "g0 AS (SELECT pos, vq.vv - vq.sv * v2c.v2 AS g FROM v2c CROSS JOIN vq), " +
+       "gm AS (SELECT max(abs(g)) AS m FROM g0), " +
+       "g1 AS MATERIALIZED (SELECT pos, (CASE WHEN g < 0 THEN -1 ELSE 1 END) * " +
+       "((abs(g) * 100) // m) AS v FROM g0 CROSS JOIN gm), " +
+       pcaTop2RoundSql(1, "g1", "v") + ", " +
+       pcaTop2RoundSql(2, "ew1", "w2") + " " +
+       "SELECT v2c.pos, v2c.v2, ew2.w2 FROM v2c JOIN ew2 USING (pos) ORDER BY pos"),
     // projection composes the SAME chain (keep in lockstep): one more
     // ce ⋈ v2 matvec, still exact BIGINT
     "emb_pca_project" ->

@@ -745,6 +745,61 @@ object TextOps {
       .select("doc_id", "n_hit", "score_micro", "score", "rn")
   }
 
+  /** The multi-query BM25 eval set — a literal (query_id, term) table,
+    * mirrored verbatim in the oracle's VALUES CTE (keep in lockstep). */
+  private[graft] val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "vector"),
+    2 -> Seq("dup", "data"),
+    3 -> Seq("graph", "stream", "index"))
+
+  /** Query-table-driven BM25 — [[bm25]] generalized past its literal
+    * term list (round-6 verdict item 8): scoring joins a (query_id,
+    * term) table, so adding an eval query is a data change, not a code
+    * change. The query table is broadcast (an eval set is always tiny
+    * next to the corpus); term stats (df, dl, avgdl) are computed ONCE
+    * over the union of all query terms and shared across queries —
+    * the corpus is scanned once no matter how many queries score.
+    * Per-query top-k by window over the |queries|×|hit docs| scored
+    * frame. Same integer micro-unit discipline as [[bm25]]: identical
+    * IEEE operand tree both engines, BIGINT score sums. */
+  def bm25Multi(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "tok")
+    val allTerms = Bm25Queries.flatMap(_._2).distinct
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(allTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
+    val idf = Num.rnd(log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+    val norm = lit(0.25) + lit(0.75) *
+      (col("dl").cast("double") /
+        (col("n_toks").cast("double") / col("n_docs")))
+    val scored = tf.join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(dfq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc_micro",
+        round(idf * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * norm)) * lit(1e6)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("sc_micro").as("score_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("score", col("score_micro").cast("double") / lit(1e6))
+      .select("query_id", "doc_id", "n_hit", "score_micro", "score", "rn")
+  }
+
   /** Deterministic train/validation/test split — the reproducibility
     * primitive every training pipeline needs: assignment is a pure
     * function of doc_id (Knuth multiplicative scramble mod 100:
@@ -796,6 +851,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_parse"     -> urlParse _,
     "text_bm25"          -> ((s, d) => bm25(s, d)),
+    "text_bm25_multi"    -> ((s, d) => bm25Multi(s, d)),
     "dedup_url"          -> urlDedup _,
     "text_entropy"       -> entropy _,
     "text_pmi"           -> ((s, d) => pmi(s, d)),
@@ -862,6 +918,32 @@ object TextOps {
        "CAST(score_micro AS DOUBLE) / 1e6 AS score, " +
        "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn " +
        "FROM top"),
+    // multi-query BM25: the literal VALUES table mirrors Bm25Queries
+    // (keep in lockstep); df/dl/avgdl shared across queries, per-query
+    // top-k; same CAST-to-DOUBLE literal + 6-dp-ln discipline as above
+    "text_bm25_multi" ->
+      ("WITH qt AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'vector'), " +
+       "(2, 'dup'), (2, 'data'), (3, 'graph'), (3, 'stream'), (3, 'index')) " +
+       "AS t(query_id, tok)), " +
+       "dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), " +
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM (" +
+       "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t " +
+       "WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok), " +
+       "dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+       "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl), " +
+       "sc AS (SELECT qt.query_id, tf.doc_id, CAST(round(" +
+       "(round((ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))) * 1e6) / 1e6) " +
+       "* ((tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE) * " +
+       "(0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(n_toks AS DOUBLE) / n_docs))))) " +
+       "* 1e6) AS BIGINT) AS sc_micro " +
+       "FROM tf JOIN qt USING (tok) JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN st), " +
+       "pd AS (SELECT query_id, doc_id, count(*) AS n_hit, " +
+       "CAST(sum(sc_micro) AS BIGINT) AS score_micro FROM sc GROUP BY query_id, doc_id) " +
+       "SELECT query_id, doc_id, n_hit, score_micro, " +
+       "CAST(score_micro AS DOUBLE) / 1e6 AS score, rn FROM (" +
+       "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
+       "ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn FROM pd) " +
+       "WHERE rn <= 10"),
     "text_boilerplate" ->
       ("SELECT pfx, count(*) AS n_docs, min(doc_id) AS keep_doc FROM (" +
        "SELECT doc_id, array_to_string(string_split(text, ' ')[1:8], ' ') AS pfx " +

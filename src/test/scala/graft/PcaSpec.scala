@@ -71,6 +71,39 @@ class PcaSpec extends SparkSpec {
            s"learned direction does not clearly beat all-ones: gain = $gain")
   }
 
+  test("deflated second component is near-orthogonal, renormalized, and informative") {
+    val rows = ext.Similarity.pcaTop2(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length === 64)
+    val v = rows.map(_._2.toDouble)
+    val w = rows.map(_._3.toDouble)
+    assert(w.map(math.abs).max === 100.0, "renormalization must pin max|w| to 100")
+    // iterate-level integer orthogonalization is exact only up to the
+    // div truncation (±1 per unit of the 100-scale) — bound the angle,
+    // don't demand zero
+    def n2(a: Array[Double]): Double = math.sqrt(a.map(x => x * x).sum)
+    val cosVW = math.abs(v.zip(w).map { case (a, b) => a * b }.sum) / (n2(v) * n2(w))
+    assert(cosVW < 0.1, s"second component not near-orthogonal: |cos| = $cosVW")
+    // the deflated direction must still capture real variance: compare
+    // Rayleigh quotients on the float-centered data (near-isotropic
+    // corpus: lam2 ~ lam1, so w2's quotient should be the same order)
+    val x = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = x.head.length
+    val mean = Array.tabulate(dims)(j => x.map(_(j)).sum / x.length)
+    val c = x.map(r => Array.tabulate(dims)(j => r(j) - mean(j)))
+    def rho(dir: Array[Double]): Double = {
+      val s = c.map(row => row.zip(dir).map { case (a, b) => a * b }.sum)
+      s.map(t => t * t).sum / dir.map(t => t * t).sum
+    }
+    val (rv, rw) = (rho(v), rho(w))
+    assert(rw > 0.5 * rv,
+      s"second component captures too little variance: rho(w)=$rw vs rho(v)=$rv")
+    assert(rw <= rv * 1.05,
+      s"deflated quotient should not exceed the top component's: $rw vs $rv")
+  }
+
   test("integer pca is exactly rerun-deterministic") {
     val a = ext.Similarity.pcaPower(spark, sf001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)

@@ -122,6 +122,22 @@ class TextOpsSpec extends SparkSpec {
     assert(byRank.forall(t => t._1 < t._2), "pair not ordered x < y")
   }
 
+  test("multi-query bm25 per-query slice equals the single-query scorer") {
+    // df/dl/avgdl are per-term and global, so restricting the scorer to
+    // one query's terms must reproduce exactly that query's slice of the
+    // multi frame — the invariant that makes the shared-stats pass valid
+    val multi = ext.TextOps.bm25Multi(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(5)))
+    assert(ext.TextOps.Bm25Queries.map(_._1).toSet === multi.map(_._1).toSet,
+      "every eval query must surface results")
+    for ((q, terms) <- ext.TextOps.Bm25Queries) {
+      val single = ext.TextOps.bm25(spark, sf001, terms).collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4))).toSet
+      assert(multi.filter(_._1 == q).toSet === single,
+        s"query $q slice diverges from the single-query scorer")
+    }
+  }
+
   test("quantile gate keeps at least half of every source") {
     val rows = ext.TextOps.quantileSelect(spark, sf001).collect()
     assert(rows.nonEmpty)
