@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * (SparkSession, dir) key would retain every session forever — the
   * unbounded-growth/session-leak class CkptMemo guards against. The
   * bounded inner map caps distinct (dir, table) entries per session. */
-private[ext] object CountMemo {
+private[graft] object CountMemo {
 
   private val memo =
     new java.util.WeakHashMap[SparkSession,

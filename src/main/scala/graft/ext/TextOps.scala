@@ -517,12 +517,23 @@ object TextOps {
     * (natural text ≈ −1; templated/synthetic corpora flatten toward 0):
     * least-squares slope of ln(freq) on ln(rank) over the vocabulary.
     * The regression is EXACT integer algebra — ln(rank) and ln(freq)
-    * micronized once per vocab row, then k·Σxy − Σx·Σy over BIGINTs;
-    * only the final slope divides. Model size = |vocab|; the token
-    * count is the only corpus-sized pass. */
-  def zipf(spark: SparkSession, dir: String): DataFrame = {
+    * micronized once per vocab row (per-row products ≤ ~4.4e14, safely
+    * int64), then summed into DECIMAL(38,0) accumulators and combined
+    * as k·Σxy − Σx·Σy in decimal (HUGEINT on the oracle side): with
+    * x,y ≤ ln(V)·1e6 the combined terms pass 2^63 once V exceeds a few
+    * hundred tokens, so plain BIGINT algebra only survived the synthetic
+    * 31-token vocab — decimal/HUGEINT is exact to ~10^34, far past any
+    * real vocabulary (round-6 advice item 1). Only the final slope
+    * divides. Model size = |vocab|; the token count is the only
+    * corpus-sized pass. */
+  def zipf(spark: SparkSession, dir: String): DataFrame =
+    zipfOf(Tables.documents(spark, dir))
+
+  /** [[zipf]] over any frame with a `text` column — standalone so specs
+    * can drive the decimal algebra on a large synthetic vocabulary. */
+  private[graft] def zipfOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cnt = Tables.documents(spark, dir)
+    val cnt = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val ranked = cnt.withColumn("rn",
@@ -530,12 +541,15 @@ object TextOps {
     val t = ranked.select(
       round(log(col("rn").cast("double")) * lit(1e6)).cast("long").as("x"),
       round(log(col("c").cast("double")) * lit(1e6)).cast("long").as("y"))
-    t.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
+    val dec = "decimal(38,0)"
+    t.agg(count(lit(1)).as("k"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
       .select(col("k"),
-        Num.rnd((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
-                (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+        Num.rnd((col("k").cast(dec) * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (col("k").cast(dec) * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
           .as("zipf_slope"))
   }
 
@@ -954,11 +968,12 @@ object TextOps {
        "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM cnt), " +
        "q AS (SELECT CAST(round(ln(CAST(rn AS DOUBLE)) * 1e6) AS BIGINT) AS x, " +
        "CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y FROM r), " +
-       "s AS (SELECT count(*) AS k, CAST(sum(x) AS BIGINT) AS sx, " +
-       "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
-       "CAST(sum(x * x) AS BIGINT) AS sxx FROM q) " +
+       // sums stay HUGEINT (no BIGINT cast): k*sxy passes 2^63 past a
+       // few hundred vocab tokens — mirrors Spark's DECIMAL(38,0)
+       "s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy, " +
+       "sum(x * y) AS sxy, sum(x * x) AS sxx FROM q) " +
        "SELECT k, round((CAST(k * sxy - sx * sy AS DOUBLE) / " +
-       "(k * sxx - sx * sx)) * 1e6) / 1e6 AS zipf_slope FROM s"),
+       "CAST(k * sxx - sx * sx AS DOUBLE)) * 1e6) / 1e6 AS zipf_slope FROM s"),
     "text_pmi" ->
       ("WITH dt AS (SELECT DISTINCT doc_id, tok FROM (" +
        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t), " +

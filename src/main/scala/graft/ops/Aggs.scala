@@ -188,7 +188,15 @@ object Aggs {
     * well-defined under ties, so no tiebreak column is needed. Shape:
     * one window shuffle by group ranks the column, the bounds frame is
     * |groups| rows broadcast back, then one aggregation of the clipped
-    * column — holds at any scale since per-group state is two doubles. */
+    * column. HONEST SKEW NOTE (round-6 advice item 2): the ranking
+    * window partitions by `l_returnflag` (3 distinct values), so every
+    * row funnels through ≤3 sort tasks — the CLIP pass scales, the
+    * exact-bounds pass does not. At real scale derive bounds from
+    * `approx_percentile` per group (one map-side-combining agg, no
+    * global per-group sort) and accept sketch-grade bounds — the
+    * agg_approx query demonstrates exactly that trade; this query keeps
+    * EXACT positional bounds because the oracle must reproduce them
+    * bit-for-bit. */
   def winsorize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = Tables.lineitem(spark, dir)

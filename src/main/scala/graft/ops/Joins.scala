@@ -161,9 +161,13 @@ object Joins {
       .filter(col("o_orderpriority") === "1-URGENT" &&
               col("o_totalprice") > 150000)
       .select(col("o_orderkey"), col("o_orderdate"))
-    // capacity is a fixed pre-sized knob (fact of the filter, not the
-    // data): 1<<17 keys at 3% fpp ≈ 115 KB — broadcast-trivial
-    val bloom = dim.stat.bloomFilter("o_orderkey", 1 << 17, 0.03)
+    // capacity sized from the actual filtered-dim cardinality (memoized
+    // count — the same cheap scan the bloom build runs): a fixed 1<<17
+    // silently degrades toward fpp 1 once the dim outgrows it and the
+    // pruning becomes a no-op (round-6 advice item 3). 2x headroom,
+    // floor 1<<17 (≈115 KB at 3% — broadcast-trivial either way).
+    val nDim = graft.ext.CountMemo.get(spark, dir, "orders_urgent_dim")(dim.count())
+    val bloom = dim.stat.bloomFilter("o_orderkey", math.max(1L << 17, 2 * nDim), 0.03)
     val fact = Tables.lineitem(spark, dir)
       .filter(graft.functions.BloomMightContain.col(col("l_orderkey"), bloom))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))

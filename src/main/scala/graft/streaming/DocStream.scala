@@ -59,8 +59,12 @@ object DocStream {
     * the ~115 KB filter rides the closure to every executor — the
     * streaming twin of `join_bloom_prune`. */
   def screenNewBloom(stream: DataFrame, corpus: DataFrame): DataFrame = {
+    // capacity from the actual corpus size (one setup-time count — the
+    // filter build scans the corpus anyway): a fixed 1<<17 silently
+    // loses its pruning benefit past ~131k distinct fingerprints
+    // (round-6 advice item 3). 2x headroom, floor 1<<17.
     val bloom = corpus.select(xxhash64(col("text")).as("h"))
-      .stat.bloomFilter("h", 1 << 17, 0.03)
+      .stat.bloomFilter("h", math.max(1L << 17, 2 * corpus.count()), 0.03)
     val probed = stream.withColumn("maybe",
       graft.functions.BloomMightContain.col(xxhash64(col("text")), bloom))
     val fresh = probed.filter(!col("maybe")).drop("maybe")

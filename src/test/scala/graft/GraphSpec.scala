@@ -20,18 +20,25 @@ class GraphSpec extends SparkSpec {
   }
 
   test("suppliers out-rank customers (they aggregate many customers' mass)") {
+    // ordering-level invariants only (round-6 advice item 4): the OLD
+    // magnitude thresholds (avgS > 5*avgC, top degree >= 90% of max)
+    // were distribution facts of one testdata generation and could flake
+    // on a rescale with no code bug. What the operator guarantees is
+    // direction, not magnitude.
     val (cs, ss) = ranks.partition(_.getString(0).startsWith("c"))
-    val avgS = ss.map(_.getLong(2)).sum / ss.length
-    val avgC = cs.map(_.getLong(2)).sum / cs.length
-    assert(avgS > avgC * 5,
-           s"supplier avg rank $avgS not dominating customer avg $avgC")
-    // and within suppliers, the max-degree one is at or near the top:
-    // with uniform edge semantics rank is degree-driven
+    val avgS = ss.map(_.getLong(2)).sum.toDouble / ss.length
+    val avgC = cs.map(_.getLong(2)).sum.toDouble / cs.length
+    assert(avgS > avgC,
+           s"supplier avg rank $avgS not above customer avg $avgC")
+    // rank is degree-driven under uniform edge semantics: the top-ranked
+    // supplier's degree must sit in the upper half of the supplier
+    // degree distribution (a data-derived bound, not a fixed ratio)
     val topByRank = ss.maxBy(_.getLong(2)).getString(0)
-    val maxDeg = ss.map(_.getLong(1)).max
     val topDeg = ss.filter(_.getString(0) == topByRank).head.getLong(1)
-    assert(topDeg >= (maxDeg * 9) / 10,
-           s"top-ranked supplier has degree $topDeg vs max $maxDeg")
+    val degs = ss.map(_.getLong(1)).sorted
+    val median = degs(degs.length / 2)
+    assert(topDeg >= median,
+           s"top-ranked supplier degree $topDeg below supplier median $median")
   }
 
   test("pagerank is exactly rerun-deterministic (pure integer rounds)") {

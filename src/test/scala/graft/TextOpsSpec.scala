@@ -138,6 +138,38 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("zipf decimal algebra survives a multi-thousand-token vocabulary") {
+    // the round-6 advice overflow: with x,y = ln*1e6, k*sxx passes 2^63
+    // once |vocab| reaches a few hundred — BIGINT algebra threw under
+    // ANSI. 4000 distinct tokens with zipf-ish counts exercises the
+    // DECIMAL(38,0) path and checks the slope against an exact BigInt
+    // driver-side mirror of the same micronized regression.
+    import spark.implicits._
+    val v = 4000
+    val docs = (1 to v)
+      .map(r => (r.toLong, (s"tok$r " * math.max(1, v / r)).trim))
+      .toDF("doc_id", "text")
+    val row = ext.TextOps.zipfOf(docs).head()
+    assert(row.getLong(0) === v.toLong)
+    val slope = row.getDouble(1)
+    // driver mirror: identical ranking (count desc, token asc), BigInt sums
+    val counts = (1 to v).map(r => s"tok$r" -> math.max(1, v / r).toLong)
+      .sortBy { case (t, c) => (-c, t) }
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (BigInt(math.round(math.log(i + 1.0) * 1e6)),
+       BigInt(math.round(math.log(c.toDouble) * 1e6)))
+    }
+    val k = BigInt(v)
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxy, sxx) = (xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    assert((k * sxx - sx * sx) > BigInt(Long.MaxValue),
+      "fixture too small to exercise the past-2^63 regime")
+    val expect = math.round(((k * sxy - sx * sy).toDouble /
+      (k * sxx - sx * sx).toDouble) * 1e6) / 1e6
+    assert(slope === expect, s"decimal slope $slope != BigInt mirror $expect")
+    assert(slope < -0.5, s"zipf-shaped fixture should slope steeply, got $slope")
+  }
+
   test("quantile gate keeps at least half of every source") {
     val rows = ext.TextOps.quantileSelect(spark, sf001).collect()
     assert(rows.nonEmpty)
