@@ -82,6 +82,16 @@ object Dedup {
     // materializes a hot key's FULL posting list in one aggregation
     // buffer before discarding it; the bounded aggregator pins hot keys
     // at cap+1 elements on the map side too — constant space per key.
+    //
+    // The index key is the 16-byte DOUBLE polyhash (h1, h2) of the
+    // shingle, not the ~n·6-byte string (round-6 verdict item 7): the
+    // shingle string dies young inside the projection — the exchange,
+    // the aggregation hash table, and every downstream join carry two
+    // fixed-width longs. A key collision needs BOTH 30-bit hashes to
+    // collide (P ≈ 2^-59 per shingle pair — none expected below ~10^8
+    // distinct shingles); when one occurs the two shingles merge into
+    // one posting list IDENTICALLY on both engines (the oracle folds
+    // the same pair — the confirmJaccard single-hash precedent).
     val bounded = udaf(new graft.functions.BoundedCollectSet(MaxShingleDf),
                        org.apache.spark.sql.Encoders.scalaLong)
     df.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -89,7 +99,10 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
                      s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
-      .groupBy("sh")
+      .select(col("doc_id"),
+              polyHash(col("sh"), 31L, P1).as("h1"),
+              polyHash(col("sh"), 131L, P2).as("h2"))
+      .groupBy("h1", "h2")
       .agg(bounded(col("doc_id")).as("ids")) // sorted, or null when > cap
       .filter(col("ids").isNotNull)
   }
@@ -303,11 +316,10 @@ object Dedup {
       minhashPairsOf(Tables.documents(spark, dir)))
 
   /** Hashed-shingle rows (h, doc_id) from an inverted shingle index —
-    * hash once per DISTINCT shingle (pre-explode), not once per
-    * (doc, shingle) occurrence. */
+    * the index key already IS the hash pair, so the minhash base hash
+    * is h1 verbatim (no string ever re-enters the pipeline). */
   private[graft] def hsOf(grp: DataFrame): DataFrame =
-    grp.select(polyHash(col("sh"), 31L, P1).as("h"),
-               explode(col("ids")).as("doc_id"))
+    grp.select(col("h1").as("h"), explode(col("ids")).as("doc_id"))
 
   /** LSH band buckets (doc_id, band, bh) from hashed shingles: 32
     * minhash signatures (affine permutations of the one polyhash) folded
@@ -648,13 +660,19 @@ object Dedup {
     * namespaces the CTEs so two document sets (corpus/batch) compose in
     * one query. */
   private def shingleCteFor(n: Int, pfx: String, where: String): String =
+    // keys are the mirrored (h1, h2) double polyhash of the shingle —
+    // lockstep with [[shingleGroups]]'s long-encoded index; DISTINCT at
+    // the (doc_id, h1, h2) grain = the bounded set's collision-merge
     s"${pfx}toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
     s"FROM documents $where), " +
-    s"${pfx}sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS s " +
-    s"FROM ${pfx}toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 1))) AS u(i)), " +
-    s"${pfx}rare AS (SELECT s FROM ${pfx}sh0 GROUP BY s HAVING count(*) <= $MaxShingleDf), " +
-    s"${pfx}sh AS (SELECT sh0.doc_id, sh0.s FROM ${pfx}sh0 sh0 " +
-    s"JOIN ${pfx}rare rare USING (s))"
+    s"${pfx}sh0 AS (SELECT DISTINCT doc_id, " +
+    s"${polyHashSql("s", 31L, P1)} AS h1, ${polyHashSql("s", 131L, P2)} AS h2 " +
+    s"FROM (SELECT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS s " +
+    s"FROM ${pfx}toks, UNNEST(range(1, greatest(len(t) - ${n - 2}, 1))) AS u(i)) q), " +
+    s"${pfx}rare AS (SELECT h1, h2 FROM ${pfx}sh0 GROUP BY h1, h2 " +
+    s"HAVING count(*) <= $MaxShingleDf), " +
+    s"${pfx}sh AS (SELECT sh0.doc_id, sh0.h1, sh0.h2 FROM ${pfx}sh0 sh0 " +
+    s"JOIN ${pfx}rare rare USING (h1, h2))"
 
   /** Shared DuckDB CTE chain for n-gram shingles with the DF cap. */
   private def shingleCte(n: Int): String = shingleCteFor(n, "", "")
@@ -663,7 +681,6 @@ object Dedup {
     * (`pfx`-namespaced) — the oracle mirror of [[hsOf]] + [[bandsOf]]
     * with identical hash/permutation/band constants. */
   private def bandsSqlFor(pfx: String): String = {
-    val ph = polyHashSql("s", 31L, P1)
     val sigSelect = (0 until NumHashes)
       .map(j => s"min((${permA(j)}*h + ${permB(j)}) % $P1) AS h$j")
       .mkString(", ")
@@ -672,7 +689,7 @@ object Dedup {
       s"SELECT doc_id, $bId AS band, ${bandFoldSql(1000L + bId, hs)} AS bh " +
         s"FROM ${pfx}sig"
     }.mkString(" UNION ALL ")
-    s"${pfx}hs AS (SELECT doc_id, s, $ph AS h FROM ${pfx}sh), " +
+    s"${pfx}hs AS (SELECT doc_id, h1 AS h FROM ${pfx}sh), " +
     s"${pfx}sig AS (SELECT doc_id, $sigSelect FROM ${pfx}hs GROUP BY doc_id), " +
     s"${pfx}bands AS ($bandSelects)"
   }
@@ -683,7 +700,8 @@ object Dedup {
     shingleCte(5) + ", " +
     "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
     "pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
-    "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+    "FROM sh x JOIN sh y ON x.h1 = y.h1 AND x.h2 = y.h2 " +
+    "AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
     "jac AS (SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM pr " +
     "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
     "WHERE inter * 5 >= sa.sz + sb.sz - inter)"
@@ -786,7 +804,8 @@ object Dedup {
       (s"WITH ${shingleCte(5)}, " +
        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
        "pr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
-       "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+       "FROM sh x JOIN sh y ON x.h1 = y.h1 AND x.h2 = y.h2 " +
+       "AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
        "SELECT a_id, b_id, inter, sa.sz AS sz_a, sb.sz AS sz_b FROM pr " +
        "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
        "WHERE inter * 5 >= least(sa.sz, sb.sz) * 4"),
