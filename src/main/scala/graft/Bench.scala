@@ -41,8 +41,16 @@ object Bench {
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
       "sim_ivf_topk", "sim_pq_codes", "sim_ivfpq_topk", "graph_pagerank",
       "emb_pca_power")
-    val ordered = owners.filter(SparkEntry.queries.contains) ++
+    val allOrdered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
+    // optional prefix filter (local scaling runs, e.g. the sf1 heavy-
+    // family measurement); unset = all queries (the driver contract)
+    val ordered = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(ps) =>
+        val pfx = ps.split(',').toSeq
+        allOrdered.filter(n => pfx.exists(n.startsWith))
+      case None => allOrdered
+    }
     // per-query executor task metrics (shuffle bytes / spill / peak mem /
     // GC): wall time alone cannot decompose a cross-harness gap — round 4
     // closed with minhash 13× slower under the driver at EQUAL anchors,
@@ -92,7 +100,10 @@ object Bench {
       s""""n_errors":${errs.length},""" +
       s""""errors":${errs.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     println(compact)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line)
+    // durable-record path is overridable so local scaling runs (e.g. the
+    // sf1 measurement -> bench_sf1.json) can't clobber the driver record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     spark.stop()
   }
 }
