@@ -106,6 +106,20 @@ object Similarity {
   private[graft] def ivfCells(n: Long): Int =
     math.max(16, math.min(4096, math.ceil(n / 32.0).toInt))
 
+  /** Rebalance a compute-heavy scan to the session's core count before
+    * an n×cells centroid product. Parquet split sizing is byte-based
+    * (`maxPartitionBytes`), so a compact embedding table arrives in a
+    * handful of splits even when the per-row work downstream is
+    * cells×64 mul-adds: the sf1 scaling run (bench_sf1.json) measured
+    * the whole assign family at ≤8 tasks on 32 cores — a parallelism
+    * ceiling, not a data bottleneck. The round-robin exchange carries
+    * only the table's own bytes (MBs here; on a real cluster the table
+    * already arrives in ≥cores splits, so this stays a same-magnitude
+    * rebalance). Downstream math is row-independent, so partitioning
+    * cannot change any output. */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Hard cap on candidates drawn per bucket (deterministic: lowest
     * vec_ids kept). A skewed bucket of M rows yields at most M·cap pairs
     * instead of M² — linear, never quadratic. Sized far above any bucket
@@ -250,7 +264,7 @@ object Similarity {
                 col("nrm").as("cnrm"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-      emb.crossJoin(broadcast(cents))
+      fanOut(emb).crossJoin(broadcast(cents))
         .select(col("vec_id"),
                 col("cell"),
                 Num.rnd(dotCols(col("embedding"), col("cv")) /
@@ -350,9 +364,9 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
                        x => x.getField("m")).as("cv"))
         .withColumn("cnrm", sqrt(dotCols(col("cv"), col("cv"))))
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"),
-                sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+      fanOut(Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"),
+                  sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm")))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cell"),
                 Num.rnd(dotCols(col("embedding"), col("cv")) /
@@ -520,9 +534,9 @@ object Similarity {
     * broadcast-compare + one vecMean shuffle — the 100 TB shape. */
   private[graft] def lloydTrajectoryOf(embRaw: DataFrame, cells: Int,
                                        round1: Option[DataFrame]): DataFrame = {
-    val emb = embRaw
-      .select(col("vec_id"), col("embedding"),
-              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val emb = fanOut(embRaw
+        .select(col("vec_id"), col("embedding"),
+                sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = embRaw
       .filter(col("vec_id") < cells)
