@@ -367,6 +367,57 @@ object Dedup {
     * pins that an 8× corpus leaves both the candidate volume and the
     * output unchanged. A batch doc is dropped (keep = 0) when >= 1
     * corpus match confirms at Jaccard >= 1/2. */
+  /** Screening-recall EVAL HARNESS — "measure, don't guess" for the
+    * banding screen itself: on a FIXED-SIZE probe sample (doc_id <
+    * 200 — constant cost at any corpus scale, the production shape for
+    * a recurring index-health check), compute (a) ground truth = exact
+    * Jaccard ≥ 1/2 over every sample pair sharing ≥ 1 hashed shingle
+    * (complete for the threshold: J ≥ 1/2 ⇒ shared shingles exist) and
+    * (b) the LSH band candidates from the SAME signature pipeline
+    * production uses ([[hsOf]]/[[bandsOf]] constants), then report
+    * screen recall/precision in integer micro-units. With 8 bands × 4
+    * rows a J = 0.5 pair surfaces with p = 1−(1−0.5⁴)⁸ ≈ 0.40, so
+    * borderline pairs SHOULD be missed — the harness exists to put a
+    * number on that instead of trusting the sketch math, and to catch
+    * regressions when banding constants change. Sample-pair cost is
+    * bounded by the df cap exactly like the production confirm. */
+  def minhashEval(spark: SparkSession, dir: String,
+                  evalN: Long = 200): DataFrame =
+    minhashEvalOf(Tables.documents(spark, dir).filter(col("doc_id") < evalN))
+
+  /** [[minhashEval]] over an arbitrary probe frame — parameterized so
+    * the spec can drive it with crafted borderline-Jaccard pairs (the
+    * regime where banding recall is genuinely < 1). */
+  private[graft] def minhashEvalOf(sample: DataFrame): DataFrame = {
+    val grp = shingleGroups(sample, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = hsOf(grp)
+    val bands = bandsOf(hs)
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val candAll = hs.select(col("doc_id").as("a_id"), col("h"))
+      .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val truth = confirmJaccard(candAll, hs, 1, 2).select("a_id", "b_id")
+    val hit = truth.join(cand, Seq("a_id", "b_id"))
+    val out = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_cand END")
+          .as("precision_micro"))
+      .localCheckpoint()
+    grp.unpersist()
+    out
+  }
+
   private[graft] def incMinhashScreen(corpusHs: DataFrame,
                                       corpusBands: DataFrame,
                                       batchDocs: DataFrame): DataFrame = {
@@ -651,6 +702,7 @@ object Dedup {
     "dedup_incremental"   -> incremental _,
     "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
+    "dedup_minhash_eval"  -> ((s, d) => minhashEval(s, d)),
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _)
 
@@ -719,6 +771,33 @@ object Dedup {
     "SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM it " +
     "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
     "WHERE inter * 2 >= sa.sz + sb.sz - inter"
+
+  /** MinHash screening-recall eval oracle: sample chain (doc_id < 200)
+    * through the SAME shingle/signature/band generators, ground truth
+    * from the exact-Jaccard confirm over shared-shingle pairs, metrics
+    * as floor-divided micro-units (all counts non-negative, so DuckDB
+    * `//` and Spark `div` agree). */
+  private def minhashEvalOracleSql: String =
+    s"WITH ${shingleCteFor(3, "e", "WHERE doc_id < 200")}, ${bandsSqlFor("e")}, " +
+    "esz AS (SELECT doc_id, count(*) AS sz FROM ehs GROUP BY doc_id), " +
+    "eit AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+    "FROM ehs x JOIN ehs y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+    "etr AS (SELECT a_id, b_id FROM eit " +
+    "JOIN esz sa ON sa.doc_id = a_id JOIN esz sb ON sb.doc_id = b_id " +
+    "WHERE inter * 2 >= sa.sz + sb.sz - inter), " +
+    "ecand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id " +
+    "FROM ebands x JOIN ebands y " +
+    "ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
+    "ehit AS (SELECT a_id, b_id FROM etr JOIN ecand USING (a_id, b_id)), " +
+    "m AS (SELECT (SELECT count(*) FROM etr) AS n_truth, " +
+    "(SELECT count(*) FROM ecand) AS n_cand, " +
+    "(SELECT count(*) FROM ehit) AS n_hit) " +
+    "SELECT n_truth, n_cand, n_hit, " +
+    "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+    "CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_cand END AS precision_micro " +
+    "FROM m"
 
   /** Incremental-minhash oracle: corpus (doc_id < 250) and batch
     * (doc_id >= 250) each get their OWN shingle/signature/band chain —
@@ -818,6 +897,7 @@ object Dedup {
        "CAST(coalesce(m.n_corpus_matches, 0) = 0 AS INTEGER) AS keep " +
        "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"),
     "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_minhash_eval" -> minhashEvalOracleSql,
     "dedup_incremental_minhash" -> incMinhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,

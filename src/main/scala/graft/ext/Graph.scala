@@ -98,10 +98,130 @@ object Graph {
     s"$out AS (SELECT deg.node, 150000 + (85 * coalesce(c$out.c, 0)) // 100 AS r " +
       s"FROM deg LEFT JOIN c$out USING (node))"
 
+  /** Triangle enumeration over the mutual-kNN similarity graph
+    * ([[Similarity.knnMutual]]) via DEGREE ORIENTATION — the shape that
+    * makes triangle counting linear-ish at scale: orient every
+    * undirected edge from its lower-(deg, id) endpoint to its higher
+    * one, enumerate wedges only among a node's OUT-neighbors, and close
+    * each wedge against the undirected edge set. Out-degrees are
+    * bounded by √|E| under orientation regardless of skew (a
+    * 10⁶-degree hub contributes no wedges — its edges all point INTO
+    * it), so the wedge stage never goes quadratic in a hub's degree;
+    * the closing join is |wedges| rows against |E|. Each triangle
+    * surfaces exactly once: its (deg,id)-minimal vertex is the only one
+    * with oriented edges to both others. The purchase graph is
+    * bipartite (zero triangles by construction), so this runs on the
+    * embedding-neighborhood graph, where triangles are the
+    * mutually-similar triples a SemDeDup-style cluster pass cares
+    * about. Output is the sorted (x<y<z) triple list; the middle vertex
+    * recovered as sum−min−max (pure integer). */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val o = und
+      .join(dg.select(col("u"), col("deg").as("du")), Seq("u"))
+      .join(dg.select(col("u").as("v"), col("deg").as("dv")), Seq("v"))
+      .filter(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")))
+      .select("u", "v")
+    val wed = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("apex"), col("e1.v").as("x"), col("e2.v").as("y"))
+    wed.join(mu, mu("a_id") === least(col("x"), col("y")) &&
+                 mu("b_id") === greatest(col("x"), col("y")))
+      .select(least(col("apex"), col("x"), col("y")).as("x_id"),
+              (col("apex") + col("x") + col("y") -
+                least(col("apex"), col("x"), col("y")) -
+                greatest(col("apex"), col("x"), col("y"))).as("y_id"),
+              greatest(col("apex"), col("x"), col("y")).as("z_id"))
+  }
+
+  /** Two-round semi-supervised label propagation over the mutual-kNN
+    * graph — the weak-supervision shape a training pipeline uses to
+    * extend a small labeled seed set to its embedding neighborhood
+    * (label spreading, majority vote). Seeds are the first half of the
+    * corpus (split = n/2 via [[CountMemo]] — reproduces the oracle's
+    * literal 250 at sf0.01 n=500, same contract as
+    * `dedup_incremental`); each synchronous round gives every
+    * still-unlabeled node the MAJORITY label of its labeled neighbors
+    * (count desc, label asc tie-break — pure integer, deterministic).
+    * Per round: one |edges|-row join + one aggregation + one anti-join;
+    * state is |nodes| rows. Rounds unrolled to 2 and mirrored as
+    * oracle CTEs in lockstep. Output = adopted nodes only
+    * (vec_id, label, iter). */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val split = CountMemo.get(spark, dir, "embeddings")(emb.count()) / 2
+    val l0 = emb.filter(col("vec_id") < split)
+    def round(labeled: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("n").desc, col("label").asc)
+      und
+        .join(labeled.select(col("vec_id").as("v"), col("label")), Seq("v"))
+        .join(labeled.select(col("vec_id").as("u")), Seq("u"), "left_anti")
+        .groupBy(col("u").as("vec_id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "label")
+    }
+    val n1 = round(l0)
+    val n2 = round(l0.unionByName(n1))
+    n1.withColumn("iter", lit(1))
+      .unionByName(n2.withColumn("iter", lit(2)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> ((s, d) => pagerank(s, d)))
+    "graph_pagerank" -> ((s, d) => pagerank(s, d)),
+    "graph_triangles" -> triangles _,
+    "graph_label_prop" -> labelProp _)
+
+  /** One synchronous label-prop round: majority vote of `labeled`
+    * neighbors over still-unlabeled nodes (count desc, label asc) —
+    * mirrors [[labelProp]]'s `round` in lockstep. */
+  private def lpRound(labeled: String, out: String): String =
+    s"v$out AS (SELECT und.u AS vec_id, l.label, count(*) AS n " +
+    s"FROM und JOIN $labeled l ON und.v = l.vec_id " +
+    s"WHERE und.u NOT IN (SELECT vec_id FROM $labeled) GROUP BY 1, 2), " +
+    s"$out AS (SELECT vec_id, label FROM (SELECT v$out.*, row_number() OVER " +
+    s"(PARTITION BY vec_id ORDER BY n DESC, label ASC) AS rn FROM v$out) r " +
+    "WHERE rn = 1)"
+
+  private def undCte: String =
+    "und AS (SELECT a_id AS u, b_id AS v FROM mu " +
+    "UNION ALL SELECT b_id, a_id FROM mu)"
 
   val oracle: Map[String, String] = Map(
+    // both graph-on-similarity oracles compose Similarity.knnMutualCteSql
+    // (the chain through `mu`) — the graph can never drift from the
+    // sim_knn_mutual edges it consumes
+    "graph_triangles" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "dg AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "o AS (SELECT und.u, und.v FROM und JOIN dg du ON und.u = du.u " +
+       "JOIN dg dv ON und.v = dv.u " +
+       "WHERE du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)), " +
+       "wed AS (SELECT e1.u AS apex, e1.v AS x, e2.v AS y " +
+       "FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v) " +
+       "SELECT least(apex, x, y) AS x_id, " +
+       "apex + x + y - least(apex, x, y) - greatest(apex, x, y) AS y_id, " +
+       "greatest(apex, x, y) AS z_id FROM wed " +
+       "JOIN mu ON mu.a_id = least(wed.x, wed.y) " +
+       "AND mu.b_id = greatest(wed.x, wed.y)"),
+    "graph_label_prop" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "l0 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 250), " +
+       lpRound("l0", "n1") + ", " +
+       "l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1), " +
+       lpRound("l1", "n2") + " " +
+       "SELECT vec_id, label, CAST(1 AS INT) AS iter FROM n1 " +
+       "UNION ALL SELECT vec_id, label, CAST(2 AS INT) AS iter FROM n2"),
     "graph_pagerank" ->
       ("WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c, " +
        "'s' || CAST(l_suppkey AS VARCHAR) AS s " +

@@ -1722,9 +1722,16 @@ object Similarity {
     // mutual-kNN = the top-3 frame joined to its own reversal; the CTE
     // chain is shared verbatim with sim_ivf_topk (keep in lockstep)
     "sim_knn_mutual" ->
-      (ivfTopKCteSql + ", t AS (SELECT a_id, b_id, sim FROM r WHERE rn <= 3) " +
-       "SELECT t.a_id, t.b_id, t.sim FROM t JOIN t u " +
-       "ON t.a_id = u.b_id AND t.b_id = u.a_id WHERE t.a_id < t.b_id"))
+      (knnMutualCteSql + " SELECT a_id, b_id, sim FROM mu"))
+
+  /** The sim_knn_mutual oracle's full CTE chain through `mu` (mutual
+    * edges, a_id < b_id) — shared with Graph's triangle/label-prop
+    * oracles so the similarity graph can never drift from its
+    * consumers. */
+  private[ext] def knnMutualCteSql: String =
+    ivfTopKCteSql + ", t AS (SELECT a_id, b_id, sim FROM r WHERE rn <= 3), " +
+    "mu AS (SELECT t.a_id, t.b_id, t.sim FROM t JOIN t u " +
+    "ON t.a_id = u.b_id AND t.b_id = u.a_id WHERE t.a_id < t.b_id)"
 
   /** The sim_ivf_topk oracle's full CTE chain through `r` (ranked
     * multi-probe candidates) — shared by the top-k and mutual-kNN

@@ -338,6 +338,66 @@ object TextOps {
       .select("doc_id", "tok", "tf", "df", "score", "rn")
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs — the WEIGHTED text-similarity
+    * modality the set-based families (minhash/Jaccard, simhash) can't
+    * express: two docs that share the same shingles in very different
+    * proportions score low here but identically in Jaccard. Terms are
+    * word 3-gram shingles (the unigram vocabulary is deliberately tiny
+    * in this corpus — TestdataAsciiSpec — and unigram df carries no
+    * signal anywhere near-dup detection matters); weights are
+    * tf·idf₃ with the idf in EXACT milli-units
+    * (`round(ln((N+1)/(df+1))·1e3)` as BIGINT — the CLAUDE.md ln rule:
+    * pin the one non-IEEE-exact function to a rounded grid on both
+    * engines, then every downstream product/sum is pure int64 and
+    * order-invariant). Cosine = dot/(‖a‖·‖b‖) from integer dot and
+    * norms (sqrt and divide are IEEE-exact), 6-dp-rounded before the
+    * threshold.
+    *
+    * Scale shape: an INVERTED INDEX — postings bucketed by shingle, the
+    * pair join runs per-term, and the df cap drops stop-shingles whose
+    * postings would cost df² pairs while carrying ~zero idf weight (the
+    * standard sparse-similarity bound; cap 50 never fires at test SF —
+    * max df is 7 at sf0.01 — it's the guard that makes the worst case
+    * linear at 100 TB). Never all-pairs: candidates are pairs sharing
+    * ≥1 discriminative shingle. Int64 envelope: w ≤ tf·idf₃ with
+    * idf₃ ≤ 23·1e3 even at n=1e10 docs, so Σw² stays under 2^63 for any
+    * document up to ~10⁶ repeated shingles — far past real documents.
+    * Production note: at scale the shingle join key would long-encode
+    * via PolyHashMod exactly like Dedup's shingle index (3b68e7b);
+    * string keys are kept here because the oracle compares the terms
+    * themselves. */
+  def cosinePairs(spark: SparkSession, dir: String,
+                  dfCap: Int = 50, thr: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t) - 3), " +
+          "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")).as("g"))
+    val tf = sh.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfq, Seq("g"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("g"),
+        (col("tf") * round(log((col("n_docs") + lit(1.0)) /
+          (col("df") + lit(1.0))) * lit(1e3)).cast("long")).as("w"))
+    val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dot = w.select(col("g"), col("doc_id").as("a_id"), col("w").as("wa"))
+      .join(w.select(col("g"), col("doc_id").as("b_id"), col("w").as("wb")),
+            Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(nrm.select(col("doc_id").as("a_id"), col("n2").as("na")), Seq("a_id"))
+      .join(nrm.select(col("doc_id").as("b_id"), col("n2").as("nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Num.rnd(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= thr)
+  }
+
   /** Sequence packing — the concat-and-split step that turns variable-
     * length documents into fixed-length training sequences: within each
     * source stream, documents are concatenated in doc_id order and cut
@@ -364,6 +424,36 @@ object TextOps {
     * the corpus — no per-row shuffle beyond the source partition. Weights
     * are 6-dp-rounded BEFORE the floor so the integer quotas are
     * byte-identical cross-engine. */
+  /** Mixture/budget planning — the step BEFORE any sampling runs: given
+    * a total token budget, derive each source's sampling rate so the
+    * planned take fits an equal per-source share (the uniform-mixture
+    * baseline a data-mixing pipeline starts from before reweighting à
+    * la temperature sampling, which handles the p^α shape next door).
+    * Everything is integer: share = budget div n_sources, rate_micro =
+    * min(1e6, share·1e6 div tokens), planned = tokens·rate div 1e6 —
+    * byte-identical cross-engine, no fp anywhere. Cost: ONE aggregation
+    * over (source) plus a broadcast 1-row source count — the plan frame
+    * is |sources| rows at any corpus scale; the expensive part
+    * (actually taking the sample) is deliberately NOT here, because a
+    * planner that must scan the corpus twice is wrong at 100 TB. */
+  def mixturePlan(spark: SparkSession, dir: String,
+                  budgetTokens: Long = 10000L): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val nSrc = perSrc.agg(count(lit(1)).as("n_src"))
+    perSrc.crossJoin(broadcast(nSrc))
+      .withColumn("share", expr(s"CAST($budgetTokens AS BIGINT) div n_src"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        least(lit(1000000L),
+          expr("(share * CAST(1000000 AS BIGINT)) div n_tokens"))
+          .as("rate_micro"))
+      .withColumn("planned_tokens",
+        expr("(n_tokens * rate_micro) div CAST(1000000 AS BIGINT)"))
+  }
+
   def temperatureSample(spark: SparkSession, dir: String,
                         budget: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -879,11 +969,13 @@ object TextOps {
     "text_dup_span_frac" -> dupSpanFrac _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
+    "corpus_mixture_plan" -> ((s, d) => mixturePlan(s, d)),
     "text_pack"        -> ((s, d) => pack(s, d)),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "text_pii_scan"    -> piiScan _,
     "text_chunk"       -> ((s, d) => chunk(s, d)),
     "text_tfidf"       -> ((s, d) => tfidf(s, d)),
+    "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "text_hash_embed"  -> hashEmbed _,
     "text_top_tokens"  -> topTokens _,
     "text_len_hist"    -> lenHist _,
@@ -1095,6 +1187,21 @@ object TextOps {
        "n AS (SELECT count(*) AS n_total FROM tk), " +
        "c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok) " +
        "SELECT tok, cnt, n_total FROM c, n WHERE cnt * 64 > n_total"),
+    "corpus_mixture_plan" ->
+      // all quantities non-negative, so DuckDB // (floor) == Spark div
+      // (truncate); the 10000-token budget literal mirrors mixturePlan's
+      // default — keep in lockstep
+      ("WITH ps AS (SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) " +
+       "AS n_tokens FROM documents GROUP BY source), " +
+       "n AS (SELECT count(*) AS n_src FROM ps), " +
+       "j AS (SELECT ps.source, ps.n_docs, ps.n_tokens, " +
+       "least(CAST(1000000 AS BIGINT), " +
+       "((CAST(10000 AS BIGINT) // n.n_src) * CAST(1000000 AS BIGINT)) " +
+       "// ps.n_tokens) AS rate_micro FROM ps CROSS JOIN n) " +
+       "SELECT source, n_docs, n_tokens, rate_micro, " +
+       "(n_tokens * rate_micro) // CAST(1000000 AS BIGINT) AS planned_tokens " +
+       "FROM j"),
     "text_temperature_sample" ->
       ("WITH bysrc AS (SELECT source, count(*) AS c, " +
        "round((sqrt(count(*))) * 1e6) / 1e6 AS w0 FROM documents GROUP BY source), " +
@@ -1155,6 +1262,29 @@ object TextOps {
        "SELECT doc_id, tok, tf, df, score, CAST(rn AS INTEGER) AS rn FROM (" +
        "SELECT sc.*, row_number() OVER (PARTITION BY doc_id " +
        "ORDER BY score DESC, tok ASC) AS rn FROM sc) r WHERE rn <= 5"),
+    "text_cosine_pairs" ->
+      // the milli-idf BIGINT cast and the HAVING-side df cap mirror the
+      // Spark chain literally; shingles are 1-based t[i]..t[i+2] over
+      // range(1, len-1) = Spark's 0-based sequence(0, size-3)
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "sh AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g " +
+       "FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)), " +
+       "tf AS (SELECT doc_id, g, count(*) AS tf FROM sh GROUP BY 1, 2), " +
+       "dfq AS (SELECT g, count(*) AS df FROM tf GROUP BY g " +
+       "HAVING count(*) <= 50), " +
+       "n AS (SELECT count(*) AS n_docs FROM documents), " +
+       "w AS (SELECT tf.doc_id, tf.g, tf.tf * " +
+       "CAST(round(ln((n.n_docs + 1.0) / (dfq.df + 1.0)) * 1e3) AS BIGINT) AS w " +
+       "FROM tf JOIN dfq USING (g) CROSS JOIN n), " +
+       "nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id), " +
+       "dp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+       "CAST(sum(a.w * b.w) AS BIGINT) AS dot " +
+       "FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+       "SELECT a_id, b_id, cos_sim FROM (" +
+       "SELECT a_id, b_id, round((dp.dot / (sqrt(CAST(na.n2 AS DOUBLE)) * " +
+       "sqrt(CAST(nb.n2 AS DOUBLE)))) * 1e6) / 1e6 AS cos_sim " +
+       "FROM dp JOIN nrm na ON dp.a_id = na.doc_id " +
+       "JOIN nrm nb ON dp.b_id = nb.doc_id) c WHERE cos_sim >= 0.5"),
     "text_top_tokens" ->
       ("SELECT tok, count(*) AS n FROM (" +
        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t " +

@@ -56,4 +56,57 @@ class GraphSpec extends SparkSpec {
     val bound = n * 150000L + (85L * n * 1000000L) / 100L
     assert(mass <= bound, s"mass $mass exceeds damping bound $bound")
   }
+
+  // --- triangles / label propagation over the mutual-kNN graph ---
+
+  private lazy val mutualEdges = ext.Similarity.knnMutual(spark, sf001)
+    .select("a_id", "b_id").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("degree-oriented triangles == brute-force triple enumeration") {
+    val tris = ext.Graph.triangles(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force on the collected edge set (324 edges at sf0.01):
+    // adjacency over sorted pairs, enumerate all closed triples
+    val adj = mutualEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val brute = (for {
+      (a, bs) <- adj.toSeq
+      b <- bs
+      c <- adj.getOrElse(b, Set.empty[Long])
+      if mutualEdges.contains((a, c))
+    } yield (a, b, c)).toSet // a<b<c by construction (edges are a<b)
+    assert(tris == brute,
+      s"oriented enumeration ${tris.size} != brute force ${brute.size}")
+    assert(tris.forall { case (x, y, z) => x < y && y < z })
+  }
+
+  test("label propagation: adoptions are unlabeled nodes voting among labeled neighbors") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = emb.size
+    val seeds = emb.filter { case (id, _) => id < n / 2 }
+    val adopted = ext.Graph.labelProp(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(adopted.nonEmpty, "no adoptions — graph or seed split broken")
+    val und = mutualEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val r1 = adopted.filter(_._3 == 1)
+    val r2 = adopted.filter(_._3 == 2)
+    // round-1 adoptions: not a seed, and the label is held by >= 1
+    // seed neighbor (majority vote implies at least membership)
+    assert(r1.forall { case (id, lab, _) =>
+      !seeds.contains(id) &&
+        und.getOrElse(id, Set.empty[Long]).exists(v => seeds.get(v).contains(lab))
+    })
+    // round-2 adoptions are NEW nodes only (synchronous rounds never
+    // relabel), and each adopted label exists among round-1-labeled
+    // or seed neighbors
+    val l1 = seeds ++ r1.map(t => t._1 -> t._2).toMap
+    assert(r2.forall { case (id, lab, _) =>
+      !l1.contains(id) &&
+        und.getOrElse(id, Set.empty[Long]).exists(v => l1.get(v).contains(lab))
+    })
+    assert(r1.map(_._1).toSet.intersect(r2.map(_._1).toSet).isEmpty)
+  }
 }

@@ -180,4 +180,56 @@ class TextOpsSpec extends SparkSpec {
       assert(nKept < nDocs, s"${r.getString(0)}: gate dropped nothing")
     }
   }
+
+  test("tf-idf cosine pairs == driver-side sparse recompute over the real corpus") {
+    // independent mirror: collect per-doc shingle tf maps, rebuild
+    // milli-idf weights, brute-force cosine over every candidate pair
+    // sharing a shingle — must equal the inverted-index plan exactly
+    val got = ext.TextOps.cosinePairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+    val n = docs.length
+    val tf = docs.map { case (id, t) =>
+      id -> t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).filter(_._2 <= 50).toMap
+    val w = tf.view.mapValues(_.flatMap { case (g, c) =>
+      df.get(g).map(d =>
+        g -> c * math.round(math.log((n + 1.0) / (d + 1.0)) * 1e3))
+    }).toMap
+    val nrm = w.view.mapValues(m => math.sqrt(m.values.map(x => x * x).sum.toDouble)).toMap
+    val expected = (for {
+      (a, wa) <- w.toSeq; (b, wb) <- w.toSeq if a < b
+      dot = wa.keySet.intersect(wb.keySet).toSeq.map(g => wa(g) * wb(g)).sum
+      if dot > 0
+      // HALF_UP to mirror Num.rnd exactly (rint is banker's rounding)
+      cos = BigDecimal(dot / (nrm(a) * nrm(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= 0.5
+    } yield (a, b) -> cos).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair sets differ: got ${got.size}, expected ${expected.size}")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - expected(k)) < 1e-9, s"$k: $v vs ${expected(k)}")
+    }
+  }
+
+  test("mixture plan: rates cap at 1e6 and the planned take fits the budget") {
+    val rows = ext.TextOps.mixturePlan(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val nSrc = rows.length
+    val share = 10000L / nSrc
+    rows.foreach { r =>
+      val (toks, rate, planned) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rate <= 1000000L && rate > 0L)
+      assert(planned <= toks, "planned exceeds available")
+      assert(planned <= share, "planned exceeds the per-source share")
+      if (toks <= share) assert(rate == 1000000L, "small source not taken whole")
+    }
+    assert(rows.map(_.getLong(4)).sum <= 10000L, "plan exceeds total budget")
+  }
 }
