@@ -321,14 +321,25 @@ object Dedup {
   private[graft] def hsOf(grp: DataFrame): DataFrame =
     grp.select(col("h1").as("h"), explode(col("ids")).as("doc_id"))
 
+  /** Per-doc 32-component minhash signatures from hashed shingles —
+    * the mergeable sketch itself: component j is min over the doc's
+    * shingles of the j-th affine permutation, so the signature of ANY
+    * union of docs is the element-wise min of their signatures (min is
+    * associative/commutative — the same property that makes HLL
+    * re-aggregable). [[bandsOf]] folds these into LSH buckets;
+    * [[sketchMerge]] re-aggregates them to coarser grains. */
+  private[graft] def sigsOf(hs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes)
+      .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
+    hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
   /** LSH band buckets (doc_id, band, bh) from hashed shingles: 32
     * minhash signatures (affine permutations of the one polyhash) folded
     * into 8 band hashes. This is the SIGNATURE INDEX a production corpus
     * persists — candidates are equi-joins on (band, bh). */
   private[graft] def bandsOf(hs: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes)
-      .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
-    val sigs = hs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = sigsOf(hs)
     val bandStructs = array((0 until Bands).map { bId =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
       struct(lit(bId).as("band"), bandFold(1000L + bId, cols).as("bh"))
@@ -690,8 +701,95 @@ object Dedup {
            sum("cluster_size").as("n_docs"))
       .orderBy("cluster_size")
 
+  /** Cluster-aware (leakage-safe) train/validation/test split — the
+    * fold-assignment rule every evaluation pipeline needs once dedup has
+    * run: hash-splitting on doc_id ([[TextOps.corpusSplit]]) puts two
+    * near-duplicates of the same document on opposite sides of the
+    * train/test boundary, which is exactly the contamination the dedup
+    * pass exists to prevent. Here the split key is the near-dup CLUSTER
+    * label (min reachable doc_id from the memoized [[clusters]] frame),
+    * so every member of a cluster lands in the same fold by construction
+    * — leakage across folds is structurally impossible, not just
+    * unlikely. Same Knuth-scramble 80/10/10 rule as corpus_split (one
+    * deterministic in-plan expression); cost on top of the memoized
+    * label frame is zero extra shuffles — the assignment is a projection.
+    * Scale: the label frame is |docs| rows whatever the corpus size, and
+    * singleton clusters (label = own doc_id) reproduce corpus_split's
+    * assignment exactly, so the two splits only disagree where disagreeing
+    * is the point. */
+  def splitSafe(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Similarity.saltOrd(col("cluster")) % 100
+    clusters(spark, dir)
+      .select(col("doc_id"), col("cluster"),
+              when(bucket < 80, "train")
+                .when(bucket < 90, "validation")
+                .otherwise("test").as("split"))
+  }
+
+  /** Mergeable-sketch re-aggregation for MinHash — the property that
+    * lets a 100 TB corpus keep ONE persisted per-doc signature index
+    * (32 longs/doc) and answer similarity questions at ANY coarser
+    * grain without ever re-shingling text: a signature component is a
+    * min over shingle permutations, and min is associative/commutative,
+    * so the signature of a union of docs is the element-wise min of
+    * their signatures (the HLL-re-agg argument, [[ops.Aggs]]
+    * sketchReagg, applied to MinHash). Here per-SOURCE signatures are
+    * min-merged from the per-doc index and pairwise source similarity
+    * is estimated as matching-component share in micro-units; the
+    * exact set Jaccard over the same capped hashed-shingle sets rides
+    * along as the audit column (both engines compute both
+    * deterministically — same constants, no cross-engine sketch
+    * comparison issue). Cost: one |docs|-row re-aggregation + a
+    * |sources|² pairing over the tiny merged table (the centroidSim
+    * precedent); the exact audit is one distinct + equi-join on h,
+    * bounded by the df-capped shingle set. */
+  def sketchMerge(spark: SparkSession, dir: String): DataFrame =
+    sketchMergeOf(Tables.documents(spark, dir))
+
+  /** [[sketchMerge]] over an arbitrary (doc_id, source, text) frame —
+    * the spec-facing entry point (synthetic fixtures). */
+  private[graft] def sketchMergeOf(docs: DataFrame): DataFrame = {
+    val grp = shingleGroups(docs, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = hsOf(grp)
+    val src = docs.select(col("doc_id"), col("source"))
+    val perDoc = sigsOf(hs).join(src, Seq("doc_id"))
+    val mergedCols = (0 until NumHashes).map(j => min(col(s"h$j")).as(s"h$j"))
+    val merged = perDoc.groupBy("source").agg(mergedCols.head, mergedCols.tail: _*)
+    val a = merged.select(col("source").as("a_src") +:
+      (0 until NumHashes).map(j => col(s"h$j").as(s"a$j")): _*)
+    val b = merged.select(col("source").as("b_src") +:
+      (0 until NumHashes).map(j => col(s"h$j").as(s"b$j")): _*)
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = a.crossJoin(b).filter(col("a_src") < col("b_src"))
+      .select(col("a_src"), col("b_src"), agree.as("n_agree"))
+    val se = hs.join(src, Seq("doc_id")).select("source", "h").distinct()
+    val sz = se.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = se.select(col("source").as("a_src"), col("h"))
+      .join(se.select(col("source").as("b_src"), col("h")), Seq("h"))
+      .filter(col("a_src") < col("b_src"))
+      .groupBy("a_src", "b_src").agg(count(lit(1)).as("inter"))
+    val out = est
+      .join(inter, Seq("a_src", "b_src"), "left")
+      .join(sz.select(col("source").as("a_src"), col("sz").as("sza")), Seq("a_src"))
+      .join(sz.select(col("source").as("b_src"), col("sz").as("szb")), Seq("b_src"))
+      .select(col("a_src"), col("b_src"), col("n_agree"),
+        expr("(n_agree * CAST(1000000 AS BIGINT)) div 32")
+          .as("est_jaccard_micro"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))).as("uni"))
+      .withColumn("exact_jaccard_micro",
+        expr("(inter * CAST(1000000 AS BIGINT)) div uni"))
+      .localCheckpoint()
+    grp.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_stats" -> clusterStats _,
+    "corpus_split_safe"   -> splitSafe _,
+    "dedup_sketch_merge"  -> sketchMerge _,
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_clusters"      -> clusters _,
@@ -733,17 +831,52 @@ object Dedup {
     * (`pfx`-namespaced) — the oracle mirror of [[hsOf]] + [[bandsOf]]
     * with identical hash/permutation/band constants. */
   private def bandsSqlFor(pfx: String): String = {
-    val sigSelect = (0 until NumHashes)
-      .map(j => s"min((${permA(j)}*h + ${permB(j)}) % $P1) AS h$j")
-      .mkString(", ")
     val bandSelects = (0 until Bands).map { bId =>
       val hs = (0 until RowsPerBand).map(r => s"h${bId * RowsPerBand + r}")
       s"SELECT doc_id, $bId AS band, ${bandFoldSql(1000L + bId, hs)} AS bh " +
         s"FROM ${pfx}sig"
     }.mkString(" UNION ALL ")
+    sigCteFor(pfx) + s", ${pfx}bands AS ($bandSelects)"
+  }
+
+  /** Hashed shingles -> per-doc 32-component signature CTEs (the oracle
+    * mirror of [[sigsOf]]) — shared by [[bandsSqlFor]] and the
+    * sketch-merge oracle. */
+  private def sigCteFor(pfx: String): String = {
+    val sigSelect = (0 until NumHashes)
+      .map(j => s"min((${permA(j)}*h + ${permB(j)}) % $P1) AS h$j")
+      .mkString(", ")
     s"${pfx}hs AS (SELECT doc_id, h1 AS h FROM ${pfx}sh), " +
-    s"${pfx}sig AS (SELECT doc_id, $sigSelect FROM ${pfx}hs GROUP BY doc_id), " +
-    s"${pfx}bands AS ($bandSelects)"
+    s"${pfx}sig AS (SELECT doc_id, $sigSelect FROM ${pfx}hs GROUP BY doc_id)"
+  }
+
+  /** Sketch-merge oracle: per-doc signature CTEs min-merged per source,
+    * matching-component share vs the exact capped-hash Jaccard (all
+    * quantities non-negative, so DuckDB `//` and Spark `div` agree). */
+  private def sketchMergeOracleSql: String = {
+    val mins = (0 until NumHashes).map(j => s"min(h$j) AS h$j").mkString(", ")
+    val agree = (0 until NumHashes)
+      .map(j => s"(CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"WITH ${shingleCte(3)}, ${sigCteFor("")}, " +
+    "ds AS (SELECT doc_id, source FROM documents), " +
+    s"ms AS (SELECT d.source, $mins FROM sig JOIN ds d USING (doc_id) " +
+    "GROUP BY d.source), " +
+    s"est AS (SELECT a.source AS a_src, b.source AS b_src, " +
+    s"CAST($agree AS BIGINT) AS n_agree FROM ms a JOIN ms b ON a.source < b.source), " +
+    "se AS (SELECT DISTINCT d.source, hs.h FROM hs JOIN ds d USING (doc_id)), " +
+    "szs AS (SELECT source, count(*) AS sz FROM se GROUP BY source), " +
+    "itr AS (SELECT x.source AS a_src, y.source AS b_src, count(*) AS inter " +
+    "FROM se x JOIN se y ON x.h = y.h AND x.source < y.source GROUP BY 1, 2) " +
+    "SELECT est.a_src, est.b_src, est.n_agree, " +
+    "(est.n_agree * CAST(1000000 AS BIGINT)) // 32 AS est_jaccard_micro, " +
+    "CAST(coalesce(itr.inter, 0) AS BIGINT) AS inter, " +
+    "CAST(sza.sz + szb.sz - coalesce(itr.inter, 0) AS BIGINT) AS uni, " +
+    "(CAST(coalesce(itr.inter, 0) AS BIGINT) * CAST(1000000 AS BIGINT)) " +
+    "// (sza.sz + szb.sz - coalesce(itr.inter, 0)) AS exact_jaccard_micro " +
+    "FROM est LEFT JOIN itr USING (a_src, b_src) " +
+    "JOIN szs sza ON sza.source = est.a_src " +
+    "JOIN szs szb ON szb.source = est.b_src"
   }
 
   /** 5-gram capped shingles -> sizes -> candidate pairs ->
@@ -931,5 +1064,20 @@ object Dedup {
        "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
        "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
        "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
-       "SELECT min(doc_id) AS doc_id, count(*) AS cluster_size FROM lab GROUP BY cluster"))
+       "SELECT min(doc_id) AS doc_id, count(*) AS cluster_size FROM lab GROUP BY cluster"),
+    // the clusters chain verbatim (keep in lockstep with dedup_clusters)
+    // + the corpus_split Knuth-scramble rule applied to the CLUSTER label
+    "corpus_split_safe" ->
+      (s"WITH RECURSIVE $ngramPairCte, " +
+       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
+       "UNION SELECT b_id, a_id FROM jac), " +
+       "reach(u, v) AS (SELECT u, v FROM edges " +
+       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+       "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
+       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
+       "SELECT doc_id, cluster, CASE WHEN b < 80 THEN 'train' " +
+       "WHEN b < 90 THEN 'validation' ELSE 'test' END AS split " +
+       "FROM (SELECT doc_id, cluster, " +
+       s"${Similarity.saltOrdSql("cluster")} % 100 AS b FROM lab) t"),
+    "dedup_sketch_merge" -> sketchMergeOracleSql)
 }

@@ -321,6 +321,55 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** ANN recall EVAL HARNESS — the [[Dedup.minhashEval]] counterpart
+    * for the vector index: on a FIXED-SIZE probe sample (vec_id <
+    * 100 — constant query-side cost at any corpus scale, the recurring
+    * index-health check a production ANN service runs), compute (a)
+    * ground truth = exact cosine top-3 per probe query against the FULL
+    * corpus (one broadcast of the 100-row probe table against a single
+    * streamed pass over the embeddings — the brute-force cost is paid
+    * for 100 queries, never n), and (b) the production [[ivfTopK]]
+    * answer for the same queries, then report recall/precision in
+    * integer micro-units. nprobe=2 over 16 seed cells MUST lose some
+    * true neighbors (the IVF recall cliff the [[NProbe]] docstring
+    * describes) — the harness exists to put a number on that loss
+    * instead of trusting it, and to catch regressions when cell count,
+    * nprobe, or the bucket cap change. Tie-breaks ride the 6-dp-rounded
+    * sim + vec_id order, so both engines rank identically. */
+  def ivfRecallEval(spark: SparkSession, dir: String,
+                    probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val exact = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+              Num.rnd(dotCols(col("embedding"), col("qv")) /
+                        (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val screen = ivfTopK(spark, dir)
+      .filter(col("a_id") < probeN)
+      .select("a_id", "b_id")
+    val hit = exact.join(screen, Seq("a_id", "b_id"))
+    exact.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(screen.agg(count(lit(1)).as("n_screen")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_screen"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
+          .as("precision_micro"))
+  }
+
   /** IVF training — one distributed Lloyd (k-means) iteration that makes
     * the coarse quantizer REAL instead of the seed stub: assign every
     * vector to its nearest seed centroid (the memoized [[ivfAssign]]
@@ -1259,6 +1308,7 @@ object Similarity {
     "sim_ivf_assign"   -> ivfAssign _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
+    "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
     "sim_ivf_train"    -> ivfTrain _,
     "sim_ivf_train_iter" -> ivfTrainIter _,
     "sim_ivf_train_hist" -> ivfTrainHist _,
@@ -1722,7 +1772,31 @@ object Similarity {
     // mutual-kNN = the top-3 frame joined to its own reversal; the CTE
     // chain is shared verbatim with sim_ivf_topk (keep in lockstep)
     "sim_knn_mutual" ->
-      (knnMutualCteSql + " SELECT a_id, b_id, sim FROM mu"))
+      (knnMutualCteSql + " SELECT a_id, b_id, sim FROM mu"),
+    // recall eval: screen = the sim_ivf_topk chain restricted to the
+    // probe sample (vec_id < 100 — the literal mirrors ivfRecallEval's
+    // default, keep in lockstep); truth = exact top-3 per probe query;
+    // all counts non-negative so DuckDB // == Spark div
+    "sim_ivf_recall_eval" ->
+      (ivfTopKCteSql +
+       ", scr AS (SELECT a_id, b_id FROM r WHERE rn <= 3 AND a_id < 100), " +
+       "exs AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+       "WHERE x.vec_id < 100), " +
+       "exr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM exs) e WHERE rn <= 3), " +
+       "hit AS (SELECT a_id, b_id FROM exr JOIN scr USING (a_id, b_id)), " +
+       "rcm AS (SELECT (SELECT count(*) FROM exr) AS n_truth, " +
+       "(SELECT count(*) FROM scr) AS n_screen, " +
+       "(SELECT count(*) FROM hit) AS n_hit) " +
+       "SELECT n_truth, n_screen, n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+       "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
+       "FROM rcm"))
 
   /** The sim_knn_mutual oracle's full CTE chain through `mu` (mutual
     * edges, a_id < b_id) — shared with Graph's triangle/label-prop

@@ -117,4 +117,19 @@ class IvfRecallSpec extends SparkSpec {
     info(s"semantic dedup covers ${inCell.size}/${truth.size} truth pairs " +
       "(the gap is the designed cross-cell boundary loss)")
   }
+
+  test("ivfRecallEval metrics are internally consistent and non-vacuous") {
+    // the recurring index-health check: counts must tie out arithmetically
+    // whatever recall the nprobe=2 search actually achieves
+    val r = ext.Similarity.ivfRecallEval(spark, sf0001).collect().head
+    val (truth, screen, hit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (recall, precision) = (r.getLong(3), r.getLong(4))
+    assert(truth > 0, "probe sample found no exact neighbors — harness inert")
+    assert(hit <= truth && hit <= screen, "hits exceed truth or screen")
+    assert(recall == (if (truth == 0) 1000000L else hit * 1000000L / truth))
+    assert(precision == (if (screen == 0) 0L else hit * 1000000L / screen))
+    assert(recall > 0L, "IVF search recovered zero true neighbors")
+    info(s"sf0.001 recall@3 = ${recall / 10000.0}%  " +
+      s"precision = ${precision / 10000.0}%")
+  }
 }
