@@ -50,7 +50,8 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.Geo.queries ++
       ext.Graph.queries ++
-      ext.Multimodal.queries
+      ext.Multimodal.queries ++
+      ext.Curate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +76,6 @@ object SparkEntry {
       ext.Similarity.oracle ++
       ext.Geo.oracle ++
       ext.Graph.oracle ++
-      ext.Multimodal.oracle
+      ext.Multimodal.oracle ++
+      ext.Curate.oracle
 }

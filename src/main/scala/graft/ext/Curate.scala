@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation FUNNEL — the capstone that composes
+  * the stage operators this library already ships into the pipeline a
+  * training-data team actually runs, with per-stage attrition counts
+  * (the report every curation run publishes: how many documents each
+  * gate cost). Stages, in production order:
+  *
+  *   1. language ID        — keep docs the n-gram classifier calls 'en'
+  *   2. quality gate       — [[TextOps.quality]]'s quality_ok
+  *   3. boilerplate        — drop non-keep members of shared-prefix
+  *                           template groups ([[TextOps.boilerplate]])
+  *   4. benchmark holdout  — drop the eval source entirely (src0)
+  *   5. contamination      — drop docs with ≥50% eval-shingle overlap
+  *                           ([[TextOps.contamination]])
+  *   6. near-dup dedup     — keep only [[Dedup.keepList]] survivors
+  *
+  * Each stage's model/index is computed ONCE over the arrival corpus
+  * (the production shape: the boilerplate group table, the benchmark
+  * shingle set, and the dedup cluster labels are all snapshot-level
+  * artifacts), and the funnel is the running conjunction — stage k's
+  * count is docs passing gates 1..k. Scale: every stage is a |docs|-row
+  * frame the engine already builds with one scan or one broadcast probe
+  * (no stage is all-pairs); the funnel itself is ONE join-chain pass
+  * over those frames and a single 7-row aggregate — at 100 TB the
+  * per-doc frames are the columnar annotations a curation run persists
+  * anyway, and the funnel report costs one re-scan of them, nothing
+  * more. Reuses the memoized cluster labels (owner: dedup_clusters
+  * family), so no dedup work is repeated. */
+object Curate {
+
+  /** Per-stage funnel counts: (stage_ord, stage, n_kept). Row 0 is the
+    * arrival count; row k is the running-AND survivor count. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.pfxCol.as("pfx"))
+    val lang = TextOps.langid(spark, dir).select("doc_id", "predicted")
+    val qual = TextOps.quality(spark, dir).select("doc_id", "quality_ok")
+    val bp   = TextOps.boilerplate(spark, dir).select("pfx", "keep_doc")
+    val ctm  = TextOps.contamination(spark, dir).select("doc_id", "contam_pct")
+    val keep = Dedup.keepList(spark, dir)
+      .select(col("doc_id"), lit(1).as("kp"))
+    val flags = docs
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(bp, Seq("pfx"), "left")
+      .join(ctm, Seq("doc_id"), "left")
+      .join(keep, Seq("doc_id"), "left")
+      .select(
+        (col("predicted") === "en").cast("int").as("g1"),
+        (col("quality_ok") === 1).cast("int").as("g2"),
+        (col("keep_doc").isNull || col("keep_doc") === col("doc_id"))
+          .cast("int").as("g3"),
+        (col("source") =!= "src0").cast("int").as("g4"),
+        // absent from the contamination frame = no 5-gram shingles or
+        // eval-source (dropped by g4 anyway) — passes the gate
+        (coalesce(col("contam_pct"), lit(0.0)) < 50.0).cast("int").as("g5"),
+        coalesce(col("kp"), lit(0)).as("g6"))
+    val run = (1 to 6).map(k =>
+      sum((1 to k).map(j => col(s"g$j")).reduce(_ * _)).as(s"c$k"))
+    val agg = flags.agg(count(lit(1)).as("c0"), run: _*)
+    val stages = Seq("ingest", "langid_en", "quality", "boilerplate",
+                     "holdout", "contamination", "dedup")
+    agg.select(explode(array(stages.zipWithIndex.map { case (s, i) =>
+        struct(lit(i).as("stage_ord"), lit(s).as("stage"),
+               col(s"c$i").as("n_kept"))
+      }: _*)).as("f"))
+      .select(col("f.stage_ord"), col("f.stage"), col("f.n_kept"))
+      .orderBy("stage_ord")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_curate_funnel" -> funnel _)
+
+  /** Funnel oracle: composes the shared stage chains — the langid
+    * score/CASE fragments, the quality condition, the boilerplate
+    * groups, the ct-namespaced contamination chain, and the RECURSIVE
+    * cluster-label chain — exactly as the Spark side composes the stage
+    * frames. Gate literals ('en', 50.0, 'src0') mirror [[funnel]];
+    * change only in lockstep. */
+  val oracle: Map[String, String] = Map(
+    "corpus_curate_funnel" -> (
+      s"WITH RECURSIVE ${Dedup.clusterLabCte}, " +
+      s"${TextOps.contaminationCteSql}, " +
+      s"lid AS (SELECT doc_id, ${TextOps.langPredCaseSql} AS predicted " +
+      s"FROM (${TextOps.langScoresInnerSql}) t), " +
+      s"ql AS (SELECT doc_id, " +
+      s"CAST(${TextOps.qualityOkCondSql} AS INTEGER) AS quality_ok " +
+      "FROM documents), " +
+      s"bpg AS (${TextOps.boilerplateGroupsSql}), " +
+      "kl AS (SELECT min(doc_id) AS doc_id FROM lab GROUP BY cluster), " +
+      "flags AS (SELECT " +
+      "CASE WHEN l.predicted = 'en' THEN 1 ELSE 0 END AS g1, " +
+      "q.quality_ok AS g2, " +
+      "CASE WHEN b.keep_doc IS NULL OR b.keep_doc = d.doc_id " +
+      "THEN 1 ELSE 0 END AS g3, " +
+      "CASE WHEN d.source <> 'src0' THEN 1 ELSE 0 END AS g4, " +
+      "CASE WHEN coalesce(c.contam_pct, 0.0) < 50.0 THEN 1 ELSE 0 END AS g5, " +
+      "CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g6 " +
+      "FROM documents d " +
+      "JOIN lid l USING (doc_id) JOIN ql q USING (doc_id) " +
+      "LEFT JOIN bpg b ON b.pfx = " +
+      "array_to_string(string_split(d.text, ' ')[1:8], ' ') " +
+      "LEFT JOIN ctm c ON c.doc_id = d.doc_id " +
+      "LEFT JOIN kl k ON k.doc_id = d.doc_id) " +
+      "SELECT 0 AS stage_ord, 'ingest' AS stage, " +
+      "CAST(count(*) AS BIGINT) AS n_kept FROM flags " +
+      (1 to 6).zip(Seq("langid_en", "quality", "boilerplate",
+                       "holdout", "contamination", "dedup")).map {
+        case (k, s) =>
+          val prod = (1 to k).map(j => s"g$j").mkString(" * ")
+          s"UNION ALL SELECT $k, '$s', CAST(sum($prod) AS BIGINT) FROM flags "
+      }.mkString +
+      "ORDER BY stage_ord"))
+}

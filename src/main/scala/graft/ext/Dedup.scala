@@ -891,6 +891,20 @@ object Dedup {
     "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
     "WHERE inter * 5 >= sa.sz + sb.sz - inter)"
 
+  /** jac → undirected edges → transitive closure → per-doc min-reachable
+    * cluster label (`lab`) — the oracle mirror of [[clusters]]. ONE
+    * definition shared by the whole cluster family (clusters / stats /
+    * keep / split_safe) and composed by the curation-funnel oracle
+    * ([[Curate]]); requires `WITH RECURSIVE` at the head of the query. */
+  private[graft] val clusterLabCte: String =
+    ngramPairCte + ", " +
+    "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
+    "UNION SELECT b_id, a_id FROM jac), " +
+    "reach(u, v) AS (SELECT u, v FROM edges " +
+    "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+    "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
+    "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id)"
+
   /** MinHash oracle: the identical hash/permutation/band constants. */
   private def minhashOracleSql: String =
     s"WITH ${shingleCte(3)}, ${bandsSqlFor("")}, " +
@@ -1035,46 +1049,20 @@ object Dedup {
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "dedup_clusters" ->
-      (s"WITH RECURSIVE $ngramPairCte, " +
-       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
-       "UNION SELECT b_id, a_id FROM jac), " +
-       "reach(u, v) AS (SELECT u, v FROM edges " +
-       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u) " +
-       "SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
-       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id"),
+      s"WITH RECURSIVE $clusterLabCte SELECT doc_id, cluster FROM lab",
     "dedup_cluster_stats" ->
-      // the clusters chain verbatim (keep in lockstep with
-      // dedup_clusters/dedup_keep), rolled up to the size histogram
-      (s"WITH RECURSIVE $ngramPairCte, " +
-       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
-       "UNION SELECT b_id, a_id FROM jac), " +
-       "reach(u, v) AS (SELECT u, v FROM edges " +
-       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
-       "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
-       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id), " +
+      (s"WITH RECURSIVE $clusterLabCte, " +
        "csz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster) " +
        "SELECT cluster_size, count(*) AS n_clusters, " +
        "CAST(sum(cluster_size) AS BIGINT) AS n_docs " +
        "FROM csz GROUP BY cluster_size ORDER BY cluster_size"),
     "dedup_keep" ->
-      (s"WITH RECURSIVE $ngramPairCte, " +
-       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
-       "UNION SELECT b_id, a_id FROM jac), " +
-       "reach(u, v) AS (SELECT u, v FROM edges " +
-       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
-       "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
-       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
+      (s"WITH RECURSIVE $clusterLabCte " +
        "SELECT min(doc_id) AS doc_id, count(*) AS cluster_size FROM lab GROUP BY cluster"),
-    // the clusters chain verbatim (keep in lockstep with dedup_clusters)
-    // + the corpus_split Knuth-scramble rule applied to the CLUSTER label
+    // the clusters chain + the corpus_split Knuth-scramble rule applied
+    // to the CLUSTER label
     "corpus_split_safe" ->
-      (s"WITH RECURSIVE $ngramPairCte, " +
-       "edges AS (SELECT a_id AS u, b_id AS v FROM jac " +
-       "UNION SELECT b_id, a_id FROM jac), " +
-       "reach(u, v) AS (SELECT u, v FROM edges " +
-       "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
-       "lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster " +
-       "FROM documents d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id) " +
+      (s"WITH RECURSIVE $clusterLabCte " +
        "SELECT doc_id, cluster, CASE WHEN b < 80 THEN 'train' " +
        "WHEN b < 90 THEN 'validation' ELSE 'test' END AS split " +
        "FROM (SELECT doc_id, cluster, " +

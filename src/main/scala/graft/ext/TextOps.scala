@@ -97,20 +97,58 @@ object TextOps {
     ms.map(m => s"(CASE WHEN ' ' || text || ' ' LIKE '% $m %' THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
-  private def langidSql: String = {
-    val langs = langMarkers.map(_._1)
+  /** The contamination chain as namespaced CTEs ending in `ctm`
+    * (doc_id, n_sh, n_hit, contam_pct) — the oracle mirror of
+    * [[contamination]] at its default evalSource; shared by
+    * text_contamination and the curation-funnel oracle ([[Curate]]).
+    * CTE names are ct-prefixed so the chain composes next to the
+    * Dedup shingle chain (whose `toks`/`sh0` carry hashed keys). */
+  private[graft] def contaminationCteSql: String =
+    "cttk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "ctsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
+    "FROM cttk, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
+    "ev AS (SELECT DISTINCT s FROM ctsh JOIN documents d USING (doc_id) " +
+    "WHERE d.source = 'src0'), " +
+    "base AS (SELECT ctsh.doc_id, ctsh.s FROM ctsh JOIN documents d USING (doc_id) " +
+    "WHERE d.source <> 'src0'), " +
+    "ctm AS (SELECT b.doc_id, count(*) AS n_sh, " +
+    "CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+    "round((100.0 * sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) / count(*)) " +
+    "* 1e2) / 1e2 AS contam_pct " +
+    "FROM base b LEFT JOIN ev e ON b.s = e.s GROUP BY b.doc_id)"
+
+  /** The quality gate's SQL condition — mirrors [[quality]]'s
+    * `quality_ok` predicate; shared by text_stats_agg and the
+    * curation-funnel oracle ([[Curate]]). */
+  private[graft] val qualityOkCondSql: String =
+    "len(string_split(text, ' ')) BETWEEN 10 AND 2000 " +
+    "AND len(list_distinct(string_split(text, ' '))) >= 5"
+
+  /** Per-doc marker-score inner select — shared by [[langidSql]] and the
+    * curation-funnel oracle ([[Curate]]). */
+  private[graft] def langScoresInnerSql: String = {
     val scores = langMarkers
       .map { case (l, ms) => s"${sqlHits(ms)} AS s_$l" }.mkString(", ")
-    // CASE priority chain: first lang whose score >= all later langs
+    s"SELECT doc_id, lang, $scores FROM documents"
+  }
+
+  /** CASE priority chain over the s_* score columns: first lang whose
+    * score >= all later langs — shared with the funnel oracle. */
+  private[graft] def langPredCaseSql: String = {
+    val langs = langMarkers.map(_._1)
     val branches = langs.zipWithIndex.init.map { case (l, i) =>
       val conds = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
-    val caseExpr = s"CASE $branches ELSE '${langs.last}' END"
+    s"CASE $branches ELSE '${langs.last}' END"
+  }
+
+  private def langidSql: String = {
+    val langs = langMarkers.map(_._1)
     s"SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, " +
-      s"$caseExpr AS predicted, " +
-      s"CAST(($caseExpr) = lang AS INTEGER) AS is_correct " +
-      s"FROM (SELECT doc_id, lang, $scores FROM documents) t"
+      s"$langPredCaseSql AS predicted, " +
+      s"CAST(($langPredCaseSql) = lang AS INTEGER) AS is_correct " +
+      s"FROM ($langScoresInnerSql) t"
   }
 
   /** Corpus-level stats: per-language doc counts, token means, quality
@@ -594,14 +632,25 @@ object TextOps {
     * marks template families even when bodies diverge. One groupBy on
     * the bounded prefix key (production would group on its digest, the
     * `dedup_exact` md5 lesson, when prefixes are long). */
-  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
-    val pfx = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), pfx.as("pfx"))
+      .select(col("doc_id"), pfxCol.as("pfx"))
       .groupBy("pfx")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
       .filter(col("n_docs") > 1)
-  }
+
+  /** The 8-token boilerplate prefix key — shared by [[boilerplate]] and
+    * the curation funnel ([[Curate]]); its SQL mirror is
+    * [[boilerplateGroupsSql]]'s pfx expression. */
+  private[graft] def pfxCol: Column =
+    concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+
+  /** Oracle mirror of [[boilerplate]] — the >1-member prefix groups;
+    * shared by text_boilerplate and the curation-funnel oracle. */
+  private[graft] val boilerplateGroupsSql: String =
+    "SELECT pfx, count(*) AS n_docs, min(doc_id) AS keep_doc FROM (" +
+    "SELECT doc_id, array_to_string(string_split(text, ' ')[1:8], ' ') AS pfx " +
+    "FROM documents) p GROUP BY pfx HAVING count(*) > 1"
 
   /** Zipf rank-frequency slope — the one-number corpus-health fingerprint
     * (natural text ≈ −1; templated/synthetic corpora flatten toward 0):
@@ -1050,10 +1099,7 @@ object TextOps {
        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id " +
        "ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn FROM pd) " +
        "WHERE rn <= 10"),
-    "text_boilerplate" ->
-      ("SELECT pfx, count(*) AS n_docs, min(doc_id) AS keep_doc FROM (" +
-       "SELECT doc_id, array_to_string(string_split(text, ' ')[1:8], ' ') AS pfx " +
-       "FROM documents) p GROUP BY pfx HAVING count(*) > 1"),
+    "text_boilerplate" -> boilerplateGroupsSql,
     "text_zipf" ->
       ("WITH cnt AS (SELECT tok, count(*) AS c FROM (" +
        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t GROUP BY tok), " +
@@ -1221,18 +1267,7 @@ object TextOps {
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
        "AS start_off FROM documents) t"),
     "text_contamination" ->
-      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-       "sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
-       "FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
-       "ev AS (SELECT DISTINCT s FROM sh0 JOIN documents d USING (doc_id) " +
-       "WHERE d.source = 'src0'), " +
-       "base AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN documents d USING (doc_id) " +
-       "WHERE d.source <> 'src0') " +
-       "SELECT b.doc_id, count(*) AS n_sh, " +
-       "CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
-       "round((100.0 * sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) / count(*)) " +
-       "* 1e2) / 1e2 AS contam_pct " +
-       "FROM base b LEFT JOIN ev e ON b.s = e.s GROUP BY b.doc_id"),
+      s"WITH $contaminationCteSql SELECT doc_id, n_sh, n_hit, contam_pct FROM ctm",
     "text_pii_scan" ->
       ("SELECT doc_id, n_email, n_phone, n_ssn, n_word, " +
        "CAST(n_email + n_phone + n_ssn > 0 AS INTEGER) AS has_pii FROM (" +
@@ -1297,8 +1332,7 @@ object TextOps {
        "round((avg(n_tok)) * 1e2) / 1e2 AS avg_tokens, " +
        "round((100.0 * sum(ok) / count(*)) * 1e1) / 1e1 AS quality_pct FROM (" +
        "SELECT lang, len(string_split(text, ' ')) AS n_tok, " +
-       "CAST(len(string_split(text, ' ')) BETWEEN 10 AND 2000 " +
-       "AND len(list_distinct(string_split(text, ' '))) >= 5 AS INTEGER) AS ok " +
+       s"CAST($qualityOkCondSql AS INTEGER) AS ok " +
        "FROM documents) t GROUP BY lang ORDER BY lang"),
     "text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws, " +

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ext.{Curate, Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** The curation funnel is a composition — these tests pin that the
+  * composed counts equal what the stage operators say independently:
+  * the funnel must be an honest report of the gates, not a parallel
+  * reimplementation that can drift. */
+class CurateSpec extends SparkSpec {
+
+  private def counts(dir: String): Map[Int, Long] =
+    Curate.funnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+  test("funnel is monotone non-increasing and starts at the corpus size") {
+    val c = counts(sf0001)
+    assert(c(0) == Tables.documents(spark, sf0001).count())
+    (1 to 6).foreach(k => assert(c(k) <= c(k - 1),
+      s"stage $k kept ${c(k)} > prior ${c(k - 1)}"))
+  }
+
+  test("stage counts equal an independent semi-join recomputation") {
+    // different composition: running filters over the stage frames
+    // (semi/anti joins), not flag products over one wide join
+    val dir = sf0001
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.pfxCol.as("pfx"))
+    val s1 = docs.join(
+      TextOps.langid(spark, dir).filter(col("predicted") === "en")
+        .select("doc_id"), Seq("doc_id"), "semi")
+    val s2 = s1.join(
+      TextOps.quality(spark, dir).filter(col("quality_ok") === 1)
+        .select("doc_id"), Seq("doc_id"), "semi")
+    val bp = TextOps.boilerplate(spark, dir)
+    val s3 = s2.join(bp.select(col("pfx"), col("keep_doc")), Seq("pfx"), "left")
+      .filter(col("keep_doc").isNull || col("keep_doc") === col("doc_id"))
+      .select("doc_id", "source")
+    val s4 = s3.filter(col("source") =!= "src0")
+    val s5 = s4.join(
+      TextOps.contamination(spark, dir)
+        .filter(col("contam_pct") >= 50.0).select("doc_id"),
+      Seq("doc_id"), "anti")
+    val s6 = s5.join(Dedup.keepList(spark, dir).select("doc_id"),
+      Seq("doc_id"), "semi")
+    val expected = Map(1 -> s1.count(), 2 -> s2.count(), 3 -> s3.count(),
+                       4 -> s4.count(), 5 -> s5.count(), 6 -> s6.count())
+    val c = counts(dir)
+    expected.foreach { case (k, n) =>
+      assert(c(k) == n, s"stage $k: funnel ${c(k)} != recomputed $n")
+    }
+  }
+}
