@@ -786,6 +786,29 @@ object Dedup {
     out
   }
 
+  /** Stateless per-source hashed-shingle rows (source, h) WITHOUT the
+    * corpus DF cap — the streaming-safe half of [[sketchMerge]]: no
+    * corpus-wide aggregation feeds it, so a continuous stream can fold
+    * it directly. Capped batch path and this agree while no shingle's
+    * corpus DF crosses MaxShingleDf (the same regime contract as the
+    * streaming minhash screen; StreamingSpec pins it). */
+  private[graft] def sourceShingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("source"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+                     s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
+      .select(col("source"), polyHash(col("sh"), 31L, P1).as("h"))
+
+  /** Per-source 32-component signature from (source, h) rows — one
+    * streaming-legal aggregation (min is the whole fold), state =
+    * |sources| × 32 longs however large the corpus. */
+  private[graft] def sourceSigOf(rows: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes)
+      .map(j => min((lit(permA(j)) * col("h") + lit(permB(j))) % lit(P1)).as(s"h$j"))
+    rows.groupBy("source").agg(sigCols.head, sigCols.tail: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster_stats" -> clusterStats _,
     "corpus_split_safe"   -> splitSafe _,

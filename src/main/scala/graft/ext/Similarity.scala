@@ -370,6 +370,66 @@ object Similarity {
           .as("precision_micro"))
   }
 
+  /** Int8-quantization recall eval — the third leg of the eval-harness
+    * family ([[Dedup.minhashEval]] for the sketch, [[ivfRecallEval]]
+    * for the index, this for the COMPRESSION): how much top-3 recall
+    * does the [[quantize]] storage format cost? Serving shape is
+    * asymmetric (ADC-style): the query stays full-precision float, the
+    * corpus is DEQUANTIZED from its per-vector (mn, mx, int8 codes) —
+    * exactly what a store that persists only codes can reconstruct.
+    * Ground truth = exact float cosine top-3 on the same fixed probe
+    * sample (vec_id < 100 — constant query-side cost at any corpus
+    * scale). The dequantization expression mirrors [[quantize]]'s code
+    * formula term for term (keep in lockstep); every arithmetic step is
+    * IEEE exact-rounded double ops in fixed order, so both engines rank
+    * identically. Both searches are one broadcast of the probe table
+    * against one streamed corpus pass — brute-force cost is paid for
+    * 100 queries, never n². */
+  def int8RecallEval(spark: SparkSession, dir: String,
+                     probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val st = base.select(col("vec_id"), col("embedding"),
+      array_min(col("embedding")).cast("double").as("mn"),
+      array_max(col("embedding")).cast("double").as("mx"))
+    // code = least(255, floor((v-mn)/(mx-mn)*255))  — quantize's formula;
+    // dequant = mn + code*(mx-mn)/255 (code cast back to double)
+    val dqv = transform(col("embedding"), v =>
+      when(col("mx") > col("mn"),
+        col("mn") +
+          least(lit(255L), floor((v.cast("double") - col("mn")) /
+                                 (col("mx") - col("mn")) * 255)).cast("double") *
+          (col("mx") - col("mn")) / lit(255.0))
+        .otherwise(col("mn")))
+    val dq = st.select(col("vec_id"), dqv.as("d"))
+      .select(col("vec_id"), col("d"),
+              sqrt(dotCols(col("d"), col("d"))).as("dnrm"))
+    val q = base.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("qnrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    def top3(corpus: DataFrame, vec: Column, nrm: Column): DataFrame =
+      fanOut(corpus).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("vec_id").as("b_id"),
+                Num.rnd(dotCols(vec, col("qv")) / (nrm * col("qnrm")), 6)
+                  .as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("a_id", "b_id")
+    val truth = top3(base.select(col("vec_id"), col("embedding"),
+        sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm")),
+      col("embedding"), col("nrm"))
+    val approx = top3(dq, col("d"), col("dnrm"))
+    val hit = truth.join(approx, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"))
+  }
+
   /** IVF training — one distributed Lloyd (k-means) iteration that makes
     * the coarse quantizer REAL instead of the seed stub: assign every
     * vector to its nearest seed centroid (the memoized [[ivfAssign]]
@@ -1309,6 +1369,7 @@ object Similarity {
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
+    "emb_int8_recall"  -> ((s, d) => int8RecallEval(s, d)),
     "sim_ivf_train"    -> ivfTrain _,
     "sim_ivf_train_iter" -> ivfTrainIter _,
     "sim_ivf_train_hist" -> ivfTrainHist _,
@@ -1796,7 +1857,39 @@ object Similarity {
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
        "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
-       "FROM rcm"))
+       "FROM rcm"),
+    // int8 recall: dequant mirrors the emb_quantize code formula term
+    // for term (mn + code*(mx-mn)/255, code = least(255, floor(...)));
+    // probe literal vec_id < 100 mirrors int8RecallEval's default
+    "emb_int8_recall" ->
+      ("WITH b0 AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+       "CAST(list_min(embedding) AS DOUBLE) AS mn, " +
+       "CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings), " +
+       "dqt AS (SELECT vec_id, CASE WHEN mx > mn THEN " +
+       "list_transform(e, v -> mn + " +
+       "CAST(least(255, floor((v - mn) / (mx - mn) * 255)) AS DOUBLE) " +
+       "* (mx - mn) / 255.0) " +
+       "ELSE list_transform(e, v -> mn) END AS d FROM b0), " +
+       "qp AS (SELECT vec_id AS a_id, e AS qv FROM b0 WHERE vec_id < 100), " +
+       "trs AS (SELECT q.a_id, x.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.e, q.qv)) * 1e6) / 1e6 AS sim " +
+       "FROM b0 x CROSS JOIN qp q WHERE x.vec_id <> q.a_id), " +
+       "tr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM trs) t WHERE rn <= 3), " +
+       "aps AS (SELECT q.a_id, x.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.d, q.qv)) * 1e6) / 1e6 AS sim " +
+       "FROM dqt x CROSS JOIN qp q WHERE x.vec_id <> q.a_id), " +
+       "ap AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM aps) t WHERE rn <= 3), " +
+       "ht AS (SELECT a_id, b_id FROM tr JOIN ap USING (a_id, b_id)), " +
+       "cm AS (SELECT (SELECT count(*) FROM tr) AS n_truth, " +
+       "(SELECT count(*) FROM ht) AS n_hit) " +
+       "SELECT n_truth, n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro " +
+       "FROM cm"))
 
   /** The sim_knn_mutual oracle's full CTE chain through `mu` (mutual
     * edges, a_id < b_id) — shared with Graph's triangle/label-prop

@@ -128,6 +128,22 @@ object DocStream {
     q.stop()
   }
 
+  /** CONTINUOUS per-source MinHash signatures — the mergeable-sketch
+    * property (`Dedup.sketchMerge`'s scaladoc) as live streaming state:
+    * a signature component is a min over shingle permutations and min
+    * is the entire fold, so the per-source signature is ONE streaming
+    * aggregation — no foreachBatch, no custom state. State is
+    * |sources| × 32 longs however much text has streamed past (the
+    * whole point of keeping a mergeable sketch at 100 TB: the operator
+    * that "summarizes everything seen so far" carries constant state
+    * per key). Stream ≡ batch while no shingle's corpus DF crosses the
+    * batch path's MaxShingleDf cap — the same regime contract as the
+    * minhash screen above; StreamingSpec pins equality under
+    * maxFilesPerTrigger=1 replay. */
+  def sourceSignatures(docs: DataFrame): DataFrame =
+    graft.ext.Dedup.sourceSigOf(
+      graft.ext.Dedup.sourceShingleHashes(docs, 3))
+
   /** Streaming curation: one survivor per exact text (first arrival) +
     * repetition gate (same expression as TextOps.repetition). */
   def curate(docs: DataFrame): DataFrame = {

@@ -132,4 +132,26 @@ class IvfRecallSpec extends SparkSpec {
     info(s"sf0.001 recall@3 = ${recall / 10000.0}%  " +
       s"precision = ${precision / 10000.0}%")
   }
+
+  test("int8RecallEval is consistent; dequantization error bounded by one step") {
+    val r = ext.Similarity.int8RecallEval(spark, sf0001).collect().head
+    val (truth, hit, recall) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(truth > 0 && hit <= truth)
+    assert(recall == hit * 1000000L / truth)
+    // the storage-format guarantee the eval rests on: every dequantized
+    // element is within one quantization step (mx-mn)/255 of the original
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+    val bad = emb.select(explode(zip_with(col("embedding"),
+        transform(col("embedding"), v =>
+          col("mn") + least(lit(255L), floor((v.cast("double") - col("mn")) /
+            (col("mx") - col("mn")) * 255)).cast("double") *
+            (col("mx") - col("mn")) / lit(255.0)),
+        (v, d) => abs(v.cast("double") - d) >
+          (col("mx") - col("mn")) / lit(255.0) * lit(1.0000001))).as("over"))
+      .filter(col("over"))
+    assert(bad.count() == 0, "a dequantized element exceeds one step of error")
+  }
 }

@@ -310,4 +310,50 @@ class StreamingSpec extends SparkSpec {
       .filter(col("s.n_events") =!= col("b.n_events"))
     assert(joined.count() === 0)
   }
+
+  test("continuous per-source signatures equal the batch min-merge") {
+    import graft.streaming.DocStream
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-docs-sig-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-sig-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "docs-000.parquet")
+    writeOne(docs.filter(col("doc_id") % 2 =!= 0), "docs-001.parquet")
+
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.sourceSignatures(stream).writeStream
+      .outputMode(OutputMode.Complete()).format("memory")
+      .queryName("srcsigs").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val streamed = spark.table("srcsigs").collect()
+      .map(r => r.getString(0) -> (1 until r.length).map(r.getLong).toVector)
+      .toMap
+    q.stop()
+    assert(nBatches >= 2, "docs arrived in one micro-batch — replay vacuous")
+
+    // twin 1: the uncapped stateless fold run as a batch
+    val direct = Dedup.sourceSigOf(Dedup.sourceShingleHashes(docs, 3))
+      .collect()
+      .map(r => r.getString(0) -> (1 until r.length).map(r.getLong).toVector)
+      .toMap
+    // twin 2: sketchMerge's capped per-doc path min-merged per source —
+    // equal here because no sf0.001 shingle's DF approaches MaxShingleDf
+    // (the regime contract in the scaladoc)
+    val perDoc = Dedup.sigsOf(Dedup.hsOf(Dedup.shingleGroups(docs, 3)))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val mergedCols = (0 until 32).map(j => min(col(s"h$j")).as(s"h$j"))
+    val capped = perDoc.groupBy("source").agg(mergedCols.head, mergedCols.tail: _*)
+      .collect()
+      .map(r => r.getString(0) -> (1 until r.length).map(r.getLong).toVector)
+      .toMap
+    assert(streamed == direct, "stream state != uncapped batch fold")
+    assert(streamed == capped, "stream state != capped per-doc min-merge")
+  }
 }
