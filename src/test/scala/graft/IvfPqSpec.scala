@@ -117,4 +117,26 @@ class IvfPqSpec extends SparkSpec {
       s"residual energy $resMass must be below raw energy $rawMass")
     info(f"energy: raw=$rawMass%.1f residual=$resMass%.1f (${100 * resMass / rawMass}%.1f%%)")
   }
+
+  test("re-rank d2 is the exact float distance and orders the shortlist exactly") {
+    // the recall-repair contract: whatever the ADC shortlist contains,
+    // the re-ranked top-3 must equal an exact-L2 sort of that shortlist
+    // computed independently from the raw floats
+    val shortlist = Similarity.ivfpqTopK(spark, dir) // rn<=3 view of the memo
+    val rerank = Similarity.ivfpqRerankTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rerank.nonEmpty)
+    rerank.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length))
+      val qv = embs(q)
+      rows.foreach { case (_, v, _, d2) =>
+        val e = embs(v)
+        val exact = rnd6((dot(qv, qv) - 2 * dot(qv, e)) + dot(e, e))
+        assert(d2 == exact, s"q=$q v=$v d2=$d2 exact=$exact")
+      }
+      // within a query, ranks follow (d2, vec_id) exactly
+      val sorted = rows.sortBy { case (_, v, _, d2) => (d2, v) }.map(_._2)
+      assert(rows.sortBy(_._3).map(_._2).sameElements(sorted))
+    }
+  }
 }
