@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.ops.Num
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,8 +74,43 @@ object Curate {
       .orderBy("stage_ord")
   }
 
+  /** Per-SOURCE curation dashboard — the other report a curation run
+    * publishes: where the funnel says what each gate cost globally,
+    * this says which ingest sources are healthy (doc/token volume,
+    * language share, quality rate, near-dup rate, contamination mean)
+    * — the table that decides which crawls to keep buying. Same
+    * |docs|-row stage frames as [[funnel]], one groupBy(source);
+    * |sources| output rows at any corpus scale. Percent ratios are
+    * integer-count ratios (exact on both engines); contam_avg sums
+    * 2-dp-grain doubles and rounds at 2 dp (the money-column rule). */
+  def report(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val lang = TextOps.langid(spark, dir)
+      .select(col("doc_id"), (col("predicted") === "en").cast("long").as("is_en"))
+    val qual = TextOps.quality(spark, dir)
+      .select(col("doc_id"), col("quality_ok").cast("long").as("q_ok"))
+    val keep = Dedup.keepList(spark, dir).select(col("doc_id"), lit(1L).as("kp"))
+    val ctm = TextOps.contamination(spark, dir).select("doc_id", "contam_pct")
+    docs.join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+      .join(keep, Seq("doc_id"), "left")
+      .join(ctm, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tok").as("n_tokens"),
+           Num.rnd(lit(100.0) * sum("is_en") / count(lit(1)), 2).as("en_pct"),
+           Num.rnd(lit(100.0) * sum("q_ok") / count(lit(1)), 2).as("quality_pct"),
+           Num.rnd(lit(100.0) * (count(lit(1)) - sum(coalesce(col("kp"), lit(0L))))
+                     / count(lit(1)), 2).as("dup_pct"),
+           Num.rnd(sum(coalesce(col("contam_pct"), lit(0.0))) / count(lit(1)), 2)
+             .as("contam_avg"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_curate_funnel" -> funnel _)
+    "corpus_curate_funnel" -> funnel _,
+    "corpus_report"        -> report _)
 
   /** Funnel oracle: composes the shared stage chains — the langid
     * score/CASE fragments, the quality condition, the boilerplate
@@ -115,5 +151,33 @@ object Curate {
           val prod = (1 to k).map(j => s"g$j").mkString(" * ")
           s"UNION ALL SELECT $k, '$s', CAST(sum($prod) AS BIGINT) FROM flags "
       }.mkString +
-      "ORDER BY stage_ord"))
+      "ORDER BY stage_ord"),
+    // per-source dashboard: same stage chains, grouped by source; the
+    // 100.0-ratio and 2-dp-round forms are the established green
+    // patterns (text_stats_agg / money-column rule)
+    "corpus_report" -> (
+      s"WITH RECURSIVE ${Dedup.clusterLabCte}, " +
+      s"${TextOps.contaminationCteSql}, " +
+      s"lid AS (SELECT doc_id, ${TextOps.langPredCaseSql} AS predicted " +
+      s"FROM (${TextOps.langScoresInnerSql}) t), " +
+      s"ql AS (SELECT doc_id, " +
+      s"CAST(${TextOps.qualityOkCondSql} AS INTEGER) AS quality_ok " +
+      "FROM documents), " +
+      "kl AS (SELECT min(doc_id) AS doc_id FROM lab GROUP BY cluster), " +
+      "rb AS (SELECT d.source, len(string_split(d.text, ' ')) AS n_tok, " +
+      "CASE WHEN l.predicted = 'en' THEN 1 ELSE 0 END AS is_en, " +
+      "q.quality_ok AS q_ok, " +
+      "CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kp, " +
+      "coalesce(c.contam_pct, 0.0) AS cp " +
+      "FROM documents d " +
+      "JOIN lid l USING (doc_id) JOIN ql q USING (doc_id) " +
+      "LEFT JOIN kl k ON k.doc_id = d.doc_id " +
+      "LEFT JOIN ctm c ON c.doc_id = d.doc_id) " +
+      "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      "round((100.0 * sum(is_en) / count(*)) * 1e2) / 1e2 AS en_pct, " +
+      "round((100.0 * sum(q_ok) / count(*)) * 1e2) / 1e2 AS quality_pct, " +
+      "round((100.0 * (count(*) - sum(kp)) / count(*)) * 1e2) / 1e2 AS dup_pct, " +
+      "round((sum(cp) / count(*)) * 1e2) / 1e2 AS contam_avg " +
+      "FROM rb GROUP BY source ORDER BY source"))
 }

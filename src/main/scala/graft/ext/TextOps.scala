@@ -1001,6 +1001,89 @@ object TextOps {
                          "src2.example.com").cast("int"))
   }
 
+  /** BPE merge learning — the first rounds of tokenizer TRAINING, the
+    * corpus-scale job that precedes every token-count/pack/chunk op in
+    * this library: learn the highest-count adjacent symbol pair, merge
+    * it everywhere, repeat. Runs on the WORD VOCABULARY with counts
+    * (never the corpus): after the one corpus-sized word count, state
+    * is |vocab| × avg word length symbol rows — model-sized at any
+    * corpus scale, exactly why production BPE trainers fold the corpus
+    * to a vocab first. The merge step is EXACT relational algebra
+    * because candidate pairs are restricted to a ≠ b (self-pairs like
+    * "aa" can overlap "aaa" and need sequential greedy scanning —
+    * a restriction real early merges almost never hit): when a ≠ b,
+    * matches cannot overlap, so "drop the b that follows an a, widen
+    * the a that precedes a b" rewrites every occurrence in one
+    * window pass. [[BpeRounds]] rounds unrolled with per-round top-1
+    * broadcast (the graph_pagerank discipline: same constants, same
+    * unrolled CTE chain in the oracle; ties break (count desc, a, b)).
+    * Output: one row per learned merge (round, a, b, pair_count). */
+  private[graft] val BpeRounds = 3
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documents(spark, dir))
+
+  private[graft] def bpeMergesOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var syms = wc
+      .select(col("w"), col("c"),
+              posexplode(expr("regexp_extract_all(w, '.', 0)")))
+      .select(col("w"), col("c"), col("pos"), col("col").as("sym"))
+    val byWord = Window.partitionBy("w").orderBy("pos")
+    var out: DataFrame = null
+    for (r <- 1 to BpeRounds) {
+      val adj = syms.withColumn("nxt", lead("sym", 1).over(byWord))
+      val top = adj
+        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+        .groupBy(col("sym").as("ma"), col("nxt").as("mb"))
+        .agg(sum("c").as("pc"))
+        .orderBy(col("pc").desc, col("ma").asc, col("mb").asc)
+        .limit(1)
+      val row = top.select(lit(r).as("round"), col("ma").as("a"),
+                           col("mb").as("b"), col("pc").as("pair_count"))
+      out = if (out == null) row else out.unionByName(row)
+      syms = adj
+        .withColumn("prv", lag("sym", 1).over(byWord))
+        .crossJoin(broadcast(top))
+        .filter(!(col("sym") === col("mb") &&
+                  coalesce(col("prv"), lit("")) === col("ma")))
+        .select(col("w"), col("c"), col("pos"),
+          when(col("sym") === col("ma") && col("nxt") === col("mb"),
+               concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+    }
+    out.orderBy("round")
+  }
+
+  /** [[bpeMerges]] oracle — same unrolled rounds, same tie-break, same
+    * a ≠ b restriction and NULL-safe prv guard; each round's top-1 is a
+    * LIMIT 1 CTE cross-joined into the rewrite exactly as the Spark
+    * side broadcasts it. */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"a$r AS (SELECT w, c, pos, sym, " +
+      "lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt, " +
+      s"lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv FROM s${r - 1}), " +
+      s"t$r AS (SELECT sym AS ma, nxt AS mb, CAST(sum(c) AS BIGINT) AS pc " +
+      s"FROM a$r WHERE nxt IS NOT NULL AND sym <> nxt GROUP BY 1, 2 " +
+      "ORDER BY pc DESC, ma ASC, mb ASC LIMIT 1), " +
+      s"s$r AS (SELECT s.w, s.c, s.pos, " +
+      "CASE WHEN s.sym = t.ma AND s.nxt = t.mb THEN s.sym || t.mb " +
+      "ELSE s.sym END AS sym " +
+      s"FROM a$r s CROSS JOIN t$r t " +
+      "WHERE NOT (s.sym = t.mb AND coalesce(s.prv, '') = t.ma))"
+    }.mkString(", ")
+    "WITH wc AS (SELECT w, count(*) AS c FROM (" +
+    "SELECT unnest(string_split(text, ' ')) AS w FROM documents) t GROUP BY w), " +
+    "s0 AS (SELECT w, c, i AS pos, a[i] AS sym FROM (" +
+    "SELECT w, c, regexp_extract_all(w, '.') AS a FROM wc) q, " +
+    "UNNEST(range(1, len(a)+1)) AS p(i)), " +
+    rounds + " " +
+    (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, ma AS a, mb AS b, pc AS pair_count FROM t$r")
+      .mkString(" UNION ALL ")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_parse"     -> urlParse _,
     "text_bm25"          -> ((s, d) => bm25(s, d)),
@@ -1009,6 +1092,7 @@ object TextOps {
     "text_entropy"       -> entropy _,
     "text_pmi"           -> ((s, d) => pmi(s, d)),
     "text_zipf"          -> zipf _,
+    "text_bpe_merges"    -> bpeMerges _,
     "text_boilerplate"   -> boilerplate _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
@@ -1100,6 +1184,7 @@ object TextOps {
        "ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rn FROM pd) " +
        "WHERE rn <= 10"),
     "text_boilerplate" -> boilerplateGroupsSql,
+    "text_bpe_merges" -> bpeOracleSql,
     "text_zipf" ->
       ("WITH cnt AS (SELECT tok, count(*) AS c FROM (" +
        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t GROUP BY tok), " +

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.TextOps
+
+/** BPE merge learning (`text_bpe_merges`): the relational merge must
+  * agree with the sequential greedy-scan reference implementation (they
+  * coincide exactly when a ≠ b — the restriction the operator
+  * enforces), and the learned pair counts must be non-increasing across
+  * rounds (merging the max pair can only create pairs bounded by its
+  * own count). */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Sequential reference: greedy left-to-right merge scan per word —
+    * a different algorithm from the window-pass relational rewrite. */
+  private def bpeRef(words: Map[String, Long], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var cur: Map[String, (Vector[String], Long)] =
+      words.map { case (w, c) => w -> (w.map(_.toString).toVector, c) }
+    (1 to rounds).map { r =>
+      val counts = collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      cur.values.foreach { case (syms, c) =>
+        syms.iterator.sliding(2).withPartial(false).foreach { p =>
+          if (p(0) != p(1)) counts((p(0), p(1))) += c
+        }
+      }
+      val ((a, b), pc) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head
+      cur = cur.map { case (w, (syms, c)) =>
+        val out = collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> (out.toVector, c)
+      }
+      (r, a, b, pc)
+    }
+  }
+
+  test("relational merge equals the sequential greedy reference on a classic fixture") {
+    // the textbook BPE corpus (low/lower/newest/widest), shaped so the
+    // first merges chain into multi-char symbols
+    val docs = Seq(
+      (0L, "low low low low low lower lower"),
+      (1L, "newest newest newest newest newest newest"),
+      (2L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    val expected = bpeRef(words, TextOps.BpeRounds)
+    val got = TextOps.bpeMergesOf(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"got $got, reference says $expected")
+    // the fixture is only interesting if a learned symbol is multi-char
+    // by round 3 (a merge built on a merge)
+    assert(expected.exists { case (_, a, b, _) => (a + b).length > 2 },
+      "fixture never chained a merge — weak fixture")
+  }
+
+  test("real-corpus merges: counts non-increasing, a != b, all rounds present") {
+    val rows = TextOps.bpeMerges(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1 to TextOps.BpeRounds))
+    rows.foreach { case (r, a, b, pc) =>
+      assert(a != b, s"round $r merged a self-pair")
+      assert(pc > 0)
+    }
+    val pcs = rows.sortBy(_._1).map(_._4)
+    pcs.sliding(2).foreach { case Array(x, y) =>
+      assert(y <= x, s"pair count rose across rounds: $pcs")
+    }
+  }
+}

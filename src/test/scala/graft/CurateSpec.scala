@@ -50,4 +50,27 @@ class CurateSpec extends SparkSpec {
       assert(c(k) == n, s"stage $k: funnel ${c(k)} != recomputed $n")
     }
   }
+
+  test("per-source report ties out against direct per-source recomputation") {
+    val dir = sf0001
+    val rows = Curate.report(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val (src, nDocs) = (r.getString(0), r.getLong(1))
+      assert(nDocs == bySource(src))
+      Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5)).foreach(p =>
+        assert(p >= 0.0 && p <= 100.0, s"$src percentage out of range"))
+    }
+    // spot-check one source end to end: en share from langid directly
+    val src = rows.head.getString(0)
+    val ids = docs.filter(col("source") === src).select("doc_id")
+    val en = TextOps.langid(spark, dir).join(ids, Seq("doc_id"))
+      .filter(col("predicted") === "en").count()
+    val expectedPct = math.round(100.0 * en / bySource(src) * 100) / 100.0
+    assert(rows.head.getDouble(3) == expectedPct,
+      s"$src en_pct ${rows.head.getDouble(3)} != direct $expectedPct")
+  }
 }
