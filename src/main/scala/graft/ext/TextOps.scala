@@ -492,6 +492,23 @@ object TextOps {
         expr("(n_tokens * rate_micro) div CAST(1000000 AS BIGINT)"))
   }
 
+  /** Apply the mixture plan — the plan→apply closure (the
+    * train→apply discipline of sim_ivf_topk_trained, for sampling): a
+    * document is kept iff its Knuth-scramble bucket of 1e6 falls below
+    * its source's planned rate_micro. Deterministic and reproducible
+    * run to run (no rand()), exact-rate in expectation, and the whole
+    * apply is ONE broadcast join of the |sources|-row plan against one
+    * corpus scan — the shape that samples a 100 TB corpus without a
+    * shuffle. Same scramble family as corpus_split (independent of the
+    * split buckets: mod 1e6 vs mod 100 read different digit ranges). */
+  def mixtureApply(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .join(broadcast(mixturePlan(spark, dir).select("source", "rate_micro")),
+            Seq("source"))
+      .filter(Similarity.saltOrd(col("doc_id")) % lit(1000000L) <
+              col("rate_micro"))
+      .select(col("doc_id"), col("source"), col("rate_micro"))
+
   def temperatureSample(spark: SparkSession, dir: String,
                         budget: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1055,6 +1072,21 @@ object TextOps {
     out.orderBy("round")
   }
 
+  /** The mixture-plan oracle chain through `j` (source, n_docs,
+    * n_tokens, rate_micro) — shared by corpus_mixture_plan and
+    * corpus_mixture_apply. All quantities non-negative, so DuckDB //
+    * (floor) == Spark div (truncate); the 10000-token budget literal
+    * mirrors [[mixturePlan]]'s default — keep in lockstep. */
+  private val mixturePlanCteSql: String =
+    "ps AS (SELECT source, count(*) AS n_docs, " +
+    "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) " +
+    "AS n_tokens FROM documents GROUP BY source), " +
+    "n AS (SELECT count(*) AS n_src FROM ps), " +
+    "j AS (SELECT ps.source, ps.n_docs, ps.n_tokens, " +
+    "least(CAST(1000000 AS BIGINT), " +
+    "((CAST(10000 AS BIGINT) // n.n_src) * CAST(1000000 AS BIGINT)) " +
+    "// ps.n_tokens) AS rate_micro FROM ps CROSS JOIN n)"
+
   /** [[bpeMerges]] oracle — same unrolled rounds, same tie-break, same
     * a ≠ b restriction and NULL-safe prv guard; each round's top-1 is a
     * LIMIT 1 CTE cross-joined into the rewrite exactly as the Spark
@@ -1103,6 +1135,7 @@ object TextOps {
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
     "corpus_mixture_plan" -> ((s, d) => mixturePlan(s, d)),
+    "corpus_mixture_apply" -> mixtureApply _,
     "text_pack"        -> ((s, d) => pack(s, d)),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "text_pii_scan"    -> piiScan _,
@@ -1319,20 +1352,18 @@ object TextOps {
        "c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok) " +
        "SELECT tok, cnt, n_total FROM c, n WHERE cnt * 64 > n_total"),
     "corpus_mixture_plan" ->
-      // all quantities non-negative, so DuckDB // (floor) == Spark div
-      // (truncate); the 10000-token budget literal mirrors mixturePlan's
-      // default — keep in lockstep
-      ("WITH ps AS (SELECT source, count(*) AS n_docs, " +
-       "CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) " +
-       "AS n_tokens FROM documents GROUP BY source), " +
-       "n AS (SELECT count(*) AS n_src FROM ps), " +
-       "j AS (SELECT ps.source, ps.n_docs, ps.n_tokens, " +
-       "least(CAST(1000000 AS BIGINT), " +
-       "((CAST(10000 AS BIGINT) // n.n_src) * CAST(1000000 AS BIGINT)) " +
-       "// ps.n_tokens) AS rate_micro FROM ps CROSS JOIN n) " +
+      (s"WITH $mixturePlanCteSql " +
        "SELECT source, n_docs, n_tokens, rate_micro, " +
        "(n_tokens * rate_micro) // CAST(1000000 AS BIGINT) AS planned_tokens " +
        "FROM j"),
+    // the plan chain verbatim + the Knuth-scramble rate gate (lockstep
+    // with mixtureApply's saltOrd % 1e6 < rate_micro)
+    "corpus_mixture_apply" ->
+      (s"WITH $mixturePlanCteSql " +
+       "SELECT d.doc_id, d.source, j.rate_micro " +
+       "FROM documents d JOIN j ON d.source = j.source " +
+       s"WHERE ${graft.ext.Similarity.saltOrdSql("d.doc_id")} % 1000000 " +
+       "< j.rate_micro"),
     "text_temperature_sample" ->
       ("WITH bysrc AS (SELECT source, count(*) AS c, " +
        "round((sqrt(count(*))) * 1e6) / 1e6 AS w0 FROM documents GROUP BY source), " +

@@ -232,4 +232,23 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(4)).sum <= 10000L, "plan exceeds total budget")
   }
+
+  test("mixture apply: deterministic, honors the plan's rates per source") {
+    val plan = ext.TextOps.mixturePlan(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val kept = ext.TextOps.mixtureApply(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every kept row carries its source's planned rate; full-rate
+    // sources keep everything; rerun is bit-identical (no rand())
+    kept.foreach { case (_, src, rate) => assert(rate == plan(src)._2) }
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    plan.foreach { case (src, (nDocs, rate)) =>
+      val k = bySrc.getOrElse(src, 0L)
+      assert(k <= nDocs)
+      if (rate == 1000000L) assert(k == nDocs, s"$src full rate but dropped docs")
+    }
+    val rerun = ext.TextOps.mixtureApply(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.toSet == rerun.toSet, "apply is not reproducible")
+  }
 }
