@@ -503,6 +503,37 @@ object Dedup {
         Tables.documents(spark, dir).filter(col("doc_id") >= split))
     })
 
+  /** The persisted signature index made LITERAL: write the corpus band
+    * index to parquet PARTITIONED BY band and the hashed-shingle frame
+    * beside it — the exact layout a 100 TB pipeline keeps on object
+    * storage (band-partitioned bucket files a daily ingest appends to,
+    * shingle-hash files the confirm stage reads) — then re-read both
+    * from disk and run the SAME batch screen. Result ≡
+    * [[incrementalMinhash]] by construction (the oracle IS
+    * incMinhashOracleSql, unchanged): the only thing that moved is the
+    * index's home, from a session-lifetime localCheckpoint to durable
+    * columnar files. What the layout buys at scale: the band partition
+    * key means a band-restricted maintenance scan (rebucket one band,
+    * audit one band's collision rate) prunes ⅞ of the index at the
+    * file listing, and the screen's (band, bh) shuffle reads only the
+    * index's own bytes. PersistIndexSpec pins screen equality and the
+    * partition layout. */
+  def indexPersistScreen(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "idxpersist"), {
+      val split =
+        CountMemo.get(spark, dir, "documents")(
+          Tables.documents(spark, dir).count()) / 2
+      val (hs, bands) = corpusMinhashIndex(spark, dir, split)
+      val bandsPath = Tables.scratch("mh_index_bands")
+      bands.write.mode("overwrite").partitionBy("band").parquet(bandsPath)
+      val hsPath = Tables.scratch("mh_index_hs")
+      hs.write.mode("overwrite").parquet(hsPath)
+      incMinhashScreen(
+        spark.read.parquet(hsPath),
+        spark.read.parquet(bandsPath),
+        Tables.documents(spark, dir).filter(col("doc_id") >= split))
+    })
+
   private val SimBits = 60 // 30 bits from each modulus (P1, P2 < 2^30)
 
   /** 60-bit SimHash per document: two portable token polyhashes supply 30
@@ -813,6 +844,7 @@ object Dedup {
     "dedup_cluster_stats" -> clusterStats _,
     "corpus_split_safe"   -> splitSafe _,
     "dedup_sketch_merge"  -> sketchMerge _,
+    "dedup_index_persist" -> indexPersistScreen _,
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_clusters"      -> clusters _,
@@ -1069,6 +1101,8 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_minhash_eval" -> minhashEvalOracleSql,
     "dedup_incremental_minhash" -> incMinhashOracleSql,
+    // the disk-index screen computes the identical result — same oracle
+    "dedup_index_persist" -> incMinhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "dedup_clusters" ->
