@@ -138,6 +138,30 @@ object Graph {
               greatest(col("apex"), col("x"), col("y")).as("z_id"))
   }
 
+  /** Common-neighbor link prediction over the mutual-kNN graph — the
+    * classic graph-ML candidate generator (two nodes sharing many
+    * neighbors are likely the same entity or near-duplicates the kNN
+    * top-3 cut just missed): for every NON-adjacent pair with at least
+    * one shared neighbor, count shared neighbors. Wedge enumeration is
+    * one |edges|-row self-join on the shared apex; on a mutual-top-k
+    * graph degree is ≤ k by construction, so wedge volume is ≤ k²·|V|
+    * at ANY corpus scale — the bounded-fanout property that makes this
+    * safe where a general social graph would need the triangles
+    * orientation trick. Existing edges are anti-joined away (they are
+    * kNN hits, not predictions). */
+  def commonNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val cn = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x_id"), col("e2.v").as("y_id"))
+      .groupBy("x_id", "y_id").agg(count(lit(1)).as("cn"))
+    cn.join(mu, cn("x_id") === mu("a_id") && cn("y_id") === mu("b_id"),
+            "left_anti")
+      .select("x_id", "y_id", "cn")
+  }
+
   /** Two-round semi-supervised label propagation over the mutual-kNN
     * graph — the weak-supervision shape a training pipeline uses to
     * extend a small labeled seed set to its embedding neighborhood
@@ -180,6 +204,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
     "graph_triangles" -> triangles _,
+    "graph_common_neighbors" -> commonNeighbors _,
     "graph_label_prop" -> labelProp _)
 
   /** One synchronous label-prop round: majority vote of `labeled`
@@ -214,6 +239,14 @@ object Graph {
        "greatest(apex, x, y) AS z_id FROM wed " +
        "JOIN mu ON mu.a_id = least(wed.x, wed.y) " +
        "AND mu.b_id = greatest(wed.x, wed.y)"),
+    "graph_common_neighbors" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "cnw AS (SELECT e1.v AS x_id, e2.v AS y_id, count(*) AS cn " +
+       "FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v " +
+       "GROUP BY 1, 2) " +
+       "SELECT c.x_id, c.y_id, c.cn FROM cnw c " +
+       "LEFT JOIN mu ON mu.a_id = c.x_id AND mu.b_id = c.y_id " +
+       "WHERE mu.a_id IS NULL"),
     "graph_label_prop" ->
       (Similarity.knnMutualCteSql + ", " + undCte + ", " +
        "l0 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 250), " +

@@ -80,6 +80,23 @@ class GraphSpec extends SparkSpec {
     assert(tris.forall { case (x, y, z) => x < y && y < z })
   }
 
+  test("common-neighbor prediction == brute force; never proposes an existing edge") {
+    val got = ext.Graph.commonNeighbors(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force: full undirected adjacency, count shared neighbors
+    // for every ordered non-adjacent pair
+    val und = mutualEdges ++ mutualEdges.map { case (a, b) => (b, a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      (x, nx) <- adj.toSeq
+      (y, ny) <- adj.toSeq
+      if x < y && !mutualEdges.contains((x, y))
+      cn = (nx & ny).size if cn > 0
+    } yield (x, y) -> cn.toLong).toMap
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    assert(got.keys.forall { case (x, y) => !mutualEdges.contains((x, y)) })
+  }
+
   test("label propagation: adoptions are unlabeled nodes voting among labeled neighbors") {
     val emb = Tables.embeddings(spark, sf001)
       .select("vec_id", "label").collect()
