@@ -564,6 +564,40 @@ object Similarity {
     * inside Long), so the per-cell sum is exact integer arithmetic,
     * immune to summation order (the text_unigram_logprob discipline).
     * One broadcast join on (cell, pos) + one agg. */
+  /** INCREMENTAL assignment against a FROZEN index — the ANN face of
+    * [[Dedup.incrementalMinhash]]'s daily-append contract: the
+    * quantizer is trained on the EXISTING corpus half only (vec_id <
+    * n/2 — the CountMemo split contract; 250 at sf0.01 = the static
+    * oracle's literal), then every new vector is assigned to its
+    * nearest frozen centroid. The batch never triggers a corpus rescan
+    * and the index never moves under the batch's feet (retraining is a
+    * separate scheduled job — [[ivfTrainIter]]); per-drop cost is
+    * |batch| × cells regardless of corpus size, the same O(|batch|)
+    * contract as the dedup signature screen. Seed cells come from the
+    * corpus half by the same [[ivfCells]] clamp (16 at n=250 — floor
+    * of the clamp, so the oracle's literal holds). */
+  def ivfIncrementalAssign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = embCount(spark, dir) / 2
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val corpus = emb.filter(col("vec_id") < split)
+    val seeds = corpus.filter(col("vec_id") < ivfCells(split))
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+              col("nrm").as("cnrm"))
+    val cents = centsOf(lloydStep(fanOut(corpus), seeds))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    fanOut(emb.filter(col("vec_id") >= split)).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+              Num.rnd(dotCols(col("embedding"), col("cv")) /
+                        (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell", "csim")
+  }
+
   def ivfTrainDelta(spark: SparkSession, dir: String): DataFrame = {
     val seed = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < ivfCells(embCount(spark, dir)))
@@ -1416,6 +1450,7 @@ object Similarity {
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
     "dedup_semantic"   -> semanticDedup _,
     "sim_ivf_train_delta" -> ivfTrainDelta _,
+    "sim_ivf_incremental_assign" -> ivfIncrementalAssign _,
     "sim_pq_codes"     -> pqCodes _,
     "sim_pq_adc_topk"  -> pqAdcTopK _,
     "sim_pq_rerank_topk" -> pqRerankTopK _,
@@ -1916,6 +1951,32 @@ object Similarity {
        "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
        "FROM rcm"),
+    // incremental assign: the ivfTrainCte shape restricted to the
+    // existing corpus half (vec_id < 250 = CountMemo n/2 at sf0.01;
+    // seeds < 16 = ivfCells clamp floor), then the batch (>= 250)
+    // assigned to the frozen trained centroids — keep split/seed
+    // literals in lockstep with ivfIncrementalAssign's runtime knobs
+    "sim_ivf_incremental_assign" ->
+      ("WITH iic AS (SELECT vec_id AS cell, embedding AS cv " +
+       "FROM embeddings WHERE vec_id < 16), " +
+       "iis AS (SELECT e.vec_id, c.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN iic c WHERE e.vec_id < 250), " +
+       "iia AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+       "FROM iis) WHERE rn = 1), " +
+       "iit AS (SELECT a.cell, p.pos1, " +
+       "round((avg(CAST(e.embedding[p.pos1] AS DOUBLE))) * 1e6) / 1e6 AS m " +
+       "FROM embeddings e JOIN iia a ON e.vec_id = a.vec_id, " +
+       "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1) " +
+       "GROUP BY a.cell, p.pos1), " +
+       "iicl AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM iit GROUP BY cell), " +
+       "iib AS (SELECT e.vec_id, t.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN iicl t WHERE e.vec_id >= 250) " +
+       "SELECT vec_id, cell, csim FROM (SELECT vec_id, cell, csim, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+       "FROM iib) WHERE rn = 1"),
     // int8 recall: dequant mirrors the emb_quantize code formula term
     // for term (mn + code*(mx-mn)/255, code = least(255, floor(...)));
     // probe literal vec_id < 100 mirrors int8RecallEval's default

@@ -118,6 +118,38 @@ class IvfPqSpec extends SparkSpec {
     info(f"energy: raw=$rawMass%.1f residual=$resMass%.1f (${100 * resMass / rawMass}%.1f%%)")
   }
 
+  test("incremental assign == frozen-index recompute; batch side only") {
+    // independent driver-side recompute: train one step on the corpus
+    // half (seed assign -> 6-dp means), then nearest-frozen-centroid
+    // per batch vector — the frozen-index contract
+    val split = embs.size / 2
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      rnd6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val seedIds = embs.keys.filter(_ < 16).toSeq.sorted
+    val corpusIds = embs.keys.filter(_ < split).toSeq
+    val assignSeed = corpusIds.map { id =>
+      id -> seedIds.map(c => c -> cos(embs(id), embs(c)))
+        .sortBy { case (c, s) => (-s, c) }.head._1
+    }
+    val trained = assignSeed.groupBy(_._2).map { case (cell, members) =>
+      val vs = members.map(m => embs(m._1))
+      cell -> Array.tabulate(vs.head.length) { i =>
+        rnd6(vs.map(_(i)).sum / vs.length)
+      }
+    }
+    val expected = embs.keys.filter(_ >= split).map { id =>
+      val (cell, csim) = trained.toSeq.map { case (c, cv) =>
+        c -> cos(embs(id), cv) }.sortBy { case (c, s) => (-s, c) }.head
+      (id, cell, csim)
+    }.toSet
+    val got = ext.Similarity.ivfIncrementalAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(_._1) == embs.keys.filter(_ >= split).toSet,
+      "output must cover exactly the batch ids")
+    assert(got == expected,
+      s"missed=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("re-rank d2 is the exact float distance and orders the shortlist exactly") {
     // the recall-repair contract: whatever the ADC shortlist contains,
     // the re-ranked top-3 must equal an exact-L2 sort of that shortlist
