@@ -285,7 +285,19 @@ object TextOps {
     * needed). Docs shorter than 5 tokens have no shingles and are absent,
     * matching the oracle. */
   def contamination(spark: SparkSession, dir: String,
-                    evalSource: String = "src0"): DataFrame = {
+                    evalSource: String = "src0"): DataFrame =
+    if (evalSource == "src0")
+      // the default-eval frame is consumed by three queries per session
+      // (text_contamination, corpus_curate_funnel, corpus_report) —
+      // memoize it once per (session, dir). Eager (NOT in PlanShapeSpec's
+      // laziness allowlist); Bench owner: text_contamination runs before
+      // the corpus_* consumers in the owner list.
+      CkptMemo.getOrElseUpdate((spark, dir, "contam"),
+        contaminationOf(spark, dir, evalSource).localCheckpoint())
+    else contaminationOf(spark, dir, evalSource)
+
+  private[graft] def contaminationOf(spark: SparkSession, dir: String,
+                                     evalSource: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // raw (doc_id, s) rows; each branch applies exactly the distinct it
     // needs (eval only ever needs the s set — a (doc_id, s) distinct
@@ -490,6 +502,45 @@ object TextOps {
           .as("rate_micro"))
       .withColumn("planned_tokens",
         expr("(n_tokens * rate_micro) div CAST(1000000 AS BIGINT)"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift test over doc token-length
+    * distributions — the distribution-level health check a continuous
+    * ingest runs between snapshots (here: the src0 slice vs the rest,
+    * the same eval-slice convention as contamination): KS D = max over
+    * the pooled support of |F_A − F_B|. EXACT integer algebra — the
+    * CDF compare cross-multiplies counts (|f1·n2 − f2·n1|) instead of
+    * dividing, and only the final micro-unit ratio divides — so both
+    * engines agree bit for bit (products stay in int64 while
+    * n_A·n_B < 2^63, i.e. up to ~3×10^9 docs per side; past that the
+    * sums go DECIMAL, the text_zipf precedent). Cost: one corpus scan
+    * to length-histogram form, then windows over the |distinct
+    * lengths|-row histogram — model-sized whatever the corpus, which
+    * is why the single-partition cumulative window is safe here (the
+    * agg_winsorize caveat does not apply to a histogram). */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(Tables.documents(spark, dir))
+
+  private[graft] def ksDriftOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = docs
+      .select(size(split(col("text"), " ")).cast("long").as("len"),
+              (col("source") === "src0").cast("long").as("isa"))
+    val g = lv.groupBy("len")
+      .agg(sum("isa").as("ca"), sum(lit(1L) - col("isa")).as("cb"))
+    val w = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("len"),
+      sum("ca").over(w).as("f1"), sum("cb").over(w).as("f2"))
+    val tot = lv.agg(sum("isa").as("n_a"),
+                     sum(lit(1L) - col("isa")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first("n_a").as("n_a"), first("n_b").as("n_b"),
+           max(abs(col("f1") * col("n_b") - col("f2") * col("n_a")))
+             .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr("(d_num * CAST(1000000 AS BIGINT)) div (n_a * n_b)")
+          .as("ks_micro"))
   }
 
   /** Apply the mixture plan — the plan→apply closure (the
@@ -1136,6 +1187,7 @@ object TextOps {
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
     "corpus_mixture_plan" -> ((s, d) => mixturePlan(s, d)),
     "corpus_mixture_apply" -> mixtureApply _,
+    "text_ks_drift"      -> ksDrift _,
     "text_pack"        -> ((s, d) => pack(s, d)),
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "text_pii_scan"    -> piiScan _,
@@ -1218,6 +1270,24 @@ object TextOps {
        "WHERE rn <= 10"),
     "text_boilerplate" -> boilerplateGroupsSql,
     "text_bpe_merges" -> bpeOracleSql,
+    // exact-integer KS: cross-multiplied CDF compare, divide only the
+    // final micro ratio (all quantities non-negative: // == div)
+    "text_ks_drift" ->
+      ("WITH klv AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len, " +
+       "CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS isa FROM documents), " +
+       "kg AS (SELECT len, CAST(sum(isa) AS BIGINT) AS ca, " +
+       "CAST(sum(1 - isa) AS BIGINT) AS cb FROM klv GROUP BY len), " +
+       "kc AS (SELECT len, sum(ca) OVER (ORDER BY len " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1, " +
+       "sum(cb) OVER (ORDER BY len " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2 FROM kg), " +
+       "kt AS (SELECT CAST(sum(isa) AS BIGINT) AS n_a, " +
+       "CAST(sum(1 - isa) AS BIGINT) AS n_b FROM klv), " +
+       "km AS (SELECT CAST(max(abs(f1 * n_b - f2 * n_a)) AS BIGINT) AS d_num " +
+       "FROM kc CROSS JOIN kt) " +
+       "SELECT kt.n_a, kt.n_b, km.d_num, " +
+       "(km.d_num * CAST(1000000 AS BIGINT)) // (kt.n_a * kt.n_b) AS ks_micro " +
+       "FROM km CROSS JOIN kt"),
     "text_zipf" ->
       ("WITH cnt AS (SELECT tok, count(*) AS c FROM (" +
        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t GROUP BY tok), " +

@@ -52,7 +52,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("contamination probes the eval set via broadcast, never a shuffle join") {
-    val p = planOf("text_contamination")
+    // the queries() entry memoizes via localCheckpoint (plan = RDD scan);
+    // assert on the underlying builder's plan instead
+    val p = ext.TextOps.contaminationOf(spark, sf0001, "src0")
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"eval membership probe shuffled:\n$p")
   }

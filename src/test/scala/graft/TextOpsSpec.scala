@@ -233,6 +233,37 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum <= 10000L, "plan exceeds total budget")
   }
 
+  test("KS drift: disjoint supports give D=1, identical give D=0, real corpus matches brute force") {
+    import spark.implicits._
+    // disjoint length supports: every src0 doc shorter than every other
+    val disjoint = Seq(
+      (0L, "src0", "a b"), (1L, "src0", "a b c"),
+      (2L, "srcX", "a b c d e f"), (3L, "srcX", "a b c d e f g")
+    ).toDF("doc_id", "source", "text")
+    val d1 = ext.TextOps.ksDriftOf(disjoint).collect().head
+    assert(d1.getLong(3) == 1000000L, "disjoint supports must give KS=1")
+    // identical length multisets -> D = 0
+    val same = Seq(
+      (0L, "src0", "a b"), (1L, "src0", "a b c"),
+      (2L, "srcX", "x y"), (3L, "srcX", "x y z")
+    ).toDF("doc_id", "source", "text")
+    assert(ext.TextOps.ksDriftOf(same).collect().head.getLong(3) == 0L)
+    // brute force on the real sf0.001 lengths
+    import org.apache.spark.sql.functions.{col, size, split}
+    val lens = Tables.documents(spark, sf0001)
+      .select(col("source"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val a = lens.filter(_._1 == "src0").map(_._2)
+    val b = lens.filter(_._1 != "src0").map(_._2)
+    val d = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.length -
+               b.count(_ <= v).toLong * a.length)
+    }.max
+    val got = ext.TextOps.ksDrift(spark, sf0001).collect().head
+    assert(got.getLong(2) == d, s"d_num ${got.getLong(2)} != brute $d")
+    assert(got.getLong(3) == d * 1000000L / (a.length.toLong * b.length))
+  }
+
   test("mixture apply: deterministic, honors the plan's rates per source") {
     val plan = ext.TextOps.mixturePlan(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
