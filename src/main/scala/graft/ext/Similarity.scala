@@ -494,6 +494,35 @@ object Similarity {
       .filter(col("rn") === 1)
       .select("vec_id", "cell", "csim")
 
+  /** Per-cell cohesion / outlier report — embedding-space junk
+    * detection off the index the corpus already pays for: a vector far
+    * from its OWN (nearest) trained centroid is far from every
+    * centroid, i.e. it sits in no density region the quantizer found —
+    * the classic distance-to-assigned-centroid junk heuristic, and
+    * simultaneously the index-health view (a cell whose members barely
+    * cohere is a cell the quantizer wasted). Reuses the memoized
+    * [[ivfTrainedRanked]] scan, so the marginal cost is ONE groupBy of
+    * the |n|-row assignment into |cells| rows at any scale. Each cell
+    * reports its member count, the EXACT micro-unit cosine mass
+    * (csim is already 6-dp — round(·1e6) is integer-exact and the sum
+    * is order-invariant BIGINT, the emb_dim_stats discipline), and its
+    * worst member (min csim, ties to the lower id — the row a human
+    * reviews first). */
+  def outlierReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cell")
+      .orderBy(col("csim").asc, col("vec_id").asc)
+    ivfAssignTrained(spark, dir)
+      .withColumn("cm", round(col("csim") * lit(1e6), 0).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+           sum("cm").as("sum_csim_micro"),
+           max(when(col("rn") === 1, col("vec_id"))).as("worst_id"),
+           max(when(col("rn") === 1, col("csim"))).as("worst_csim"))
+      .orderBy("cell")
+  }
+
   /** Search against the TRAINED index end-to-end — round-4 verdict
     * "what's missing" #1: [[ivfTopK]] probes the stub quantizer's cells,
     * which at scale are badly unbalanced vs trained ones. Same shape as
@@ -1447,6 +1476,7 @@ object Similarity {
     "sim_ivf_train_iter" -> ivfTrainIter _,
     "sim_ivf_train_hist" -> ivfTrainHist _,
     "sim_ivf_assign_trained" -> ivfAssignTrained _,
+    "emb_outlier_report" -> outlierReport _,
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
     "dedup_semantic"   -> semanticDedup _,
     "sim_ivf_train_delta" -> ivfTrainDelta _,
@@ -1739,6 +1769,27 @@ object Similarity {
        "SELECT vec_id, cell, csim FROM (SELECT vec_id, cell, csim, " +
        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
        "FROM s2) WHERE rn = 1"),
+    // per-cell cohesion/outlier report: the sim_ivf_assign_trained
+    // chain folded per cell — exact micro-unit csim mass, worst member
+    // by (csim asc, vec_id asc)
+    "emb_outlier_report" ->
+      (s"WITH $ivfTrainCte, " +
+       "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
+       "s2 AS (SELECT e.vec_id, t.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN tc t), " +
+       "oasg AS (SELECT vec_id, cell, csim FROM (SELECT vec_id, cell, csim, " +
+       "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+       "FROM s2) WHERE rn = 1), " +
+       "orr AS (SELECT vec_id, cell, csim, " +
+       "CAST(round(csim * 1e6) AS BIGINT) AS cm, " +
+       "row_number() OVER (PARTITION BY cell ORDER BY csim ASC, vec_id ASC) AS rn " +
+       "FROM oasg) " +
+       "SELECT cell, count(*) AS n_members, " +
+       "CAST(sum(cm) AS BIGINT) AS sum_csim_micro, " +
+       "max(CASE WHEN rn = 1 THEN vec_id END) AS worst_id, " +
+       "max(CASE WHEN rn = 1 THEN csim END) AS worst_csim " +
+       "FROM orr GROUP BY cell"),
     // SemDeDup: trained home-cell assignment (tc/s2/home as in
     // sim_ivf_assign_trained), within-cell pairs at a < b, cosine
     // confirm >= 0.4, keep iff no confirmed dup with a smaller id.

@@ -1090,7 +1090,14 @@ object TextOps {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOf(Tables.documents(spark, dir))
 
-  private[graft] def bpeMergesOf(docs: DataFrame): DataFrame = {
+  private[graft] def bpeMergesOf(docs: DataFrame): DataFrame =
+    bpeTrainOf(docs)._1
+
+  /** Shared BPE training pass: returns (one row per learned merge,
+    * the FINAL per-word symbol segmentation after all rounds). The
+    * segmentation is the trained tokenizer's model table —
+    * [[bpeApply]] consumes it; [[bpeMerges]] reports the merges. */
+  private[graft] def bpeTrainOf(docs: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wc = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -1120,7 +1127,31 @@ object TextOps {
           when(col("sym") === col("ma") && col("nxt") === col("mb"),
                concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
     }
-    out.orderBy("round")
+    (out.orderBy("round"), syms)
+  }
+
+  /** Tokenizer APPLY — the serving half of the BPE train→apply closure
+    * (the discipline of sim_ivf_topk_trained / emb_pca_project): the
+    * learned segmentation is a model table of |vocab| rows (w → number
+    * of symbols after [[BpeRounds]] merges), and applying it to the
+    * corpus is ONE equi-join of the exploded word stream against that
+    * table — the corpus is never re-segmented character by character.
+    * Output per doc: whitespace token count vs BPE token count, the
+    * pair that prices a doc in tokenizer units for pack/budget planning
+    * (a doc's cost in model tokens ≠ its cost in words). Every corpus
+    * word is in the vocab by construction (trained on the same
+    * snapshot), so the inner join is lossless; at 100 TB the vocab side
+    * is millions of rows — a plain shuffle join on `w`, no broadcast
+    * hint (AQE decides). */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wn = bpeTrainOf(docs)._2
+      .groupBy("w").agg(count(lit(1)).as("n_sym"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(wn, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tok"), sum("n_sym").as("n_bpe_tok"))
+      .orderBy("doc_id")
   }
 
   /** The mixture-plan oracle chain through `j` (source, n_docs,
@@ -1142,7 +1173,12 @@ object TextOps {
     * a ≠ b restriction and NULL-safe prv guard; each round's top-1 is a
     * LIMIT 1 CTE cross-joined into the rewrite exactly as the Spark
     * side broadcasts it. */
-  private def bpeOracleSql: String = {
+  /** The shared training-chain CTE body (wc → s0 → a_r/t_r/s_r per
+    * round) composed by BOTH bpe oracles — single-sourced so a round
+    * count or tie-break change moves them together. CTE names wc, s0,
+    * and the per-round a/t/s families belong to this chain (namespace
+    * rule). */
+  private def bpeChainCteSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"a$r AS (SELECT w, c, pos, sym, " +
       "lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt, " +
@@ -1156,16 +1192,31 @@ object TextOps {
       s"FROM a$r s CROSS JOIN t$r t " +
       "WHERE NOT (s.sym = t.mb AND coalesce(s.prv, '') = t.ma))"
     }.mkString(", ")
-    "WITH wc AS (SELECT w, count(*) AS c FROM (" +
+    "wc AS (SELECT w, count(*) AS c FROM (" +
     "SELECT unnest(string_split(text, ' ')) AS w FROM documents) t GROUP BY w), " +
     "s0 AS (SELECT w, c, i AS pos, a[i] AS sym FROM (" +
     "SELECT w, c, regexp_extract_all(w, '.') AS a FROM wc) q, " +
     "UNNEST(range(1, len(a)+1)) AS p(i)), " +
-    rounds + " " +
+    rounds
+  }
+
+  private def bpeOracleSql: String =
+    "WITH " + bpeChainCteSql + " " +
     (1 to BpeRounds)
       .map(r => s"SELECT $r AS round, ma AS a, mb AS b, pc AS pair_count FROM t$r")
       .mkString(" UNION ALL ")
-  }
+
+  /** [[bpeApply]] oracle — the same chain through s{BpeRounds}, folded
+    * to the |vocab|-row model table, joined to the exploded corpus. */
+  private def bpeApplyOracleSql: String =
+    "WITH " + bpeChainCteSql + ", " +
+    s"wn AS (SELECT w, CAST(count(*) AS BIGINT) AS n_sym FROM s$BpeRounds " +
+    "GROUP BY w), " +
+    "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+    "FROM documents) " +
+    "SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tok, " +
+    "CAST(sum(wn.n_sym) AS BIGINT) AS n_bpe_tok " +
+    "FROM dw JOIN wn ON dw.w = wn.w GROUP BY dw.doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_url_parse"     -> urlParse _,
@@ -1176,6 +1227,7 @@ object TextOps {
     "text_pmi"           -> ((s, d) => pmi(s, d)),
     "text_zipf"          -> zipf _,
     "text_bpe_merges"    -> bpeMerges _,
+    "text_bpe_apply"     -> bpeApply _,
     "text_boilerplate"   -> boilerplate _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
@@ -1270,6 +1322,7 @@ object TextOps {
        "WHERE rn <= 10"),
     "text_boilerplate" -> boilerplateGroupsSql,
     "text_bpe_merges" -> bpeOracleSql,
+    "text_bpe_apply" -> bpeApplyOracleSql,
     // exact-integer KS: cross-multiplied CDF compare, divide only the
     // final micro ratio (all quantities non-negative: // == div)
     "text_ks_drift" ->

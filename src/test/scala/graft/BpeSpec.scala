@@ -64,6 +64,63 @@ class BpeSpec extends SparkSpec {
       "fixture never chained a merge — weak fixture")
   }
 
+  test("apply: per-doc BPE token counts equal the greedy reference segmentation") {
+    val docs = Seq(
+      (0L, "low low low low low lower lower"),
+      (1L, "newest newest newest newest newest newest"),
+      (2L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    // run the reference forward to the FINAL segmentation, then price
+    // each doc in reference tokens
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    var cur: Map[String, Vector[String]] =
+      words.map { case (w, _) => w -> w.map(_.toString).toVector }
+    bpeRef(words, TextOps.BpeRounds).foreach { case (_, a, b, _) =>
+      cur = cur.map { case (w, syms) =>
+        val out = collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        w -> out.toVector
+      }
+    }
+    val expected = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val ws = t.split(" ")
+      (id, ws.length.toLong, ws.map(w => cur(w).length.toLong).sum)
+    }.toSet
+    // the syms frame from training must price docs identically
+    val wn = TextOps.bpeTrainOf(docs)._2
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wn == cur.map { case (w, s) => w -> s.length.toLong },
+      "trained segmentation sizes diverge from greedy reference")
+    val got = graft.SparkEntry.queries("text_bpe_apply")(spark, sf0001)
+    // fixture check runs on the fixture, not sf0001 — rebuild via the seam
+    val gotFix = {
+      import org.apache.spark.sql.functions._
+      val seg = TextOps.bpeTrainOf(docs)._2
+        .groupBy("w").agg(count(lit(1)).as("n_sym"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(seg, "w").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ws_tok"), sum("n_sym").as("n_bpe_tok"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(gotFix == expected, s"got $gotFix, reference says $expected")
+    // real-corpus query: sane shape, BPE never produces more tokens than
+    // characters nor fewer than words
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        "BPE token count below whitespace token count")
+    }
+  }
+
   test("real-corpus merges: counts non-increasing, a != b, all rounds present") {
     val rows = TextOps.bpeMerges(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -70,4 +70,26 @@ class IvfTrainIterSpec extends SparkSpec {
       .filter(F.col("lm") =!= F.col("m")).count()
     assert(movedRows === 0, "stop fired while centroids still moved")
   }
+
+  test("outlier report ties out against a driver-side recompute of the assignment") {
+    val asg = Similarity.ivfAssignTrained(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = asg.groupBy(_._2).map { case (cell, ms) =>
+      val worst = ms.minBy(m => (m._3, m._1))
+      (cell, ms.length.toLong,
+       ms.map(m => math.round(m._3 * 1e6)).sum, worst._1, worst._3)
+    }.toSet
+    val got = Similarity.outlierReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getLong(3), r.getDouble(4))).toSet
+    assert(got === expected)
+    // every vector appears in exactly one cell's membership count
+    assert(got.toSeq.map(_._2).sum === asg.length.toLong)
+    // non-vacuous: the worst member coheres no better than its cell's
+    // mean (n·min ≤ Σ, exact in micro units)
+    got.foreach { case (cell, n, sm, _, worst) =>
+      assert(math.round(worst * 1e6) * n <= sm,
+        s"cell $cell worst member above the cell mean")
+    }
+  }
 }
