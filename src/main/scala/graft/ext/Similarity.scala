@@ -430,6 +430,129 @@ object Similarity {
           .as("recall_micro"))
   }
 
+  // ---- sign-bit binary quantization (Hamming index) ----
+
+  /** One packed 32-bit sign word: bit i of the word is set iff
+    * `embedding[lo + i] >= 0` (raw sign — the corpus is zero-centered
+    * per dimension, see [[dimStats]], so no centering pass is needed and
+    * the oracle stays a pure per-row expression). Packing is a one-shot
+    * 32-element fold per vector (not a hot loop — the HOT path,
+    * Hamming scoring, runs on the packed BIGINTs via codegen'd
+    * bit_count/xor, 2 machine ops per candidate). Float `>= 0` is exact
+    * on both engines (IEEE: −0.0 >= 0.0 is true on both). */
+  private def packWord(lo: Int): Column =
+    expr(s"aggregate(transform(slice(embedding, ${lo + 1}, 32), " +
+      "(v, i) -> IF(v >= CAST(0 AS DOUBLE), " +
+      "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+      "CAST(0 AS BIGINT), (a, b) -> a + b)")
+
+  /** Sign-bit binary quantization — 64 dims → two BIGINT words (16 bytes
+    * per vector, a 16× compression over float32): the cheapest of the
+    * three storage tiers (sign < int8 [[quantize]] < PQ [[pqCodes]]).
+    * At 100 TB the entire sign index for a billion vectors is ~16 GB —
+    * it fits in executor memory where even int8 codes don't, and
+    * Hamming distance over packed words is 2 xor+popcount ops, so a
+    * full-corpus screen is memory-bandwidth-bound, never FLOP-bound.
+    * `nbits` (the popcount) is the per-vector summary a monitoring
+    * layer watches for degenerate all-positive/all-negative batches. */
+  def signBits(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), packWord(0).as("w1"), packWord(32).as("w2"))
+      .withColumn("nbits", expr("CAST(bit_count(w1) + bit_count(w2) AS INT)"))
+
+  /** Packed words + probe split shared by [[hammingTopK]] and
+    * [[signRecallEval]] — the Spark analog of [[signCteSql]] (keep in
+    * lockstep). */
+  private def signShortlist(spark: SparkSession, dir: String,
+                            probeN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pk = signBits(spark, dir).select("vec_id", "w1", "w2")
+    val pr = pk.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("w1").as("q1"), col("w2").as("q2"))
+    val wH = Window.partitionBy("a_id").orderBy(col("hd").asc, col("b_id").asc)
+    fanOut(pk).crossJoin(broadcast(pr))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        expr("CAST(bit_count(w1 ^ q1) + bit_count(w2 ^ q2) AS INT)").as("hd"))
+      .withColumn("rh", row_number().over(wH))
+      .filter(col("rh") <= SignShortlist)
+      .select("a_id", "b_id", "hd")
+  }
+
+  /** Hamming shortlist width before the exact re-rank — mirrored as a
+    * literal in [[signCteSql]] (keep in lockstep). */
+  private val SignShortlist = 8
+
+  /** Hamming top-k with exact re-rank — the serving path of the sign
+    * index: screen the corpus by Hamming distance on the packed words
+    * (top-[[SignShortlist]] per probe, ties by b_id), then re-rank the
+    * shortlist by exact float cosine and keep top-3. Identical
+    * shortlist-then-exact shape as [[pqRerankTopK]]: the float vectors
+    * are touched for only |probes|·shortlist rows, never the full
+    * corpus product. Probe set is the fixed vec_id < 100 slice (same
+    * eval-harness contract as [[int8RecallEval]]). */
+  def hammingTopK(spark: SparkSession, dir: String,
+                  probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = signShortlist(spark, dir, probeN)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val wS = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    short
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+                       col("nrm").as("bnrm")), Seq("b_id"))
+      .join(broadcast(q), Seq("a_id"))
+      .select(col("a_id"), col("b_id"), col("hd"),
+        Num.rnd(dotCols(col("bv"), col("qv")) / (col("bnrm") * col("qnrm")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id", "rn", "hd", "sim")
+  }
+
+  /** Sign-screen recall eval — the fourth leg of the eval-harness family
+    * ([[Dedup.minhashEval]] sketch, [[ivfRecallEval]] index,
+    * [[int8RecallEval]] compression, this for the BINARY tier): does the
+    * [[SignShortlist]]-wide Hamming screen retain the exact cosine top-3?
+    * Same fixed-probe contract (vec_id < 100) and the same
+    * recall/precision micro-unit outputs as [[ivfRecallEval]] — pure
+    * integer division, exactly reproducible. */
+  def signRecallEval(spark: SparkSession, dir: String,
+                     probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val truth = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        Num.rnd(dotCols(col("embedding"), col("qv")) /
+                  (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val screen = signShortlist(spark, dir, probeN).select("a_id", "b_id")
+    val hit = truth.join(screen, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(screen.agg(count(lit(1)).as("n_screen")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_screen"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
+          .as("precision_micro"))
+  }
+
   /** IVF training — one distributed Lloyd (k-means) iteration that makes
     * the coarse quantizer REAL instead of the seed stub: assign every
     * vector to its nearest seed centroid (the memoized [[ivfAssign]]
@@ -1455,6 +1578,32 @@ object Similarity {
   private def planeSqlLit(j: Int): String =
     plane(j).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
+  /** One packed sign word as DuckDB SQL — [[packWord]]'s mirror: 1-based
+    * element i in [lo1, lo1+32) contributes bit (i − lo1). list_sum over
+    * BIGINT returns HUGEINT, hence the outer cast. */
+  private def signWordSql(lo1: Int): String =
+    s"CAST(list_sum(list_transform(range($lo1, ${lo1 + 32}), i -> " +
+    "CASE WHEN embedding[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - " +
+    s"$lo1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  /** Shared sign-bit chain (sg-prefixed names — CTE-namespace rule):
+    * packed words `sgpk`, probe split `sgpr` (vec_id < 100), Hamming
+    * distances `sgh0`, shortlist `sgsh` (top-8 by hd, b_id) — mirrors
+    * [[signShortlist]]; serves emb_sign_bits / sim_hamming_topk /
+    * emb_sign_recall (keep all three in lockstep). */
+  private val signCteSql: String =
+    s"sgpk AS (SELECT vec_id, ${signWordSql(1)} AS w1, " +
+    s"${signWordSql(33)} AS w2 FROM embeddings), " +
+    "sgpr AS (SELECT vec_id AS a_id, w1 AS q1, w2 AS q2 FROM sgpk " +
+    "WHERE vec_id < 100), " +
+    "sgh0 AS (SELECT sgpr.a_id, sgpk.vec_id AS b_id, " +
+    "CAST(bit_count(xor(sgpk.w1, sgpr.q1)) + " +
+    "bit_count(xor(sgpk.w2, sgpr.q2)) AS INTEGER) AS hd " +
+    "FROM sgpk CROSS JOIN sgpr WHERE sgpk.vec_id <> sgpr.a_id), " +
+    "sgsh AS (SELECT a_id, b_id, hd FROM (SELECT sgh0.*, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY hd ASC, b_id ASC) AS rh " +
+    "FROM sgh0) t WHERE rh <= 8)"
+
   private def bucketSql: String =
     (0 until 8).map { j =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSqlLit(j)}) > 0 " +
@@ -1472,6 +1621,9 @@ object Similarity {
     "sim_knn_mutual"   -> knnMutual _,
     "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
     "emb_int8_recall"  -> ((s, d) => int8RecallEval(s, d)),
+    "emb_sign_bits"    -> signBits _,
+    "sim_hamming_topk" -> ((s, d) => hammingTopK(s, d)),
+    "emb_sign_recall"  -> ((s, d) => signRecallEval(s, d)),
     "sim_ivf_train"    -> ivfTrain _,
     "sim_ivf_train_iter" -> ivfTrainIter _,
     "sim_ivf_train_hist" -> ivfTrainHist _,
@@ -2028,6 +2180,46 @@ object Similarity {
        "SELECT vec_id, cell, csim FROM (SELECT vec_id, cell, csim, " +
        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
        "FROM iib) WHERE rn = 1"),
+    // sign-bit family: packed words mirror packWord bit for bit (1-based
+    // element i in [lo, lo+32) gets shift i-lo; Spark's 0-based lambda i
+    // over slice(embedding, lo+1, 32) is the same bit); >= 0 is exact
+    // float sign on both engines. Shortlist literal 8 = SignShortlist,
+    // probe literal vec_id < 100 — keep in lockstep.
+    "emb_sign_bits" ->
+      (s"WITH $signCteSql " +
+       "SELECT vec_id, w1, w2, " +
+       "CAST(bit_count(w1) + bit_count(w2) AS INTEGER) AS nbits FROM sgpk"),
+    "sim_hamming_topk" ->
+      (s"WITH $signCteSql, " +
+       "sgex AS (SELECT s.a_id, s.b_id, s.hd, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
+       "q.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM sgsh s JOIN embeddings e ON e.vec_id = s.b_id " +
+       "JOIN embeddings q ON q.vec_id = s.a_id) " +
+       "SELECT a_id, b_id, CAST(rn AS INTEGER) AS rn, hd, sim FROM (" +
+       "SELECT a_id, b_id, hd, sim, row_number() OVER (" +
+       "PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn FROM sgex) t " +
+       "WHERE rn <= 3"),
+    "emb_sign_recall" ->
+      (s"WITH $signCteSql, " +
+       "sgts AS (SELECT q.vec_id AS a_id, x.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+       "q.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings q ON x.vec_id <> q.vec_id " +
+       "WHERE q.vec_id < 100), " +
+       "sgtr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM sgts) t WHERE rn <= 3), " +
+       "sght AS (SELECT a_id, b_id FROM sgtr JOIN sgsh USING (a_id, b_id)), " +
+       "sgcm AS (SELECT (SELECT count(*) FROM sgtr) AS n_truth, " +
+       "(SELECT count(*) FROM sgsh) AS n_screen, " +
+       "(SELECT count(*) FROM sght) AS n_hit) " +
+       "SELECT n_truth, n_screen, n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+       "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
+       "FROM sgcm"),
     // int8 recall: dequant mirrors the emb_quantize code formula term
     // for term (mn + code*(mx-mn)/255, code = least(255, floor(...)));
     // probe literal vec_id < 100 mirrors int8RecallEval's default
