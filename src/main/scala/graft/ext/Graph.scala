@@ -162,6 +162,36 @@ object Graph {
       .select("x_id", "y_id", "cn")
   }
 
+  /** Resource-allocation link prediction (Zhou/Lü/Zhang's RA index) —
+    * [[commonNeighbors]] refined by hub discounting: a shared neighbor
+    * that links to everything is weak evidence, so each common neighbor
+    * z contributes 1/deg(z) instead of 1. ALL-INTEGER in micro-units:
+    * `1000000 div deg(z)` (degrees are positive, so floor division is
+    * engine-agnostic) — exactly reproducible, no ln() discipline
+    * needed (that would be Adamic-Adar; RA is its stronger integer-
+    * exact sibling and empirically the better predictor on dense
+    * graphs). Same bounded wedge enumeration as commonNeighbors
+    * (degree ≤ k on a mutual-top-k graph ⇒ wedges ≤ k²·|V| at any
+    * scale); one extra |wedges|-row join to attach the apex degree. */
+  def resourceAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("apex"), col("deg"))
+    val ra = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("apex"), col("e1.v").as("x_id"),
+              col("e2.v").as("y_id"))
+      .join(dg, Seq("apex"))
+      .groupBy("x_id", "y_id")
+      .agg(count(lit(1)).as("cn"),
+           sum(expr("1000000 div deg")).as("ra_micro"))
+    ra.join(mu, ra("x_id") === mu("a_id") && ra("y_id") === mu("b_id"),
+            "left_anti")
+      .select("x_id", "y_id", "cn", "ra_micro")
+  }
+
   /** Two-round semi-supervised label propagation over the mutual-kNN
     * graph — the weak-supervision shape a training pipeline uses to
     * extend a small labeled seed set to its embedding neighborhood
@@ -205,6 +235,7 @@ object Graph {
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
     "graph_triangles" -> triangles _,
     "graph_common_neighbors" -> commonNeighbors _,
+    "graph_resource_alloc" -> resourceAlloc _,
     "graph_label_prop" -> labelProp _)
 
   /** One synchronous label-prop round: majority vote of `labeled`
@@ -246,6 +277,21 @@ object Graph {
        "GROUP BY 1, 2) " +
        "SELECT c.x_id, c.y_id, c.cn FROM cnw c " +
        "LEFT JOIN mu ON mu.a_id = c.x_id AND mu.b_id = c.y_id " +
+       "WHERE mu.a_id IS NULL"),
+    // RA index: micro-unit 1000000 // deg mirrors resourceAlloc's div
+    // (degrees positive — // == div); ra-prefixed CTE names because
+    // knnMutualCteSql already defines r/t/mu (namespace rule)
+    "graph_resource_alloc" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "radg AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "rawd AS (SELECT e1.v AS x_id, e2.v AS y_id, d.deg " +
+       "FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v " +
+       "JOIN radg d ON d.u = e1.u), " +
+       "rap AS (SELECT x_id, y_id, count(*) AS cn, " +
+       "CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro " +
+       "FROM rawd GROUP BY 1, 2) " +
+       "SELECT p.x_id, p.y_id, p.cn, p.ra_micro FROM rap p " +
+       "LEFT JOIN mu ON mu.a_id = p.x_id AND mu.b_id = p.y_id " +
        "WHERE mu.a_id IS NULL"),
     "graph_label_prop" ->
       (Similarity.knnMutualCteSql + ", " + undCte + ", " +

@@ -176,6 +176,44 @@ object TextOps {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(20)
 
+  /** Vocabulary cap for [[vocabOov]] — top-[[VocabTopK]] types by
+    * (count desc, tok asc) are in-vocab; mirrored as a literal in the
+    * oracle (keep in lockstep). 16 of the corpus's 31 types, so both
+    * classes are populated and the oracle check is non-vacuous. */
+  private val VocabTopK = 16
+
+  /** Frequency-capped vocabulary + per-source OOV rate — the tokenizer
+    * coverage audit every pretraining mix runs (what fraction of a
+    * source's tokens fall outside the top-K vocab a tokenizer would
+    * allocate?). Shape: one exploded-token shuffle to (source, tok)
+    * counts, a \|types\|-row re-agg to corpus counts, a \|types\|-row
+    * rank (vocabularies grow ~Heaps-law sublinearly, so the single-
+    * partition window is over a model-sized frame at ANY corpus scale —
+    * never the corpus itself), and a \|source·types\|-row join back.
+    * The corpus is scanned exactly once; everything downstream is
+    * vocabulary-sized. Pure integer outputs (micro-unit rate via
+    * non-negative `div`). */
+  def vocabOov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+    val tc = st.groupBy("tok").agg(sum("n").as("cn"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cn").desc, col("tok").asc)))
+    st.join(tc.select("tok", "rk"), Seq("tok"))
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"),
+           sum(when(col("rk") > VocabTopK, col("n")).otherwise(0L)).as("n_oov"),
+           sum(when(col("rk") <= VocabTopK, 1L).otherwise(0L))
+             .as("n_types_invocab"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        col("n_types_invocab"),
+        expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_oov * CAST(1000000 AS BIGINT)) div n_tokens END")
+          .as("oov_rate_micro"))
+  }
+
   /** Document-length histogram in 100-char buckets. */
   def lenHist(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1248,6 +1286,7 @@ object TextOps {
     "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
     "text_hash_embed"  -> hashEmbed _,
     "text_top_tokens"  -> topTokens _,
+    "text_vocab_oov"   -> vocabOov _,
     "text_len_hist"    -> lenHist _,
     "text_stats_agg"   -> statsAgg _,
     "text_tokens"      -> tokens _,
@@ -1563,6 +1602,22 @@ object TextOps {
       ("SELECT tok, count(*) AS n FROM (" +
        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t " +
        "GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20"),
+    // vocab cap literal 16 = VocabTopK (keep in lockstep); all sums are
+    // non-negative so // matches Spark's div; HUGEINT sums cast back
+    "text_vocab_oov" ->
+      ("WITH vst AS (SELECT source, tok, count(*) AS n FROM (" +
+       "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) t " +
+       "GROUP BY source, tok), " +
+       "vtc AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cn FROM vst GROUP BY tok), " +
+       "vrk AS (SELECT tok, row_number() OVER (ORDER BY cn DESC, tok ASC) AS rk " +
+       "FROM vtc) " +
+       "SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(CASE WHEN rk > 16 THEN n ELSE 0 END) AS BIGINT) AS n_oov, " +
+       "CAST(sum(CASE WHEN rk <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_types_invocab, " +
+       "CASE WHEN CAST(sum(n) AS BIGINT) = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (CAST(sum(CASE WHEN rk > 16 THEN n ELSE 0 END) AS BIGINT) * " +
+       "CAST(1000000 AS BIGINT)) // CAST(sum(n) AS BIGINT) END AS oov_rate_micro " +
+       "FROM vst JOIN vrk USING (tok) GROUP BY source"),
     "text_len_hist" ->
       ("SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket, " +
        "count(*) AS n_docs FROM documents GROUP BY bucket ORDER BY bucket"),

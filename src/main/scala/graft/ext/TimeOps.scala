@@ -222,6 +222,44 @@ object TimeOps {
       .orderBy("h")
   }
 
+  /** Robust (median/MAD) outlier detection on the daily event-count
+    * series — the heavy-tail-safe complement of [[spike]]'s trailing-
+    * mean test: a traffic burst can't drag the center the way it drags
+    * a mean, so sustained-anomaly days still flag. ALL-INTEGER: the
+    * center is the LOWER MEDIAN at positional rank `(cnt+1) div 2`
+    * (same rule as corpus_quantile_select — keep in lockstep), MAD is
+    * the lower median of the integer deviations, and the flag is
+    * `|x − med| > 3·mad` — exactly reproducible, no float quantiles.
+    * Shape: one map-side-combined aggregation to \|types·days\| rows,
+    * then per-type windows over that model-sized series; at 100 TB the
+    * raw-to-daily reduction is the only corpus-sized pass. Classic MAD
+    * caveat applies (mad = 0 when over half the days tie — then any
+    * deviation flags), which is the standard behavior. */
+  def madOutlier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("event_type")
+    def lowerMedian(df: DataFrame, value: String, as: String): DataFrame = {
+      val ord = Window.partitionBy("event_type")
+        .orderBy(col(value).asc, col("d").asc)
+      df.withColumn("rn", row_number().over(ord))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col(value).as(as))
+    }
+    val med = lowerMedian(daily, "x", "med")
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), date_format(col("d"), fmt).as("d"),
+              col("x"), col("med"), col("mad"),
+              (col("dev") > col("mad") * 3).cast("int").as("is_outlier"))
+      .orderBy("event_type", "d")
+  }
+
   /** Full cohort-retention matrix — [[retention]]'s day-7 column
     * generalized to every (cohort_day, day_offset) cell: distinct
     * active users per cohort per day-since-first-seen, the curve a
@@ -245,6 +283,7 @@ object TimeOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "time_cohort"   -> cohortMatrix _,
     "time_spike"    -> spike _,
+    "time_mad_outlier" -> madOutlier _,
     "time_gap_fill"      -> gapFill _,
     "time_tumbling"      -> tumbling _,
     "time_sliding"       -> sliding _,
@@ -283,6 +322,24 @@ object TimeOps {
        "FROM hourly " +
        "WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) " +
        "ORDER BY h"),
+    // lower-median positional rank (cnt+1) // 2 mirrors madOutlier's
+    // (cnt+1) div 2 (all counts positive — // == div); all-integer
+    "time_mad_outlier" ->
+      ("WITH mdd AS (SELECT event_type, date_trunc('day', ts) AS d, " +
+       "count(*) AS x FROM events GROUP BY 1, 2), " +
+       "mdm AS (SELECT event_type, x AS med FROM (SELECT event_type, x, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY x ASC, d ASC) AS rn, " +
+       "count(*) OVER (PARTITION BY event_type) AS cnt FROM mdd) t " +
+       "WHERE rn = (cnt + 1) // 2), " +
+       "mdv AS (SELECT mdd.event_type, mdd.d, mdd.x, mdm.med, " +
+       "abs(mdd.x - mdm.med) AS dev FROM mdd JOIN mdm USING (event_type)), " +
+       "mda AS (SELECT event_type, dev AS mad FROM (SELECT event_type, dev, d, " +
+       "row_number() OVER (PARTITION BY event_type ORDER BY dev ASC, d ASC) AS rn, " +
+       "count(*) OVER (PARTITION BY event_type) AS cnt FROM mdv) t " +
+       "WHERE rn = (cnt + 1) // 2) " +
+       "SELECT v.event_type, strftime(v.d, '%Y-%m-%d %H:%M:%S') AS d, " +
+       "v.x, v.med, a.mad, CAST(v.dev > a.mad * 3 AS INTEGER) AS is_outlier " +
+       "FROM mdv v JOIN mda a USING (event_type) ORDER BY v.event_type, d"),
     "time_tumbling" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, " +
        "event_type, count(*) AS n, round((sum(value)) * 1e2) / 1e2 AS sum_v " +

@@ -97,6 +97,25 @@ class GraphSpec extends SparkSpec {
     assert(got.keys.forall { case (x, y) => !mutualEdges.contains((x, y)) })
   }
 
+  test("resource-allocation index == brute force with floor micro-division") {
+    val got = ext.Graph.resourceAlloc(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val und = mutualEdges ++ mutualEdges.map { case (a, b) => (b, a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val brute = (for {
+      (x, nx) <- adj.toSeq
+      (y, ny) <- adj.toSeq
+      if x < y && !mutualEdges.contains((x, y))
+      shared = (nx & ny) if shared.nonEmpty
+    } yield (x, y) -> (shared.size.toLong,
+                       shared.toSeq.map(z => 1000000L / deg(z)).sum)).toMap
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    // hub discounting: every contribution is <= 1e6, so ra <= cn * 1e6
+    assert(got.values.forall { case (cn, ra) => ra <= cn * 1000000L && ra > 0L })
+  }
+
   test("label propagation: adoptions are unlabeled nodes voting among labeled neighbors") {
     val emb = Tables.embeddings(spark, sf001)
       .select("vec_id", "label").collect()

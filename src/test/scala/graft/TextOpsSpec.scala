@@ -282,4 +282,26 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(kept.toSet == rerun.toSet, "apply is not reproducible")
   }
+
+  test("vocab OOV == driver-side top-16 vocabulary recomputation; non-vacuous") {
+    val docs = Tables.documents(spark, sf001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokens = docs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val counts = tokens.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = counts.toSeq.sortBy { case (tok, n) => (-n, tok) }
+      .take(16).map(_._1).toSet
+    val expect = tokens.groupBy(_._1).map { case (src, ts) =>
+      val total = ts.length.toLong
+      val oov = ts.count(t => !vocab.contains(t._2)).toLong
+      val types = ts.map(_._2).distinct.count(vocab.contains).toLong
+      src -> (total, oov, types, oov * 1000000L / total)
+    }
+    val got = ext.TextOps.vocabOov(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+    // cap splits the 31-type corpus: every source must see real OOV mass
+    assert(got.values.forall(_._2 > 0L), "OOV check vacuous — no OOV tokens")
+  }
 }
