@@ -78,7 +78,7 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane entries via LCG (same numbers are
     * emitted as literals into the oracle SQL). */
-  private[ext] def plane(j: Int, dim: Int = 64): Seq[Double] =
+  private[graft] def plane(j: Int, dim: Int = 64): Seq[Double] =
     (0 until dim).map { i =>
       val x = (1103515245L * (j * dim + i) + 12345L) >> 16
       if ((x & 1L) == 1L) 1.0 else -1.0
@@ -551,6 +551,106 @@ object Similarity {
         expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
           .as("precision_micro"))
+  }
+
+  // ---- Johnson–Lindenstrauss random projection ----
+
+  /** JL target dimensionality and the plane-index offset that keeps the
+    * projection directions decorrelated from the LSH bucket planes
+    * (same LCG, disjoint index range) — both mirrored as literals in
+    * [[jlCteSql]] (keep in lockstep). */
+  private val JlDims = 16
+  private val JlPlaneBase = 100
+
+  /** Per-vector JL coordinates in exact integer micro-units: coordinate
+    * k = round(⟨v, plane(100+k)⟩ · 1e6) as BIGINT. The ±1 planes make
+    * the projection DATA-OBLIVIOUS — no training pass, no model state,
+    * the transform is a pure function of the vector (contrast
+    * [[pcaProject]], which learns its direction) — so it applies
+    * streaming, incrementally, and identically on every engine.
+    * Micronizing at the projection boundary means every downstream
+    * product/sum is exact int64 (|p| ≤ 24·1e6 ⇒ 16 squared terms stay
+    * under 2^63), immune to summation order. */
+  private def jlWide(spark: SparkSession, dir: String): DataFrame = {
+    val coords = (0 until JlDims).map { k =>
+      val h = array(plane(JlPlaneBase + k).map(lit): _*)
+      round(dotCols(col("embedding"), h) * 1e6).cast("long")
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), array(coords: _*).as("jl"))
+  }
+
+  /** JL random projection, long form (vec_id, k, p_micro) — the
+    * 64→16-dim oblivious dimensionality reduction. One corpus scan,
+    * zero shuffles, no model to train or ship. */
+  def randProj(spark: SparkSession, dir: String): DataFrame =
+    jlWide(spark, dir)
+      .select(col("vec_id"), posexplode(col("jl")))
+      .select(col("vec_id"), col("pos").cast("int").as("k"),
+              col("col").as("p_micro"))
+
+  /** JL recall eval — does cosine top-3 in the 16-dim projected space
+    * recover the exact 64-dim top-3? MEASURED ANSWER on this corpus:
+    * ~4% at sf0.01 — the isotropic synthetic embeddings are JL's worst
+    * case (pairwise cosines concentrate near 0, so a 16-dim sketch
+    * cannot separate rank-3 from rank-30). That number is the point of
+    * the harness: it says use JL here for coarse bucketing (LSH) or
+    * distance ESTIMATION, not top-k serving — where the trained
+    * reductions ([[pcaProject]]) or finer quantizers ([[quantize]],
+    * [[pqCodes]]) hold 95%+. Projected similarities are
+    * computed ENTIRELY from the exact integer micro-coordinates
+    * (BIGINT dot and norms, one double division at the end, 6-dp
+    * round) — bit-reproducible cross-engine, unlike a float-projected
+    * variant whose summation order would drift. Same fixed-probe
+    * eval contract as [[int8RecallEval]]. The 16-element integer fold
+    * is an interpreted HOF, but it runs on |probes|·|corpus| pairs of
+    * 16-long arrays — 4× less work than the 64-dim exact scan even
+    * interpreted; a production variant would drop to an ArrayDot-style
+    * codegen'd long fold. */
+  def jlRecallEval(spark: SparkSession, dir: String,
+                   probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nsq = expr("aggregate(jl, CAST(0 AS BIGINT), (s, x) -> s + x * x)")
+    val jlw = jlWide(spark, dir).withColumn("n2", nsq)
+    val qj = jlw.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("jl").as("qjl"),
+              col("n2").as("qn2"))
+    val wP = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val approx = fanOut(jlw).crossJoin(broadcast(qj))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        expr("aggregate(zip_with(jl, qjl, (x, y) -> x * y), " +
+             "CAST(0 AS BIGINT), (s, x) -> s + x)").as("d16"),
+        col("n2"), col("qn2"))
+      .select(col("a_id"), col("b_id"),
+        when(col("n2") === 0L || col("qn2") === 0L, lit(-2.0))
+          .otherwise(Num.rnd(col("d16").cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))),
+            6)).as("sim"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val truth = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        Num.rnd(dotCols(col("embedding"), col("qv")) /
+                  (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val hit = truth.join(approx, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"))
   }
 
   /** IVF training — one distributed Lloyd (k-means) iteration that makes
@@ -1604,6 +1704,21 @@ object Similarity {
     "row_number() OVER (PARTITION BY a_id ORDER BY hd ASC, b_id ASC) AS rh " +
     "FROM sgh0) t WHERE rh <= 8)"
 
+  /** JL plane k as a DuckDB literal (plane index [[JlPlaneBase]] + k —
+    * keep in lockstep with [[jlWide]]). */
+  private def jlListSql(k: Int): String =
+    plane(JlPlaneBase + k).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  /** Shared JL chain (jl-prefixed names): per-vector 16 integer
+    * micro-coordinates — mirrors [[jlWide]]. */
+  private def jlCteSql: String =
+    "jlw AS (SELECT vec_id, [" +
+    (0 until JlDims).map(k =>
+      "CAST(round(list_dot_product(embedding::DOUBLE[], " +
+      s"${jlListSql(k)}) * 1e6) AS BIGINT)").mkString(", ") +
+    "] AS jl FROM embeddings)"
+
   private def bucketSql: String =
     (0 until 8).map { j =>
       s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${planeSqlLit(j)}) > 0 " +
@@ -1624,6 +1739,8 @@ object Similarity {
     "emb_sign_bits"    -> signBits _,
     "sim_hamming_topk" -> ((s, d) => hammingTopK(s, d)),
     "emb_sign_recall"  -> ((s, d) => signRecallEval(s, d)),
+    "emb_rand_proj"    -> randProj _,
+    "sim_jl_recall"    -> ((s, d) => jlRecallEval(s, d)),
     "sim_ivf_train"    -> ivfTrain _,
     "sim_ivf_train_iter" -> ivfTrainIter _,
     "sim_ivf_train_hist" -> ivfTrainHist _,
@@ -2220,6 +2337,44 @@ object Similarity {
        "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
        "FROM sgcm"),
+    // JL family: integer micro-coordinate chain shared by both queries;
+    // projected similarity = exact BIGINT dot/norms, one double divide,
+    // 6-dp round — both engines fold identical integers
+    "emb_rand_proj" ->
+      (s"WITH $jlCteSql " +
+       "SELECT vec_id, CAST(t.k AS INTEGER) AS k, jl[t.k + 1] AS p_micro " +
+       "FROM jlw, UNNEST(range(0, 16)) AS t(k)"),
+    "sim_jl_recall" ->
+      (s"WITH $jlCteSql, " +
+       "jln AS (SELECT vec_id, jl, " +
+       "CAST(list_sum(list_transform(jl, x -> x * x)) AS BIGINT) AS n2 " +
+       "FROM jlw), " +
+       "jlq AS (SELECT vec_id AS a_id, jl AS qjl, n2 AS qn2 FROM jln " +
+       "WHERE vec_id < 100), " +
+       "jlps AS (SELECT q.a_id, x.vec_id AS b_id, " +
+       "CASE WHEN x.n2 = 0 OR q.qn2 = 0 THEN -2.0 ELSE " +
+       "round((CAST(list_sum(list_transform(range(1, 17), " +
+       "i -> x.jl[i] * q.qjl[i])) AS DOUBLE) / " +
+       "(sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(q.qn2 AS DOUBLE)))) * 1e6) / 1e6 " +
+       "END AS sim FROM jln x CROSS JOIN jlq q WHERE x.vec_id <> q.a_id), " +
+       "jlap AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM jlps) t WHERE rn <= 3), " +
+       "jlts AS (SELECT q.vec_id AS a_id, x.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+       "q.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings q ON x.vec_id <> q.vec_id " +
+       "WHERE q.vec_id < 100), " +
+       "jltr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM jlts) t WHERE rn <= 3), " +
+       "jlht AS (SELECT a_id, b_id FROM jltr JOIN jlap USING (a_id, b_id)), " +
+       "jlcm AS (SELECT (SELECT count(*) FROM jltr) AS n_truth, " +
+       "(SELECT count(*) FROM jlht) AS n_hit) " +
+       "SELECT n_truth, n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro " +
+       "FROM jlcm"),
     // int8 recall: dequant mirrors the emb_quantize code formula term
     // for term (mn + code*(mx-mn)/255, code = least(255, floor(...)));
     // probe literal vec_id < 100 mirrors int8RecallEval's default
