@@ -840,7 +840,66 @@ object Dedup {
     rows.groupBy("source").agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Token width of the cross-document exact-substring window — mirrored
+    * as literals in the oracle (slice width, range bound, interval
+    * length). Keep in lockstep. */
+  private val SubstrW = 5
+
+  /** Cross-document exact-substring coverage — the ExactSubstr dedup
+    * shape (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): for every document, the fraction of its tokens
+    * covered by a [[SubstrW]]-token window that also occurs VERBATIM in
+    * some other document. Complements [[TextOps.dupSpanFrac]] (which
+    * counts within-corpus duplicated shingles per doc): this one unions
+    * the overlapping windows into exact COVERED-TOKEN intervals, the
+    * quantity the span-excision policy actually cuts.
+    *
+    * Plan shape: tokens → window starts (one narrow pass), groupBy gram
+    * (one shuffle) for the cross-doc filter, join back on gram (second
+    * shuffle), then a per-doc window that unions overlapping [p, p+W)
+    * intervals via a running max of interval ends — all integer, no
+    * float anywhere. At 100 TB the grouping key would be the gram's
+    * 16-byte digest rather than the string (the dedup_exact lesson);
+    * the string key keeps the oracle exact here. Never all-pairs: the
+    * duplicated-gram set is |distinct grams| and the coverage union is
+    * |duplicated starts| rows partitioned by doc. */
+  def substrCross(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= SubstrW)
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${SubstrW - 1}), " +
+                        s"i -> concat_ws(' ', slice(toks, i, $SubstrW)))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+              col("col").as("g"))
+    val dupG = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = grams.join(dupG, Seq("g"))
+      .select("doc_id", "p")
+      .withColumn("prev_end", max(col("p") + lit(SubstrW.toLong)).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0L), (col("p") + lit(SubstrW.toLong)) -
+          greatest(coalesce(col("prev_end"), col("p")), col("p"))).as("add"))
+      .groupBy("doc_id").agg(sum("add").as("n_covered"))
+    docs.select(col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("dup_frac_micro",
+        expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+             "ELSE (n_covered * CAST(1000000 AS BIGINT)) div n_tokens END"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substr_cross"  -> substrCross _,
     "dedup_cluster_stats" -> clusterStats _,
     "corpus_split_safe"   -> splitSafe _,
     "dedup_sketch_merge"  -> sketchMerge _,
@@ -1060,6 +1119,29 @@ object Dedup {
     s"SELECT a_id, b_id, hamming FROM p WHERE hamming <= $MaxHamming"
 
   val oracle: Map[String, String] = Map(
+    // interval-union coverage: running max of exclusive interval ends
+    // over the PRECEDING frame mirrors substrCross's window; all
+    // operands non-negative so // and div agree (xg-prefixed CTE names —
+    // disjoint from the shingle chains per the CTE-namespace rule)
+    "dedup_substr_cross" ->
+      ("WITH xgt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "xg AS (SELECT doc_id, CAST(i AS BIGINT) AS p, " +
+       "array_to_string(t[i:i+4], ' ') AS g " +
+       "FROM xgt, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5), " +
+       "xd AS (SELECT g FROM xg GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
+       "xs AS (SELECT xg.doc_id, xg.p FROM xg JOIN xd USING (g)), " +
+       "xi AS (SELECT doc_id, greatest(0, (p + 5) - greatest(coalesce(" +
+       "max(p + 5) OVER (PARTITION BY doc_id ORDER BY p " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), p), p)) AS a " +
+       "FROM xs), " +
+       "xc AS (SELECT doc_id, CAST(sum(a) AS BIGINT) AS n_covered " +
+       "FROM xi GROUP BY doc_id) " +
+       "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+       "CAST(coalesce(xc.n_covered, 0) AS BIGINT) AS n_covered, " +
+       "CASE WHEN len(string_split(d.text, ' ')) = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (CAST(coalesce(xc.n_covered, 0) AS BIGINT) * CAST(1000000 AS BIGINT)) " +
+       "// CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS dup_frac_micro " +
+       "FROM documents d LEFT JOIN xc ON d.doc_id = xc.doc_id ORDER BY d.doc_id"),
     "dedup_fuzzy" ->
       ("WITH nm AS (SELECT p_name AS name, count(*) AS n_rows, " +
        "split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name) " +

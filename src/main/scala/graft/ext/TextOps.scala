@@ -1256,7 +1256,92 @@ object TextOps {
     "CAST(sum(wn.n_sym) AS BIGINT) AS n_bpe_tok " +
     "FROM dw JOIN wn ON dw.w = wn.w GROUP BY dw.doc_id"
 
+  // ---- winnowing fingerprints (MOSS; Schleimer/Wilkerson/Aiken 2003) ----
+
+  /** Winnowing constants — token-gram size, window width, the modulus of
+    * the portable polynomial hash, and the position-packing scale. All
+    * four are mirrored as literals in the oracle chain (lockstep). The
+    * pack scale bounds doc length: positions must stay < 1e6 tokens. */
+  private val WinK = 4
+  private val WinW = 4
+  private val WinP = 1000000007L
+  private val WinPack = 1000000L
+
+  /** Shared gram-hash frame: (doc_id, p, h, ng) — one hash per token
+    * [[WinK]]-gram start, ng = number of grams in the doc. */
+  private def winnowHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= WinK)
+      .select(col("doc_id"),
+        (size(col("toks")) - (WinK - 1)).cast("long").as("ng"),
+        posexplode(expr(s"transform(sequence(1, size(toks) - ${WinK - 1}), " +
+                        s"i -> concat_ws(' ', slice(toks, i, $WinK)))")))
+      .select(col("doc_id"), col("ng"), (col("pos") + 1).cast("long").as("p"),
+              graft.functions.PolyHashMod.col(col("col"), 31L, WinP).as("h"))
+
+  /** Winnowing fingerprint selection — the MOSS document-fingerprint
+    * scheme: hash every token [[WinK]]-gram, slide a [[WinW]]-gram
+    * window, keep the RIGHTMOST MINIMUM hash of each window, union the
+    * selections. Guarantees (the winnowing theorem): every shared run of
+    * WinK+WinW-1 tokens yields at least one shared fingerprint, and
+    * fingerprint density is ~2/(WinW+1) — a fixed-rate sketch the
+    * selection step computes with zero extra shuffles (the per-doc
+    * window rides the same doc partitioning as the gram build).
+    *
+    * Rightmost-min-per-window is expressed relationally by packing
+    * (hash, position) into one BIGINT key — h·1e6 + (1e6 − p) — whose
+    * frame-window `min` decodes to the smallest hash at the LARGEST
+    * position (the tie-break the MOSS paper specifies, which a plain
+    * `min(h)` would get wrong). Interval algebra all-integer; the hash
+    * is the portable polynomial fold so the oracle reproduces every
+    * selection exactly. */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WinW - 1)
+    val hs = winnowHashes(spark, dir)
+    val sel = hs
+      .withColumn("kmin",
+        min(col("h") * lit(WinPack) + (lit(WinPack) - col("p"))).over(wk))
+      .filter(col("p") <= col("ng") - (WinW - 1))
+      .select(col("doc_id"),
+              (lit(WinPack) - (col("kmin") % lit(WinPack))).as("fp_p"))
+      .distinct()
+    sel.join(hs.select(col("doc_id"), col("p").as("fp_p"), col("h")),
+             Seq("doc_id", "fp_p"))
+      .select(col("doc_id"), col("fp_p"), col("h").as("fp_h"))
+      .orderBy("doc_id", "fp_p")
+  }
+
+  /** Cross-document candidate pairs from shared winnowing fingerprints —
+    * the plagiarism-screen shape: docs sharing ≥ 2 selected fingerprint
+    * hashes, with the shared count as evidence. By the winnowing
+    * guarantee this catches every pair sharing a run of
+    * 2·(WinK+WinW−1) tokens at ~2/(WinW+1) of the index size of a
+    * full-shingle join. The [[graft.ext.Dedup.MaxShingleDf]]-style DF
+    * cap drops boilerplate fingerprints before the self-join (a
+    * fingerprint shared by M docs makes M² pairs and carries no pair
+    * signal) — same hot-key discipline as the LSH bucket cap. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnow(spark, dir).select(col("doc_id"), col("fp_h"))
+      .distinct()
+    val rare = fps.groupBy("fp_h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= Dedup.MaxShingleDf)
+      .select("fp_h")
+    val keyed = fps.join(rare, Seq("fp_h"))
+    keyed.select(col("fp_h"), col("doc_id").as("a_id"))
+      .join(keyed.select(col("fp_h"), col("doc_id").as("b_id")), Seq("fp_h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow"        -> winnow _,
+    "dedup_winnow_pairs" -> winnowPairs _,
     "text_url_parse"     -> urlParse _,
     "text_bm25"          -> ((s, d) => bm25(s, d)),
     "text_bm25_multi"    -> ((s, d) => bm25Multi(s, d)),
@@ -1299,7 +1384,43 @@ object TextOps {
     "text_sample_per_source" -> ((s, d) => samplePerSource(s, d)),
     "corpus_select"    -> corpusSelect _)
 
+  /** Winnowing fingerprint chain (wn-prefixed CTE names): gram hashes →
+    * packed rightmost-min window selection → fingerprint rows. Mirrors
+    * [[winnowHashes]]/[[winnow]] literal for literal (K=4, W=4,
+    * P=1000000007, pack=1e6). */
+  private def winnowCteSql: String =
+    "wnt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "wng AS (SELECT doc_id, CAST(len(t) - 3 AS BIGINT) AS ng, " +
+    "CAST(i AS BIGINT) AS p, array_to_string(t[i:i+3], ' ') AS g " +
+    "FROM wnt, UNNEST(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4), " +
+    "wnh AS (SELECT doc_id, ng, p, " +
+    "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(g)+1), " +
+    "i -> CAST(ascii(g[i]) AS BIGINT)), (a,b) -> (a*31 + b) % 1000000007) AS h " +
+    "FROM wng), " +
+    "wnm AS (SELECT doc_id, ng, p, " +
+    "min(h * 1000000 + (1000000 - p)) OVER (PARTITION BY doc_id ORDER BY p " +
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS kmin FROM wnh), " +
+    "wns AS (SELECT DISTINCT doc_id, 1000000 - (kmin % 1000000) AS fp_p " +
+    "FROM wnm WHERE p <= ng - 3), " +
+    "wnf AS (SELECT s.doc_id, CAST(s.fp_p AS BIGINT) AS fp_p, h.h AS fp_h " +
+    "FROM wns s JOIN wnh h ON s.doc_id = h.doc_id AND s.fp_p = h.p)"
+
   val oracle: Map[String, String] = Map(
+    "text_winnow" ->
+      (s"WITH $winnowCteSql " +
+       "SELECT doc_id, fp_p, fp_h FROM wnf ORDER BY doc_id, fp_p"),
+    // fingerprint chain verbatim + DF cap (MaxShingleDf = 100 mirrored)
+    // + shared-count self-join — lockstep with winnowPairs
+    "dedup_winnow_pairs" ->
+      (s"WITH $winnowCteSql, " +
+       "wnd AS (SELECT DISTINCT doc_id, fp_h FROM wnf), " +
+       "wnr AS (SELECT fp_h FROM wnd GROUP BY fp_h " +
+       "HAVING count(DISTINCT doc_id) <= 100), " +
+       "wnk AS (SELECT d.doc_id, d.fp_h FROM wnd d JOIN wnr USING (fp_h)) " +
+       "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+       "CAST(count(*) AS BIGINT) AS n_shared " +
+       "FROM wnk a JOIN wnk b ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id " +
+       "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id"),
     "text_url_parse" ->
       ("SELECT doc_id, 'https://' || source || '.example.com/docs/' || doc_id " +
        "|| '?lang=' || lang AS url, " +
