@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,14 +21,18 @@ object Bench {
     // are one-time session costs that would otherwise land on whichever
     // query happens to run first; touch every table so no timed query
     // pays the first file-index scan for its inputs
-    try {
-      exhaust(SparkEntry.flagship(spark, sfDir))
-      Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-        Tables.region, Tables.nation, Tables.customer, Tables.supplier,
-        Tables.part, Tables.orders, Tables.lineitem, Tables.events,
-        Tables.documents, Tables.embeddings)
-        .foreach(t => t(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // per-table fault isolation: one bad table must not un-warm the rest
+    // (round 7: an events schema break silently skipped documents/
+    // embeddings warmup, dumping first-touch cost on the first timed
+    // dedup owners)
+    try { exhaust(SparkEntry.flagship(spark, sfDir)) }
+    catch { case _: Throwable => () }
+    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+      Tables.region, Tables.nation, Tables.customer, Tables.supplier,
+      Tables.part, Tables.orders, Tables.lineitem, Tables.events,
+      Tables.documents, Tables.embeddings)
+      .foreach(t => try { t(spark, sfDir).count() }
+                    catch { case _: Throwable => () })
     // Deterministic order, memo OWNERS first: the dedup pair frame, the
     // cluster loop, and the IVF assignment/training are materialized once
     // per (session, dir) and shared across their families — under Map
@@ -39,8 +44,8 @@ object Bench {
     val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
       "dedup_minhash_lsh", "dedup_incremental_minhash", "sim_ivf_assign",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
-      "sim_ivf_topk", "sim_pq_codes", "sim_ivfpq_topk", "graph_pagerank",
-      "emb_pca_power", "text_contamination")
+      "sim_ivf_topk", "sim_knn_mutual", "sim_pq_codes", "sim_ivfpq_topk",
+      "graph_pagerank", "emb_pca_power", "text_contamination")
     val allOrdered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // optional prefix filter (local scaling runs, e.g. the sf1 heavy-

@@ -22,19 +22,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default: read nanos as long, floor-divide to micros (exactly what
-    * DuckDB's ns→µs truncation does — verified round 4: DuckDB reads
-    * this column as µs TIMESTAMP with epoch_ns % 1000 == 0 on every row
-    * even though the at-rest nanos have sub-µs components, so strict
-    * cross-engine ts comparisons see identical µs values) and rebuild a
-    * TimestampType col. */
+  /** `events.ts` normalization — always exposed as session-TZ
+    * TimestampType(µs), whatever the at-rest encoding:
+    *   - TIMESTAMP(µs) isAdjustedToUTC=false (current testdata): Spark
+    *     reads TIMESTAMP_NTZ; reinterpret as an instant (sessions run
+    *     UTC, so the µs value is unchanged — same naive µs DuckDB sees).
+    *   - TIMESTAMP(NANOS) (older testdata): Spark 4 rejects by default;
+    *     read nanos-as-long and floor-divide to µs (matches DuckDB's
+    *     ns→µs truncation, verified round 4).
+    *   - TIMESTAMP (adjusted): already TimestampType, pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Rebuild a `ts` column to TimestampType per the rules above; shared
+    * by the batch loader and the streaming source. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -312,14 +312,24 @@ object Similarity {
     * k·n top-k frame, so this adds one |topk|-row self-join on the pair
     * key — nothing rescans the embeddings. Cosine is symmetric (and
     * 6-dp-rounded identically on both orientations), so the surviving
-    * (a<b) row's sim equals its mirror's. */
-  def knnMutual(spark: SparkSession, dir: String): DataFrame = {
-    val t = ivfTopK(spark, dir).select("a_id", "b_id", "sim")
-    val rev = t.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
-    t.join(rev, Seq("a_id", "b_id"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sim"))
-  }
+    * (a<b) row's sim equals its mirror's.
+    *
+    * Materialized ONCE per (session, dir): the edge frame is ≤(k/2)·n
+    * rows but its lineage is the whole IVF top-k chain (assign → bucket
+    * join → window), and FOUR graph consumers each referenced it 2-4×
+    * inside one plan — round 7 measured graph_label_prop at 17.4 s vs
+    * 0.9 s for this frame itself, pure recompute. Eager-memoized like
+    * graphedges (NOT in PlanShapeSpec's laziness allowlist; Bench
+    * owner: sim_knn_mutual). */
+  def knnMutual(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "knnmutual"), {
+      val t = ivfTopK(spark, dir).select("a_id", "b_id", "sim")
+      val rev = t.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+      t.join(rev, Seq("a_id", "b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .localCheckpoint()
+    })
 
   /** ANN recall EVAL HARNESS — the [[Dedup.minhashEval]] counterpart
     * for the vector index: on a FIXED-SIZE probe sample (vec_id <

@@ -22,24 +22,19 @@ case class SessionOut(user_id: Long, session_start_ms: Long, n: Long)
 
 object EventStream {
 
-  /** Schema of the events stream after ts normalization (parquet NANOS →
-    * long at rest; we expose TimestampType µs like Tables.events). */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long at rest
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-based stream source over a directory of events parquet (the
-    * deterministic replay harness; in production: Kafka etc.). */
+    * deterministic replay harness; in production: Kafka etc.).
+    *
+    * `readStream` needs an explicit schema, so probe the at-rest schema
+    * with a one-time batch read of the directory, then apply the same
+    * `ts` normalization as the batch loader (`Tables.normalizeTs`) —
+    * long-nanos, TIMESTAMP_NTZ(µs), and adjusted-TIMESTAMP inputs all
+    * surface as session-TZ TimestampType, so stream ≡ batch holds
+    * whatever the driver's testdata encoding. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val atRest = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(spark.readStream.schema(atRest).parquet(dir))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 10-minute watermark:

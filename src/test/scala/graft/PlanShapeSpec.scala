@@ -101,6 +101,25 @@ class PlanShapeSpec extends SparkSpec {
            s"top-k fell back to a global sort:\n$p")
   }
 
+  test("asof join is one windowed pass, never a range cross-product") {
+    // the union+window rewrite is the whole point of the asof operator:
+    // ONE shuffle on user_id, a single Window, and no join node at all.
+    // If the rewrite ever drifts back to a join form it goes quadratic
+    // per user at scale.
+    val p = planOf("time_asof_join")
+    assert(p.contains("Window"), s"asof lost its window form:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct") &&
+           !p.contains("NestedLoop"),
+           s"asof re-introduced a join:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1, p)
+  }
+
+  test("interval join shuffles on the equi-key, never a nested loop") {
+    val p = planOf("time_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+           s"interval join lost its equi-key:\n$p")
+  }
+
   test("fuzzy dedup and referential audit never go quadratic") {
     for (q <- Seq("dedup_fuzzy", "audit_referential")) {
       val p = planOf(q)
