@@ -45,7 +45,8 @@ object Bench {
       "dedup_minhash_lsh", "dedup_incremental_minhash", "sim_ivf_assign",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
       "sim_ivf_topk", "sim_knn_mutual", "sim_pq_codes", "sim_ivfpq_topk",
-      "graph_pagerank", "emb_pca_power", "text_contamination")
+      "graph_pagerank", "graph_components", "emb_pca_power",
+      "text_contamination")
     val allOrdered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // optional prefix filter (local scaling runs, e.g. the sf1 heavy-

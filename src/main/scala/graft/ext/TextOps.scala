@@ -47,6 +47,40 @@ object TextOps {
         (col("n_tok").between(10, 2000) && col("n_uniq") >= 5).cast("int"))
   }
 
+  /** Gopher-rule heuristic gates (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", arXiv
+    * 2112.11446, App. A1) — the pre-model filter battery every
+    * pretraining pipeline runs: token-count bounds, mean-word-length
+    * band, alphabetic-character floor, and a stopword-presence floor.
+    * ALL-INTEGER signals (×100 ratios via non-negative floor division,
+    * so `div` ≡ DuckDB `//`): exact cross-engine, no float discipline
+    * needed. One projection pass over the corpus, zero shuffles —
+    * embarrassingly parallel at 100 TB. Constants tuned so BOTH gate
+    * outcomes occur on the synthetic corpus (n_tok ∈ [10,99], 'the'/'a'
+    * the only stopwords present) — the gates are exercised, not
+    * vacuous. */
+  def gopherGates(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "to", "of", "and")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+              size(split(col("text"), " ")).as("n_tok"),
+              length(expr("replace(text, ' ', '')")).as("n_ns"),
+              length(expr("regexp_replace(text, '[^A-Za-z]', '')")).as("n_alpha"),
+              hitCount(stops).as("n_stop"))
+      .withColumn("mwl_x100",
+        when(col("n_tok") > 0,
+             expr("CAST(n_ns AS BIGINT) * 100 div n_tok")).otherwise(lit(0L)))
+      .withColumn("alpha_x100",
+        when(col("n_ns") > 0,
+             expr("CAST(n_alpha AS BIGINT) * 100 div n_ns")).otherwise(lit(0L)))
+      .withColumn("gopher_ok",
+        (col("n_tok").between(20, 100000) &&
+         col("mwl_x100").between(300, 1000) &&
+         col("alpha_x100") >= 70 &&
+         col("n_stop") >= 2).cast("int"))
+      .drop("text")
+  }
+
   private def hitCount(markers: Seq[String]): Column =
     markers.map { m =>
       when(concat(lit(" "), col("text"), lit(" ")).like(s"% $m %"), 1).otherwise(0)
@@ -1376,6 +1410,7 @@ object TextOps {
     "text_stats_agg"   -> statsAgg _,
     "text_tokens"      -> tokens _,
     "text_quality"     -> quality _,
+    "text_gopher_gates" -> gopherGates _,
     "text_langid"      -> langid _,
     "text_fingerprint" -> fingerprint _,
     "text_rollhash"    -> rollhash _,
@@ -1760,6 +1795,31 @@ object TextOps {
        "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_char, " +
        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
        "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq " +
+       "FROM documents) t"),
+    // stopword list + gate constants mirror gopherGates literally —
+    // lockstep only; n_tok/n_ns/n_alpha cast to INTEGER (DuckDB len/
+    // length are BIGINT where Spark size/length are INT)
+    "text_gopher_gates" ->
+      ("SELECT doc_id, n_tok, n_ns, n_alpha, n_stop, " +
+       "CASE WHEN n_tok > 0 THEN CAST(n_ns AS BIGINT) * 100 // n_tok " +
+       "ELSE CAST(0 AS BIGINT) END AS mwl_x100, " +
+       "CASE WHEN n_ns > 0 THEN CAST(n_alpha AS BIGINT) * 100 // n_ns " +
+       "ELSE CAST(0 AS BIGINT) END AS alpha_x100, " +
+       "CAST(n_tok BETWEEN 20 AND 100000 " +
+       "AND (CASE WHEN n_tok > 0 THEN CAST(n_ns AS BIGINT) * 100 // n_tok " +
+       "ELSE CAST(0 AS BIGINT) END) BETWEEN 300 AND 1000 " +
+       "AND (CASE WHEN n_ns > 0 THEN CAST(n_alpha AS BIGINT) * 100 // n_ns " +
+       "ELSE CAST(0 AS BIGINT) END) >= 70 " +
+       "AND n_stop >= 2 AS INTEGER) AS gopher_ok FROM (" +
+       "SELECT doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
+       "CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_ns, " +
+       "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha, " +
+       "(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END) + " +
+       "(CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END) AS n_stop " +
        "FROM documents) t"),
     "text_langid" -> langidSql,
     "text_hash_embed" ->

@@ -27,6 +27,38 @@ object TimeOps {
       .select(date_format(col("window.start"), fmt).as("ws"),
               col("event_type"), col("n"), col("sum_v"))
 
+  /** Hourly OHLC downsample bars per event type — the canonical
+    * time-series compaction (metrics rollup, market bars): open/close
+    * are the first/last value under the deterministic (ts, event_id)
+    * order, low/high are min/max, volume is the 2-dp-rounded sum (the
+    * money-grain rule — open/close/low/high are SINGLE raw values, so
+    * they ship unrounded and bit-exact). One window pass + one
+    * aggregation, both shuffling on (event_type, hour) — at 100 TB the
+    * bar count is O(types × hours), thousands of rows from billions. */
+  def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+              col("ts"), col("event_id"), col("value"))
+    val asc = Window.partitionBy("event_type", "h")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy("event_type", "h")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"),
+           // sum over exactly one non-null row = that raw value, exact
+           sum(when(col("rna") === 1, col("value"))).as("open_v"),
+           sum(when(col("rnd") === 1, col("value"))).as("close_v"),
+           min("value").as("low_v"),
+           max("value").as("high_v"),
+           Num.rnd(sum("value"), 2).as("vol_v"))
+      .select(col("event_type"), date_format(col("h"), fmt).as("h"),
+              col("n"), col("open_v"), col("close_v"),
+              col("low_v"), col("high_v"), col("vol_v"))
+  }
+
   /** Sliding 2-hour windows every 1 hour (each event in 2 windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -286,6 +318,7 @@ object TimeOps {
     "time_mad_outlier" -> madOutlier _,
     "time_gap_fill"      -> gapFill _,
     "time_tumbling"      -> tumbling _,
+    "time_ohlc"          -> ohlc _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
@@ -340,6 +373,20 @@ object TimeOps {
        "SELECT v.event_type, strftime(v.d, '%Y-%m-%d %H:%M:%S') AS d, " +
        "v.x, v.med, a.mad, CAST(v.dev > a.mad * 3 AS INTEGER) AS is_outlier " +
        "FROM mdv v JOIN mda a USING (event_type) ORDER BY v.event_type, d"),
+    "time_ohlc" ->
+      ("WITH oe AS (SELECT event_type, date_trunc('hour', ts) AS h, ts, " +
+       "event_id, value FROM events), " +
+       "orr AS (SELECT *, row_number() OVER (PARTITION BY event_type, h " +
+       "ORDER BY ts ASC, event_id ASC) AS rna, " +
+       "row_number() OVER (PARTITION BY event_type, h " +
+       "ORDER BY ts DESC, event_id DESC) AS rnd FROM oe) " +
+       "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h, " +
+       "count(*) AS n, " +
+       "sum(CASE WHEN rna = 1 THEN value END) AS open_v, " +
+       "sum(CASE WHEN rnd = 1 THEN value END) AS close_v, " +
+       "min(value) AS low_v, max(value) AS high_v, " +
+       "round((sum(value)) * 1e2) / 1e2 AS vol_v " +
+       "FROM orr GROUP BY event_type, h"),
     "time_tumbling" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, " +
        "event_type, count(*) AS n, round((sum(value)) * 1e2) / 1e2 AS sum_v " +

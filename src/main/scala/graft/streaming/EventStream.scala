@@ -48,6 +48,29 @@ object EventStream {
       .select(col("window.start").as("ws"), col("event_type"),
               col("n"), col("sum_v"))
 
+  /** Streaming OHLC bars — the continuous form of the batch
+    * [[graft.ext.TimeOps.ohlc]] downsampler. The batch side's
+    * row_number windows aren't available under streaming; `min_by`/
+    * `max_by` keyed on the (ts, event_id) struct pick the identical
+    * first/last rows declaratively (lexicographic struct order ≡ the
+    * batch ORDER BY ts, event_id), so StreamingSpec can assert
+    * stream ≡ batch bar-for-bar. State is one row per
+    * (window × event_type), evicted at the watermark. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_v"),
+           max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_v"),
+           min("value").as("low_v"),
+           max("value").as("high_v"),
+           sum("value").as("vol_v"))
+      .select(col("event_type"),
+              date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+              col("n"), col("open_v"), col("close_v"),
+              col("low_v"), col("high_v"), col("vol_v"))
+
   /** Streaming dedup on event_id within the watermark horizon —
     * exactly-once per key under bounded state. */
   def dedupStream(events: DataFrame): DataFrame =

@@ -114,6 +114,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1, p)
   }
 
+  test("ohlc reuses one (type, hour) exchange across both window passes and the agg") {
+    // two row_number windows + the bar aggregation all key on
+    // (event_type, hour): Catalyst must plan ONE shuffle, not three —
+    // at 100 TB a second full-data exchange would double the cost
+    val p = planOf("time_ohlc")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+           s"ohlc re-shuffled between window and agg:\n$p")
+  }
+
   test("interval join shuffles on the equi-key, never a nested loop") {
     val p = planOf("time_interval_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

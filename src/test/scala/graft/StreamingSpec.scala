@@ -45,6 +45,28 @@ class StreamingSpec extends SparkSpec {
     assert(batchOnly.filter(col("ws") < cutoff).count() === 0)
   }
 
+  test("streaming OHLC bars equal the batch downsampler") {
+    val streamed = EventStream.runToMemory(
+      spark,
+      EventStream.ohlcBars(EventStream.readEvents(spark, streamDir)),
+      "ohlc_out", OutputMode.Append())
+      // volume sums accumulate in partition order (2-dp grain rule);
+      // open/close/low/high are single raw values — bit-exact. Num.rnd
+      // to match the batch side's rounding exactly
+      .withColumn("vol_v", graft.ops.Num.rnd(col("vol_v"), 2))
+    val batch = ext.TimeOps.ohlc(spark, sf0001)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0,
+           "streamed bar absent from batch")
+    // append mode withholds bars not yet past the watermark: batch-only
+    // bars must all sit in the unfinalized tail
+    val maxTs = Tables.events(spark, sf0001).agg(max("ts")).head().getTimestamp(0)
+    val cutoffStr = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss") {
+      setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    }.format(new java.util.Date(maxTs.getTime - (10 * 60 + 60 * 60) * 1000L))
+    assert(batch.exceptAll(streamed).filter(col("h") < cutoffStr).count() === 0)
+  }
+
   test("stream-static screen drops exactly the corpus-fingerprinted docs") {
     import graft.streaming.DocStream
     val dir = Files.createTempDirectory("graft-docs-screen").toString
