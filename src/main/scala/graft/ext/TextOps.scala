@@ -81,6 +81,29 @@ object TextOps {
       .drop("text")
   }
 
+  /** Tokenizer-fertility report per source — BPE-ish tokens per
+    * whitespace word, the tokenizer-health number a multilingual /
+    * multi-crawl pipeline tracks per ingest source (fertility creep on
+    * a source means its text is drifting away from the tokenizer's
+    * training distribution and burning context budget). Reuses
+    * [[tokens]]' two segmentations; integer micro-ratio via
+    * non-negative floor division — exact cross-engine. |sources| output
+    * rows at any corpus scale, one partial+final agg. */
+  def fertilityBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_ws"),
+              size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]', 0)"))
+                .cast("long").as("n_bpe"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_ws").as("n_words"),
+           sum("n_bpe").as("n_tokens"))
+      .withColumn("fertility_micro",
+        expr("CASE WHEN n_words > 0 THEN n_tokens * 1000000 div n_words " +
+             "ELSE CAST(0 AS BIGINT) END"))
+      .orderBy("source")
+
   private def hitCount(markers: Seq[String]): Column =
     markers.map { m =>
       when(concat(lit(" "), col("text"), lit(" ")).like(s"% $m %"), 1).otherwise(0)
@@ -1411,6 +1434,7 @@ object TextOps {
     "text_tokens"      -> tokens _,
     "text_quality"     -> quality _,
     "text_gopher_gates" -> gopherGates _,
+    "text_fertility_by_source" -> fertilityBySource _,
     "text_langid"      -> langid _,
     "text_fingerprint" -> fingerprint _,
     "text_rollhash"    -> rollhash _,
@@ -1821,6 +1845,18 @@ object TextOps {
        "(CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END) + " +
        "(CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END) AS n_stop " +
        "FROM documents) t"),
+    // same segmentations as text_tokens; all sums non-negative so //
+    // matches Spark's div
+    "text_fertility_by_source" ->
+      ("SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(n_ws) AS BIGINT) AS n_words, " +
+       "CAST(sum(n_bpe) AS BIGINT) AS n_tokens, " +
+       "CASE WHEN CAST(sum(n_ws) AS BIGINT) > 0 " +
+       "THEN (CAST(sum(n_bpe) AS BIGINT) * 1000000) // CAST(sum(n_ws) AS BIGINT) " +
+       "ELSE CAST(0 AS BIGINT) END AS fertility_micro FROM (" +
+       "SELECT source, len(string_split(text, ' ')) AS n_ws, " +
+       "len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]')) AS n_bpe " +
+       "FROM documents) t GROUP BY source"),
     "text_langid" -> langidSql,
     "text_hash_embed" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +

@@ -218,7 +218,56 @@ object Aggs {
       .orderBy("flag")
   }
 
+  /** Mergeable log-histogram quantile sketch — the re-aggregatable
+    * quantile shape for 100 TB (the [[sketchReagg]] counterpart for
+    * percentiles, where `approx_percentile` state is opaque and
+    * DuckDB-unverifiable): values land in deterministic log-spaced
+    * buckets (top-4-bits-of-bit-length — ≤12.5% relative width, 8
+    * sub-buckets per octave, ALL integer bit arithmetic so both engines
+    * agree exactly), bucket COUNTS are the sketch state (exactly
+    * mergeable by addition — any shard/rollup sums them), and the
+    * quantile estimate is the smallest bucket lower bound whose
+    * cumulative count reaches ⌈q·n/100⌉ (`100·cum ≥ q·n`, pure
+    * integer). The query proves the merge contract: per-returnflag
+    * shard counts re-aggregated to global reproduce the direct global
+    * build bucket-for-bucket, so `agree` is 1 by construction — the
+    * oracle hash pins both paths. Money µ-units via round(x·100): 2-dp
+    * grain makes the product integer-exact on both engines. */
+  def histQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vm = Tables.lineitem(spark, dir)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("vm"),
+              col("l_returnflag").as("flag"))
+      .withColumn("bl", length(bin(col("vm"))))
+      .withColumn("lb", expr(
+        "shiftleft(shiftright(vm, greatest(bl - 4, 0)), greatest(bl - 4, 0))"))
+    val perShard = vm.groupBy("flag", "lb").agg(count(lit(1)).as("c"))
+    val direct = vm.groupBy("lb").agg(count(lit(1)).as("c"))
+    val reagg = perShard.groupBy("lb").agg(sum("c").as("c"))
+    val qdf = spark.range(1)
+      .select(explode(array(lit(50), lit(90), lit(99))).as("q_pct"))
+    // |buckets| is a few hundred rows at ANY data scale (log-spaced over
+    // the value range), so the unpartitioned cum window is driver-trivial
+    def quantiles(buckets: DataFrame, est: String): DataFrame = {
+      val w = Window.orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = buckets.withColumn("cum", sum("c").over(w))
+      val n = buckets.agg(sum("c").as("n"))
+      cum.crossJoin(n).crossJoin(qdf)
+        .filter(col("cum") * 100 >= col("q_pct") * col("n"))
+        .groupBy("q_pct", "n").agg(min("lb").as(est))
+    }
+    quantiles(direct, "est_micro")
+      .join(quantiles(reagg, "est_micro_reagg"), Seq("q_pct", "n"))
+      .select(col("q_pct"), col("n").as("n_rows"),
+              col("est_micro"), col("est_micro_reagg"),
+              (col("est_micro") === col("est_micro_reagg")).cast("int")
+                .as("agree"))
+      .orderBy("q_pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hist_quantile"  -> histQuantile _,
     "agg_winsorize"      -> winsorize _,
     "agg_sketch_reagg"  -> sketchReagg _,
     "agg_cube"          -> cubeAgg _,
@@ -235,6 +284,28 @@ object Aggs {
     "q1_agg"            -> q1Agg _)
 
   val oracle: Map[String, String] = Map(
+    // bucket arithmetic (round·100 µ-units, bin() bit length, top-3-bit
+    // shifts, 100·cum ≥ q·n rank rule) mirrors histQuantile literally —
+    // lockstep only; bin()/length are BIGINT in DuckDB → cast
+    "agg_hist_quantile" ->
+      ("WITH hv AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vm, " +
+       "l_returnflag AS flag FROM lineitem), " +
+       "hb AS (SELECT flag, vm, CAST(length(bin(vm)) AS INTEGER) AS bl FROM hv), " +
+       "hlb AS (SELECT flag, (vm >> greatest(bl - 4, 0)) << greatest(bl - 4, 0) AS lb FROM hb), " +
+       "hshard AS (SELECT flag, lb, count(*) AS c FROM hlb GROUP BY 1, 2), " +
+       "hdir AS (SELECT lb, count(*) AS c FROM hlb GROUP BY 1), " +
+       "hre AS (SELECT lb, CAST(sum(c) AS BIGINT) AS c FROM hshard GROUP BY 1), " +
+       "hn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hdir), " +
+       "hq AS (SELECT unnest([50, 90, 99]) AS q_pct), " +
+       "hcd AS (SELECT lb, CAST(sum(c) OVER (ORDER BY lb ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hdir), " +
+       "hcr AS (SELECT lb, CAST(sum(c) OVER (ORDER BY lb ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hre), " +
+       "hed AS (SELECT q_pct, n, min(lb) AS est_micro FROM hcd, hn, hq " +
+       "WHERE cum * 100 >= q_pct * n GROUP BY 1, 2), " +
+       "her AS (SELECT q_pct, n, min(lb) AS est_micro_reagg FROM hcr, hn, hq " +
+       "WHERE cum * 100 >= q_pct * n GROUP BY 1, 2) " +
+       "SELECT hed.q_pct, hed.n AS n_rows, hed.est_micro, her.est_micro_reagg, " +
+       "CAST(hed.est_micro = her.est_micro_reagg AS INTEGER) AS agree " +
+       "FROM hed JOIN her ON hed.q_pct = her.q_pct AND hed.n = her.n"),
     "agg_winsorize" ->
       ("WITH l AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem), " +
        "r AS (SELECT flag, x, row_number() OVER (PARTITION BY flag ORDER BY x) AS rn, " +
