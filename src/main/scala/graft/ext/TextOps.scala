@@ -378,7 +378,20 @@ object TextOps {
     * through one hash join, output ≤ input rows (a membership probe, never
     * pair generation, so no hot-shingle quadratic risk and no DF cap
     * needed). Docs shorter than 5 tokens have no shingles and are absent,
-    * matching the oracle. */
+    * matching the oracle.
+    *
+    * Deliberately does NOT reuse the persisted minhash band index
+    * (`dedup_index_persist`): that index stores banded MINHASH
+    * signatures and can only answer approximate-Jaccard candidacy,
+    * while contamination is an EXACT shingle-membership count (a single
+    * missed eval shingle is the difference between "clean" and
+    * "contaminated" for a benchmark audit). Sharing the raw
+    * (doc_id, shingle) expansion with the dedup family via a memo was
+    * also rejected: that frame is O(corpus × shingles) — checkpointing
+    * it trades a linear in-plan recompute for a corpus-sized cache,
+    * exactly the wrong trade at 100 TB. The eval-side DISTINCT shingle
+    * set (benchmark-sized) is what's worth materializing, and it is —
+    * inside this memoized frame. */
   def contamination(spark: SparkSession, dir: String,
                     evalSource: String = "src0"): DataFrame =
     if (evalSource == "src0")

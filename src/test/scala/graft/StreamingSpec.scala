@@ -277,6 +277,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === firstCount)
   }
 
+  test("stateful stream resumes from checkpoint: new files extend prior state") {
+    // the production restart contract: a continuously-ingesting stateful
+    // query is stopped, new files arrive, and the restarted query must
+    // (a) NOT reprocess already-committed files and (b) resume its
+    // per-key state, so cumulative totals keep counting from where the
+    // first run left off — not from zero
+    import org.apache.spark.sql.expressions.Window
+    val inDir = Files.createTempDirectory("graft-resume-in").toString
+    val out = Files.createTempDirectory("graft-resume-out").toString
+    val ckpt = Files.createTempDirectory("graft-resume-ckpt").toString
+    val ev = Tables.events(spark, sf0001)
+    def addFile(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-resume-$name")
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$inDir/$name.parquet"),
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
+    addFile(col("event_id") % 2 === 0, "half-a")
+    EventStream.runToParquet(
+      EventStream.userTotals(spark, EventStream.readEvents(spark, inDir)),
+      out, ckpt)
+    val batches1 = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    addFile(col("event_id") % 2 =!= 0, "half-b")
+    EventStream.runToParquet(
+      EventStream.userTotals(spark, EventStream.readEvents(spark, inDir)),
+      out, ckpt)
+    val batches2 = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(batches2 > batches1, "restart emitted no new batch")
+    // latest emission per user across all batches == batch ground truth
+    // over the FULL event set: only possible if the restart resumed
+    // half-a's state instead of recounting from zero
+    val latest = spark.read.parquet(out)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("batch_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+              round(col("sum_value"), 2).as("s"))
+    val expected = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("s"))
+    assert(latest.count() === expected.count())
+    assert(latest.exceptAll(expected).count() === 0,
+           "resumed totals diverge from batch ground truth")
+  }
+
   test("streaming funnel stage counts equal the batch funnel") {
     val streamed = EventStream.runToMemory(
       spark,
