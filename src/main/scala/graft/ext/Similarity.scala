@@ -380,6 +380,83 @@ object Similarity {
           .as("precision_micro"))
   }
 
+  /** nprobe SWEEP — the tuning table behind the [[NProbe]] doc's
+    * "raise for recall, lower for cost" guidance: for nprobe ∈
+    * {1, 2, 4}, candidate volume (the cost proxy — each probed cell
+    * adds ~one in-cell join's work) and top-3 recall vs exact ground
+    * truth, on the same fixed probe sample as [[ivfRecallEval]]
+    * (vec_id < probeN — constant query-side cost at any corpus scale).
+    * The probe side re-ranks only the 100 probe vectors against the
+    * broadcast centroid table (NOT the memoized corpus-wide ranking,
+    * which is capped at rn ≤ [[NProbe]] and must stay that way — the
+    * production index pays for exactly nprobe ranks, the sweep pays 4
+    * for 100 rows); the indexed side reuses the memoized home-cell
+    * assignment and applies the same saltOrd bucket cap as
+    * [[pairCandidatesAB]], so the nprobe=2 row reproduces
+    * [[ivfRecallEval]]'s numbers exactly (NprobeSweepSpec pins it).
+    * One candidates frame, three prn-filtered rankings — the per-k
+    * screens share the join. */
+  def nprobeSweep(spark: SparkSession, dir: String,
+                  probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = emb.filter(col("vec_id") < ivfCells(embCount(spark, dir)))
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+              col("nrm").as("cnrm"))
+    val wp = Window.partitionBy("a_id").orderBy(col("csim").desc, col("cell").asc)
+    val probeRanks = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("a_id"), col("qv"), col("qnrm"), col("cell"),
+              Num.rnd(dotCols(col("qv"), col("cv")) /
+                        (col("qnrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= 4)
+      .drop("csim")
+    val wCap = Window.partitionBy("cell")
+      .orderBy(saltOrd(col("vec_id")).asc, col("vec_id").asc)
+    val capped = emb
+      .join(ivfAssignRanked(spark, dir).filter(col("rn") === 1)
+              .select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("rnb", row_number().over(wCap))
+      .filter(col("rnb") <= MaxBucketCandidates)
+    val cand = probeRanks.join(capped, Seq("cell"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"), col("prn"),
+              Num.rnd(dotCols(col("qv"), col("embedding")) /
+                        (col("qnrm") * col("nrm")), 6).as("sim"))
+    val wr = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val exact = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+              Num.rnd(dotCols(col("embedding"), col("qv")) /
+                        (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    Seq(1, 2, 4).map { k =>
+      val ck = cand.filter(col("prn") <= k)
+      val scr = ck.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 3).select("a_id", "b_id")
+      exact.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(ck.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(scr.agg(count(lit(1)).as("n_screen")))
+        .crossJoin(exact.join(scr, Seq("a_id", "b_id"))
+                     .agg(count(lit(1)).as("n_hit")))
+        .select(lit(k).as("nprobe"), col("n_cand"), col("n_truth"),
+                col("n_screen"), col("n_hit"),
+          expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+               "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+            .as("recall_micro"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** Int8-quantization recall eval — the third leg of the eval-harness
     * family ([[Dedup.minhashEval]] for the sketch, [[ivfRecallEval]]
     * for the index, this for the COMPRESSION): how much top-3 recall
@@ -1745,6 +1822,7 @@ object Similarity {
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
+    "sim_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "emb_int8_recall"  -> ((s, d) => int8RecallEval(s, d)),
     "emb_sign_bits"    -> signBits _,
     "sim_hamming_topk" -> ((s, d) => hammingTopK(s, d)),
@@ -2281,6 +2359,10 @@ object Similarity {
        "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
        "FROM rcm"),
+    // sw-prefixed CTE chain; cell count 16 / probe 100 / cap 1024 are
+    // the sf0.01 adaptive-knob constants (lockstep rule); the prn<=2
+    // slice mirrors sim_ivf_recall_eval's screen exactly
+    "sim_nprobe_sweep" -> nprobeSweepSql,
     // incremental assign: the ivfTrainCte shape restricted to the
     // existing corpus half (vec_id < 250 = CountMemo n/2 at sf0.01;
     // seeds < 16 = ivfCells clamp floor), then the batch (>= 250)
@@ -2417,6 +2499,58 @@ object Similarity {
        "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro " +
        "FROM cm"))
+
+  /** nprobe-sweep oracle: probe-side ranks to 4 cells over the 100-probe
+    * sample, home-cell index capped identically to ivfTopKCteSql's `bc`,
+    * one candidates CTE, three prn-sliced rankings unioned. */
+  private def nprobeSweepSql: String = {
+    def slice(k: Int): String =
+      s"sw${k}s AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+      "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+      s"FROM swcand WHERE prn <= $k) t WHERE rn <= 3)"
+    def metrics(k: Int): String =
+      s"SELECT CAST($k AS INTEGER) AS nprobe, " +
+      s"(SELECT count(*) FROM swcand WHERE prn <= $k) AS n_cand, " +
+      "(SELECT count(*) FROM swexr) AS n_truth, " +
+      s"(SELECT count(*) FROM sw${k}s) AS n_screen, " +
+      s"(SELECT count(*) FROM (SELECT a_id, b_id FROM swexr " +
+      s"INTERSECT SELECT a_id, b_id FROM sw${k}s) h) AS n_hit, " +
+      "CASE WHEN (SELECT count(*) FROM swexr) = 0 THEN CAST(1000000 AS BIGINT) " +
+      s"ELSE ((SELECT count(*) FROM (SELECT a_id, b_id FROM swexr " +
+      s"INTERSECT SELECT a_id, b_id FROM sw${k}s) h) * CAST(1000000 AS BIGINT)) " +
+      "// (SELECT count(*) FROM swexr) END AS recall_micro"
+    "WITH swc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings " +
+    "WHERE vec_id < 16), " +
+    "sws AS (SELECT e.vec_id AS a_id, swc.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], swc.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN swc WHERE e.vec_id < 100), " +
+    "swp AS (SELECT a_id, cell, prn FROM (SELECT a_id, cell, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY csim DESC, cell ASC) AS prn " +
+    "FROM sws) t WHERE prn <= 4), " +
+    "swall AS (SELECT e.vec_id, swc.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], swc.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN swc), " +
+    "swh AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+    "FROM swall) t WHERE rn = 1), " +
+    "swb AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e " +
+    "JOIN swh h ON e.vec_id = h.vec_id " +
+    s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+    "swcand AS (SELECT p.a_id, y.vec_id AS b_id, p.prn, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM swp p JOIN embeddings x ON x.vec_id = p.a_id " +
+    "JOIN swb y ON y.cell = p.cell AND y.vec_id <> p.a_id), " +
+    "swex AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+    "WHERE x.vec_id < 100), " +
+    "swexr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+    "FROM swex) e WHERE rn <= 3), " +
+    Seq(1, 2, 4).map(slice).mkString(", ") + " " +
+    Seq(1, 2, 4).map(metrics).mkString(" UNION ALL ") +
+    " ORDER BY nprobe"
+  }
 
   /** The sim_knn_mutual oracle's full CTE chain through `mu` (mutual
     * edges, a_id < b_id) — shared with Graph's triangle/label-prop
