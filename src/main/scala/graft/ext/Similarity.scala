@@ -896,6 +896,48 @@ object Similarity {
         (coalesce(col("n_dups_smaller"), lit(0L)) === 0).cast("int").as("keep"))
   }
 
+  /** Semantic-dedup recall eval — the FOURTH eval harness (sketch:
+    * [[Dedup.minhashEval]]; index: [[ivfRecallEval]]/[[nprobeSweep]];
+    * compression: [[int8RecallEval]]; this one: the DEDUP DECISION).
+    * SemDeDup only compares within a trained cell, so a true near-dup
+    * pair split across a cell boundary is never dropped — this harness
+    * puts a number on that loss. On the fixed probe sample: truth =
+    * probes with ANY smaller-id neighbor at cosine ≥ 0.4 anywhere in
+    * the corpus (one broadcast of the probe table against one streamed
+    * corpus pass); predicted = [[semanticDedup]]'s keep=0 probes.
+    * Precision is 1.0 BY CONSTRUCTION (a same-cell drop pair is a true
+    * pair — SemanticDedupEvalSpec pins it), so recall_micro is the
+    * single operative number: raise cells → more boundary loss, fewer
+    * comparisons; the dedup-side mirror of the nprobe trade. */
+  def semanticDedupEval(spark: SparkSession, dir: String,
+                        probeN: Long = 100): DataFrame = {
+    val sem = semanticDedup(spark, dir).filter(col("vec_id") < probeN)
+      .select(col("vec_id"), col("keep"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val truth = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") < col("a_id"))
+      .filter(Num.rnd(dotCols(col("embedding"), col("qv")) /
+                        (col("nrm") * col("qnrm")), 6) >= 0.4)
+      .select("a_id").distinct()
+    val pred = sem.filter(col("keep") === 0).select(col("vec_id").as("a_id"))
+    sem.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(pred.join(truth, Seq("a_id")).agg(count(lit(1)).as("n_hit")))
+      .select(col("n_probes"), col("n_truth"), col("n_pred"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+             "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_pred = 0 THEN CAST(1000000 AS BIGINT) " +
+             "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_pred END")
+          .as("precision_micro"))
+  }
+
   /** Training convergence: squared distance each cell's centroid moved in
     * the Lloyd step (seed → trained) — the metric that tells a pipeline
     * when to stop iterating. Per-dim squared diffs are stored as INTEGER
@@ -1836,6 +1878,7 @@ object Similarity {
     "emb_outlier_report" -> outlierReport _,
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
     "dedup_semantic"   -> semanticDedup _,
+    "dedup_semantic_eval" -> ((s, d) => semanticDedupEval(s, d)),
     "sim_ivf_train_delta" -> ivfTrainDelta _,
     "sim_ivf_incremental_assign" -> ivfIncrementalAssign _,
     "sim_pq_codes"     -> pqCodes _,
@@ -2154,24 +2197,33 @@ object Similarity {
     // regime note at the top of this section), so the capped Spark
     // plan and this uncapped SQL are byte-identical where verified.
     "dedup_semantic" ->
-      (s"WITH $ivfTrainCte, " +
-       "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
-       "s2 AS (SELECT e.vec_id, t.cell, " +
-       "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
-       "FROM embeddings e CROSS JOIN tc t), " +
-       "home AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
-       "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
-       "FROM s2) WHERE rn = 1), " +
-       "m AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e " +
-       "JOIN home h ON e.vec_id = h.vec_id), " +
-       "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
-       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-       "FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
-       "d AS (SELECT b_id, count(*) AS n FROM p WHERE sim >= 0.4 GROUP BY b_id) " +
+      (s"WITH $semanticCellCte " +
        "SELECT m.vec_id, m.cell, " +
        "coalesce(d.n, CAST(0 AS BIGINT)) AS n_dups_smaller, " +
        "CAST(coalesce(d.n, CAST(0 AS BIGINT)) = 0 AS INTEGER) AS keep " +
        "FROM m LEFT JOIN d ON d.b_id = m.vec_id"),
+    // composes the SAME semanticCellCte chain as dedup_semantic (the
+    // eval can never drift from the decision it measures); probe 100 /
+    // 0.4 threshold literals mirror semanticDedupEval — lockstep
+    "dedup_semantic_eval" ->
+      (s"WITH $semanticCellCte, " +
+       "sdk AS (SELECT m.vec_id, " +
+       "CAST(coalesce(d.n, CAST(0 AS BIGINT)) = 0 AS INTEGER) AS keep " +
+       "FROM m LEFT JOIN d ON d.b_id = m.vec_id WHERE m.vec_id < 100), " +
+       "sdt AS (SELECT DISTINCT x.vec_id AS a_id FROM embeddings x " +
+       "JOIN embeddings y ON y.vec_id < x.vec_id WHERE x.vec_id < 100 AND " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 >= 0.4), " +
+       "sdm AS (SELECT (SELECT count(*) FROM sdk) AS n_probes, " +
+       "(SELECT count(*) FROM sdt) AS n_truth, " +
+       "(SELECT count(*) FROM sdk WHERE keep = 0) AS n_pred, " +
+       "(SELECT count(*) FROM sdk JOIN sdt ON sdt.a_id = sdk.vec_id " +
+       "WHERE keep = 0) AS n_hit) " +
+       "SELECT n_probes, n_truth, n_pred, n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+       "CASE WHEN n_pred = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_pred END AS precision_micro " +
+       "FROM sdm"),
     // trained-index search: the sim_ivf_topk probe/home/cap composition
     // over the TRAINED cells (tc/s2 as in sim_ivf_assign_trained)
     "sim_ivf_topk_trained" ->
@@ -2499,6 +2551,27 @@ object Similarity {
        "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro " +
        "FROM cm"))
+
+  /** The dedup_semantic oracle's chain (trained cells → home assignment
+    * `m` → within-cell pairs `p` → smaller-id dup counts `d`) — ONE
+    * definition shared by dedup_semantic and dedup_semantic_eval, the
+    * same single-source rule as knnMutualCteSql. Composes ivfTrainCte
+    * (names tc/s2/home/m/p/d claimed). */
+  private def semanticCellCte: String =
+    s"$ivfTrainCte, " +
+    "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
+    "s2 AS (SELECT e.vec_id, t.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN tc t), " +
+    "home AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+    "FROM s2) WHERE rn = 1), " +
+    "m AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e " +
+    "JOIN home h ON e.vec_id = h.vec_id), " +
+    "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM m x JOIN m y ON x.cell = y.cell AND x.vec_id < y.vec_id), " +
+    "d AS (SELECT b_id, count(*) AS n FROM p WHERE sim >= 0.4 GROUP BY b_id)"
 
   /** nprobe-sweep oracle: probe-side ranks to 4 cells over the 100-probe
     * sample, home-cell index capped identically to ivfTopKCteSql's `bc`,
