@@ -896,6 +896,62 @@ object Similarity {
         (coalesce(col("n_dups_smaller"), lit(0L)) === 0).cast("int").as("keep"))
   }
 
+  /** Matryoshka (MRL-style) prefix-truncation recall — the dimension-
+    * adaptive serving trick (Kusupati et al., "Matryoshka Representation
+    * Learning", NeurIPS'22): rank with only the FIRST 16 of 64 dims
+    * (4× less memory bandwidth and ADC work; no re-encoding, unlike
+    * [[randProj]]'s learned-free JL mix or [[quantize]]'s int8 codes —
+    * the prefix IS the compressed vector) and measure top-3 recall vs
+    * the full-dimension exact ground truth on the fixed probe sample.
+    * Same probe-bounded brute-force shape as the other recall harnesses;
+    * prefix cosine is dot/(√n2·√qn2) with BOTH factors computed the
+    * identical way in the oracle (no list_cosine_similarity on the
+    * prefix — the denominators must be the same doubles). Synthetic
+    * embeddings are NOT MRL-trained, so this measures the untrained
+    * floor — the harness exists so a trained checkpoint's gain is
+    * measurable, same contract as the IVF recall cliff. */
+  def matryoshkaRecallEval(spark: SparkSession, dir: String,
+                           probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pre = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, 16).as("pv"))
+      .withColumn("pn2", dotCols(col("pv"), col("pv")))
+    val qp = pre.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("pv").as("qpv"),
+              col("pn2").as("qpn2"))
+    val wP = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val approx = fanOut(pre).crossJoin(broadcast(qp))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        when(col("pn2") === 0.0 || col("qpn2") === 0.0, lit(-2.0))
+          .otherwise(Num.rnd(dotCols(col("pv"), col("qpv")) /
+                       (sqrt(col("pn2")) * sqrt(col("qpn2"))), 6)).as("sim"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val truth = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        Num.rnd(dotCols(col("embedding"), col("qv")) /
+                  (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val hit = truth.join(approx, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+             "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"))
+  }
+
   /** Semantic-dedup recall eval — the FOURTH eval harness (sketch:
     * [[Dedup.minhashEval]]; index: [[ivfRecallEval]]/[[nprobeSweep]];
     * compression: [[int8RecallEval]]; this one: the DEDUP DECISION).
@@ -1871,6 +1927,7 @@ object Similarity {
     "emb_sign_recall"  -> ((s, d) => signRecallEval(s, d)),
     "emb_rand_proj"    -> randProj _,
     "sim_jl_recall"    -> ((s, d) => jlRecallEval(s, d)),
+    "emb_matryoshka_recall" -> ((s, d) => matryoshkaRecallEval(s, d)),
     "sim_ivf_train"    -> ivfTrain _,
     "sim_ivf_train_iter" -> ivfTrainIter _,
     "sim_ivf_train_hist" -> ivfTrainHist _,
@@ -2488,6 +2545,37 @@ object Similarity {
       (s"WITH $jlCteSql " +
        "SELECT vec_id, CAST(t.k AS INTEGER) AS k, jl[t.k + 1] AS p_micro " +
        "FROM jlw, UNNEST(range(0, 16)) AS t(k)"),
+    // mk-prefixed CTEs; prefix [1:16] and denominators mirror
+    // matryoshkaRecallEval term for term (NOT list_cosine_similarity on
+    // the prefix — both engines must build the same doubles)
+    "emb_matryoshka_recall" ->
+      ("WITH mkn AS (SELECT vec_id, embedding[1:16] AS pv, " +
+       "list_dot_product(embedding[1:16]::DOUBLE[], embedding[1:16]::DOUBLE[]) AS pn2 " +
+       "FROM embeddings), " +
+       "mkq AS (SELECT vec_id AS a_id, pv AS qpv, pn2 AS qpn2 FROM mkn " +
+       "WHERE vec_id < 100), " +
+       "mks AS (SELECT q.a_id, x.vec_id AS b_id, " +
+       "CASE WHEN x.pn2 = 0 OR q.qpn2 = 0 THEN -2.0 ELSE " +
+       "round((list_dot_product(x.pv::DOUBLE[], q.qpv::DOUBLE[]) / " +
+       "(sqrt(x.pn2) * sqrt(q.qpn2))) * 1e6) / 1e6 END AS sim " +
+       "FROM mkn x CROSS JOIN mkq q WHERE x.vec_id <> q.a_id), " +
+       "mkap AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM mks) t WHERE rn <= 3), " +
+       "mkts AS (SELECT q.vec_id AS a_id, x.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+       "q.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings q ON x.vec_id <> q.vec_id " +
+       "WHERE q.vec_id < 100), " +
+       "mktr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM mkts) t WHERE rn <= 3), " +
+       "mkh AS (SELECT a_id, b_id FROM mktr JOIN mkap USING (a_id, b_id)) " +
+       "SELECT (SELECT count(*) FROM mktr) AS n_truth, " +
+       "(SELECT count(*) FROM mkh) AS n_hit, " +
+       "CASE WHEN (SELECT count(*) FROM mktr) = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE ((SELECT count(*) FROM mkh) * CAST(1000000 AS BIGINT)) " +
+       "// (SELECT count(*) FROM mktr) END AS recall_micro"),
     "sim_jl_recall" ->
       (s"WITH $jlCteSql, " +
        "jln AS (SELECT vec_id, jl, " +
