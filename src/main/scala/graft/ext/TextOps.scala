@@ -574,6 +574,46 @@ object TextOps {
       .withColumn("seq_id", floor(col("start_off") / seqLen).cast("long"))
   }
 
+  /** Packing-efficiency report over candidate context lengths — the
+    * planning table consulted BEFORE committing to a sequence length:
+    * for L ∈ {256, 512, 1024}, how many packed sequences does each
+    * source yield under [[pack]]'s concatenation scheme, how many
+    * tokens pad the final partial sequence (tail waste), and how many
+    * documents straddle a sequence boundary (split docs lose cross-
+    * boundary attention — the packing quality number concat-style
+    * pretraining tracks). Reuses pack's per-source cumulative offsets:
+    * ONE window pass shared by all three lengths, then |sources|×3
+    * output rows at any corpus scale. ALL-INTEGER (non-negative floor
+    * division only). */
+  def packReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_off", coalesce(sum("n_tok").over(w), lit(0L)))
+    Seq(256, 512, 1024).map { l =>
+      base
+        .withColumn("is_split",
+          when(col("n_tok") > 0 &&
+               expr(s"(start_off + n_tok - 1) div $l") =!=
+                 expr(s"start_off div $l"), 1L).otherwise(0L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tok").as("n_tokens"),
+             sum("is_split").as("n_split"))
+        .select(col("source"), lit(l).as("seq_len"), col("n_docs"),
+                col("n_tokens"),
+                expr(s"(n_tokens + $l - 1) div $l").as("n_seqs"),
+                expr(s"((n_tokens + $l - 1) div $l) * $l - n_tokens")
+                  .as("tail_waste"),
+                col("n_split"),
+                expr("CASE WHEN n_docs > 0 THEN n_split * 1000000 div n_docs " +
+                     "ELSE CAST(0 AS BIGINT) END").as("split_micro"))
+    }.reduce(_ unionByName _).orderBy("source", "seq_len")
+  }
+
   /** Temperature resampling across sources — the p^α rebalancing a
     * multilingual/multi-domain pipeline applies so high-resource sources
     * don't drown low-resource ones (α = 0.5 here): per-source quota
@@ -1434,6 +1474,7 @@ object TextOps {
     "corpus_mixture_apply" -> mixtureApply _,
     "text_ks_drift"      -> ksDrift _,
     "text_pack"        -> ((s, d) => pack(s, d)),
+    "corpus_pack_report" -> packReport _,
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "text_pii_scan"    -> piiScan _,
     "text_chunk"       -> ((s, d) => chunk(s, d)),
@@ -1737,6 +1778,28 @@ object TextOps {
        "PARTITION BY source ORDER BY doc_id " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
        "AS start_off FROM documents) t"),
+    // shares text_pack's cumulative-offset form; candidate lengths
+    // {256,512,1024} mirror packReport literally — lockstep
+    "corpus_pack_report" ->
+      ("WITH pkb AS (SELECT doc_id, source, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "CAST(coalesce(sum(len(string_split(text, ' '))) OVER (" +
+       "PARTITION BY source ORDER BY doc_id " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+       "AS start_off FROM documents), " +
+       "pkl AS (SELECT unnest([256, 512, 1024]) AS seq_len), " +
+       "pka AS (SELECT source, seq_len, count(*) AS n_docs, " +
+       "CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+       "CAST(sum(CASE WHEN n_tok > 0 AND " +
+       "(start_off + n_tok - 1) // seq_len <> start_off // seq_len " +
+       "THEN 1 ELSE 0 END) AS BIGINT) AS n_split " +
+       "FROM pkb CROSS JOIN pkl GROUP BY source, seq_len) " +
+       "SELECT source, CAST(seq_len AS INTEGER) AS seq_len, n_docs, n_tokens, " +
+       "(n_tokens + seq_len - 1) // seq_len AS n_seqs, " +
+       "((n_tokens + seq_len - 1) // seq_len) * seq_len - n_tokens AS tail_waste, " +
+       "n_split, " +
+       "CASE WHEN n_docs > 0 THEN n_split * 1000000 // n_docs " +
+       "ELSE CAST(0 AS BIGINT) END AS split_micro FROM pka"),
     "text_contamination" ->
       s"WITH $contaminationCteSql SELECT doc_id, n_sh, n_hit, contam_pct FROM ctm",
     "text_pii_scan" ->
