@@ -429,6 +429,64 @@ object Dedup {
     out
   }
 
+  /** Banding-configuration sweep — the minhash analog of Similarity's
+    * nprobe sweep: for (bands, rows) ∈ {(4,8), (8,4), (16,2)}
+    * partitions of the SAME 32-hash signatures, candidate volume and
+    * screen recall/precision vs exact-Jaccard(≥1/2) ground truth on
+    * the [[minhashEval]] probe sample. The S-curve
+    * p(candidate | J) = 1−(1−J^r)^b says few wide bands screen sharply
+    * (high precision, recall cliff) while many narrow bands catch
+    * borderline pairs at the cost of candidate volume — this table
+    * puts engine-exact numbers on the trade before anyone changes the
+    * production 8×4. Signatures computed ONCE (the sweep re-folds 32
+    * already-computed mins, it never re-shingles); the (8,4) row
+    * reproduces [[minhashEval]] exactly (BandSweepSpec pins it). */
+  def bandSweep(spark: SparkSession, dir: String, evalN: Long = 200): DataFrame =
+    bandSweepOf(Tables.documents(spark, dir).filter(col("doc_id") < evalN))
+
+  private[graft] def bandSweepOf(sample: DataFrame): DataFrame = {
+    val grp = shingleGroups(sample, 3).persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = hsOf(grp).localCheckpoint()
+    val sigs = sigsOf(hs).localCheckpoint()
+    val candAll = hs.select(col("doc_id").as("a_id"), col("h"))
+      .join(hs.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val truth = confirmJaccard(candAll, hs, 1, 2)
+      .select("a_id", "b_id").localCheckpoint()
+    val out = Seq(4, 8, 16).map { nb =>
+      val rpb = NumHashes / nb
+      val bandStructs = array((0 until nb).map { bId =>
+        val cols = (0 until rpb).map(r => col(s"h${bId * rpb + r}"))
+        struct(lit(bId).as("band"), bandFold(1000L + bId, cols).as("bh"))
+      }: _*)
+      val bands = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+              Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val hit = truth.join(cand, Seq("a_id", "b_id"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(nb).as("n_bands"), lit(rpb).as("rows_per_band"),
+                col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+            "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+            .as("recall_micro"),
+          expr("CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_cand END")
+            .as("precision_micro"))
+    }.reduce(_ unionByName _).orderBy("n_bands").localCheckpoint()
+    grp.unpersist()
+    // the sweep's working frames are dead once the 3-row result lands
+    Seq(hs, sigs, truth).foreach(f =>
+      org.apache.spark.sql.GraftSql.checkpointRdd(f).foreach(_.unpersist(false)))
+    out
+  }
+
   private[graft] def incMinhashScreen(corpusHs: DataFrame,
                                       corpusBands: DataFrame,
                                       batchDocs: DataFrame): DataFrame = {
@@ -915,6 +973,7 @@ object Dedup {
     "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_minhash_eval"  -> ((s, d) => minhashEval(s, d)),
+    "dedup_band_sweep"    -> ((s, d) => bandSweep(s, d)),
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _)
 
@@ -1038,6 +1097,51 @@ object Dedup {
     * from the exact-Jaccard confirm over shared-shingle pairs, metrics
     * as floor-divided micro-units (all counts non-negative, so DuckDB
     * `//` and Spark `div` agree). */
+  /** Parametrized band CTE for the sweep oracle: `nb` bands over the
+    * same 32 signatures, same per-band seeds as [[bandsSqlFor]]. */
+  private def bandsSweepSqlFor(pfx: String, nb: Int): String = {
+    val rpb = NumHashes / nb
+    val bandSelects = (0 until nb).map { bId =>
+      val hsNames = (0 until rpb).map(r => s"h${bId * rpb + r}")
+      s"SELECT doc_id, $bId AS band, ${bandFoldSql(1000L + bId, hsNames)} AS bh " +
+        s"FROM ${pfx}sig"
+    }.mkString(" UNION ALL ")
+    s"${pfx}bands$nb AS ($bandSelects)"
+  }
+
+  /** Band-sweep oracle: the minhashEval truth chain plus one candidate
+    * CTE per configuration, unioned metric rows — constants {4,8,16}
+    * and the probe literal mirror [[bandSweep]] in lockstep. */
+  private def bandSweepOracleSql: String = {
+    def cfg(nb: Int): String =
+      s"ecand$nb AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id " +
+      s"FROM ebands$nb x JOIN ebands$nb y " +
+      "ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id), " +
+      s"ehit$nb AS (SELECT a_id, b_id FROM etr JOIN ecand$nb USING (a_id, b_id))"
+    def row(nb: Int): String =
+      s"SELECT CAST($nb AS INTEGER) AS n_bands, " +
+      s"CAST(${NumHashes / nb} AS INTEGER) AS rows_per_band, " +
+      "(SELECT count(*) FROM etr) AS n_truth, " +
+      s"(SELECT count(*) FROM ecand$nb) AS n_cand, " +
+      s"(SELECT count(*) FROM ehit$nb) AS n_hit, " +
+      "CASE WHEN (SELECT count(*) FROM etr) = 0 THEN CAST(1000000 AS BIGINT) " +
+      s"ELSE ((SELECT count(*) FROM ehit$nb) * CAST(1000000 AS BIGINT)) " +
+      "// (SELECT count(*) FROM etr) END AS recall_micro, " +
+      s"CASE WHEN (SELECT count(*) FROM ecand$nb) = 0 THEN CAST(0 AS BIGINT) " +
+      s"ELSE ((SELECT count(*) FROM ehit$nb) * CAST(1000000 AS BIGINT)) " +
+      s"// (SELECT count(*) FROM ecand$nb) END AS precision_micro"
+    s"WITH ${shingleCteFor(3, "e", "WHERE doc_id < 200")}, ${sigCteFor("e")}, " +
+    Seq(4, 8, 16).map(nb => bandsSweepSqlFor("e", nb)).mkString(", ") + ", " +
+    "esz AS (SELECT doc_id, count(*) AS sz FROM ehs GROUP BY doc_id), " +
+    "eit AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+    "FROM ehs x JOIN ehs y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+    "etr AS (SELECT a_id, b_id FROM eit " +
+    "JOIN esz sa ON sa.doc_id = a_id JOIN esz sb ON sb.doc_id = b_id " +
+    "WHERE inter * 2 >= sa.sz + sb.sz - inter), " +
+    Seq(4, 8, 16).map(cfg).mkString(", ") + " " +
+    Seq(4, 8, 16).map(row).mkString(" UNION ALL ") + " ORDER BY n_bands"
+  }
+
   private def minhashEvalOracleSql: String =
     s"WITH ${shingleCteFor(3, "e", "WHERE doc_id < 200")}, ${bandsSqlFor("e")}, " +
     "esz AS (SELECT doc_id, count(*) AS sz FROM ehs GROUP BY doc_id), " +
@@ -1182,6 +1286,7 @@ object Dedup {
        "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"),
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_minhash_eval" -> minhashEvalOracleSql,
+    "dedup_band_sweep" -> bandSweepOracleSql,
     "dedup_incremental_minhash" -> incMinhashOracleSql,
     // the disk-index screen computes the identical result — same oracle
     "dedup_index_persist" -> incMinhashOracleSql,
