@@ -59,6 +59,36 @@ object TimeOps {
               col("low_v"), col("high_v"), col("vol_v"))
   }
 
+  /** 8-lag exponentially-weighted moving average of the hourly event
+    * rate (α = 1/2) with a burst flag — the smoothing baseline an
+    * alerting pipeline keeps per series. An EWMA recurrence is
+    * sequential, but with α = 1/2 the truncated expansion's weights
+    * 2^-i are BINARY-EXACT doubles, so the fixed 8-term weighted sum is
+    * an exact-arithmetic expression tree both engines evaluate
+    * identically (every product exact, +//> IEEE exact-rounded, same
+    * left-assoc order) — no float discipline needed beyond the final
+    * 4-dp round; the truncation bias is the documented contract (≤2^-8
+    * of mass), not an approximation left to chance. One lag window per
+    * event_type over the |types|×|hours| hourly frame. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val terms = col("c").cast("double") +:
+      (1 until 8).map(i =>
+        coalesce(lag(col("c"), i).over(w), lit(0L)).cast("double") *
+          lit(1.0 / (1L << i)))
+    val num = terms.reduce(_ + _)
+    hourly
+      .withColumn("ewm", Num.rnd(num / lit(255.0 / 128.0), 4))
+      .withColumn("burst",
+        (col("c").cast("double") > col("ewm") * 2).cast("int"))
+      .select(col("event_type"), date_format(col("h"), fmt).as("h"),
+              col("c"), col("ewm"), col("burst"))
+  }
+
   /** Sliding 2-hour windows every 1 hour (each event in 2 windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -319,6 +349,7 @@ object TimeOps {
     "time_gap_fill"      -> gapFill _,
     "time_tumbling"      -> tumbling _,
     "time_ohlc"          -> ohlc _,
+    "time_ewma"          -> ewma _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
@@ -373,6 +404,24 @@ object TimeOps {
        "SELECT v.event_type, strftime(v.d, '%Y-%m-%d %H:%M:%S') AS d, " +
        "v.x, v.med, a.mad, CAST(v.dev > a.mad * 3 AS INTEGER) AS is_outlier " +
        "FROM mdv v JOIN mda a USING (event_type) ORDER BY v.event_type, d"),
+    // every weight literal CAST to DOUBLE (DuckDB fractional literals
+    // are DECIMAL — exact-decimal products would diverge from Spark's
+    // doubles); weights 2^-i and the 255/128 normalizer are binary-
+    // exact, term order mirrors the Spark left-assoc reduce
+    "time_ewma" ->
+      ("WITH ewh AS (SELECT date_trunc('hour', ts) AS h, event_type, " +
+       "count(*) AS c FROM events GROUP BY 1, 2), " +
+       "ewl AS (SELECT event_type, h, c, CAST(c AS DOUBLE)" +
+       (1 until 8).map(i =>
+         s" + CAST(coalesce(lag(c, $i) OVER w, 0) AS DOUBLE) * " +
+         s"CAST(${1.0 / (1L << i)} AS DOUBLE)").mkString +
+       " AS num FROM ewh " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY h)) " +
+       "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h, c, " +
+       "round((num / CAST(1.9921875 AS DOUBLE)) * 1e4) / 1e4 AS ewm, " +
+       "CAST(CAST(c AS DOUBLE) > " +
+       "(round((num / CAST(1.9921875 AS DOUBLE)) * 1e4) / 1e4) * 2 " +
+       "AS INTEGER) AS burst FROM ewl"),
     "time_ohlc" ->
       ("WITH oe AS (SELECT event_type, date_trunc('hour', ts) AS h, ts, " +
        "event_id, value FROM events), " +
