@@ -253,7 +253,7 @@ object Dedup {
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val split =
-      CountMemo.get(spark, dir, "documents")(docs.count()) / 2
+      incSplit(CountMemo.get(spark, dir, "documents")(docs.count()))
     val matches = jaccardPairs(spark, dir)
       // pairs are ordered a < b, and corpus ids all precede batch ids,
       // so cross pairs are exactly (a = corpus, b = batch)
@@ -282,8 +282,14 @@ object Dedup {
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len($e)+1), " +
     s"i -> CAST(ascii(($e)[i]) AS BIGINT)), (a,b) -> (a*$base + b) % $m)"
 
-  private val NumHashes = 32
-  private val Bands = 8
+  /** Corpus/batch split row for the incremental family: first half =
+    * persisted corpus, second half = today's batch. MUST yield 250 at
+    * the sf0.01 regime (n=500) — the constant the static oracles encode
+    * (CLAUDE.md "Adaptive index sizing"); RegimeConstantsSpec pins it. */
+  private[graft] def incSplit(n: Long): Long = n / 2
+
+  private[graft] val NumHashes = 32
+  private[graft] val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
   /** Deterministic permutation constants (emitted as identical literals
@@ -554,8 +560,8 @@ object Dedup {
   def incrementalMinhash(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((spark, dir, "incmh"), {
       val split =
-        CountMemo.get(spark, dir, "documents")(
-          Tables.documents(spark, dir).count()) / 2
+        incSplit(CountMemo.get(spark, dir, "documents")(
+          Tables.documents(spark, dir).count()))
       val (hs, bands) = corpusMinhashIndex(spark, dir, split)
       incMinhashScreen(hs, bands,
         Tables.documents(spark, dir).filter(col("doc_id") >= split))
@@ -579,8 +585,8 @@ object Dedup {
   def indexPersistScreen(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((spark, dir, "idxpersist"), {
       val split =
-        CountMemo.get(spark, dir, "documents")(
-          Tables.documents(spark, dir).count()) / 2
+        incSplit(CountMemo.get(spark, dir, "documents")(
+          Tables.documents(spark, dir).count()))
       val (hs, bands) = corpusMinhashIndex(spark, dir, split)
       val bandsPath = Tables.scratch("mh_index_bands")
       bands.write.mode("overwrite").partitionBy("band").parquet(bandsPath)

@@ -282,6 +282,14 @@ object Graph {
         labels = mat.select("vec_id", "comp")
         rounds += 1
       }
+      // Non-convergence must fail loudly, not return silently-wrong
+      // labels that diverge from the recursive-closure oracle: with
+      // pointer jumping, label reach doubles per round, so 30 rounds
+      // cover any component ≤ 2^30 nodes — hitting the cap unconverged
+      // means a bug, not a big graph.
+      require(changed == 0,
+        s"components(): hash-min loop hit the $rounds-round cap with " +
+        s"$changed labels still changing — unconverged labels would be wrong")
       edges.unpersist()
       labels
     })

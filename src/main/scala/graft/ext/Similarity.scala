@@ -440,8 +440,13 @@ object Similarity {
       .withColumn("rn", row_number().over(wr))
       .filter(col("rn") <= 3)
       .select("a_id", "b_id")
+      // The k-loop below takes ~6 actions over these two frames; without
+      // materialization each action re-runs the corpus×probe crossJoin.
+      // Mirror bandSweepOf: checkpoint once, let every branch reuse it.
+      .localCheckpoint()
+    val candCk = cand.localCheckpoint()
     Seq(1, 2, 4).map { k =>
-      val ck = cand.filter(col("prn") <= k)
+      val ck = candCk.filter(col("prn") <= k)
       val scr = ck.withColumn("rn", row_number().over(wr))
         .filter(col("rn") <= 3).select("a_id", "b_id")
       exact.agg(count(lit(1)).as("n_truth"))

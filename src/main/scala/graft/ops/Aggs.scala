@@ -284,7 +284,7 @@ object Aggs {
     "q1_agg"            -> q1Agg _)
 
   val oracle: Map[String, String] = Map(
-    // bucket arithmetic (round·100 µ-units, bin() bit length, top-3-bit
+    // bucket arithmetic (round·100 µ-units, bin() bit length, top-4-bit
     // shifts, 100·cum ≥ q·n rank rule) mirrors histQuantile literally —
     // lockstep only; bin()/length are BIGINT in DuckDB → cast
     "agg_hist_quantile" ->

@@ -33,9 +33,28 @@ object EventStream {
     * whatever the driver's testdata encoding. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val atRest = spark.read.parquet(dir).schema
+    val atRest =
+      try spark.read.parquet(dir).schema
+      catch {
+        // Stream-first deployment: the directory may be empty (no parquet
+        // yet) when the stream starts. Fall back to the documented events
+        // shape with session-TZ ts — the encoding every normalizeTs branch
+        // converges to — so the stream can start before the first file.
+        case _: org.apache.spark.sql.AnalysisException => defaultEventsSchema
+      }
     graft.Tables.normalizeTs(spark.readStream.schema(atRest).parquet(dir))
   }
+
+  /** At-rest fallback schema for an empty stream directory (TESTDATA.md
+    * events shape; ts as session-TZ TimestampType = normalizeTs's fixed
+    * point, so files later arriving in that encoding bind directly). */
+  private[streaming] val defaultEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** Tumbling 1-hour windowed aggregation with a 10-minute watermark:
     * late data beyond the watermark is dropped; state is evicted once
