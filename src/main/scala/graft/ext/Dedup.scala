@@ -927,9 +927,11 @@ object Dedup {
     * the string key keeps the oracle exact here. Never all-pairs: the
     * duplicated-gram set is |distinct grams| and the coverage union is
     * |duplicated starts| rows partitioned by doc. */
-  def substrCross(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
+  /** Duplicated-window start positions (doc_id, p): every 1-based token
+    * position whose [[SubstrW]]-gram occurs verbatim in ≥2 documents.
+    * Shared base of [[substrCross]] (coverage measure) and
+    * [[substrExcise]] (span removal apply). */
+  private def dupWindowStarts(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= SubstrW)
@@ -942,10 +944,15 @@ object Dedup {
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
       .select("g")
+    grams.join(dupG, Seq("g")).select("doc_id", "p")
+  }
+
+  def substrCross(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
     val w = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cov = grams.join(dupG, Seq("g"))
-      .select("doc_id", "p")
+    val cov = dupWindowStarts(docs)
       .withColumn("prev_end", max(col("p") + lit(SubstrW.toLong)).over(w))
       .select(col("doc_id"),
         greatest(lit(0L), (col("p") + lit(SubstrW.toLong)) -
@@ -962,8 +969,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Span-excision APPLY — completes [[substrCross]]'s measure half the
+    * way IVF train→search and BPE merges→apply pair up (round-9 verdict
+    * item 3, per Lee et al.'s actual dedup policy: CUT the duplicated
+    * spans, keep the rest): per document, the kept token intervals after
+    * removing every token covered by a cross-document duplicated
+    * [[SubstrW]]-window. Output is one row per kept interval with
+    * integer 1-based offsets `[keep_start, keep_end)` — the form a
+    * downstream rewrite joins back on to slice text, and the
+    * oracle-friendly form (no string surgery to diverge on).
+    *
+    * Plan: duplicated starts → gaps-and-islands interval union (running
+    * max break-flag + prefix-sum island id, two window passes over the
+    * SAME (doc_id, p) partitioning = one shuffle) → covered islands →
+    * complement against [1, n_tokens+1). All integer; kept-token total
+    * per doc equals n_tokens − n_covered from [[substrCross]] (pinned by
+    * SubstrExciseSpec). Scale: state is |duplicated starts| rows
+    * partitioned by doc — never corpus×corpus. */
+  def substrExcise(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+    val cov = dupWindowStarts(docs)
+      .withColumn("prev_end", max(col("p") + lit(SubstrW.toLong)).over(wPrev))
+      .withColumn("brk",
+        when(col("p") > coalesce(col("prev_end"), lit(-1L)), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("isl", sum("brk").over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg(min("p").as("cs"), max(col("p") + lit(SubstrW.toLong)).as("ce"))
+    val nt = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val wCs = Window.partitionBy("doc_id").orderBy("cs")
+    // kept = gaps before each covered island + the tail + whole-doc rows
+    // for documents with no duplicated span at all
+    val between = cov
+      .withColumn("ks", coalesce(lag("ce", 1).over(wCs), lit(1L)))
+      .select(col("doc_id"), col("ks"), col("cs").as("ke"))
+    val trailing = cov.groupBy("doc_id").agg(max("ce").as("ks"))
+      .join(nt, Seq("doc_id"))
+      .select(col("doc_id"), col("ks"), (col("n") + lit(1L)).as("ke"))
+    val untouched = nt
+      .join(cov.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("ks"), (col("n") + lit(1L)).as("ke"))
+    between.union(trailing).union(untouched)
+      .filter(col("ks") < col("ke"))
+      .select(col("doc_id"), col("ks").as("keep_start"),
+              col("ke").as("keep_end"),
+              (col("ke") - col("ks")).as("n_keep"))
+      .orderBy("doc_id", "keep_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substr_cross"  -> substrCross _,
+    "dedup_substr_excise" -> substrExcise _,
     "dedup_cluster_stats" -> clusterStats _,
     "corpus_split_safe"   -> splitSafe _,
     "dedup_sketch_merge"  -> sketchMerge _,
@@ -1228,18 +1289,24 @@ object Dedup {
     "AND a.doc_id < b.doc_id) " +
     s"SELECT a_id, b_id, hamming FROM p WHERE hamming <= $MaxHamming"
 
+  /** Duplicated-window starts chain (xgt/xg/xd/xs) — the DuckDB mirror
+    * of [[dupWindowStarts]]; composed by BOTH substr oracles (lockstep
+    * with the Spark shared base; xg-prefixed names disjoint from the
+    * shingle chains per the CTE-namespace rule). */
+  private def substrStartsCteSql: String =
+    "xgt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    "xg AS (SELECT doc_id, CAST(i AS BIGINT) AS p, " +
+    "array_to_string(t[i:i+4], ' ') AS g " +
+    "FROM xgt, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5), " +
+    "xd AS (SELECT g FROM xg GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
+    "xs AS (SELECT xg.doc_id, xg.p FROM xg JOIN xd USING (g))"
+
   val oracle: Map[String, String] = Map(
     // interval-union coverage: running max of exclusive interval ends
     // over the PRECEDING frame mirrors substrCross's window; all
-    // operands non-negative so // and div agree (xg-prefixed CTE names —
-    // disjoint from the shingle chains per the CTE-namespace rule)
+    // operands non-negative so // and div agree
     "dedup_substr_cross" ->
-      ("WITH xgt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-       "xg AS (SELECT doc_id, CAST(i AS BIGINT) AS p, " +
-       "array_to_string(t[i:i+4], ' ') AS g " +
-       "FROM xgt, UNNEST(range(1, len(t) - 3)) AS u(i) WHERE len(t) >= 5), " +
-       "xd AS (SELECT g FROM xg GROUP BY g HAVING count(DISTINCT doc_id) >= 2), " +
-       "xs AS (SELECT xg.doc_id, xg.p FROM xg JOIN xd USING (g)), " +
+      (s"WITH $substrStartsCteSql, " +
        "xi AS (SELECT doc_id, greatest(0, (p + 5) - greatest(coalesce(" +
        "max(p + 5) OVER (PARTITION BY doc_id ORDER BY p " +
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), p), p)) AS a " +
@@ -1252,6 +1319,34 @@ object Dedup {
        "ELSE (CAST(coalesce(xc.n_covered, 0) AS BIGINT) * CAST(1000000 AS BIGINT)) " +
        "// CAST(len(string_split(d.text, ' ')) AS BIGINT) END AS dup_frac_micro " +
        "FROM documents d LEFT JOIN xc ON d.doc_id = xc.doc_id ORDER BY d.doc_id"),
+    // excise apply: same xs starts → gaps-and-islands union (break flag
+    // on running max of prior ends, prefix-sum island id) → complement
+    // against [1, n+1). All-BIGINT; branch 2's max(n.n) is constant per
+    // doc (n is functionally dependent on doc_id through the join)
+    "dedup_substr_excise" ->
+      (s"WITH $substrStartsCteSql, " +
+       "xb AS (SELECT doc_id, p, CASE WHEN p > coalesce(max(p + 5) OVER " +
+       "(PARTITION BY doc_id ORDER BY p " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+       "CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS brk FROM xs), " +
+       "xl AS (SELECT doc_id, p, sum(brk) OVER " +
+       "(PARTITION BY doc_id ORDER BY p) AS isl FROM xb), " +
+       "xcov AS (SELECT doc_id, isl, min(p) AS cs, max(p + 5) AS ce " +
+       "FROM xl GROUP BY doc_id, isl), " +
+       "xnt AS (SELECT doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents), " +
+       "xk AS (" +
+       "SELECT doc_id, coalesce(lag(ce) OVER (PARTITION BY doc_id " +
+       "ORDER BY cs), CAST(1 AS BIGINT)) AS ks, cs AS ke FROM xcov " +
+       "UNION ALL " +
+       "SELECT c.doc_id, max(c.ce) AS ks, max(n.n) + 1 AS ke " +
+       "FROM xcov c JOIN xnt n ON c.doc_id = n.doc_id GROUP BY c.doc_id " +
+       "UNION ALL " +
+       "SELECT n.doc_id, CAST(1 AS BIGINT) AS ks, n.n + 1 AS ke " +
+       "FROM xnt n WHERE n.doc_id NOT IN (SELECT doc_id FROM xcov)) " +
+       "SELECT doc_id, ks AS keep_start, ke AS keep_end, " +
+       "ke - ks AS n_keep FROM xk WHERE ks < ke " +
+       "ORDER BY doc_id, keep_start"),
     "dedup_fuzzy" ->
       ("WITH nm AS (SELECT p_name AS name, count(*) AS n_rows, " +
        "split_part(p_name, ' ', 2) AS blk FROM part GROUP BY p_name) " +

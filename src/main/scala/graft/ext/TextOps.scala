@@ -783,6 +783,73 @@ object TextOps {
               (col("score") > 0).cast("int").as("keep"))
   }
 
+  /** Quality-classifier TRAINING half (round-9 verdict item 4) — closes
+    * the last train→apply gap in the curation stack (IVF train→search,
+    * BPE merges→apply precedents): learn the 64-bucket hashed-feature
+    * weight table in-plan as closed-form Naive Bayes log-odds,
+    *   w_b = ln(n_pos_b + 1) − ln(tp + 64) − ln(n_neg_b + 1) + ln(tn + 64),
+    * on a deterministic heuristic-labeled seed (label = [[gopherGates]]'
+    * `gopher_ok` — the standard bootstrap: heuristic gates label the
+    * seed, the learned model generalizes). Feature space is EXACTLY
+    * [[qualityModel]]'s (PolyHashMod(tok,31,1e9+7) mod 64), so the
+    * learned table is drop-in for the same scorer shape.
+    *
+    * Float discipline (CLAUDE.md ln rule): each ln is rounded at 6 dp
+    * INDEPENDENTLY on both engines and stored as integer micro-nats;
+    * the log-odds is then exact BIGINT arithmetic — no raw ln products
+    * cross an engine boundary. Scale: one corpus pass (hash per token
+    * occurrence, codegen'd), ONE groupBy(bucket) with partial agg;
+    * model state is 64 rows at any corpus size. */
+  def qualityTrain(spark: SparkSession, dir: String): DataFrame = {
+    val P1 = 1000000007L
+    val lab = gopherGates(spark, dir).select(col("doc_id"), col("gopher_ok").as("y"))
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.PolyHashMod.col(col("tok"), 31L, P1) % 64).as("b"))
+    val cnt = occ.join(lab, Seq("doc_id"))
+      .groupBy("b")
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+           sum(when(col("y") === 0, 1L).otherwise(0L)).as("n_neg"))
+    // scaffold: all 64 buckets present even if unobserved (the model
+    // table contract — apply joins must never miss)
+    val full = spark.range(64).select(col("id").as("bucket"))
+      .join(cnt.withColumnRenamed("b", "bucket"), Seq("bucket"), "left")
+      .select(col("bucket"),
+              coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+              coalesce(col("n_neg"), lit(0L)).as("n_neg"))
+    val tot = full.agg(sum("n_pos").as("tp"), sum("n_neg").as("tn"))
+    def lnMicro(c: Column): Column =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    full.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        (lnMicro(col("n_pos") + lit(1L)) - lnMicro(col("tp") + lit(64L)) -
+         lnMicro(col("n_neg") + lit(1L)) + lnMicro(col("tn") + lit(64L)))
+          .as("w_micro"))
+      .orderBy("bucket")
+  }
+
+  /** APPLY of the learned table: score = Σ_occurrences w[bucket(tok)]
+    * via a broadcast join of the 64-row model — [[qualityModel]]'s plan
+    * with learned weights instead of the arithmetic formula. Integer
+    * micro-nat score; keep = score > 0 (log-odds vs the balanced
+    * prior). No division anywhere (a negative score through `div`
+    * would need the sign-split form — avoided entirely). */
+  def qualityScoreTrained(spark: SparkSession, dir: String): DataFrame = {
+    val P1 = 1000000007L
+    val w = qualityTrain(spark, dir).select(col("bucket"), col("w_micro"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (graft.functions.PolyHashMod.col(col("tok"), 31L, P1) % 64).as("bucket"))
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("w_micro").as("score_micro"))
+      .select(col("doc_id"), col("n_tok"), col("score_micro"),
+              (col("score_micro") > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-document duplicated-span fraction — the scalable proxy for
     * exact-substring dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): per doc, the fraction of its
@@ -1467,6 +1534,8 @@ object TextOps {
     "corpus_split"       -> corpusSplit _,
     "text_unigram_logprob" -> unigramLogprob _,
     "text_quality_model" -> qualityModel _,
+    "text_quality_train" -> qualityTrain _,
+    "text_quality_score_trained" -> qualityScoreTrained _,
     "text_dup_span_frac" -> dupSpanFrac _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
@@ -1517,6 +1586,64 @@ object TextOps {
     "FROM wnm WHERE p <= ng - 3), " +
     "wnf AS (SELECT s.doc_id, CAST(s.fp_p AS BIGINT) AS fp_p, h.h AS fp_h " +
     "FROM wns s JOIN wnh h ON s.doc_id = h.doc_id AND s.fp_p = h.p)"
+
+  /** Gopher-gate DuckDB fragments — single source for the
+    * text_gopher_gates oracle AND the NB trainer's label CTE (the
+    * round-7 shared-fragment rule: gate literals live ONCE per engine).
+    * n_tok/n_ns/n_alpha cast to INTEGER (DuckDB len/length are BIGINT
+    * where Spark size/length are INT). */
+  private def gopherMwlSql: String =
+    "CASE WHEN n_tok > 0 THEN CAST(n_ns AS BIGINT) * 100 // n_tok " +
+    "ELSE CAST(0 AS BIGINT) END"
+  private def gopherAlphaSql: String =
+    "CASE WHEN n_ns > 0 THEN CAST(n_alpha AS BIGINT) * 100 // n_ns " +
+    "ELSE CAST(0 AS BIGINT) END"
+  private def gopherCondSql: String =
+    s"n_tok BETWEEN 20 AND 100000 " +
+    s"AND ($gopherMwlSql) BETWEEN 300 AND 1000 " +
+    s"AND ($gopherAlphaSql) >= 70 " +
+    "AND n_stop >= 2"
+  private def gopherInnerSql: String =
+    "SELECT doc_id, " +
+    "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
+    "CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_ns, " +
+    "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha, " +
+    "(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) + " +
+    "(CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END) + " +
+    "(CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END) + " +
+    "(CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END) + " +
+    "(CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END) AS n_stop " +
+    "FROM documents"
+
+  /** NB-trainer CTE chain (qlab/qtk/qtb/qcnt/qfull/qtot/qw — qt/q
+    * prefix, disjoint from every other chain) — shared VERBATIM by
+    * text_quality_train and text_quality_score_trained (lockstep pair).
+    * Mirrors [[qualityTrain]]: gopher labels, PolyHashMod(31, 1e9+7)
+    * mod-64 buckets, Laplace(+1) counts over a 64-row scaffold, each ln
+    * rounded to micro-nats BEFORE the BIGINT log-odds arithmetic. */
+  private def qualityTrainCteSql: String =
+    s"qlab AS (SELECT doc_id, CAST($gopherCondSql AS INTEGER) AS y " +
+    s"FROM ($gopherInnerSql) t), " +
+    "qtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+    "qtb AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+    "list_transform(range(1, len(tok)+1), i -> CAST(ascii((tok)[i]) AS BIGINT)), " +
+    "(a,b) -> (a*31 + b) % 1000000007) % 64 AS b FROM qtk), " +
+    "qcnt AS (SELECT b, " +
+    "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+    "CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg " +
+    "FROM qtb JOIN qlab USING (doc_id) GROUP BY b), " +
+    "qfull AS (SELECT CAST(i AS BIGINT) AS bucket, " +
+    "coalesce(n_pos, CAST(0 AS BIGINT)) AS n_pos, " +
+    "coalesce(n_neg, CAST(0 AS BIGINT)) AS n_neg " +
+    "FROM UNNEST(range(0, 64)) AS u(i) LEFT JOIN qcnt ON i = b), " +
+    "qtot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp, " +
+    "CAST(sum(n_neg) AS BIGINT) AS tn FROM qfull), " +
+    "qw AS (SELECT bucket, n_pos, n_neg, " +
+    "CAST(round(ln(n_pos + 1) * 1e6) AS BIGINT) - " +
+    "CAST(round(ln(tp + 64) * 1e6) AS BIGINT) - " +
+    "CAST(round(ln(n_neg + 1) * 1e6) AS BIGINT) + " +
+    "CAST(round(ln(tn + 64) * 1e6) AS BIGINT) AS w_micro " +
+    "FROM qfull, qtot)"
 
   val oracle: Map[String, String] = Map(
     "text_winnow" ->
@@ -1897,30 +2024,26 @@ object TextOps {
        "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq " +
        "FROM documents) t"),
     // stopword list + gate constants mirror gopherGates literally —
-    // lockstep only; n_tok/n_ns/n_alpha cast to INTEGER (DuckDB len/
-    // length are BIGINT where Spark size/length are INT)
+    // lockstep only (shared fragments below also label the NB trainer)
     "text_gopher_gates" ->
-      ("SELECT doc_id, n_tok, n_ns, n_alpha, n_stop, " +
-       "CASE WHEN n_tok > 0 THEN CAST(n_ns AS BIGINT) * 100 // n_tok " +
-       "ELSE CAST(0 AS BIGINT) END AS mwl_x100, " +
-       "CASE WHEN n_ns > 0 THEN CAST(n_alpha AS BIGINT) * 100 // n_ns " +
-       "ELSE CAST(0 AS BIGINT) END AS alpha_x100, " +
-       "CAST(n_tok BETWEEN 20 AND 100000 " +
-       "AND (CASE WHEN n_tok > 0 THEN CAST(n_ns AS BIGINT) * 100 // n_tok " +
-       "ELSE CAST(0 AS BIGINT) END) BETWEEN 300 AND 1000 " +
-       "AND (CASE WHEN n_ns > 0 THEN CAST(n_alpha AS BIGINT) * 100 // n_ns " +
-       "ELSE CAST(0 AS BIGINT) END) >= 70 " +
-       "AND n_stop >= 2 AS INTEGER) AS gopher_ok FROM (" +
-       "SELECT doc_id, " +
-       "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok, " +
-       "CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_ns, " +
-       "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_alpha, " +
-       "(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) + " +
-       "(CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END) + " +
-       "(CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END) + " +
-       "(CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END) + " +
-       "(CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END) AS n_stop " +
-       "FROM documents) t"),
+      (s"SELECT doc_id, n_tok, n_ns, n_alpha, n_stop, " +
+       s"$gopherMwlSql AS mwl_x100, " +
+       s"$gopherAlphaSql AS alpha_x100, " +
+       s"CAST($gopherCondSql AS INTEGER) AS gopher_ok FROM (" +
+       s"$gopherInnerSql) t"),
+    // NB log-odds trainer: gopher labels × hashed-bucket occurrence
+    // counts; each ln independently rounded to integer micro-nats
+    // (CLAUDE.md ln rule) then exact BIGINT log-odds
+    "text_quality_train" ->
+      s"WITH $qualityTrainCteSql SELECT bucket, n_pos, n_neg, w_micro FROM qw ORDER BY bucket",
+    // apply: same bucket chain joined to the learned 64-row table
+    "text_quality_score_trained" ->
+      (s"WITH $qualityTrainCteSql, " +
+       "qsc AS (SELECT doc_id, count(*) AS n_tok, " +
+       "CAST(sum(w_micro) AS BIGINT) AS score_micro " +
+       "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id) " +
+       "SELECT doc_id, n_tok, score_micro, " +
+       "CAST(score_micro > 0 AS INTEGER) AS keep FROM qsc ORDER BY doc_id"),
     // same segmentations as text_tokens; all sums non-negative so //
     // matches Spark's div
     "text_fertility_by_source" ->
