@@ -116,10 +116,68 @@ object Geo {
       .select("c_custkey", "zone_id", "d2")
   }
 
+  /** GeoJSON FeatureCollection source — the standard-format reader the
+    * milestone doc names (and the reference never implemented). Build
+    * side (fixture, the dedup_url ground-truth pattern): one RFC-7946
+    * Feature per zone — a Polygon whose closed 5-point ring walks the
+    * bbox corners, `properties` carrying zone_id and the nation name —
+    * assembled in deterministic zone order into a single real
+    * FeatureCollection document and written as ONE multiLine JSON file.
+    * Read side (the operator under test): Spark's JSON reader with
+    * `multiLine` infers the nested FeatureCollection schema, features
+    * explode to rows, and the bbox is RE-DERIVED from the geometry ring
+    * (min/max over the exploded coordinate points — never read back
+    * from properties), which is exactly how a real GeoJSON zone load
+    * computes its index envelope. Coordinates go through JSON text as
+    * doubles — integer-valued, so the round-trip is IEEE-exact and the
+    * oracle can restate the fixture arithmetic from `nation`. Scale
+    * shape: zones are a dimension (one document, |zones| features);
+    * the explode fan-out is ring-length-bounded. */
+  def geojsonZones(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("geojson_zones")
+    val named = zones(spark, dir).join(
+      broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+      col("zone_id") === col("n_nationkey"))
+    val ring = array(
+      array(col("lon0").cast("double"), col("lat0").cast("double")),
+      array(col("lon1").cast("double"), col("lat0").cast("double")),
+      array(col("lon1").cast("double"), col("lat1").cast("double")),
+      array(col("lon0").cast("double"), col("lat1").cast("double")),
+      array(col("lon0").cast("double"), col("lat0").cast("double")))
+    val feature = to_json(struct(
+      lit("Feature").as("type"),
+      struct(lit("Polygon").as("type"),
+             array(ring).as("coordinates")).as("geometry"),
+      struct(col("zone_id"), col("n_name").as("name")).as("properties")))
+    named.select(col("zone_id"), feature.as("f"))
+      // sort_array(collect_list(struct)) pins feature order by zone_id —
+      // collect_list alone is shuffle-order-nondeterministic
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list(struct(col("zone_id"), col("f")))),
+        _.getField("f"))).as("fs"))
+      .select(concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
+                     col("fs"), lit("]}")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    val fc = spark.read.option("multiLine", "true").json(out)
+    fc.select(explode(col("features")).as("f"))
+      .select(col("f.properties.zone_id").as("zone_id"),
+              col("f.properties.name").as("name"),
+              explode(col("f.geometry.coordinates").getItem(0)).as("pt"))
+      .groupBy("zone_id", "name")
+      .agg(min(col("pt").getItem(1)).as("lat0"),
+           max(col("pt").getItem(1)).as("lat1"),
+           min(col("pt").getItem(0)).as("lon0"),
+           max(col("pt").getItem(0)).as("lon1"),
+           count(lit(1)).as("n_vertices"))
+      .orderBy("zone_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "geo_bbox_join"    -> bboxJoin _,
-    "geo_grid_agg"     -> gridAgg _,
-    "geo_nearest_zone" -> nearestZone _)
+    "geo_bbox_join"     -> bboxJoin _,
+    "geo_grid_agg"      -> gridAgg _,
+    "geo_nearest_zone"  -> nearestZone _,
+    "geo_geojson_zones" -> geojsonZones _)
 
   private val ptsCte: String =
     "pts AS (SELECT c_custkey, " +
@@ -142,6 +200,20 @@ object Geo {
     "UNNEST(range(CAST(floor(lon0 / 72.0) AS BIGINT), CAST(floor(lon1 / 72.0) AS BIGINT) + 1)) AS u2(cn))"
 
   val oracle: Map[String, String] = Map(
+    // fixture-construction ground truth: the Spark side PARSES the
+    // FeatureCollection it wrote and re-derives the bbox from the ring;
+    // the oracle restates the zone arithmetic from nation (lockstep
+    // with zonesCte's z constants), bbox == ring min/max by
+    // construction, ring length literal 5 (closed polygon)
+    "geo_geojson_zones" ->
+      ("SELECT CAST(n_nationkey AS BIGINT) AS zone_id, n_name AS name, " +
+       "CAST(-90 + (n_nationkey * 13 % 5) * 36 + 3 AS DOUBLE) AS lat0, " +
+       "CAST(least(-90 + (n_nationkey * 13 % 5) * 36 + 3 + 20 + " +
+       "(n_nationkey % 3) * 15, 90) AS DOUBLE) AS lat1, " +
+       "CAST(-180 + (n_nationkey * 7 % 5) * 72 + 6 AS DOUBLE) AS lon0, " +
+       "CAST(least(-180 + (n_nationkey * 7 % 5) * 72 + 6 + 40 + " +
+       "(n_nationkey % 4) * 25, 180) AS DOUBLE) AS lon1, " +
+       "CAST(5 AS BIGINT) AS n_vertices FROM nation ORDER BY zone_id"),
     "geo_bbox_join" ->
       (s"WITH $ptsCte, $zonesCte " +
        "SELECT p.c_custkey, zc.zone_id, p.lat, p.lon FROM p2 p " +

@@ -42,18 +42,42 @@ object Graph {
     * (edges ⋈ ranks) instead of edges ⋈ ranks ⋈ degrees, and the
     * fact-fact build join + distinct runs exactly once (its temporary
     * checkpoint is freed as soon as the degree-joined frame lands, per
-    * the unpersist-big-intermediates rule). First bench shape
-    * (edges-only checkpoint, degrees recomputed per reference) cost
-    * 11 s at sf0.1; this is the amortized form. Eager-memoized like the
-    * dedup pair frames (NOT in PlanShapeSpec's laziness allowlist;
-    * Bench owner: graph_pagerank). */
+    * the unpersist-big-intermediates rule).
+    *
+    * CO-PARTITIONED: written as a parquet table BUCKETED BY `src` (one
+    * file per bucket via the matching repartition — bucket id and
+    * repartition both hash with Murmur3 pmod n, so each write task
+    * holds exactly one bucket, which also preserves the per-bucket
+    * `sortBy` order). Every rank round's edges ⋈ ranks join then reads
+    * HashPartitioning(src, n) straight off the scan and only the
+    * |nodes|-row rank side shuffles — the Pregel ideal where the edge
+    * set never moves and per-round network is rank deltas only. A
+    * localCheckpoint can't do this (LogicalRDD surfaces
+    * UnknownPartitioning — measured, see PlanShapeSpec), so this is
+    * the one memo that goes through a bucketed table; the scan is
+    * additionally persisted so rounds run from memory, and
+    * InMemoryTableScan forwards the bucketed partitioning. At 100 TB
+    * this is exactly the durable bucketed edge table a production graph
+    * pipeline maintains. Eager-memoized like the dedup pair frames
+    * (NOT in PlanShapeSpec's laziness allowlist; Bench owner:
+    * graph_pagerank). */
   private def edgesCkpt(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "graphedges"), {
+      import org.apache.spark.storage.StorageLevel
       val raw = edgesOf(spark, dir).localCheckpoint()
       val deg = raw.groupBy("src").agg(count(lit(1)).as("deg"))
-      val out = raw.join(deg, Seq("src")).localCheckpoint()
+      val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val tbl = "graft_graph_edges_" +
+        java.lang.Long.toHexString(System.nanoTime())
+      val path = java.nio.file.Files.createTempDirectory("graft-graph-edges")
+      raw.join(deg, Seq("src"))
+        .repartition(n, col("src"))
+        .write.bucketBy(n, "src").sortBy("src")
+        .option("path", path.toString).mode("overwrite").saveAsTable(tbl)
       org.apache.spark.sql.GraftSql.checkpointRdd(raw)
         .foreach(_.unpersist(false))
+      val out = spark.table(tbl).persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize the cache so every round runs memory-speed
       out
     })
 
@@ -294,8 +318,48 @@ object Graph {
       labels
     })
 
+  /** Fixed-round k-core peeling (k=2, 3 synchronous rounds — the
+    * pagerank unrolled-rounds contract) over the mutual-kNN graph: each
+    * round recomputes every surviving node's degree in the SURVIVING
+    * induced subgraph and drops nodes under k. The k-core is the
+    * density screen a similarity-graph curation pass runs before
+    * clustering — pendant/bridge vectors (degree-1 chains) peel away,
+    * leaving the mutually-dense neighborhoods. Per round: two
+    * |edges|-row semi-joins + one aggregation; state is |nodes| rows.
+    * At 100 TB the round count is the only knob — convergence in O(peel
+    * depth) rounds, each a bounded join+agg (KcoreSpec checks the
+    * 3-round result against a run-to-convergence driver reference).
+    * Output: every graph node with its in-core flag after round 3 and
+    * its degree within the final surviving subgraph (0 if peeled).
+    * Oracle unrolls the identical rounds as kc-prefixed CTEs in
+    * lockstep. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val K = 2
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val all = und.select("u").distinct()
+    var surv = all
+    for (_ <- 1 to 3) {
+      surv = und
+        .join(surv, Seq("u"))
+        .join(surv.withColumnRenamed("u", "v"), Seq("v"))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= K).select("u")
+    }
+    val finalDeg = und.join(surv, Seq("u"))
+      .join(surv.withColumnRenamed("u", "v"), Seq("v"))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    all.join(surv.withColumn("ic", lit(1)), Seq("u"), "left")
+      .join(finalDeg, Seq("u"), "left")
+      .select(col("u").as("vec_id"),
+              coalesce(col("ic"), lit(0)).cast("int").as("in_core"),
+              coalesce(col("dg"), lit(0L)).as("core_deg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
+    "graph_kcore" -> kcore _,
     "graph_components" -> components _,
     "graph_triangles" -> triangles _,
     "graph_common_neighbors" -> commonNeighbors _,
@@ -317,7 +381,32 @@ object Graph {
     "und AS (SELECT a_id AS u, b_id AS v FROM mu " +
     "UNION ALL SELECT b_id, a_id FROM mu)"
 
+  /** One synchronous peel round over the survivor set `prev`:
+    * degrees in the prev-induced subgraph, keep dg >= 2 — mirrors
+    * [[kcore]]'s loop body in lockstep. */
+  private def peelRound(prev: String, out: String): String =
+    s"kd$out AS (SELECT und.u, count(*) AS dg FROM und " +
+    s"JOIN $prev a ON und.u = a.u JOIN $prev b ON und.v = b.u " +
+    "GROUP BY und.u), " +
+    s"$out AS (SELECT u FROM kd$out WHERE dg >= 2)"
+
   val oracle: Map[String, String] = Map(
+    // kc-prefixed CTE chain; identical 3 unrolled peel rounds (k=2) +
+    // the final-subgraph degree — lockstep with kcore()
+    "graph_kcore" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "kn0 AS (SELECT DISTINCT u FROM und), " +
+       peelRound("kn0", "kn1") + ", " +
+       peelRound("kn1", "kn2") + ", " +
+       peelRound("kn2", "kn3") + ", " +
+       "kdf AS (SELECT und.u, count(*) AS dg FROM und " +
+       "JOIN kn3 a ON und.u = a.u JOIN kn3 b ON und.v = b.u " +
+       "GROUP BY und.u) " +
+       "SELECT kn0.u AS vec_id, " +
+       "CAST(CASE WHEN s.u IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS in_core, " +
+       "CAST(coalesce(d.dg, 0) AS BIGINT) AS core_deg " +
+       "FROM kn0 LEFT JOIN kn3 s ON kn0.u = s.u " +
+       "LEFT JOIN kdf d ON kn0.u = d.u"),
     // cc-prefixed CTE names (knnMutualCteSql owns c/s/pr/probes/home/
     // m/bc/p/r/t/mu, undCte owns und — namespace rule); WITH RECURSIVE
     // must head the whole chain for the closure CTE

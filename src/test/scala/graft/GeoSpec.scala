@@ -39,6 +39,32 @@ class GeoSpec extends SparkSpec {
       "no match outside bbox corner cells — multi-cell indexing unexercised")
   }
 
+  test("geojson zones: written document is real GeoJSON; parsed bboxes " +
+       "equal the zone fixture exactly") {
+    val got = ext.Geo.geojsonZones(spark, sf0001)
+    // parsed-and-rederived bbox == the construction-side zone table
+    val want = ext.Geo.zones(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/nation.parquet")
+              .select(col("n_nationkey"), col("n_name").as("name")),
+            col("zone_id") === col("n_nationkey"))
+      .select(col("zone_id").cast("long"), col("name"),
+              col("lat0").cast("double"), col("lat1").cast("double"),
+              col("lon0").cast("double"), col("lon1").cast("double"),
+              lit(5L).as("n_vertices"))
+    assert(got.count() === 25)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "parsed GeoJSON bboxes diverge from the zone fixture")
+    // and the artifact on disk is ONE well-formed FeatureCollection
+    // document (a third-party GeoJSON consumer could read it)
+    val dir = new java.io.File(Tables.scratch("geojson_zones"))
+    val part = dir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(part.length === 1, "expected a single-file document")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(part.head.toPath), "UTF-8").trim
+    assert(txt.startsWith("{\"type\":\"FeatureCollection\"") &&
+           txt.endsWith("]}") && txt.contains("\"Polygon\""))
+  }
+
   test("zone-cell index is broadcast; point side does not shuffle") {
     val plan = ext.Geo.bboxJoin(spark, sf0001)
       .queryExecution.executedPlan.toString

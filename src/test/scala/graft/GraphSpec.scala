@@ -11,6 +11,23 @@ class GraphSpec extends SparkSpec {
 
   private lazy val ranks = ext.Graph.pagerank(spark, sf001).collect()
 
+  test("pagerank edge side is bucketed — no src exchange in any round") {
+    // force non-broadcast joins so the shuffle-elision is what's tested
+    // (BucketingSpec's protocol); the edge memo must surface as a
+    // bucketed scan and NO round may re-exchange the edge set on src —
+    // only the |nodes|-row rank side shuffles (the Pregel ideal)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ext.Graph.pagerank(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"pagerank edge scan is not bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(src#"),
+        s"pagerank re-shuffled the edge side on src:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("pagerank covers every node of both partitions, all ranks positive") {
     val (cs, ss) = ranks.partition(_.getString(0).startsWith("c"))
     assert(cs.nonEmpty && ss.nonEmpty, "one bipartite side is empty")
