@@ -179,6 +179,63 @@ object Multimodal {
       .select("a_id", "b_id", "inter", "sz_a", "sz_b")
   }
 
+  /** CDC hash constants — window/base/mod feed [[graft.functions.CdcBoundaries]]
+    * (hash-identical to PolyHashMod per window; base 131 matches the
+    * text-hash family); divisor 32 ⇒ ~32-char average chunks against
+    * the 48-553-char test corpus (~9 chunks/doc — boundary behavior
+    * actually exercised). A production store would use a 48-64 KiB
+    * target, changing only the divisor. Mirrored literally in the
+    * oracle's per-window list_reduce — lockstep only. */
+  private val CdcWindow = 16
+  private val CdcBase = 131L
+  private val CdcMod = 1000003L
+  private val CdcDiv = 32L
+
+  /** Content-defined chunks of every document: boundaries from the
+    * rolling-hash Expression, ends = in-content boundaries + document
+    * end, chunk k = (end_{k-1}, end_k]. Shared base for
+    * [[cdcChunkDedup]] and MmCdcSpec's shift-resistance proof. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val bs = graft.functions.CdcBoundaries.col(
+      col("text"), CdcWindow, CdcBase, CdcMod, CdcDiv)
+    // a boundary AT the end merges into the final chunk end — filter
+    // + append keeps the array sorted on both engines (list_distinct
+    // order is unspecified in DuckDB, so neither side uses it)
+    val ends = concat(filter(bs, x => x < len), array(len))
+    docs.select(col("doc_id"), col("text"), ends.as("ends"))
+      .select(col("doc_id"), col("text"), col("ends"), posexplode(col("ends")))
+      .select(col("doc_id"), col("pos").as("seq"),
+        col("text").substr(
+          when(col("pos") === 0, lit(1))
+            .otherwise(element_at(col("ends"), col("pos")) + 1),
+          col("col") - (when(col("pos") === 0, lit(1))
+            .otherwise(element_at(col("ends"), col("pos")) + 1)) + 1
+        ).as("chunk"))
+  }
+
+  /** Content-defined-chunk dedup report — the variable-boundary
+    * refinement [[mediaChunkDedup]]'s doc promises: boundaries depend
+    * on local content (rsync/LBFS), so a prepended header or an
+    * inserted span shifts chunk POSITIONS but preserves every later
+    * chunk's bytes and digest — the shifted-duplicate class fixed-size
+    * blocking structurally misses (MmCdcSpec proves both directions).
+    * Output = every chunk digest occurring ≥ 2 times with its spread
+    * (n_docs), occurrence count, min-doc survivor, and chunk length.
+    * Scale: one O(n) codegen pass per doc for boundaries, then
+    * digest-grouped aggregation — the exchange carries 16-byte digests
+    * + counts, never text; same shape as [[mediaDedup]] at chunk
+    * grain. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+      .groupBy(md5(encode(col("chunk"), "UTF-8")).as("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"),
+           min(col("doc_id")).as("keep_id"),
+           max(length(col("chunk"))).cast("long").as("chunk_len"))
+      .filter(col("n_occ") >= 2)
+      .select("fp", "n_docs", "n_occ", "keep_id", "chunk_len")
+
   // ---- real (codec-free) image-header parsing — round-9 verdict item 7:
   // past the decodeStub, an actual byte-level parser for the two magic
   // formats a filtering pipeline can always sniff without a codec.
@@ -281,6 +338,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_cdc_chunks"      -> cdcChunkDedup _,
     "mm_image_dims"      -> imageDims _,
     "mm_media_meta"      -> mediaMeta _,
     "mm_media_meta_plan" -> mediaMetaPlan _,
@@ -296,6 +354,30 @@ object Multimodal {
       "(strlen(text) * 11 + 17) % 480 AS height, 3 AS channels FROM documents"
 
   val oracle: Map[String, String] = Map(
+    // CDC boundary rule mirrored literally: per candidate end position
+    // bi, the 16-char window hash is the SAME PolyHashMod fold as the
+    // Expression's rolling update (list_reduce with the mandatory
+    // BIGINT seed cast — CLAUDE.md portable-hash rule); constants
+    // 16/131/1000003/32 are lockstep with CdcWindow/Base/Mod/Div.
+    // md5(chunk VARCHAR) == md5(chunk bytes) under the ASCII-corpus
+    // invariant (TestdataAsciiSpec)
+    "mm_cdc_chunks" ->
+      ("WITH cb AS (SELECT doc_id, text, " +
+       "list_filter(range(16, strlen(text)+1), bi -> " +
+       "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(bi-15, bi+1), " +
+       "cj -> CAST(ascii(text[CAST(cj AS INTEGER)]) AS BIGINT)), " +
+       "(h, c) -> (h*131 + c) % 1000003) % 32 = 0) AS bs FROM documents), " +
+       "ce AS (SELECT doc_id, text, " +
+       "list_append(list_filter(bs, x -> x < strlen(text)), strlen(text)) " +
+       "AS ends FROM cb), " +
+       "cc AS (SELECT doc_id, text[CAST(CASE WHEN u.k = 1 THEN 1 ELSE " +
+       "ends[CAST(u.k-1 AS INTEGER)]+1 END AS INTEGER) : " +
+       "CAST(ends[CAST(u.k AS INTEGER)] AS INTEGER)] AS chunk " +
+       "FROM ce, UNNEST(range(1, len(ends)+1)) AS u(k)) " +
+       "SELECT md5(chunk) AS fp, count(DISTINCT doc_id) AS n_docs, " +
+       "count(*) AS n_occ, min(doc_id) AS keep_id, " +
+       "CAST(max(strlen(chunk)) AS BIGINT) AS chunk_len " +
+       "FROM cc GROUP BY 1 HAVING count(*) >= 2"),
     // fixture-construction ground truth (the dedup_url pattern): the
     // Spark side PARSES real header bytes; the oracle restates what the
     // builder wrote — parity: even=png(33 B), odd=jpeg(46+digits B)

@@ -109,22 +109,32 @@ object TextOps {
       when(concat(lit(" "), col("text"), lit(" ")).like(s"% $m %"), 1).otherwise(0)
     }.reduce(_ + _)
 
-  /** N-gram-heuristic language ID: count marker-word hits per language,
-    * argmax with fixed priority. */
-  def langid(spark: SparkSession, dir: String): DataFrame = {
-    val scored = langMarkers.foldLeft(Tables.documents(spark, dir)) {
+  /** Marker-hit score columns s_<lang> appended to `docs` — shared by
+    * [[langid]] and [[pplBuckets]] (SQL mirror: [[langScoresInnerSql]]). */
+  private def scoredFrame(docs: DataFrame): DataFrame =
+    langMarkers.foldLeft(docs) {
       case (df, (lang, ms)) => df.withColumn(s"s_$lang", hitCount(ms))
     }
+
+  /** Argmax-with-fixed-priority over the s_* columns — shared by
+    * [[langid]] and [[pplBuckets]] (SQL mirror: [[langPredCaseSql]]). */
+  private def predictedCol: Column = {
     val langs = langMarkers.map(_._1)
-    val predicted = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+    langs.zipWithIndex.foldRight(lit(langs.last): Column) {
       case ((lang, i), elseCol) =>
         val isMax = langs.drop(i + 1)
           .map(o => col(s"s_$lang") >= col(s"s_$o"))
           .foldLeft(lit(true): Column)(_ && _)
         when(isMax, lang).otherwise(elseCol)
     }
-    scored
-      .withColumn("predicted", predicted)
+  }
+
+  /** N-gram-heuristic language ID: count marker-word hits per language,
+    * argmax with fixed priority. */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val langs = langMarkers.map(_._1)
+    scoredFrame(Tables.documents(spark, dir))
+      .withColumn("predicted", predictedCol)
       .withColumn("is_correct", (col("predicted") === col("lang")).cast("int"))
       .select(Seq(col("doc_id")) ++ langs.map(l => col(s"s_$l")) ++
               Seq(col("predicted"), col("is_correct")): _*)
@@ -199,6 +209,19 @@ object TextOps {
     }.mkString(" ")
     s"CASE $branches ELSE '${langs.last}' END"
   }
+
+  /** The unigram-LM per-doc chain as CTEs ending in `pd` (doc_id,
+    * n_tok, sum_lp_micro) — oracle mirror of [[unigramPerDoc]]; shared
+    * by text_unigram_logprob and corpus_ppl_buckets (names claimed:
+    * tk/cnt/tot/lp/pd). */
+  private[graft] val unigramPdCteSql: String =
+    "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+    "cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok), " +
+    "tot AS (SELECT sum(c) AS n FROM cnt), " +
+    "lp AS (SELECT tok, CAST(round(ln(c / n) * 1e6) AS BIGINT) AS lpm FROM cnt, tot), " +
+    "pd AS (SELECT tk.doc_id, count(*) AS n_tok, " +
+    "CAST(sum(lp.lpm) AS BIGINT) AS sum_lp_micro FROM tk JOIN lp USING (tok) " +
+    "GROUP BY tk.doc_id)"
 
   private def langidSql: String = {
     val langs = langMarkers.map(_._1)
@@ -435,20 +458,55 @@ object TextOps {
     * PiiFixtureSpec plants real emails/phones/SSNs and asserts each
     * pattern fires. Patterns avoid backreferences/lookaround so the same
     * regex text is valid for both Java (Spark) and RE2 (DuckDB). */
+  // [.] not \. — backslashes are escape chars inside Spark SQL string
+  // literals (expr parses this), and [.] is identical in Java and RE2.
+  // Shared by piiScan, piiRedact, and both oracles — lockstep only.
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private[graft] val PiiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val PiiSsn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
   def piiScan(spark: SparkSession, dir: String): DataFrame = {
-    // [.] not \. — backslashes are escape chars inside Spark SQL string
-    // literals (expr parses this), and [.] is identical in Java and RE2
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-              size(expr(s"regexp_extract_all(text, '$email', 0)")).as("n_email"),
-              size(expr(s"regexp_extract_all(text, '$phone', 0)")).as("n_phone"),
-              size(expr(s"regexp_extract_all(text, '$ssn', 0)")).as("n_ssn"),
+              size(expr(s"regexp_extract_all(text, '$PiiEmail', 0)")).as("n_email"),
+              size(expr(s"regexp_extract_all(text, '$PiiPhone', 0)")).as("n_phone"),
+              size(expr(s"regexp_extract_all(text, '$PiiSsn', 0)")).as("n_ssn"),
               size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("n_word"))
       .withColumn("has_pii",
         (col("n_email") + col("n_phone") + col("n_ssn") > 0).cast("int"))
+  }
+
+  /** PII REDACTION — the apply half of [[piiScan]] (scan measures,
+    * nothing rewrote): replace every email, then SSN, then phone match
+    * with a typed placeholder. The corpus carries no natural PII
+    * (piiScan counts are all zero on the testdata), so a redactor over
+    * raw `documents` would be vacuous — instead a DETERMINISTIC subset
+    * gets PII appended in-plan (doc_id % 10 == 0 → email + phone,
+    * doc_id % 10 == 5 → SSN; the src_quarantine inject-then-handle
+    * pattern), and BOTH engines run the same inject → count → replace
+    * chain, so the oracle genuinely cross-checks Java regex vs RE2
+    * replacement on strings with real matches. Replacement order
+    * email → SSN → phone is fixed (and order-insensitive for these
+    * disjoint patterns, but mirrored anyway). Zero shuffle: pure
+    * per-row compute. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val inject =
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+               lit("@mail.example.com or 555-123-4567")))
+      .when(col("doc_id") % 10 === 5,
+        concat(col("text"), lit(" ssn 123-45-6789 on file")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), inject.as("t2"))
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(t2, '$PiiEmail', 0)")).as("n_email"),
+        size(expr(s"regexp_extract_all(t2, '$PiiPhone', 0)")).as("n_phone"),
+        size(expr(s"regexp_extract_all(t2, '$PiiSsn', 0)")).as("n_ssn"),
+        expr(s"regexp_replace(regexp_replace(regexp_replace(t2, " +
+             s"'$PiiEmail', '<EMAIL>'), '$PiiSsn', '<SSN>'), " +
+             s"'$PiiPhone', '<PHONE>')").as("redacted"))
+      .withColumn("redacted_len", length(col("redacted")))
   }
 
   /** Document chunking: fixed-size sliding windows (200 chars, stride
@@ -892,8 +950,18 @@ object TextOps {
     * summation orders, which rounding-after-summing would not be. Scale
     * shape: corpus TF (one shuffle), vocab join (no broadcast hint —
     * vocab is unbounded, AQE decides), per-doc agg (one shuffle). */
-  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.documents(spark, dir)
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramPerDoc(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tok"), col("sum_lp_micro"),
+              Num.rnd(col("sum_lp_micro").cast("double") /
+                        (col("n_tok") * lit(1e6)), 6).as("avg_lp"))
+      .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
+
+  /** Per-doc unigram-LM accumulator (doc_id, n_tok, sum_lp_micro) —
+    * the shared base of [[unigramLogprob]] and [[pplBuckets]]; its SQL
+    * mirror is [[unigramPdCteSql]] (lockstep). */
+  private[graft] def unigramPerDoc(docs: DataFrame): DataFrame = {
+    val tk = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val cnt = tk.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = cnt.agg(sum("c").as("n"))
@@ -903,10 +971,35 @@ object TextOps {
     tk.join(lp, Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), sum("lpm").as("sum_lp_micro"))
-      .select(col("doc_id"), col("n_tok"), col("sum_lp_micro"),
-              Num.rnd(col("sum_lp_micro").cast("double") /
-                        (col("n_tok") * lit(1e6)), 6).as("avg_lp"))
-      .withColumn("keep", (col("avg_lp") >= -3.42).cast("int"))
+  }
+
+  /** CCNet-style perplexity bucketing — the published web-curation
+    * recipe (Wenzek et al.: score each document with a language-model
+    * perplexity, rank WITHIN its language, cut into head/middle/tail
+    * thirds; training mixes prefer the head). Language = the n-gram
+    * marker PREDICTION (not the gold label — the pipeline shape), LM =
+    * the corpus unigram model of [[unigramPerDoc]] in exact integer
+    * micro-nats; per-doc NLL = −sum/(n·1e6), ONE division + negation
+    * (both IEEE-exactly-rounded, so ranking order is engine-identical;
+    * ties broken by doc_id). Bucket bounds are the integer rank rule
+    * 3·rn ≤ nd / 3·rn ≤ 2·nd — no percentile floats. Scale: the model
+    * is |vocab| rows, the rank is one window per language partition. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val pl = scoredFrame(docs).select(col("doc_id"), predictedCol.as("plang"))
+    val w = Window.partitionBy("plang").orderBy(col("nll").asc, col("doc_id").asc)
+    val wc = Window.partitionBy("plang")
+    unigramPerDoc(docs).join(pl, Seq("doc_id"))
+      .withColumn("nll",
+        -(col("sum_lp_micro").cast("double") / (col("n_tok") * lit(1e6))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(wc))
+      .select(col("doc_id"), col("plang"), col("n_tok"),
+              Num.rnd(col("nll"), 6).as("avg_nll"), col("rn"),
+              when(col("rn") * 3 <= col("nd"), "head")
+                .when(col("rn") * 3 <= col("nd") * 2, "middle")
+                .otherwise("tail").as("bucket"))
   }
 
   /** Boilerplate-prefix detection — groups of documents opening with the
@@ -921,6 +1014,32 @@ object TextOps {
       .groupBy("pfx")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
       .filter(col("n_docs") > 1)
+
+  /** Boilerplate STRIPPING — the apply half of [[boilerplate]] (which
+    * only reports template families): every document whose 8-token
+    * opening is shared by another document loses that prefix; everyone
+    * else passes through verbatim. One groupBy over the bounded prefix
+    * key + one join of the (small) >1-member group table back onto the
+    * corpus — the group table is template-family-sized, so at 100 TB
+    * it broadcasts and the corpus never shuffles. Output keeps the
+    * strip flag and the post-strip token count so a downstream gate
+    * can re-screen (a stripped doc can fall under the Gopher minimum). */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val groups = boilerplate(spark, dir).select(col("pfx"))
+      .withColumn("strip", lit(1))
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), pfxCol.as("pfx"))
+      .join(broadcast(groups), Seq("pfx"), "left")
+      .select(col("doc_id"),
+        when(col("strip") === 1,
+          concat_ws(" ", slice(toks, lit(9), greatest(size(toks) - 8, lit(0)))))
+          .otherwise(col("text")).as("kept_text"),
+        coalesce(col("strip"), lit(0)).cast("int").as("stripped"))
+      .withColumn("n_tok_after",
+        when(length(col("kept_text")) === 0, 0)
+          .otherwise(size(split(col("kept_text"), " "))).cast("int"))
+  }
 
   /** The 8-token boilerplate prefix key — shared by [[boilerplate]] and
     * the curation funnel ([[Curate]]); its SQL mirror is
@@ -1533,6 +1652,7 @@ object TextOps {
     "corpus_quantile_select" -> quantileSelect _,
     "corpus_split"       -> corpusSplit _,
     "text_unigram_logprob" -> unigramLogprob _,
+    "corpus_ppl_buckets" -> pplBuckets _,
     "text_quality_model" -> qualityModel _,
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
@@ -1546,6 +1666,8 @@ object TextOps {
     "corpus_pack_report" -> packReport _,
     "text_contamination" -> ((s, d) => contamination(s, d)),
     "text_pii_scan"    -> piiScan _,
+    "text_pii_redact"  -> piiRedact _,
+    "text_boilerplate_strip" -> boilerplateStrip _,
     "text_chunk"       -> ((s, d) => chunk(s, d)),
     "text_tfidf"       -> ((s, d) => tfidf(s, d)),
     "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
@@ -1830,17 +1952,29 @@ object TextOps {
        s"${Similarity.saltOrdSql("doc_id")} % 100 AS b FROM documents) t " +
        "GROUP BY source, split ORDER BY source, split"),
     "text_unigram_logprob" ->
-      ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-       "cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok), " +
-       "tot AS (SELECT sum(c) AS n FROM cnt), " +
-       "lp AS (SELECT tok, CAST(round(ln(c / n) * 1e6) AS BIGINT) AS lpm FROM cnt, tot), " +
-       "pd AS (SELECT tk.doc_id, count(*) AS n_tok, " +
-       "CAST(sum(lp.lpm) AS BIGINT) AS sum_lp_micro FROM tk JOIN lp USING (tok) " +
-       "GROUP BY tk.doc_id) " +
+      (s"WITH $unigramPdCteSql " +
        "SELECT doc_id, n_tok, sum_lp_micro, " +
        "round((CAST(sum_lp_micro AS DOUBLE) / (n_tok * 1e6)) * 1e6) / 1e6 AS avg_lp, " +
        "CAST(round((CAST(sum_lp_micro AS DOUBLE) / (n_tok * 1e6)) * 1e6) / 1e6 >= -3.42 " +
        "AS INTEGER) AS keep FROM pd"),
+    // CCNet buckets: composes the unigramPdCteSql chain (tk/cnt/tot/lp/
+    // pd names claimed) with the langScores/langPredCase fragments; the
+    // NLL is ONE double division + negation (exactly-rounded → ranking
+    // order engine-identical), rank rule 3·rn ≤ nd / 2·nd in lockstep
+    // with pplBuckets, row_number cast to INTEGER (CLAUDE.md)
+    "corpus_ppl_buckets" ->
+      (s"WITH $unigramPdCteSql, " +
+       s"ppl AS (SELECT doc_id, $langPredCaseSql AS plang " +
+       s"FROM ($langScoresInnerSql) t), " +
+       "ppj AS (SELECT pd.doc_id, ppl.plang, pd.n_tok, " +
+       "-(CAST(pd.sum_lp_micro AS DOUBLE) / (pd.n_tok * 1e6)) AS nll " +
+       "FROM pd JOIN ppl USING (doc_id)), " +
+       "ppr AS (SELECT ppj.*, CAST(row_number() OVER (PARTITION BY plang " +
+       "ORDER BY nll ASC, doc_id ASC) AS INTEGER) AS rn, " +
+       "count(*) OVER (PARTITION BY plang) AS nd FROM ppj) " +
+       "SELECT doc_id, plang, n_tok, round((nll) * 1e6) / 1e6 AS avg_nll, rn, " +
+       "CASE WHEN rn * 3 <= nd THEN 'head' WHEN rn * 3 <= nd * 2 THEN 'middle' " +
+       "ELSE 'tail' END AS bucket FROM ppr"),
     "text_quality_model" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "th AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
@@ -1933,12 +2067,48 @@ object TextOps {
       ("SELECT doc_id, n_email, n_phone, n_ssn, n_word, " +
        "CAST(n_email + n_phone + n_ssn > 0 AS INTEGER) AS has_pii FROM (" +
        "SELECT doc_id, " +
-       "CAST(len(regexp_extract_all(text, " +
-       "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS INTEGER) AS n_email, " +
-       "CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone, " +
-       "CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER) AS n_ssn, " +
+       s"CAST(len(regexp_extract_all(text, '$PiiEmail')) AS INTEGER) AS n_email, " +
+       s"CAST(len(regexp_extract_all(text, '$PiiPhone')) AS INTEGER) AS n_phone, " +
+       s"CAST(len(regexp_extract_all(text, '$PiiSsn')) AS INTEGER) AS n_ssn, " +
        "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word " +
        "FROM documents) t"),
+    // composes boilerplateGroupsSql (the >1-member template families);
+    // slice semantics proven equal: list[9:] on short lists → empty →
+    // '' on both engines; split('') is 1-element on both, hence the
+    // shared empty-string → 0 token-count CASE — lockstep with
+    // boilerplateStrip
+    "text_boilerplate_strip" ->
+      (s"WITH bsg AS ($boilerplateGroupsSql), " +
+       "bsd AS (SELECT doc_id, text, " +
+       "array_to_string(string_split(text, ' ')[1:8], ' ') AS pfx FROM documents), " +
+       "bsk AS (SELECT d.doc_id, CASE WHEN g.pfx IS NOT NULL THEN " +
+       "array_to_string(string_split(d.text, ' ')[9:], ' ') ELSE d.text END " +
+       "AS kept_text, CASE WHEN g.pfx IS NOT NULL THEN 1 ELSE 0 END AS stripped " +
+       "FROM bsd d LEFT JOIN bsg g ON d.pfx = g.pfx) " +
+       "SELECT doc_id, kept_text, CAST(stripped AS INTEGER) AS stripped, " +
+       "CAST(CASE WHEN kept_text = '' THEN 0 ELSE " +
+       "len(string_split(kept_text, ' ')) END AS INTEGER) AS n_tok_after " +
+       "FROM bsk"),
+    // inject → count → replace mirrored exactly (injection literals,
+    // replacement order email → SSN → phone, 'g' flag = Spark's
+    // replace-all default); len()/strlen cast to INTEGER per CLAUDE.md
+    "text_pii_redact" ->
+      ("WITH pii2 AS (SELECT doc_id, CASE " +
+       "WHEN doc_id % 10 = 0 THEN text || ' reach user' || " +
+       "CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-123-4567' " +
+       "WHEN doc_id % 10 = 5 THEN text || ' ssn 123-45-6789 on file' " +
+       "ELSE text END AS t2 FROM documents) " +
+       "SELECT doc_id, " +
+       s"CAST(len(regexp_extract_all(t2, '$PiiEmail')) AS INTEGER) AS n_email, " +
+       s"CAST(len(regexp_extract_all(t2, '$PiiPhone')) AS INTEGER) AS n_phone, " +
+       s"CAST(len(regexp_extract_all(t2, '$PiiSsn')) AS INTEGER) AS n_ssn, " +
+       s"regexp_replace(regexp_replace(regexp_replace(t2, '$PiiEmail', " +
+       "'<EMAIL>', 'g'), '" + PiiSsn + "', '<SSN>', 'g'), '" + PiiPhone +
+       "', '<PHONE>', 'g') AS redacted, " +
+       s"CAST(strlen(regexp_replace(regexp_replace(regexp_replace(t2, " +
+       s"'$PiiEmail', '<EMAIL>', 'g'), '$PiiSsn', '<SSN>', 'g'), " +
+       s"'$PiiPhone', '<PHONE>', 'g')) AS INTEGER) AS redacted_len " +
+       "FROM pii2"),
     "text_chunk" ->
       ("SELECT doc_id, chunk_idx, chunk, CAST(length(chunk) AS INTEGER) AS chunk_len " +
        "FROM (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, " +
