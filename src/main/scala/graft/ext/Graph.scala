@@ -76,9 +76,7 @@ object Graph {
         .option("path", path.toString).mode("overwrite").saveAsTable(tbl)
       org.apache.spark.sql.GraftSql.checkpointRdd(raw)
         .foreach(_.unpersist(false))
-      val out = spark.table(tbl).persist(StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize the cache so every round runs memory-speed
-      out
+      spark.table(tbl)
     })
 
   /** Degree frame = the node list (|nodes| rows, one per src) — derived
