@@ -355,9 +355,41 @@ object Graph {
               coalesce(col("dg"), lit(0L)).as("core_deg"))
   }
 
+  /** Multi-source BFS layers (3 unrolled synchronous rounds) over the
+    * mutual-kNN graph — the crawl-frontier / influence-radius shape: a
+    * seed set (the first n/10 vec_ids via [[CountMemo]], reproducing
+    * the oracle's literal 50 at sf0.01 n=500 — the adaptive-knob
+    * lockstep rule) expands one hop per round; every node gets the
+    * MINIMUM hop distance at which it was first reached (0 = seed,
+    * unreached = -1). Per round: one |edges| join + one min-agg —
+    * the same Pregel superstep as pagerank, state |nodes| rows. A
+    * training-data use: grade corpus docs by embedding-graph distance
+    * from a trusted seed set (curated-quality anchors). Oracle unrolls
+    * identical bf-prefixed CTE rounds. */
+  def bfsLayers(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val seedCut = CountMemo.get(spark, dir, "embeddings")(emb.count()) / 10
+    var dist = emb.select(col("vec_id"),
+      when(col("vec_id") < seedCut, 0).otherwise(lit(null)).as("d"))
+    for (r <- 1 to 3) {
+      val reached = und
+        .join(dist.filter(col("d") === r - 1)
+                  .select(col("vec_id").as("u")), Seq("u"))
+        .select(col("v").as("vec_id")).distinct()
+        .withColumn("nd", lit(r))
+      dist = dist.join(reached, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("d"), col("nd")).as("d"))
+    }
+    dist.select(col("vec_id"), coalesce(col("d"), lit(-1)).as("layer"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
     "graph_kcore" -> kcore _,
+    "graph_bfs_layers" -> bfsLayers _,
     "graph_components" -> components _,
     "graph_triangles" -> triangles _,
     "graph_common_neighbors" -> commonNeighbors _,
@@ -388,7 +420,26 @@ object Graph {
     "GROUP BY und.u), " +
     s"$out AS (SELECT u FROM kd$out WHERE dg >= 2)"
 
+  /** One synchronous BFS hop: frontier = nodes at distance r-1, newly
+    * reached nodes get distance r — mirrors [[bfsLayers]]'s loop body. */
+  private def bfsRound(prev: String, out: String, r: Int): String =
+    s"bfr$r AS (SELECT DISTINCT und.v AS vec_id FROM und " +
+    s"JOIN $prev s ON und.u = s.vec_id AND s.d = ${r - 1}), " +
+    s"$out AS (SELECT $prev.vec_id, coalesce($prev.d, " +
+    s"CASE WHEN rr$r.vec_id IS NOT NULL THEN $r END) AS d " +
+    s"FROM $prev LEFT JOIN bfr$r rr$r ON $prev.vec_id = rr$r.vec_id)"
+
   val oracle: Map[String, String] = Map(
+    // bf-prefixed CTE chain; seed literal 50 = n/10 at sf0.01 n=500
+    // (adaptive-knob lockstep rule), 3 unrolled hops
+    "graph_bfs_layers" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "bf0 AS (SELECT vec_id, CASE WHEN vec_id < 50 THEN 0 END AS d " +
+       "FROM embeddings), " +
+       bfsRound("bf0", "bf1", 1) + ", " +
+       bfsRound("bf1", "bf2", 2) + ", " +
+       bfsRound("bf2", "bf3", 3) + " " +
+       "SELECT vec_id, CAST(coalesce(d, -1) AS INTEGER) AS layer FROM bf3"),
     // kc-prefixed CTE chain; identical 3 unrolled peel rounds (k=2) +
     // the final-subgraph degree — lockstep with kcore()
     "graph_kcore" ->

@@ -288,6 +288,17 @@ object Similarity {
     * one home cell), so no dedup stage is needed. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    ivfCandidates(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id", "rn", "sim")
+  }
+
+  /** The multi-probe candidate stage (a_id, b_id, 6-dp sim) shared by
+    * [[ivfTopK]] and [[rangeSearch]] — its oracle mirror is
+    * ivfTopKCteSql's chain through `p` (lockstep). */
+  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
     val ranked = ivfAssignRanked(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -295,13 +306,24 @@ object Similarity {
     val probes = emb.join(ranked.select("vec_id", "cell"), Seq("vec_id"))
     val indexed = emb.join(ranked.filter(col("rn") === 1)
                              .select("vec_id", "cell"), Seq("vec_id"))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select("a_id", "b_id", "rn", "sim")
   }
+
+  /** RANGE search — the second fundamental ANN operation next to top-k
+    * (radius query: EVERY neighbor at cosine ≥ τ, however many): same
+    * probed candidate stage as [[ivfTopK]], thresholded instead of
+    * ranked — no window at all, so the per-query cost is pure candidate
+    * generation and the output is unbounded-k (the shape semantic-dedup
+    * confirmation and near-dup audits actually want; top-k truncates
+    * dense neighborhoods). τ = 0.4 matches the dedup_embedding /
+    * semantic-dedup threshold family; comparison happens on the 6-dp
+    * ROUNDED sim, and the oracle casts the literal to DOUBLE (DuckDB
+    * decimal-literal rule) so both engines compare identical doubles. */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame =
+    ivfCandidates(spark, dir)
+      .filter(col("sim") >= 0.4)
+      .select("a_id", "b_id", "sim")
 
   /** Mutual-kNN graph edges — keep only pairs where EACH endpoint ranks
     * the other in its top-3 ([[ivfTopK]]'s result joined to its own
@@ -1918,6 +1940,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_norms"        -> norms _,
     "sim_brute_topk"   -> bruteTopK _,
+    "sim_range_search" -> rangeSearch _,
     "sim_lsh_buckets"  -> lshBuckets _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
@@ -2445,6 +2468,11 @@ object Similarity {
     // the same salted-order cap as the Spark b-side.
     "sim_ivf_topk" ->
       (ivfTopKCteSql + " SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"),
+    // radius query over the SAME chain through `p` (lockstep with
+    // sim_ivf_topk); threshold literal CAST to DOUBLE (decimal rule)
+    "sim_range_search" ->
+      (ivfTopKCteSql +
+       " SELECT a_id, b_id, sim FROM p WHERE sim >= CAST(0.4 AS DOUBLE)"),
     // mutual-kNN = the top-3 frame joined to its own reversal; the CTE
     // chain is shared verbatim with sim_ivf_topk (keep in lockstep)
     "sim_knn_mutual" ->

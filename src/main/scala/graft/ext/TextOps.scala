@@ -140,6 +140,18 @@ object TextOps {
               Seq(col("predicted"), col("is_correct")): _*)
   }
 
+  /** Language-ID confusion matrix — the eval artifact behind
+    * [[langid]]'s per-doc is_correct flag: (gold, predicted) cell
+    * counts, the standard classifier diagnostic (which languages leak
+    * into which). One aggregation over the scored frame; |langs|² cells
+    * at any corpus scale. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    scoredFrame(Tables.documents(spark, dir))
+      .select(col("lang"), predictedCol.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -708,6 +720,38 @@ object TextOps {
           .as("rate_micro"))
       .withColumn("planned_tokens",
         expr("(n_tokens * rate_micro) div CAST(1000000 AS BIGINT)"))
+  }
+
+  /** Token-budget mixture with temperature weighting (τ = 0.5) — the
+    * epochs-per-source plan a pretraining run actually consumes (the
+    * multilingual/temperature-sampling recipe: source weight ∝
+    * n_tokens^τ, here √n_tokens, which upsamples small sources
+    * relative to proportional mixing): planned_tokens_s =
+    * B·w_s div Σw, epochs_micro = planned·1e6 div n_tokens (epochs > 1
+    * ⇒ the source repeats). Float discipline: sqrt IS IEEE-exactly-
+    * rounded (unlike ln — CLAUDE.md), and each √n_tokens is micronized
+    * to BIGINT BEFORE the sum, so Σw is order-invariant integer
+    * arithmetic and every division is nonneg `div` (`//` ≡ div).
+    * Complements [[mixturePlan]] (uniform share, rate caps): same
+    * |sources|-row model at any corpus scale. */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+                     budget: Long = 100000L): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("weight_micro",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = perSrc.agg(sum("weight_micro").as("tw"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("planned_tokens",
+        expr(s"(CAST($budget AS BIGINT) * weight_micro) div tw"))
+      .withColumn("epochs_micro",
+        expr("(planned_tokens * CAST(1000000 AS BIGINT)) div n_tokens"))
+      .select("source", "n_docs", "n_tokens", "weight_micro",
+              "planned_tokens", "epochs_micro")
+      .orderBy("source")
   }
 
   /** Two-sample Kolmogorov–Smirnov drift test over doc token-length
@@ -1668,6 +1712,8 @@ object TextOps {
     "text_pii_scan"    -> piiScan _,
     "text_pii_redact"  -> piiRedact _,
     "text_boilerplate_strip" -> boilerplateStrip _,
+    "corpus_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
+    "text_lang_confusion" -> langConfusion _,
     "text_chunk"       -> ((s, d) => chunk(s, d)),
     "text_tfidf"       -> ((s, d) => tfidf(s, d)),
     "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
@@ -2072,6 +2118,27 @@ object TextOps {
        s"CAST(len(regexp_extract_all(text, '$PiiSsn')) AS INTEGER) AS n_ssn, " +
        "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word " +
        "FROM documents) t"),
+    // composes the langScores/langPredCase fragments (lockstep with
+    // text_langid and corpus_ppl_buckets)
+    "text_lang_confusion" ->
+      (s"SELECT lang, $langPredCaseSql AS predicted, count(*) AS n " +
+       s"FROM ($langScoresInnerSql) t GROUP BY 1, 2 ORDER BY lang, predicted"),
+    // temperature τ=0.5 token budgeting: √n_tokens micronized to BIGINT
+    // BEFORE summing (order-invariant), budget literal 100000 and all
+    // nonneg `//` ≡ div divisions in lockstep with tokenBudgetMix; sqrt
+    // is IEEE-exactly-rounded so both engines micronize identical values
+    "corpus_token_budget" ->
+      ("WITH tbp AS (SELECT source, count(*) AS n_docs, " +
+       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+       "FROM documents GROUP BY source), " +
+       "tbw AS (SELECT source, n_docs, n_tokens, " +
+       "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) " +
+       "AS weight_micro FROM tbp), " +
+       "tbs AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tw FROM tbw) " +
+       "SELECT source, n_docs, n_tokens, weight_micro, " +
+       "CAST((100000 * weight_micro) // tw AS BIGINT) AS planned_tokens, " +
+       "CAST((((100000 * weight_micro) // tw) * 1000000) // n_tokens " +
+       "AS BIGINT) AS epochs_micro FROM tbw, tbs ORDER BY source"),
     // composes boilerplateGroupsSql (the >1-member template families);
     // slice semantics proven equal: list[9:] on short lists → empty →
     // '' on both engines; split('') is 1-element on both, hence the

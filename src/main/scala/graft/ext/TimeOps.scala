@@ -322,6 +322,47 @@ object TimeOps {
       .orderBy("event_type", "d")
   }
 
+  /** Rolling-baseline stats + Bollinger-style band break per event
+    * type — the online anomaly screen a metrics pipeline runs (current
+    * value vs the mean ± 3σ of its 5 PRECEDING events, under the
+    * deterministic (ts, event_id) order — [[ohlc]]'s total order,
+    * lockstep). EXACT
+    * integer algebra throughout: values micronized to BIGINT cents
+    * (round(v·100), the agg_hist_quantile precedent — the 2-dp-grain
+    * double is always within fp-noise of an integer, so both engines
+    * round identically), variance as the numerator n·Σc² − (Σc)²
+    * (≥ 0, no division), and the 3σ test cross-multiplied to
+    * (c·n − Σc)² > 9·(n·Σc² − (Σc)²) — no sqrt, no division, no
+    * doubles, bit-identical across engines and partitionings (values
+    * are nonneg and ≤ ~56k cents, so every product is far inside
+    * int64). One window pass, shuffling once on event_type. */
+  def rollingStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // baseline = the PRECEDING 5 rows only: a point inside its own
+    // window can deviate at most √(n−1)·σ ≈ 2σ, so a 3σ test against a
+    // self-inclusive window is structurally dead — the online shape
+    // compares the current value to its recent PAST
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-5, -1)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+              round(col("value") * 100).cast("long").as("c"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_c", coalesce(sum("c").over(w), lit(0L)))
+      .withColumn("sum_c2", coalesce(sum(col("c") * col("c")).over(w), lit(0L)))
+      .select(col("event_type"), date_format(col("ts"), fmt).as("ts"),
+              col("event_id"), col("c"), col("n_win"), col("sum_c"),
+              (col("n_win") * col("sum_c2") - col("sum_c") * col("sum_c"))
+                .as("var_num"),
+              (col("n_win") >= 2 &&
+               (col("c") * col("n_win") - col("sum_c")) *
+               (col("c") * col("n_win") - col("sum_c")) >
+                 lit(9L) * (col("n_win") * col("sum_c2") -
+                            col("sum_c") * col("sum_c")))
+                .cast("int").as("is_band_break"))
+  }
+
   /** Full cohort-retention matrix — [[retention]]'s day-7 column
     * generalized to every (cohort_day, day_offset) cell: distinct
     * active users per cohort per day-since-first-seen, the curve a
@@ -346,6 +387,7 @@ object TimeOps {
     "time_cohort"   -> cohortMatrix _,
     "time_spike"    -> spike _,
     "time_mad_outlier" -> madOutlier _,
+    "time_rolling_stats" -> rollingStats _,
     "time_gap_fill"      -> gapFill _,
     "time_tumbling"      -> tumbling _,
     "time_ohlc"          -> ohlc _,
@@ -359,6 +401,23 @@ object TimeOps {
     "cdc_scd2"           -> scd2 _)
 
   val oracle: Map[String, String] = Map(
+    // integer cents, ROWS 4-preceding frame, cross-multiplied 3-sigma
+    // test and (ts, event_id) order all lockstep with rollingStats
+    "time_rolling_stats" ->
+      ("WITH rs AS (SELECT event_type, ts, event_id, " +
+       "CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
+       "rw AS (SELECT event_type, ts, event_id, c, " +
+       "CAST(count(*) OVER w AS BIGINT) AS n_win, " +
+       "CAST(coalesce(sum(c) OVER w, 0) AS BIGINT) AS sum_c, " +
+       "CAST(coalesce(sum(c*c) OVER w, 0) AS BIGINT) AS sum_c2 FROM rs " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id " +
+       "ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)) " +
+       "SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, " +
+       "event_id, c, n_win, sum_c, " +
+       "CAST(n_win*sum_c2 - sum_c*sum_c AS BIGINT) AS var_num, " +
+       "CAST(CASE WHEN n_win >= 2 AND (c*n_win - sum_c)*(c*n_win - sum_c) > " +
+       "9*(n_win*sum_c2 - sum_c*sum_c) THEN 1 ELSE 0 END AS INTEGER) " +
+       "AS is_band_break FROM rw"),
     "time_gap_fill" ->
       ("WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type, " +
        "count(*) AS n, round((sum(value)) * 1e2) / 1e2 AS sum_v " +

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 wave-2 operators: BFS layers vs a driver reference, range
+  * search vs top-k containment + a brute-force radius check, and the
+  * token-budget plan's accounting identities. */
+class BfsLayersSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("3-hop layers equal a driver-side BFS from the same seeds") {
+    val edges = ext.Similarity.knnMutual(spark, sf001).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    val seeds = (0L until n / 10).toSet
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (r <- 1 to 3) {
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> r)
+      // (frontier may include nodes reached this round via two parents —
+      // set semantics already dedups)
+    }
+    val got = ext.Graph.bfsLayers(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size.toLong == n)
+    got.foreach { case (id, l) =>
+      assert(l == dist.getOrElse(id, -1), s"layer mismatch on $id")
+    }
+    // non-vacuous: some node in every layer 1..3 and some unreached
+    (1 to 3).foreach(r => assert(got.values.count(_ == r) > 0, s"layer $r empty"))
+    assert(got.values.count(_ == -1) > 0, "no unreached nodes — vacuous")
+  }
+}
+
+class RangeSearchSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("range result is exactly the thresholded candidate set: contains " +
+       "every top-k row at sim >= tau, and every row re-verifies >= tau") {
+    val range = ext.Similarity.rangeSearch(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(range.nonEmpty, "radius tau=0.4 returned nothing — vacuous")
+    assert(range.forall(_._3 >= 0.4), "a returned pair is under the radius")
+    val topkIn = ext.Similarity.queries("sim_ivf_topk")(spark, sf001)
+      .filter(col("sim") >= 0.4).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rangeKeys = range.map(t => (t._1, t._2)).toSet
+    assert(topkIn.subsetOf(rangeKeys),
+      "a top-k neighbor above the radius is missing from range search")
+  }
+}
+
+class TokenBudgetSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("budget accounting: sum(planned) <= budget with only floor loss; " +
+       "temperature upsamples small sources") {
+    val rows = ext.TextOps.tokenBudgetMix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+                 r.getLong(5)))
+    val planned = rows.map(_._4).sum
+    assert(planned <= 100000L)
+    assert(planned >= 100000L - rows.length, // one floor per source
+      s"floor loss exceeds |sources|: $planned")
+    // epochs ~ budget/(sqrt(n)*C): strictly monotone decreasing in
+    // n_tokens (up to integer floors — allow equality)
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Array((_, n1, _, _, e1), (_, n2, _, _, e2)) =>
+        if (n1 < n2) assert(e1 >= e2,
+          s"smaller source ($n1 tok) got fewer epochs than larger ($n2)")
+      case _ =>
+    }
+    // weight identity: weight_micro = round(sqrt(n_tokens)*1e6)
+    rows.foreach { case (_, n, w, _, _) =>
+      assert(w == math.round(math.sqrt(n.toDouble) * 1e6))
+    }
+  }
+}
+
+class LangConfusionSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("confusion totals = corpus size; trace = langid's correct count") {
+    import org.apache.spark.sql.functions._
+    val conf = ext.TextOps.langConfusion(spark, sf001)
+    val total = conf.agg(sum("n")).head().getLong(0)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(total == docs)
+    val trace = conf.filter(col("lang") === col("predicted"))
+      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    val correct = ext.TextOps.langid(spark, sf001)
+      .agg(sum("is_correct")).head().getLong(0)
+    assert(trace == correct, "confusion trace diverges from langid")
+    assert(conf.count() > 1, "degenerate single-cell confusion — vacuous")
+  }
+}
