@@ -310,6 +310,31 @@ object Similarity {
       .filter(col("a_id") =!= col("b_id"))
   }
 
+  /** Per-cell LABEL PURITY over the IVF home-cell partition — the
+    * cluster-quality eval (how homogeneous is each coarse cell?) that
+    * grades a quantizer beyond recall: for every home cell, the
+    * majority label, member count, and integer purity percentage
+    * (100·majority div n — nonneg, `//` ≡ div). Composes the memoized
+    * [[ivfAssignRanked]] home assignment with the embeddings' label
+    * column; output is |cells| rows at any corpus scale. Ties on the
+    * majority break label-ascending on both engines. */
+  def cellPurity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val home = ivfAssignRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val pc = home.join(emb, Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cell").orderBy(col("c").desc, col("label").asc)
+    val wc = Window.partitionBy("cell")
+    pc.withColumn("rn2", row_number().over(w))
+      .withColumn("n", sum("c").over(wc))
+      .filter(col("rn2") === 1)
+      .select(col("cell"), col("label").as("major_label"),
+              col("n").as("n_vecs"), col("c").as("n_major"),
+              expr("(100 * c) div n").as("purity_pct"))
+  }
+
   /** RANGE search — the second fundamental ANN operation next to top-k
     * (radius query: EVERY neighbor at cosine ≥ τ, however many): same
     * probed candidate stage as [[ivfTopK]], thresholded instead of
@@ -1941,6 +1966,7 @@ object Similarity {
     "sim_norms"        -> norms _,
     "sim_brute_topk"   -> bruteTopK _,
     "sim_range_search" -> rangeSearch _,
+    "emb_cell_purity"  -> cellPurity _,
     "sim_lsh_buckets"  -> lshBuckets _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
@@ -2468,6 +2494,19 @@ object Similarity {
     // the same salted-order cap as the Spark b-side.
     "sim_ivf_topk" ->
       (ivfTopKCteSql + " SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"),
+    // cell purity composes the chain's `home` CTE (unreferenced CTEs
+    // are not executed by DuckDB); ep/et-prefixed names, label-asc ties,
+    // nonneg // ≡ div — lockstep with cellPurity
+    "emb_cell_purity" ->
+      (ivfTopKCteSql + ", " +
+       "ep AS (SELECT h.cell, e.label, count(*) AS c FROM home h " +
+       "JOIN embeddings e USING (vec_id) GROUP BY 1, 2), " +
+       "et AS (SELECT cell, label, c, row_number() OVER (PARTITION BY cell " +
+       "ORDER BY c DESC, label ASC) AS rn2, " +
+       "sum(c) OVER (PARTITION BY cell) AS n FROM ep) " +
+       "SELECT cell, label AS major_label, CAST(n AS BIGINT) AS n_vecs, " +
+       "CAST(c AS BIGINT) AS n_major, CAST((100 * c) // n AS BIGINT) " +
+       "AS purity_pct FROM et WHERE rn2 = 1"),
     // radius query over the SAME chain through `p` (lockstep with
     // sim_ivf_topk); threshold literal CAST to DOUBLE (decimal rule)
     "sim_range_search" ->

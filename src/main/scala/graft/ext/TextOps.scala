@@ -501,7 +501,13 @@ object TextOps {
     * email → SSN → phone is fixed (and order-insensitive for these
     * disjoint patterns, but mirrored anyway). Zero shuffle: pure
     * per-row compute. */
-  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.documents(spark, dir))
+
+  /** [[piiRedact]] over any frame with (doc_id, text) — a stateless
+    * projection, so it runs UNCHANGED under Structured Streaming
+    * (DocStream.redact; StreamingSpec proves stream ≡ batch). */
+  private[graft] def piiRedactOf(docs: DataFrame): DataFrame = {
     val inject =
       when(col("doc_id") % 10 === 0,
         concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
@@ -509,7 +515,7 @@ object TextOps {
       .when(col("doc_id") % 10 === 5,
         concat(col("text"), lit(" ssn 123-45-6789 on file")))
       .otherwise(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), inject.as("t2"))
       .select(col("doc_id"),
         size(expr(s"regexp_extract_all(t2, '$PiiEmail', 0)")).as("n_email"),

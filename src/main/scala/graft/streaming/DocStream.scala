@@ -144,6 +144,16 @@ object DocStream {
     graft.ext.Dedup.sourceSigOf(
       graft.ext.Dedup.sourceShingleHashes(docs, 3))
 
+  /** Streaming PII redaction — the continuous-ingest face of
+    * `text_pii_redact`: a stateless per-row projection (inject →
+    * count → replace, single-sourced via TextOps.piiRedactOf), so it
+    * runs UNCHANGED under Structured Streaming with no watermark or
+    * state store; StreamingSpec proves stream ≡ batch on replay. At
+    * 100 TB/day this is the shape PII scrubbing actually deploys as —
+    * on the ingest stream, before anything lands. */
+  def redact(docs: DataFrame): DataFrame =
+    graft.ext.TextOps.piiRedactOf(docs)
+
   /** Streaming curation: one survivor per exact text (first arrival) +
     * repetition gate (same expression as TextOps.repetition). */
   def curate(docs: DataFrame): DataFrame = {

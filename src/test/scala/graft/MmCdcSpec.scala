@@ -70,6 +70,19 @@ class MmCdcSpec extends SparkSpec {
     }
   }
 
+  test("cdc pairs flag a 1-char-prepended near-copy that fixed blocking misses") {
+    import spark.implicits._
+    val t = texts.filter { case (_, s) => refBoundaries(s).size >= 3 }
+      .maxBy(_._2.length)._2
+    val docs = Seq((1L, t), (2L, "X" + t)).toDF("doc_id", "text")
+    val cdcP = graft.ext.Multimodal.cdcPairsOfForTest(docs).collect()
+    assert(cdcP.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "CDC pairing missed the shifted near-copy")
+    val fixP = graft.ext.Multimodal.mediaChunkDedupOf(docs)
+      .filter(col("a_id") === 1L && col("b_id") === 2L).count()
+    assert(fixP === 0L, "fixed blocking unexpectedly matched a shifted copy")
+  }
+
   test("mm_cdc_chunks: exact-duplicate docs share every chunk digest") {
     // construct a two-doc frame: a doc and its byte-identical copy —
     // every chunk digest must appear in both docs

@@ -40,6 +40,26 @@ class PlanShapeSpec extends SparkSpec {
            s"band predicate fell back to a quadratic join:\n$p")
   }
 
+  test("PII redaction is a pure zero-exchange projection") {
+    val p = planOf("text_pii_redact")
+    assert(!p.contains("Exchange"),
+      s"a per-row rewrite must not shuffle:\n$p")
+  }
+
+  test("rolling stats shuffle once on event_type; band test stays in-plan") {
+    val p = planOf("time_rolling_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"rolling window should cost exactly one exchange:\n$p")
+  }
+
+  test("boilerplate strip broadcasts the group table; corpus never shuffles " +
+       "for the join") {
+    val p = planOf("text_boilerplate_strip")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"template-family join shuffled the corpus:\n$p")
+  }
+
   test("global top-k lowers to TakeOrderedAndProject (no full sort)") {
     val p = planOf("sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

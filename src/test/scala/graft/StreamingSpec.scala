@@ -113,6 +113,24 @@ class StreamingSpec extends SparkSpec {
     assert(negatives > 0, "bloom rejected nothing — fast path untested")
   }
 
+  test("streaming PII redaction equals the batch redaction on replay") {
+    import graft.streaming.DocStream
+    val dir = Files.createTempDirectory("graft-docs-redact").toString
+    Files.copy(Paths.get(s"$sf0001/documents.parquet"),
+      Paths.get(s"$dir/docs-000.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStream.runToMemory(
+      spark, DocStream.redact(DocStream.readDocs(spark, dir)),
+      "doc_redact_out", OutputMode.Append())
+    val batch = graft.ext.TextOps.piiRedactOf(
+      spark.read.parquet(s"$sf0001/documents.parquet"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // redaction actually fired on the stream (not a pass-through run)
+    assert(streamed.filter(col("redacted").contains("<EMAIL>")).count() > 0)
+  }
+
   test("streaming document curation equals the batch curation on replay") {
     import graft.streaming.DocStream
     // duplicate the whole corpus: same file twice → dedup must collapse it

@@ -103,3 +103,39 @@ class LangConfusionSpec extends SparkSpec {
     assert(conf.count() > 1, "degenerate single-cell confusion — vacuous")
   }
 }
+
+class CellPuritySpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("purity accounting: cells partition the corpus; majority verified " +
+       "against a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ext.Similarity.cellPurity(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_._3).sum == n, "cells do not partition the corpus")
+    rows.foreach { case (_, _, nv, nm, pp) =>
+      assert(nm >= 1 && nm <= nv)
+      assert(pp == 100 * nm / nv)
+    }
+    // independent majority recompute from the assignment itself
+    val assign = ext.Similarity.queries("sim_ivf_assign")(spark, sf001)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // .keys is a Set — mapping labels over it would dedup; go via Seq
+    val byCell = assign.groupBy(_._2).view.mapValues(_.keys.toSeq.map(labels))
+    rows.foreach { case (cell, maj, nv, nm, _) =>
+      val ls = byCell(cell).toSeq
+      assert(ls.size.toLong == nv)
+      val top = ls.groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(top._1 == maj && top._2.toLong == nm,
+        s"majority mismatch in cell $cell")
+    }
+  }
+}
