@@ -137,6 +137,37 @@ object TimeOps {
               col("click_id"), col("click_value"))
   }
 
+  /** NEAREST-event as-of join — the sensor-alignment variant of
+    * [[asofJoin]] (which is backward-only): each purchase picks the
+    * click with the SMALLEST absolute time distance within ±1 hour,
+    * ties broken by click event_id. Same bounded shape as
+    * [[intervalJoin]] (equi-key on user + two-sided range), then one
+    * window min per purchase — never an unbounded time cross-product.
+    * Δt is emitted as signed integer MICROSECONDS (unix_micros /
+    * epoch_us on the two engines — identical under the mandatory UTC
+    * session), so the ranking key |Δt| is pure integer. */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("c_id"))
+    val w = Window.partitionBy("p_id")
+      .orderBy(abs(col("dt_us")).asc, col("c_id").asc)
+    p.join(c, col("user_id") === col("c_user") &&
+             col("c_ts").between(col("p_ts") - expr("INTERVAL 1 HOUR"),
+                                 col("p_ts") + expr("INTERVAL 1 HOUR")))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+              (unix_micros(col("c_ts")) - unix_micros(col("p_ts"))).as("dt_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id").as("event_id"), col("user_id"),
+              date_format(col("p_ts"), fmt).as("ats"),
+              col("c_id").as("click_id"), col("dt_us"))
+  }
+
   /** Interval (range) join: purchases within 1 hour after a click by the
     * same user — the batch shape of EventStream.clickPurchaseJoin
     * (StreamingSpec proves stream ≡ batch). Equi-key on user bounds the
@@ -395,12 +426,30 @@ object TimeOps {
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
+    "time_asof_nearest"  -> asofNearest _,
     "time_interval_join" -> intervalJoin _,
     "time_funnel"        -> funnel _,
     "time_retention"     -> retention _,
     "cdc_scd2"           -> scd2 _)
 
   val oracle: Map[String, String] = Map(
+    // two-sided 1h range + |dt_us| min, tie on click id — epoch_us ≡
+    // unix_micros under the UTC session; lockstep with asofNearest
+    "time_asof_nearest" ->
+      ("WITH ap AS (SELECT user_id, ts AS p_ts, event_id AS p_id " +
+       "FROM events WHERE event_type = 'purchase'), " +
+       "ac AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id " +
+       "FROM events WHERE event_type = 'click'), " +
+       "aj AS (SELECT p_id, user_id, p_ts, c_id, " +
+       "epoch_us(c_ts) - epoch_us(p_ts) AS dt_us FROM ap JOIN ac " +
+       "ON user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR " +
+       "AND p_ts + INTERVAL 1 HOUR), " +
+       "ar AS (SELECT aj.*, row_number() OVER (PARTITION BY p_id " +
+       "ORDER BY abs(dt_us) ASC, c_id ASC) AS rn FROM aj) " +
+       "SELECT p_id AS event_id, user_id, " +
+       "strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS ats, c_id AS click_id, " +
+       "CAST(dt_us AS BIGINT) AS dt_us FROM ar WHERE rn = 1"),
+
     // integer cents, ROWS 4-preceding frame, cross-multiplied 3-sigma
     // test and (ts, event_id) order all lockstep with rollingStats
     "time_rolling_stats" ->

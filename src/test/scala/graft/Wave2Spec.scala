@@ -139,3 +139,32 @@ class CellPuritySpec extends SparkSpec {
     }
   }
 }
+
+class AsofNearestSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("nearest-click choice verified by an exhaustive driver recompute") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id"),
+              unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    val clicksByUser = ev.filter(_._1 == "click").groupBy(_._2)
+    val hour = 3600L * 1000000L
+    val want = ev.filter(_._1 == "purchase").flatMap { case (_, u, pus, pid) =>
+      clicksByUser.getOrElse(u, Array.empty)
+        .map { case (_, _, cus, cid) => (cus - pus, cid) }
+        .filter { case (dt, _) => math.abs(dt) <= hour }
+        .sortBy { case (dt, cid) => (math.abs(dt), cid) }
+        .headOption.map(best => pid -> best)
+    }.toMap
+    val got = ext.TimeOps.asofNearest(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(3)))).toMap
+    assert(got == want, "nearest-click selection diverges from brute force")
+    assert(got.nonEmpty && got.values.exists(_._1 < 0) &&
+           got.values.exists(_._1 > 0),
+      "fixture never exercises both directions — vacuous")
+  }
+}
