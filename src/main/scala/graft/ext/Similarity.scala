@@ -1567,6 +1567,54 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** Per-dimension EMBEDDING DRIFT between ingest batches — the
+    * index-health check a production vector store runs before deciding
+    * whether yesterday's trained quantizer still fits today's data
+    * (encoder version bumps and corpus mix changes move the embedding
+    * distribution; a drifted dimension silently degrades IVF recall).
+    * Batch split = vec_id < n/2 via [[CountMemo]] (reproduces the
+    * oracle's literal 250 at sf0.01 — the dedup_incremental contract);
+    * per batch, each dim's mean via the [[dimStats]] discipline
+    * (element micronized once to BIGINT, DECIMAL(38) sums —
+    * order-invariant), drift = mean_new − mean_ref in integer micro
+    * units, flagged at |drift| ≥ 0.1 (literal 100000 µ, lockstep).
+    * Means get `+ 0.0` after the round (the emb_whiten signed-zero
+    * rule — they are zero-centered quantities). |dims| rows at any
+    * corpus scale. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    driftReportOf(emb, CountMemo.get(spark, dir, "embeddings")(emb.count()) / 2)
+  }
+
+  /** [[driftReport]] over any (vec_id, embedding) frame with an explicit
+    * split — standalone so DriftSpec can drive the shifted-flag path on
+    * a crafted genuinely-drifted fixture (the natural corpus drifts
+    * ±0.03, under the 0.1 flag). */
+  private[graft] def driftReportOf(emb: DataFrame, split: Long): DataFrame = {
+    def half(df: org.apache.spark.sql.DataFrame) = df
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("int").as("pos"),
+              col("col").cast("double").as("x"))
+      .select(col("pos"),
+              round(col("x") * lit(1e6)).cast("decimal(38,0)").as("t1"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("t1").as("s1"))
+    val ref = half(emb.filter(col("vec_id") < split))
+      .select(col("pos"), col("n").as("n_ref"), col("s1").as("sr"))
+    val neu = half(emb.filter(col("vec_id") >= split))
+      .select(col("pos"), col("n").as("n_new"), col("s1").as("sn"))
+    ref.join(neu, Seq("pos"))
+      .select(col("pos"), col("n_ref"), col("n_new"),
+        (Num.rnd(col("sr").cast("double") / lit(1e6) / col("n_ref"), 6) +
+          lit(0.0)).as("mean_ref"),
+        (Num.rnd(col("sn").cast("double") / lit(1e6) / col("n_new"), 6) +
+          lit(0.0)).as("mean_new"))
+      .withColumn("drift_micro",
+        round((col("mean_new") - col("mean_ref")) * lit(1e6)).cast("long"))
+      .withColumn("shifted", (abs(col("drift_micro")) >= 100000L).cast("int"))
+      .orderBy("pos")
+  }
+
   /** Pairwise cosine similarity between source centroids — domain
     * redundancy analysis over the (tiny) centroid table; the pairwise
     * stage is n_sources², never n². Centroids are the ROUNDED 6-dp
@@ -1967,6 +2015,7 @@ object Similarity {
     "sim_brute_topk"   -> bruteTopK _,
     "sim_range_search" -> rangeSearch _,
     "emb_cell_purity"  -> cellPurity _,
+    "emb_drift_report" -> driftReport _,
     "sim_lsh_buckets"  -> lshBuckets _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
@@ -2494,6 +2543,27 @@ object Similarity {
     // the same salted-order cap as the Spark b-side.
     "sim_ivf_topk" ->
       (ivfTopKCteSql + " SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"),
+    // batch split literal 250 (= n/2 at sf0.01), micronize-then-
+    // DECIMAL-sum moment discipline shared with dimStatsCteSql, signed-
+    // zero `+ 0.0` after every mean round, drift threshold literal
+    // 100000 µ — all lockstep with driftReport
+    "emb_drift_report" ->
+      ("WITH dx AS (SELECT e.vec_id, CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
+       "CAST(e.embedding[p.pos1] AS DOUBLE) AS x " +
+       "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+       "dt AS (SELECT vec_id, pos, CAST(round(x * 1e6) AS BIGINT) AS t1 FROM dx), " +
+       "dr AS (SELECT pos, count(*) AS n_ref, CAST(sum(t1) AS DOUBLE) AS s1 " +
+       "FROM dt WHERE vec_id < 250 GROUP BY pos), " +
+       "dn AS (SELECT pos, count(*) AS n_new, CAST(sum(t1) AS DOUBLE) AS s1 " +
+       "FROM dt WHERE vec_id >= 250 GROUP BY pos), " +
+       "dm AS (SELECT dr.pos, dr.n_ref, dn.n_new, " +
+       "round(((dr.s1 / 1e6) / dr.n_ref) * 1e6) / 1e6 + 0.0 AS mean_ref, " +
+       "round(((dn.s1 / 1e6) / dn.n_new) * 1e6) / 1e6 + 0.0 AS mean_new " +
+       "FROM dr JOIN dn USING (pos)) " +
+       "SELECT pos, n_ref, n_new, mean_ref, mean_new, " +
+       "CAST(round((mean_new - mean_ref) * 1e6) AS BIGINT) AS drift_micro, " +
+       "CAST(abs(CAST(round((mean_new - mean_ref) * 1e6) AS BIGINT)) >= 100000 " +
+       "AS INTEGER) AS shifted FROM dm ORDER BY pos"),
     // cell purity composes the chain's `home` CTE (unreferenced CTEs
     // are not executed by DuckDB); ep/et-prefixed names, label-asc ties,
     // nonneg // ≡ div — lockstep with cellPurity
