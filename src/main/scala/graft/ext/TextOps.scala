@@ -235,6 +235,35 @@ object TextOps {
     "CAST(sum(lp.lpm) AS BIGINT) AS sum_lp_micro FROM tk JOIN lp USING (tok) " +
     "GROUP BY tk.doc_id)"
 
+  private def cmsFoldSql(e: String, b: Long): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len($e)+1), " +
+    s"cmi -> CAST(ascii(($e)[cmi]) AS BIGINT)), " +
+    s"(cma, cmb) -> (cma*$b + cmb) % 1000003) % $CmsBuckets"
+
+  /** text_cms_estimate oracle — per-base sketch/probe selects generated
+    * from the SAME CmsBases list the Spark side folds with. */
+  private def cmsOracleSql: String = {
+    val sketch = CmsBases.zipWithIndex.map { case (b, j) =>
+      s"SELECT $j AS row_j, ${cmsFoldSql("tok", b)} AS bucket FROM cmt"
+    }.mkString(" UNION ALL ")
+    val probes = CmsBases.zipWithIndex.map { case (b, j) =>
+      s"SELECT term, $j AS row_j, ${cmsFoldSql("term", b)} AS bucket FROM cmv"
+    }.mkString(" UNION ALL ")
+    val termsList = CmsProbeTerms.map(t => s"('$t')").mkString(", ")
+    val termsIn = CmsProbeTerms.map(t => s"'$t'").mkString(", ")
+    "WITH cmt AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), " +
+    s"cmv AS (SELECT term FROM (VALUES $termsList) t(term)), " +
+    s"cmh AS ($sketch), " +
+    "cmc AS (SELECT row_j, bucket, count(*) AS cnt FROM cmh GROUP BY 1, 2), " +
+    s"cmp AS ($probes), " +
+    "cme AS (SELECT cmp.term, CAST(min(coalesce(cmc.cnt, 0)) AS BIGINT) AS est_c " +
+    "FROM cmp LEFT JOIN cmc USING (row_j, bucket) GROUP BY 1), " +
+    s"cmtr AS (SELECT tok AS term, count(*) AS true_c FROM cmt " +
+    s"WHERE tok IN ($termsIn) GROUP BY 1) " +
+    "SELECT cme.term, CAST(coalesce(cmtr.true_c, 0) AS BIGINT) AS true_c, " +
+    "cme.est_c FROM cme LEFT JOIN cmtr USING (term) ORDER BY term"
+  }
+
   private def langidSql: String = {
     val langs = langMarkers.map(_._1)
     s"SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, " +
@@ -726,6 +755,80 @@ object TextOps {
           .as("rate_micro"))
       .withColumn("planned_tokens",
         expr("(n_tokens * rate_micro) div CAST(1000000 AS BIGINT)"))
+  }
+
+  /** Count-min-sketch hash bases (4 rows × 64 buckets, mod 1000003) —
+    * mirrored literally in the oracle's per-base folds; lockstep only. */
+  private val CmsBases = Seq(131L, 137L, 139L, 149L)
+  private val CmsBuckets = 64
+  private val CmsProbeTerms = Seq("spark", "vector", "dup")
+
+  /** COUNT-MIN SKETCH term-frequency estimation — the fourth mergeable
+    * sketch in the family (HLL distinct / Misra-Gries heavy hitters /
+    * log-histogram quantiles / CMS point frequency): 4 hash rows × 64
+    * buckets of token counts, point estimate = min over rows of the
+    * probed bucket. Unlike agg_approx's engine-owned HLL, this sketch
+    * is built from [[graft.functions.PolyHashMod]] — DETERMINISTIC and
+    * portable — so the oracle reproduces the exact sketch AND the exact
+    * estimates (full value equality, not a bounds check). The CMS
+    * guarantee est ≥ true (over-count only, from collisions) is pinned
+    * by CmsSpec. Sketch state is d·w counters at ANY corpus scale and
+    * merges by addition — the 100 TB re-aggregation shape. Probe terms
+    * are the bm25 literal family. */
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val hashed = CmsBases.zipWithIndex.map { case (b, j) =>
+      tk.select(lit(j).as("row_j"),
+        (graft.functions.PolyHashMod.col(col("tok"), b, 1000003L) %
+          CmsBuckets).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cms = hashed.groupBy("row_j", "bucket").agg(count(lit(1)).as("cnt"))
+    val terms = CmsProbeTerms.toDF("term")
+    val probes = CmsBases.zipWithIndex.map { case (b, j) =>
+      terms.select(col("term"), lit(j).as("row_j"),
+        (graft.functions.PolyHashMod.col(col("term"), b, 1000003L) %
+          CmsBuckets).as("bucket"))
+    }.reduce(_ unionByName _)
+    val est = probes.join(broadcast(cms), Seq("row_j", "bucket"), "left")
+      .groupBy("term").agg(min(coalesce(col("cnt"), lit(0L))).as("est_c"))
+    val tru = tk.filter(col("tok").isin(CmsProbeTerms: _*))
+      .groupBy(col("tok").as("term")).agg(count(lit(1)).as("true_c"))
+    est.join(tru, Seq("term"), "left")
+      .select(col("term"), coalesce(col("true_c"), lit(0L)).as("true_c"),
+              col("est_c"))
+      .orderBy("term")
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-SIZING chart (what
+    * fraction of all token occurrences do the top-k vocabulary entries
+    * cover? the elbow decides vocab size): rank the vocabulary by
+    * (count desc, token asc), cumulative-sum the counts, report the
+    * coverage at k ∈ {10, 100, 1000} (capped at |vocab|). All integer —
+    * coverage in nonneg micro units (cum·1e6 div total). The ranking
+    * window is single-partition but over the |vocab|-row model frame,
+    * not the corpus (the madOutlier histogram precedent) — one corpus
+    * pass to counts, then model-sized work at any scale. */
+  def ngramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val ranked = cnt
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("rk", "cum")
+    val tot = cnt.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
+    Seq(10, 100, 1000).toDF("k")
+      .crossJoin(broadcast(tot))
+      .join(ranked, col("rk") === least(col("k").cast("long"), col("vocab")))
+      .select(col("k"), col("vocab"), col("total"), col("cum").as("covered"),
+              expr("(cum * 1000000) div total").as("coverage_micro"))
+      .orderBy("k")
   }
 
   /** Token-budget mixture with temperature weighting (τ = 0.5) — the
@@ -1720,6 +1823,8 @@ object TextOps {
     "text_boilerplate_strip" -> boilerplateStrip _,
     "corpus_token_budget" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
     "text_lang_confusion" -> langConfusion _,
+    "text_ngram_coverage" -> ngramCoverage _,
+    "text_cms_estimate" -> cmsEstimate _,
     "text_chunk"       -> ((s, d) => chunk(s, d)),
     "text_tfidf"       -> ((s, d) => tfidf(s, d)),
     "text_cosine_pairs" -> ((s, d) => cosinePairs(s, d)),
@@ -2124,6 +2229,28 @@ object TextOps {
        s"CAST(len(regexp_extract_all(text, '$PiiSsn')) AS INTEGER) AS n_ssn, " +
        "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word " +
        "FROM documents) t"),
+    // CMS: the SAME deterministic PolyHashMod fold per base (CLAUDE.md
+    // portable-hash pattern — BIGINT seed cast required), 4×64 sketch,
+    // min-over-rows estimate; bases/buckets/probe terms lockstep with
+    // CmsBases/CmsBuckets/CmsProbeTerms
+    "text_cms_estimate" -> cmsOracleSql,
+    // coverage cut points {10,100,1000} capped at |vocab|, (c desc,
+    // tok asc) rank order, nonneg micro division — lockstep with
+    // ngramCoverage; row_number cast INT (CLAUDE.md)
+    "text_ngram_coverage" ->
+      ("WITH ncc AS (SELECT tok, count(*) AS c FROM (SELECT " +
+       "unnest(string_split(text, ' ')) AS tok FROM documents) t GROUP BY tok), " +
+       "ncr AS (SELECT CAST(row_number() OVER " +
+       "(ORDER BY c DESC, tok ASC) AS INTEGER) AS rk, " +
+       "CAST(sum(c) OVER (ORDER BY c DESC, tok ASC " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+       "FROM ncc), " +
+       "ntot AS (SELECT CAST(sum(c) AS BIGINT) AS total, " +
+       "count(*) AS vocab FROM ncc) " +
+       "SELECT v.k, ntot.vocab, ntot.total, ncr.cum AS covered, " +
+       "CAST((ncr.cum * 1000000) // ntot.total AS BIGINT) AS coverage_micro " +
+       "FROM (VALUES (10), (100), (1000)) AS v(k), ntot " +
+       "JOIN ncr ON ncr.rk = least(v.k, ntot.vocab) ORDER BY v.k"),
     // composes the langScores/langPredCase fragments (lockstep with
     // text_langid and corpus_ppl_buckets)
     "text_lang_confusion" ->

@@ -168,3 +168,56 @@ class AsofNearestSpec extends SparkSpec {
       "fixture never exercises both directions — vacuous")
   }
 }
+
+class NgramCoverageSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("coverage is monotone in k, reaches 100% at |vocab|, and matches " +
+       "a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = ext.TextOps.ngramCoverage(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4))).sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 <= b._4 })
+    // driver recompute from raw counts
+    val counts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ordered = counts.sortBy { case (t, c) => (-c, t) }.map(_._2)
+    val total = ordered.sum
+    rows.foreach { case (k, vocab, tot, covered, micro) =>
+      assert(vocab === counts.length.toLong && tot === total)
+      val want = ordered.take(math.min(k, counts.length)).sum
+      assert(covered === want, s"covered mismatch at k=$k")
+      assert(micro === covered * 1000000L / total)
+      if (k >= counts.length) assert(micro === 1000000L)
+    }
+    // the cut points must actually discriminate (head-heavy vocab)
+    assert(rows.head._4 < rows.last._4, "flat coverage curve — vacuous")
+  }
+}
+
+class CmsSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("CMS never under-counts; estimates bounded by eps*N; probes real") {
+    import org.apache.spark.sql.functions._
+    val rows = ext.TextOps.queries("text_cms_estimate")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 3)
+    val total = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { case (t, tru, est) =>
+      assert(tru > 0, s"probe term '$t' absent from corpus — vacuous")
+      assert(est >= tru, s"CMS under-counted '$t': $est < $tru")
+      // classic CMS bound: overestimate <= (e/w)*N per row, min over
+      // d rows tightens it; assert the single-row bound loosely
+      assert(est - tru <= 3 * total / 64,
+        s"'$t' overestimate beyond the CMS bound: $est vs $tru")
+    }
+  }
+}
