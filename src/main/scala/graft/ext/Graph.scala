@@ -386,10 +386,31 @@ object Graph {
     dist.select(col("vec_id"), coalesce(col("d"), lit(-1)).as("layer"))
   }
 
+  /** Degree distribution of the mutual-kNN graph — the one-glance
+    * structural health check (a healthy mutual-top-3 graph concentrates
+    * at degree ≤ 3; mass at higher degrees means duplicate clusters,
+    * mass at 1 means isolated chains): nodes per degree, plus each
+    * degree's share of nodes in nonneg integer micro units. Two
+    * aggregations over the memoized edge frame; output is
+    * |distinct degrees| rows (≤ k-ish) at any scale. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"))
+      .union(mu.select(col("b_id").as("u")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val tot = deg.agg(count(lit(1)).as("n_nodes"))
+    deg.groupBy("deg").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("deg"), col("n"),
+              expr("(n * 1000000) div n_nodes").as("share_micro"))
+      .orderBy("deg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, d) => pagerank(s, d)),
     "graph_kcore" -> kcore _,
     "graph_bfs_layers" -> bfsLayers _,
+    "graph_degree_hist" -> degreeHist _,
     "graph_components" -> components _,
     "graph_triangles" -> triangles _,
     "graph_common_neighbors" -> commonNeighbors _,
@@ -430,6 +451,15 @@ object Graph {
     s"FROM $prev LEFT JOIN bfr$r rr$r ON $prev.vec_id = rr$r.vec_id)"
 
   val oracle: Map[String, String] = Map(
+    // dh-prefixed; nodes-with-an-edge only (graph nodes, same universe
+    // as kcore's kn0); nonneg micro division — lockstep with degreeHist
+    "graph_degree_hist" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "dhd AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "dht AS (SELECT count(*) AS n_nodes FROM dhd) " +
+       "SELECT deg, count(*) AS n, " +
+       "CAST((count(*) * 1000000) // max(dht.n_nodes) AS BIGINT) AS share_micro " +
+       "FROM dhd, dht GROUP BY deg ORDER BY deg"),
     // bf-prefixed CTE chain; seed literal 50 = n/10 at sf0.01 n=500
     // (adaptive-knob lockstep rule), 3 unrolled hops
     "graph_bfs_layers" ->

@@ -183,18 +183,25 @@ object TextOps {
     * CTE names are ct-prefixed so the chain composes next to the
     * Dedup shingle chain (whose `toks`/`sh0` carry hashed keys). */
   private[graft] def contaminationCteSql: String =
-    "cttk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-    "ctsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
-    "FROM cttk, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
-    "ev AS (SELECT DISTINCT s FROM ctsh JOIN documents d USING (doc_id) " +
-    "WHERE d.source = 'src0'), " +
-    "base AS (SELECT ctsh.doc_id, ctsh.s FROM ctsh JOIN documents d USING (doc_id) " +
-    "WHERE d.source <> 'src0'), " +
-    "ctm AS (SELECT b.doc_id, count(*) AS n_sh, " +
+    contaminationCteSqlFor("ct", "src0")
+
+  /** Parametric form — prefix `p` namespaces EVERY CTE (so two suites
+    * can compose in one WITH), `src` is the eval slice; the chain ends
+    * in `<p>m`. The default ("ct", "src0") is what text_contamination
+    * and the funnel consume as `ctm`. */
+  private[graft] def contaminationCteSqlFor(p: String, src: String): String =
+    s"${p}tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+    s"${p}sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s " +
+    s"FROM ${p}tk, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)), " +
+    s"${p}ev AS (SELECT DISTINCT s FROM ${p}sh JOIN documents d USING (doc_id) " +
+    s"WHERE d.source = '$src'), " +
+    s"${p}base AS (SELECT ${p}sh.doc_id, ${p}sh.s FROM ${p}sh " +
+    s"JOIN documents d USING (doc_id) WHERE d.source <> '$src'), " +
+    s"${p}m AS (SELECT b.doc_id, count(*) AS n_sh, " +
     "CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
     "round((100.0 * sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) / count(*)) " +
-    "* 1e2) / 1e2 AS contam_pct " +
-    "FROM base b LEFT JOIN ev e ON b.s = e.s GROUP BY b.doc_id)"
+    s"* 1e2) / 1e2 AS contam_pct " +
+    s"FROM ${p}base b LEFT JOIN ${p}ev e ON b.s = e.s GROUP BY b.doc_id)"
 
   /** The quality gate's SQL condition — mirrors [[quality]]'s
     * `quality_ok` predicate; shared by text_stats_agg and the
@@ -467,6 +474,20 @@ object TextOps {
       CkptMemo.getOrElseUpdate((spark, dir, "contam"),
         contaminationOf(spark, dir, evalSource).localCheckpoint())
     else contaminationOf(spark, dir, evalSource)
+
+  /** Multi-suite contamination — the production shape (a pretraining
+    * run decontaminates against EVERY benchmark suite at once, not one):
+    * the per-suite chain of [[contaminationOf]] run for each eval slice
+    * and tagged, one row per (suite, candidate doc). Two corpus passes
+    * here (one per suite); at scale the eval-shingle sets would merge
+    * into one broadcast membership probe with a suite bitmap — same
+    * join, one pass — but the per-suite chain keeps the oracle
+    * composable via contaminationCteSqlFor. */
+  def contaminationMulti(spark: SparkSession, dir: String): DataFrame =
+    Seq("src0", "src1").map { sset =>
+      contaminationOf(spark, dir, sset).withColumn("suite", lit(sset))
+    }.reduce(_ unionByName _)
+      .select("suite", "doc_id", "n_sh", "n_hit", "contam_pct")
 
   private[graft] def contaminationOf(spark: SparkSession, dir: String,
                                      evalSource: String): DataFrame = {
@@ -1818,6 +1839,7 @@ object TextOps {
     "text_pack"        -> ((s, d) => pack(s, d)),
     "corpus_pack_report" -> packReport _,
     "text_contamination" -> ((s, d) => contamination(s, d)),
+    "text_contamination_multi" -> contaminationMulti _,
     "text_pii_scan"    -> piiScan _,
     "text_pii_redact"  -> piiRedact _,
     "text_boilerplate_strip" -> boilerplateStrip _,
@@ -2220,6 +2242,14 @@ object TextOps {
        "ELSE CAST(0 AS BIGINT) END AS split_micro FROM pka"),
     "text_contamination" ->
       s"WITH $contaminationCteSql SELECT doc_id, n_sh, n_hit, contam_pct FROM ctm",
+    // two suite chains composed in ONE WITH via disjoint prefixes
+    // (ct/cu) — suite list and tags lockstep with contaminationMulti
+    "text_contamination_multi" ->
+      (s"""WITH ${contaminationCteSqlFor("ct", "src0")}, """ +
+       s"""${contaminationCteSqlFor("cu", "src1")} """ +
+       "SELECT 'src0' AS suite, doc_id, n_sh, n_hit, contam_pct FROM ctm " +
+       "UNION ALL " +
+       "SELECT 'src1' AS suite, doc_id, n_sh, n_hit, contam_pct FROM cum"),
     "text_pii_scan" ->
       ("SELECT doc_id, n_email, n_phone, n_ssn, n_word, " +
        "CAST(n_email + n_phone + n_ssn > 0 AS INTEGER) AS has_pii FROM (" +

@@ -221,3 +221,50 @@ class CmsSpec extends SparkSpec {
     }
   }
 }
+
+class DegreeHistSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("degree histogram accounts for every graph node; shares sum to ~1") {
+    import org.apache.spark.sql.functions._
+    val rows = ext.Graph.queries("graph_degree_hist")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = ext.Similarity.knnMutual(spark, sf001).select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val degs = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(rows.map(_._2).sum.toInt == degs.size, "node accounting broken")
+    rows.foreach { case (d, n, _) =>
+      assert(degs.values.count(_ == d) == n, s"count mismatch at degree $d")
+    }
+    // mutual-top-3 graph: no degree can exceed 3
+    assert(rows.forall(_._1 <= 3), "degree above k on a mutual-top-k graph")
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - rows.length)
+  }
+}
+
+class ContaminationMultiSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("src0 slice of the multi-suite report equals text_contamination; " +
+       "each suite excludes its own docs") {
+    import org.apache.spark.sql.functions._
+    val multi = ext.TextOps.contaminationMulti(spark, sf001)
+    val single = ext.TextOps.queries("text_contamination")(spark, sf001)
+    val s0 = multi.filter(col("suite") === "src0").drop("suite")
+    assert(s0.exceptAll(single).count() === 0)
+    assert(single.exceptAll(s0).count() === 0)
+    val srcOf = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = multi.select("suite", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.exists(_._1 == "src1"), "second suite missing")
+    rows.foreach { case (suite, id) =>
+      assert(srcOf(id) != suite, s"suite $suite scored its own doc $id")
+    }
+  }
+}
