@@ -450,8 +450,9 @@ object TimeOps {
        "strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS ats, c_id AS click_id, " +
        "CAST(dt_us AS BIGINT) AS dt_us FROM ar WHERE rn = 1"),
 
-    // integer cents, ROWS 4-preceding frame, cross-multiplied 3-sigma
-    // test and (ts, event_id) order all lockstep with rollingStats
+    // integer cents, ROWS 5 PRECEDING .. 1 PRECEDING frame (5-row
+    // baseline excluding current), cross-multiplied 3-sigma test and
+    // (ts, event_id) order all lockstep with rollingStats
     "time_rolling_stats" ->
       ("WITH rs AS (SELECT event_type, ts, event_id, " +
        "CAST(round(value * 100) AS BIGINT) AS c FROM events), " +
