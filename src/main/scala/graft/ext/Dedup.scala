@@ -922,16 +922,22 @@ object Dedup {
     * (one shuffle) for the cross-doc filter, join back on gram (second
     * shuffle), then a per-doc window that unions overlapping [p, p+W)
     * intervals via a running max of interval ends — all integer, no
-    * float anywhere. At 100 TB the grouping key would be the gram's
-    * 16-byte digest rather than the string (the dedup_exact lesson);
-    * the string key keeps the oracle exact here. Never all-pairs: the
-    * duplicated-gram set is |distinct grams| and the coverage union is
-    * |duplicated starts| rows partitioned by doc. */
+    * float anywhere. The grouping/join key is the gram's 16-BYTE MD5
+    * DIGEST, not the string (the dedup_exact lesson): a [[SubstrW]]-token
+    * gram averages tens of bytes and at 100 TB the gram exchange is the
+    * dominant shuffle, so digest keys cut it several-fold and bound the
+    * key width regardless of token length. The oracle keeps string keys
+    * (identical output absent an md5 collision — 2^-128-scale);
+    * SubstrDigestSpec pins digest ≡ string on real data. Never
+    * all-pairs: the duplicated-gram set is |distinct grams| and the
+    * coverage union is |duplicated starts| rows partitioned by doc. */
   /** Duplicated-window start positions (doc_id, p): every 1-based token
     * position whose [[SubstrW]]-gram occurs verbatim in ≥2 documents.
     * Shared base of [[substrCross]] (coverage measure) and
-    * [[substrExcise]] (span removal apply). */
-  private def dupWindowStarts(docs: DataFrame): DataFrame = {
+    * [[substrExcise]] (span removal apply). `digestKeyed = false` keeps
+    * the raw-string key — spec-only reference path. */
+  private[graft] def dupWindowStarts(docs: DataFrame,
+                                     digestKeyed: Boolean = true): DataFrame = {
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= SubstrW)
@@ -939,7 +945,7 @@ object Dedup {
         posexplode(expr(s"transform(sequence(1, size(toks) - ${SubstrW - 1}), " +
                         s"i -> concat_ws(' ', slice(toks, i, $SubstrW)))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
-              col("col").as("g"))
+              (if (digestKeyed) unhex(md5(col("col"))) else col("col")).as("g"))
     val dupG = grams.groupBy("g")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)

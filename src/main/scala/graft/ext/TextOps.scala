@@ -1089,15 +1089,27 @@ object TextOps {
     * are flagged. Scale shape: shingle DF is a pure COUNT (no posting
     * lists, so no hot-key buffer risk and no cap needed), and the
     * join back is 1:1 per (doc, shingle) row — fan-out never exceeds
-    * input, unlike pair generation. Two shuffles (by shingle, by doc). */
-  def dupSpanFrac(spark: SparkSession, dir: String): DataFrame = {
+    * input, unlike pair generation. Two shuffles (by shingle, by doc).
+    * Both shuffles key on the 8-gram's 16-BYTE MD5 DIGEST, never the
+    * raw string (the dedup_exact lesson — an 8-token gram is ~50 bytes
+    * and the gram exchange dominates at 100 TB); output is identical
+    * absent an md5 collision, the oracle keeps string keys, and
+    * SubstrDigestSpec pins digest ≡ string. `digestKeyed = false` is
+    * the spec-only string-keyed reference path. */
+  def dupSpanFrac(spark: SparkSession, dir: String): DataFrame =
+    dupSpanFracOf(spark, dir, digestKeyed = true)
+
+  private[graft] def dupSpanFracOf(spark: SparkSession, dir: String,
+                                   digestKeyed: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val gram = explode(expr("transform(sequence(1, size(toks) - 7), " +
+                            "i -> concat_ws(' ', slice(toks, i, 8)))"))
     val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), gram.as("raw"))
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks) - 7), " +
-                     "i -> concat_ws(' ', slice(toks, i, 8)))")).as("s"))
+        (if (digestKeyed) unhex(md5(col("raw"))) else col("raw")).as("s"))
       .distinct()
     val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val perDoc = sh.join(df, Seq("s"))
