@@ -176,7 +176,14 @@ object Similarity {
     val b = bKeyed.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
                           col(key), col("nrm").as("nrm_b"))
       .withColumn("rnb", row_number().over(wCap))
-      .observe(s"graft_bucket_cap_$key",
+      // the instance counter keeps the metric name unique when two
+      // independent builds of this stage land in ONE plan (e.g.
+      // sim_nn_descent_eval joins the baseline and the refined graph,
+      // each embedding its own candidate stage) — Spark rejects
+      // same-named CollectMetrics with different results
+      // (DUPLICATED_METRICS_NAME). CapMetrics prefix-matches, so every
+      // instance still WARN-logs on truncation.
+      .observe(s"graft_bucket_cap_${key}_${CapSeq.incrementAndGet()}",
         // coalesce: over 0 rows sum/max are NULL, which must read as
         // "nothing truncated", not crash the metrics listener
         coalesce(sum(when(col("rnb") > cap, 1L).otherwise(0L)), lit(0L))
@@ -188,6 +195,9 @@ object Similarity {
               Num.rnd(dotCols(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6)
                 .as("sim"))
   }
+
+  /** Monotone id for cap-metric names — uniqueness within any one plan. */
+  private val CapSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def bucketCol(planes: Int): Column =
     (0 until planes).map { j =>
@@ -377,6 +387,94 @@ object Similarity {
         .select(col("a_id"), col("b_id"), col("sim"))
         .localCheckpoint()
     })
+
+  /** One NN-DESCENT refinement round (Dong et al., "Efficient K-Nearest
+    * Neighbor Graph Construction for Generic Similarity Measures",
+    * WWW 2011) — the missing ANN-graph-CONSTRUCTION shape: a neighbor
+    * of my neighbor is likely my neighbor, so the round (a) generates
+    * wedge candidates a–b through a shared MUTUAL neighbor v, (b)
+    * scores only the new pairs with exact cosine, and (c) re-selects
+    * top-3 per node from current ∪ wedge candidates. Bounded by
+    * construction: the mutual graph has degree ≤ 3, so adjacency is
+    * ≤ 3·|V| rows and wedge volume ≤ k²·|V| at any corpus size — never
+    * all-pairs, and the exact-cosine spend is proportional to the
+    * wedge count, not the corpus. Candidates are a SUPERSET of the
+    * current top-k, so per-rank sim can only improve (NnDescentSpec
+    * pins monotonicity; [[nnDescentEval]] puts a recall number on it).
+    * Plan: one self-join of the memoized [[knnMutual]] adjacency on
+    * the shared node, distinct() so multi-wedge pairs score once, two
+    * embedding joins for the new cosines, union with [[ivfTopK]], one
+    * ranking window. */
+  def nnDescent(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mu = knnMutual(spark, dir)
+    val adj = mu.select(col("a_id").as("v"), col("b_id").as("n"))
+      .unionByName(mu.select(col("b_id").as("v"), col("a_id").as("n")))
+    val wedge = adj.select(col("v"), col("n").as("a_id"))
+      .join(adj.select(col("v"), col("n").as("b_id")), Seq("v"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val scored = wedge
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+                       col("nrm").as("an")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+                       col("nrm").as("bn")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+              Num.rnd(dotCols(col("av"), col("bv")) /
+                        (col("an") * col("bn")), 6).as("sim"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    ivfTopK(spark, dir).select("a_id", "b_id", "sim")
+      .unionByName(scored).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id", "rn", "sim")
+  }
+
+  /** Recall gain of the [[nnDescent]] round vs the [[ivfTopK]] baseline
+    * it refines — same fixed probe sample and exact ground truth as
+    * [[ivfRecallEval]], two screens side by side. The refinement is
+    * cheap (wedge-bounded), so this row is the evidence it pays for
+    * itself: recall_ref_micro ≥ recall_base_micro by the superset
+    * property, and strictly greater whenever a true neighbor is
+    * reachable through a mutual wedge but missed by the probed cells. */
+  def nnDescentEval(spark: SparkSession, dir: String,
+                    probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val exact = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+              Num.rnd(dotCols(col("embedding"), col("qv")) /
+                        (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val base = ivfTopK(spark, dir).filter(col("a_id") < probeN)
+      .select("a_id", "b_id")
+    val ref = nnDescent(spark, dir).filter(col("a_id") < probeN)
+      .select("a_id", "b_id")
+    exact.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(exact.join(base, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit_base")))
+      .crossJoin(exact.join(ref, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_hit_ref")))
+      .select(col("n_truth"), col("n_hit_base"), col("n_hit_ref"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit_base * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_base_micro"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit_ref * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_ref_micro"))
+  }
 
   /** ANN recall EVAL HARNESS — the [[Dedup.minhashEval]] counterpart
     * for the vector index: on a FIXED-SIZE probe sample (vec_id <
@@ -2022,6 +2120,8 @@ object Similarity {
     "sim_ivf_assign"   -> ivfAssign _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
+    "sim_nn_descent"   -> nnDescent _,
+    "sim_nn_descent_eval" -> ((s, d) => nnDescentEval(s, d)),
     "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "emb_int8_recall"  -> ((s, d) => int8RecallEval(s, d)),
@@ -2586,6 +2686,34 @@ object Similarity {
     // chain is shared verbatim with sim_ivf_topk (keep in lockstep)
     "sim_knn_mutual" ->
       (knnMutualCteSql + " SELECT a_id, b_id, sim FROM mu"),
+    // one NN-descent round: wedges through shared mutual neighbors,
+    // exact cosine on the new pairs only, re-rank over current ∪ wedge.
+    // Composes knnMutualCteSql (names c/s/pr/probes/home/m/bc/p/r/t/mu
+    // claimed) — nd-prefixed names keep the chain collision-free.
+    "sim_nn_descent" ->
+      (nnDescentCteSql + " SELECT a_id, b_id, rn, sim FROM ndr WHERE rn <= 3"),
+    // recall gain of the round vs the sim_ivf_topk baseline, same probe
+    // sample (vec_id < 100) and exact-truth shape as sim_ivf_recall_eval
+    "sim_nn_descent_eval" ->
+      (nnDescentCteSql +
+       ", ndbs AS (SELECT a_id, b_id FROM r WHERE rn <= 3 AND a_id < 100), " +
+       "ndrs AS (SELECT a_id, b_id FROM ndr WHERE rn <= 3 AND a_id < 100), " +
+       "ndex AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+       "WHERE x.vec_id < 100), " +
+       "ndxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM ndex) e WHERE rn <= 3), " +
+       "ndcm AS (SELECT (SELECT count(*) FROM ndxr) AS n_truth, " +
+       "(SELECT count(*) FROM ndxr JOIN ndbs USING (a_id, b_id)) AS n_hit_base, " +
+       "(SELECT count(*) FROM ndxr JOIN ndrs USING (a_id, b_id)) AS n_hit_ref) " +
+       "SELECT n_truth, n_hit_base, n_hit_ref, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit_base * CAST(1000000 AS BIGINT)) // n_truth END AS recall_base_micro, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit_ref * CAST(1000000 AS BIGINT)) // n_truth END AS recall_ref_micro " +
+       "FROM ndcm"),
     // recall eval: screen = the sim_ivf_topk chain restricted to the
     // probe sample (vec_id < 100 — the literal mirrors ivfRecallEval's
     // default, keep in lockstep); truth = exact top-3 per probe query;
@@ -2863,6 +2991,25 @@ object Similarity {
     ivfTopKCteSql + ", t AS (SELECT a_id, b_id, sim FROM r WHERE rn <= 3), " +
     "mu AS (SELECT t.a_id, t.b_id, t.sim FROM t JOIN t u " +
     "ON t.a_id = u.b_id AND t.b_id = u.a_id WHERE t.a_id < t.b_id)"
+
+  /** The sim_nn_descent chain through `ndr` (refined ranking) — shared
+    * by the descent and its recall eval so the two can never drift.
+    * Composes [[knnMutualCteSql]]; nd-prefixed names stay disjoint from
+    * the composed chain's claims. */
+  private def nnDescentCteSql: String =
+    knnMutualCteSql +
+    ", nda AS (SELECT a_id AS v, b_id AS n FROM mu " +
+    "UNION ALL SELECT b_id AS v, a_id AS n FROM mu), " +
+    "ndw AS (SELECT DISTINCT x.n AS a_id, y.n AS b_id " +
+    "FROM nda x JOIN nda y ON x.v = y.v WHERE x.n <> y.n), " +
+    "nds AS (SELECT w.a_id, w.b_id, " +
+    "round((list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM ndw w JOIN embeddings ea ON ea.vec_id = w.a_id " +
+    "JOIN embeddings eb ON eb.vec_id = w.b_id), " +
+    "ndu AS (SELECT DISTINCT a_id, b_id, sim FROM " +
+    "(SELECT a_id, b_id, sim FROM t UNION ALL SELECT a_id, b_id, sim FROM nds)), " +
+    "ndr AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM ndu)"
 
   /** The sim_ivf_topk oracle's full CTE chain through `r` (ranked
     * multi-probe candidates) — shared by the top-k and mutual-kNN

@@ -31,9 +31,12 @@ class CapMetricsSpec extends SparkSpec {
     val probe = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit =
-        qe.observedMetrics.get("graft_bucket_cap_bucket").foreach { row =>
-          truncated = row.getAs[Number]("rows_truncated").longValue()
-          maxBucket = row.getAs[Number]("max_bucket_rows").longValue()
+        // names carry a per-instance suffix (DUPLICATED_METRICS_NAME
+        // guard in pairCandidatesAB) — match by prefix like CapMetrics
+        qe.observedMetrics.collect {
+          case (n, row) if n.startsWith("graft_bucket_cap_bucket") =>
+            truncated = row.getAs[Number]("rows_truncated").longValue()
+            maxBucket = row.getAs[Number]("max_bucket_rows").longValue()
         }
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = ()

@@ -243,7 +243,11 @@ class DedupSimilaritySpec extends SparkSpec {
       .withColumn("nrm", lit(1.0))
     val pairs = ext.Similarity.pairCandidates(emb, "bucket", cap = 2)
     assert(pairs.collect().length === 5 * 2)
-    val m = pairs.queryExecution.observedMetrics("graft_bucket_cap_bucket")
+    // names carry a per-instance suffix (DUPLICATED_METRICS_NAME guard
+    // in pairCandidatesAB) — match by prefix like CapMetrics does
+    val m = pairs.queryExecution.observedMetrics
+      .collectFirst { case (n, row) if n.startsWith("graft_bucket_cap_bucket") => row }
+      .getOrElse(fail("no graft_bucket_cap_bucket* metric observed"))
     assert(m.getAs[Long]("rows_truncated") === 3L)
     assert(m.getAs[Number]("max_bucket_rows").intValue() === 5)
   }
