@@ -154,6 +154,49 @@ object DocStream {
   def redact(docs: DataFrame): DataFrame =
     graft.ext.TextOps.piiRedactOf(docs)
 
+  /** Deterministic streaming per-source quota sample — the continuous-
+    * ingest face of `TextOps.samplePerSource` (round-10 verdict stretch):
+    * keep the k docs per source ranking FIRST under the content-
+    * independent md5(doc_id) pseudo-random order, the reproducible
+    * reservoir a production ingest maintains without `rand()`. The
+    * min-k-by-order fold is commutative and associative, so the final
+    * state after ANY micro-batch arrival order equals the batch
+    * window's `rn <= k` selection exactly — StreamingSpec pins
+    * stream ≡ batch under maxFilesPerTrigger=1 replay. State is
+    * bounded: ≤ k (ord, doc_id) pairs per source, however long the
+    * stream runs. Update mode re-emits a source's refreshed sample
+    * whenever a batch touches it; `ver` counts the group's updates so
+    * a consumer (and the spec) can select each source's latest
+    * generation without comparing contents. */
+  def samplePerSource(spark: SparkSession, docs: DataFrame,
+                      k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.streaming.GroupState
+    val keyed = docs
+      .select(col("source"), col("doc_id"),
+              md5(col("doc_id").cast("string")).as("ord"))
+      .as[(String, Long, String)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, List[(String, Long)]),
+                              (String, Long, Int, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[(Int, List[(String, Long)])]) =>
+          val (ver0, kept0) = state.getOption.getOrElse((0, Nil))
+          // md5 hex is ASCII, so Java string order == Spark's binary
+          // ORDER BY on both the batch window and this fold
+          val kept = (kept0 ++ rows.map(r => (r._3, r._2)))
+            .distinct.sorted.take(k)
+          val ver = ver0 + 1
+          state.update((ver, kept))
+          kept.zipWithIndex.iterator.map { case ((_, id), i) =>
+            (source, id, i + 1, ver)
+          }
+      }
+      .toDF("source", "doc_id", "rn", "ver")
+  }
+
   /** Streaming curation: one survivor per exact text (first arrival) +
     * repetition gate (same expression as TextOps.repetition). */
   def curate(docs: DataFrame): DataFrame = {

@@ -444,4 +444,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct, "stream state != uncapped batch fold")
     assert(streamed == capped, "stream state != capped per-doc min-merge")
   }
+
+  test("streaming per-source reservoir sample equals the batch quota sample") {
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-docs-sample-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-sample-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    // adversarial split: the SECOND batch carries the low doc_ids, so a
+    // correct reservoir must EVICT first-batch picks — arrival order is
+    // exercised, not just accumulation
+    writeOne(docs.filter(col("doc_id") % 3 =!= 0), "docs-000.parquet")
+    writeOne(docs.filter(col("doc_id") % 3 === 0), "docs-001.parquet")
+
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.samplePerSource(spark, stream).writeStream
+      .outputMode(OutputMode.Update()).format("memory")
+      .queryName("srcsample").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 2, "docs arrived in one micro-batch — replay vacuous")
+
+    // Update mode re-emits per generation; the final sample per source
+    // is its max-ver emission
+    val all = spark.table("srcsample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val maxVer = all.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._4).max }
+    val streamed = all
+      .filter(t => t._4 == maxVer(t._1))
+      .map(t => (t._1, t._2, t._3)).toSet
+    // every source saw both batches (sf0.001 sources span the id space)
+    assert(maxVer.values.forall(_ == 2), s"stale generations: $maxVer")
+
+    val batch = ext.TextOps.samplePerSource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed === batch, "final reservoir state != batch quota sample")
+    // eviction actually happened: some first-generation pick is absent
+    // from the final sample
+    val gen1 = all.filter(_._4 == 1).map(t => (t._1, t._2)).toSet
+    val fin = streamed.map(t => (t._1, t._2))
+    assert((gen1 -- fin).nonEmpty, "second batch evicted nothing — vacuous")
+  }
 }
