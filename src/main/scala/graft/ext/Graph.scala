@@ -172,6 +172,39 @@ object Graph {
               greatest(col("apex"), col("x"), col("y")).as("z_id"))
   }
 
+  /** Local clustering coefficient per node over the mutual-kNN graph —
+    * the standard "how clique-like is this neighborhood" diagnostic
+    * (Watts–Strogatz): cc(u) = 2·T(u) / (deg(u)·(deg(u)−1)), where
+    * T(u) counts triangles through u. High-cc neighborhoods are the
+    * tight near-dup communities a SemDeDup-style pass collapses;
+    * low-cc hubs are the bridge artifacts mutuality was meant to
+    * suppress — this puts a per-node number on the distinction.
+    * ALL-INTEGER in micro-units: (2·T·10⁶) div (deg·(deg−1)), degrees
+    * positive so floor division is engine-agnostic. T(u) comes from
+    * closing each neighbor wedge (x, y) of u against the undirected
+    * edge set — wedge volume ≤ k²·|V| on the degree-bounded mutual
+    * graph (the [[commonNeighbors]] argument), closing join is
+    * |wedges| vs |E|. Every node with an edge appears; deg-1 nodes get
+    * cc 0 (no wedge exists). */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val wed = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = wed.join(mu, mu("a_id") === col("x") && mu("b_id") === col("y"))
+      .groupBy("u").agg(count(lit(1)).as("n_tri"))
+    dg.join(tri, Seq("u"), "left")
+      .select(col("u").as("vec_id"), col("deg"),
+              coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_micro",
+        expr("CASE WHEN deg < 2 THEN CAST(0 AS BIGINT) " +
+             "ELSE (2 * n_tri * CAST(1000000 AS BIGINT)) div (deg * (deg - 1)) END"))
+      .orderBy("vec_id")
+  }
+
   /** Common-neighbor link prediction over the mutual-kNN graph — the
     * classic graph-ML candidate generator (two nodes sharing many
     * neighbors are likely the same entity or near-duplicates the kNN
@@ -425,6 +458,7 @@ object Graph {
     "graph_degree_hist" -> degreeHist _,
     "graph_components" -> components _,
     "graph_triangles" -> triangles _,
+    "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_resource_alloc" -> resourceAlloc _,
     "graph_label_prop" -> labelProp _)
@@ -525,6 +559,22 @@ object Graph {
        "greatest(apex, x, y) AS z_id FROM wed " +
        "JOIN mu ON mu.a_id = least(wed.x, wed.y) " +
        "AND mu.b_id = greatest(wed.x, wed.y)"),
+    // cc-prefixed; wedges among each node's neighbors closed against
+    // the a<b edge list; (2*T*1e6) div (deg*(deg-1)) nonneg — lockstep
+    // with clusteringCoeff
+    "graph_clustering_coeff" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "ccdg AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "ccwd AS (SELECT e1.u, e1.v AS x, e2.v AS y " +
+       "FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v), " +
+       "cctr AS (SELECT w.u, count(*) AS n_tri FROM ccwd w " +
+       "JOIN mu ON mu.a_id = w.x AND mu.b_id = w.y GROUP BY w.u) " +
+       "SELECT d.u AS vec_id, d.deg, " +
+       "CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri, " +
+       "CASE WHEN d.deg < 2 THEN CAST(0 AS BIGINT) " +
+       "ELSE (2 * coalesce(t.n_tri, 0) * CAST(1000000 AS BIGINT)) " +
+       "// (d.deg * (d.deg - 1)) END AS cc_micro " +
+       "FROM ccdg d LEFT JOIN cctr t ON d.u = t.u ORDER BY vec_id"),
     "graph_common_neighbors" ->
       (Similarity.knnMutualCteSql + ", " + undCte + ", " +
        "cnw AS (SELECT e1.v AS x_id, e2.v AS y_id, count(*) AS cn " +

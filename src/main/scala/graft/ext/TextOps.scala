@@ -1159,6 +1159,50 @@ object TextOps {
       .agg(count(lit(1)).as("n_tok"), sum("lpm").as("sum_lp_micro"))
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by how much more likely it is under a TARGET-domain
+    * unigram LM than under the RAW-corpus LM — log w(x) = Σ_tok
+    * (ln p_target(tok) − ln p_raw(tok)) — then keep the docs that lean
+    * target (log w > 0), the deterministic analog of DSIR's
+    * Gumbel-noised resampling. Target here = the `source = 'src0'`
+    * slice (the "trusted domain" proxy; the literal is mirrored in the
+    * oracle — lockstep). Both models are Laplace-smoothed over the SAME
+    * corpus vocabulary — (c + 1) / (n + |V|) — so target-unseen tokens
+    * contribute a finite negative delta instead of −∞. Float
+    * discipline: each smoothed probability is exact-integer-over-
+    * exact-integer (ONE IEEE-exact division), its ln is rounded at 6 dp
+    * into integer micro-nats (the unigramPerDoc / CLAUDE.md ln rule),
+    * and the per-doc sum is pure integer — engine-identical at any
+    * partitioning. Scale: two |vocab|-row models joined once against
+    * the token stream; no window, no all-pairs, keep-gate is a per-row
+    * comparison. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tk = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tgtIds = docs.filter(col("source") === "src0").select("doc_id")
+    val raw = tk.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val tgt = tk.join(tgtIds, Seq("doc_id"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val consts = raw.agg(count(lit(1)).as("v"), sum("cr").as("nr"))
+      .crossJoin(tk.join(tgtIds, Seq("doc_id"))
+        .agg(count(lit(1)).as("nt")))
+    val lp = raw.join(tgt, Seq("tok"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("tok"),
+        (round(log((coalesce(col("ct"), lit(0L)) + lit(1L)) /
+                     (col("nt") + col("v"))) * lit(1e6)).cast("long") -
+         round(log((col("cr") + lit(1L)) /
+                     (col("nr") + col("v"))) * lit(1e6)).cast("long"))
+          .as("dlt_micro"))
+    tk.join(lp, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("dlt_micro").as("logratio_micro"))
+      .withColumn("keep", (col("logratio_micro") > 0L).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity bucketing — the published web-curation
     * recipe (Wenzek et al.: score each document with a language-model
     * perplexity, rank WITHIN its language, cut into head/middle/tail
@@ -1839,6 +1883,7 @@ object TextOps {
     "corpus_split"       -> corpusSplit _,
     "text_unigram_logprob" -> unigramLogprob _,
     "corpus_ppl_buckets" -> pplBuckets _,
+    "corpus_dsir_weights" -> dsirWeights _,
     "text_quality_model" -> qualityModel _,
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
@@ -2166,6 +2211,28 @@ object TextOps {
        "SELECT doc_id, plang, n_tok, round((nll) * 1e6) / 1e6 AS avg_nll, rn, " +
        "CASE WHEN rn * 3 <= nd THEN 'head' WHEN rn * 3 <= nd * 2 THEN 'middle' " +
        "ELSE 'tail' END AS bucket FROM ppr"),
+    // DSIR: dw-prefixed chain; target literal 'src0', Laplace (c+1)/
+    // (n+|V|) over the SHARED corpus vocab, each ln rounded at 6 dp
+    // into micro-nats BEFORE the per-token difference (CLAUDE.md ln
+    // rule) — all lockstep with dsirWeights
+    "corpus_dsir_weights" ->
+      ("WITH dwtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "dwtg AS (SELECT doc_id FROM documents WHERE source = 'src0'), " +
+       "dwcr AS (SELECT tok, count(*) AS cr FROM dwtk GROUP BY tok), " +
+       "dwct AS (SELECT tok, count(*) AS ct FROM dwtk " +
+       "JOIN dwtg USING (doc_id) GROUP BY tok), " +
+       "dwk AS (SELECT (SELECT count(*) FROM dwcr) AS v, " +
+       "(SELECT sum(cr) FROM dwcr) AS nr, " +
+       "(SELECT count(*) FROM dwtk JOIN dwtg USING (doc_id)) AS nt), " +
+       "dwlp AS (SELECT dwcr.tok, " +
+       "CAST(round(ln((coalesce(dwct.ct, 0) + 1) / (dwk.nt + dwk.v)) * 1e6) AS BIGINT) - " +
+       "CAST(round(ln((dwcr.cr + 1) / (dwk.nr + dwk.v)) * 1e6) AS BIGINT) AS dlt_micro " +
+       "FROM dwcr LEFT JOIN dwct ON dwcr.tok = dwct.tok, dwk) " +
+       "SELECT dwtk.doc_id, count(*) AS n_tok, " +
+       "CAST(sum(dwlp.dlt_micro) AS BIGINT) AS logratio_micro, " +
+       "CAST(CASE WHEN sum(dwlp.dlt_micro) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep " +
+       "FROM dwtk JOIN dwlp USING (tok) GROUP BY dwtk.doc_id ORDER BY doc_id"),
     "text_quality_model" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "th AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
