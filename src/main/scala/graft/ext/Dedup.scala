@@ -232,6 +232,30 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairs(spark, dir)
 
+  /** Cross-SOURCE duplication matrix — the corpus-governance report a
+    * multi-source ingest runs before mixing: for every unordered source
+    * pair, how many near-dup pairs ([[jaccardPairs]]'s ≥ 0.2 survivors)
+    * span them. A heavy off-diagonal cell means two feeds ship the same
+    * content (double-counted tokens, leaked splits); a heavy diagonal
+    * means a feed self-duplicates. Derived BY JOIN from the memoized
+    * pair-stats frame — zero additional shingle work, two broadcast-
+    * size doc→source joins, \|sources\|² output rows at any scale. The
+    * oracle recomputes the identical jac chain and tags both endpoints
+    * (lockstep with dedup_ngram_jaccard's threshold — a change moves
+    * the union predicate, the derived filter, AND this matrix). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    jaccardPairs(spark, dir)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+            Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+            Seq("b_id"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+              greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Containment near-dup pairs (doc-inside-doc; see
     * [[containmentPairsOf]]), derived from the shared stats frame —
     * the shingle index is built once for the whole 5-gram family. */
@@ -1042,6 +1066,7 @@ object Dedup {
     "dedup_exact_norm"    -> exactNorm _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_containment"   -> containment _,
+    "dedup_source_overlap" -> sourceOverlap _,
     "dedup_incremental"   -> incremental _,
     "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
@@ -1372,6 +1397,17 @@ object Dedup {
        "GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))"),
     "dedup_ngram_jaccard" ->
       s"WITH $ngramPairCte SELECT a_id, b_id, inter, uni FROM jac",
+    // so-prefixed tail over the SAME jac chain; unordered source pair
+    // via least/greatest — lockstep with sourceOverlap
+    "dedup_source_overlap" ->
+      (s"WITH $ngramPairCte, " +
+       "sosrc AS (SELECT doc_id, source FROM documents), " +
+       "sop AS (SELECT least(a.source, b.source) AS src_a, " +
+       "greatest(a.source, b.source) AS src_b FROM jac " +
+       "JOIN sosrc a ON jac.a_id = a.doc_id " +
+       "JOIN sosrc b ON jac.b_id = b.doc_id) " +
+       "SELECT src_a, src_b, count(*) AS n_pairs FROM sop " +
+       "GROUP BY src_a, src_b ORDER BY src_a, src_b"),
     // same candidate/stats CTEs as jac, containment threshold instead:
     // smaller side >= 80% contained (inter*5 >= min(sz)*4, exact ints)
     "dedup_containment" ->

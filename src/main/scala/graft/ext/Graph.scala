@@ -205,6 +205,51 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** Newman modularity of the IVF HOME-CELL partition evaluated on the
+    * mutual-kNN similarity graph — "do the coarse quantizer's cells
+    * align with the graph's natural communities?", the structural
+    * complement of [[Similarity.cellPurity]]'s label-based purity (a
+    * quantizer can be label-pure yet cut every similarity edge; this
+    * catches that). Q = Σ_c (e_c/m − (d_c/2m)²) computed EXACTLY per
+    * cell over the common denominator 4m²: q_num = 4m·e_c − d_c²
+    * (BIGINT, can be negative), q_micro = (10⁶·q_num) div 4m² — Spark
+    * `div` truncates toward zero, so the oracle uses the sign-split
+    * `//` form (CLAUDE.md integer-division rule). Consumers wanting
+    * exact total Q sum q_num and divide once. BIGINT envelope:
+    * 10⁶·4m·e_c needs m ≲ 1.5·10⁶ edges — beyond that the 100 TB form
+    * switches these products to DECIMAL(38) sums (the emb_dim_stats
+    * pattern). Plan: two broadcast-size joins of the memoized edge
+    * frame against the memoized home assignment, one |nodes| degree
+    * agg — |cells| output rows at any scale. Cells with no graph node
+    * don't appear (they contribute 0 to Q). */
+  def cellModularity(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val home = Similarity.ivfAssignRanked(spark, dir)
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    val und = mu.select(col("a_id").as("u"))
+      .union(mu.select(col("b_id").as("u")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val mtot = mu.agg(count(lit(1)).as("m"))
+    val eIn = mu
+      .join(home.select(col("vec_id").as("a_id"), col("cell").as("ca")), Seq("a_id"))
+      .join(home.select(col("vec_id").as("b_id"), col("cell").as("cb")), Seq("b_id"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cell")).agg(count(lit(1)).as("e_in"))
+    dg.join(home.select(col("vec_id").as("u"), col("cell")), Seq("u"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_tot"))
+      .join(eIn, Seq("cell"), "left")
+      .crossJoin(broadcast(mtot))
+      .select(col("cell"), col("n_nodes"), col("d_tot"),
+              coalesce(col("e_in"), lit(0L)).as("e_in"), col("m"))
+      .withColumn("q_num",
+        (lit(4L) * col("m") * col("e_in") - col("d_tot") * col("d_tot")))
+      .withColumn("q_micro",
+        expr("(1000000 * q_num) div (4 * m * m)"))
+      .select("cell", "n_nodes", "d_tot", "e_in", "q_num", "q_micro")
+      .orderBy("cell")
+  }
+
   /** Common-neighbor link prediction over the mutual-kNN graph — the
     * classic graph-ML candidate generator (two nodes sharing many
     * neighbors are likely the same entity or near-duplicates the kNN
@@ -459,6 +504,7 @@ object Graph {
     "graph_components" -> components _,
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
+    "graph_cell_modularity" -> cellModularity _,
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_resource_alloc" -> resourceAlloc _,
     "graph_label_prop" -> labelProp _)
@@ -559,6 +605,29 @@ object Graph {
        "greatest(apex, x, y) AS z_id FROM wed " +
        "JOIN mu ON mu.a_id = least(wed.x, wed.y) " +
        "AND mu.b_id = greatest(wed.x, wed.y)"),
+    // gm-prefixed; reuses the composed chain's `home` CTE (= the rn=1
+    // home-cell assignment — unreferenced CTEs cost nothing, the
+    // emb_cell_purity precedent); q_num = 4m·e_in − d_tot², q_micro by
+    // the sign-split // form (negative numerators — CLAUDE.md rule)
+    "graph_cell_modularity" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "gmdg AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "gmm AS (SELECT count(*) AS m FROM mu), " +
+       "gme AS (SELECT ha.cell, count(*) AS e_in FROM mu " +
+       "JOIN home ha ON mu.a_id = ha.vec_id " +
+       "JOIN home hb ON mu.b_id = hb.vec_id " +
+       "WHERE ha.cell = hb.cell GROUP BY ha.cell), " +
+       "gmd AS (SELECT h.cell, count(*) AS n_nodes, " +
+       "CAST(sum(d.deg) AS BIGINT) AS d_tot " +
+       "FROM gmdg d JOIN home h ON d.u = h.vec_id GROUP BY h.cell), " +
+       "gmq AS (SELECT d.cell, d.n_nodes, d.d_tot, " +
+       "CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, gmm.m " +
+       "FROM gmd d LEFT JOIN gme e ON d.cell = e.cell, gmm) " +
+       "SELECT cell, n_nodes, d_tot, e_in, " +
+       "CAST(4 * m * e_in - d_tot * d_tot AS BIGINT) AS q_num, " +
+       "(CASE WHEN 4 * m * e_in - d_tot * d_tot < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(1000000 * (4 * m * e_in - d_tot * d_tot)) // (4 * m * m)) AS q_micro " +
+       "FROM gmq ORDER BY cell"),
     // cc-prefixed; wedges among each node's neighbors closed against
     // the a<b edge list; (2*T*1e6) div (deg*(deg-1)) nonneg — lockstep
     // with clusteringCoeff

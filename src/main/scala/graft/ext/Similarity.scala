@@ -264,7 +264,7 @@ object Similarity {
     * rn = 1 is the home-cell assignment, rn > 1 the extra probe targets.
     * Memoized once per (session, dir): the n×cells cosine scan is the
     * expensive half and assignment/search/training all start from it. */
-  private def ivfAssignRanked(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def ivfAssignRanked(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "ivfassign"), {
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"),
