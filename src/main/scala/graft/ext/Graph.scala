@@ -205,6 +205,40 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** Degree assortativity of the mutual-kNN graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over all DIRECTED edge
+    * instances — do similar vectors of similar "popularity" link
+    * (assortative, r > 0) or do hubs attach to leaves (disassortative,
+    * r < 0)? On a mutual-top-k graph strong disassortativity flags hub
+    * artifacts the mutuality filter let through. ALL-INTEGER: with
+    * both orientations counted the x/y marginals coincide, so
+    * r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — a pure rational, NO sqrt;
+    * r_micro = sign-split div of 10⁶·numerator (negative when
+    * disassortative) by the denominator, 0 when the graph is
+    * degree-regular (denominator 0). Co-moment sums are emitted
+    * alongside so a consumer can re-derive r exactly. BIGINT envelope:
+    * 10⁶·n·Σxy needs n·Σxy ≲ 9·10¹² — DECIMAL(38) beyond (the
+    * emb_dim_stats pattern). One degree agg + two broadcast-size joins
+    * + one global agg; single output row at any scale. */
+  def degreeAssort(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    und
+      .join(dg.select(col("u"), col("deg").as("dx")), Seq("u"))
+      .join(dg.select(col("u").as("v"), col("deg").as("dy")), Seq("v"))
+      .agg(count(lit(1)).as("n"),
+           sum("dx").as("sum_x"),
+           sum(col("dx") * col("dy")).as("sum_xy"),
+           sum(col("dx") * col("dx")).as("sum_x2"))
+      .withColumn("r_micro",
+        expr("CASE WHEN n * sum_x2 - sum_x * sum_x = 0 THEN CAST(0 AS BIGINT) " +
+             "ELSE (1000000 * (n * sum_xy - sum_x * sum_x)) " +
+             "div (n * sum_x2 - sum_x * sum_x) END"))
+      .select("n", "sum_x", "sum_xy", "sum_x2", "r_micro")
+  }
+
   /** Newman modularity of the IVF HOME-CELL partition evaluated on the
     * mutual-kNN similarity graph — "do the coarse quantizer's cells
     * align with the graph's natural communities?", the structural
@@ -505,6 +539,7 @@ object Graph {
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_cell_modularity" -> cellModularity _,
+    "graph_degree_assort" -> degreeAssort _,
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_resource_alloc" -> resourceAlloc _,
     "graph_label_prop" -> labelProp _)
@@ -605,6 +640,22 @@ object Graph {
        "greatest(apex, x, y) AS z_id FROM wed " +
        "JOIN mu ON mu.a_id = least(wed.x, wed.y) " +
        "AND mu.b_id = greatest(wed.x, wed.y)"),
+    // da-prefixed; both orientations -> coincident marginals -> the
+    // sqrt-free rational r; sign-split // (negative numerator when
+    // disassortative) — lockstep with degreeAssort
+    "graph_degree_assort" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "dadg AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "daj AS (SELECT dx.deg AS dx, dy.deg AS dy FROM und " +
+       "JOIN dadg dx ON und.u = dx.u JOIN dadg dy ON und.v = dy.u), " +
+       "das AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sum_x, " +
+       "CAST(sum(dx * dy) AS BIGINT) AS sum_xy, " +
+       "CAST(sum(dx * dx) AS BIGINT) AS sum_x2 FROM daj) " +
+       "SELECT n, sum_x, sum_xy, sum_x2, " +
+       "CASE WHEN n * sum_x2 - sum_x * sum_x = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (CASE WHEN n * sum_xy - sum_x * sum_x < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(1000000 * (n * sum_xy - sum_x * sum_x)) // " +
+       "(n * sum_x2 - sum_x * sum_x)) END AS r_micro FROM das"),
     // gm-prefixed; reuses the composed chain's `home` CTE (= the rn=1
     // home-cell assignment — unreferenced CTEs cost nothing, the
     // emb_cell_purity precedent); q_num = 4m·e_in − d_tot², q_micro by

@@ -1759,6 +1759,39 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** kNN majority-vote classifier eval — the second standard label
+    * benchmark next to [[labelEval]]'s nearest-centroid: predict each
+    * vector's label as the MAJORITY label of its [[ivfTopK]] neighbors
+    * (ties label-ascending, the cellPurity rule), report per-label
+    * accuracy. Centroid eval measures global cluster separation; kNN
+    * eval measures LOCAL neighborhood consistency — embeddings can pass
+    * one and fail the other, and the pair brackets how trustworthy
+    * similarity-graph labels are for SemDeDup-style propagation.
+    * Composes the production index search (so this also functions as an
+    * end-to-end "is the ANN answer label-coherent" check); vectors with
+    * zero surviving candidates (possible for a singleton probe set)
+    * drop from the denominator on both engines. One |topk|-row join +
+    * two aggregations; |labels| output rows at any scale. */
+  def knnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val nb = ivfTopK(spark, dir)
+      .join(lbl.select(col("vec_id").as("b_id"), col("label").as("nl")),
+            Seq("b_id"))
+      .groupBy("a_id", "nl").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("a_id").orderBy(col("c").desc, col("nl").asc)
+    val pred = nb.withColumn("rn2", row_number().over(w))
+      .filter(col("rn2") === 1)
+      .select(col("a_id").as("vec_id"), col("nl").as("plabel"))
+    lbl.join(pred, Seq("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("plabel") === col("label"), 1).otherwise(0)).as("n_correct"))
+      .withColumn("acc_pct",
+        Num.rnd(lit(100.0) * col("n_correct") / col("n"), 2))
+      .orderBy("label")
+  }
+
   // ---- product quantization (the compression half of IVF-PQ) ----
 
   /** PQ geometry: 64-dim vectors split into [[PqSubs]] contiguous
@@ -2155,7 +2188,8 @@ object Similarity {
     "sim_ivf_assign_whitened" -> ivfAssignWhitened _,
     "emb_dim_stats"    -> dimStats _,
     "emb_centroid_sim" -> centroidSim _,
-    "emb_label_eval"   -> labelEval _)
+    "emb_label_eval"   -> labelEval _,
+    "emb_knn_label_eval" -> knnLabelEval _)
 
   /** Shared centroid CTE: 1-based list positions via range-unnest (DuckDB
     * v1.0 has no WITH ORDINALITY), re-based to 0 to match posexplode. */
@@ -2579,6 +2613,22 @@ object Similarity {
        "FROM r WHERE rn = 1 GROUP BY label) " +
        "SELECT label, n, n_correct, " +
        "round((100.0 * n_correct / n) * 1e2) / 1e2 AS acc_pct FROM a ORDER BY label"),
+    // kNN majority vote over the production top-3: kl-prefixed tail on
+    // the composed chain's ranked candidates `r`; tie rule (c desc,
+    // label asc) and the acc_pct form mirror emb_label_eval — lockstep
+    "emb_knn_label_eval" ->
+      (ivfTopKCteSql +
+       ", kln AS (SELECT r.a_id, e.label AS nl FROM r " +
+       "JOIN embeddings e ON r.b_id = e.vec_id WHERE r.rn <= 3), " +
+       "klc AS (SELECT a_id, nl, count(*) AS c FROM kln GROUP BY a_id, nl), " +
+       "klp AS (SELECT a_id, nl AS plabel FROM (SELECT a_id, nl, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY c DESC, nl ASC) AS rn2 " +
+       "FROM klc) t WHERE rn2 = 1), " +
+       "kla AS (SELECT e.label, count(*) AS n, " +
+       "CAST(sum(CASE WHEN klp.plabel = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct " +
+       "FROM klp JOIN embeddings e ON klp.a_id = e.vec_id GROUP BY e.label) " +
+       "SELECT label, n, n_correct, " +
+       "round((100.0 * n_correct / n) * 1e2) / 1e2 AS acc_pct FROM kla ORDER BY label"),
     "sim_norms" ->
       ("SELECT vec_id, round((sqrt(list_dot_product(embedding::DOUBLE[], " +
        "embedding::DOUBLE[]))) * 1e6) / 1e6 AS nrm FROM embeddings"),
