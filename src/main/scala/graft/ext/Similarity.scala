@@ -1869,6 +1869,30 @@ object Similarity {
       pqAssign(pqSubvectors(spark, dir), pqCodebook(spark, dir))
         .localCheckpoint())
 
+  /** PQ quantization-distortion report — the TRAINING-side codebook
+    * health metric the recall evals can't see (recall grades the
+    * search; distortion grades the compression): per subspace, the
+    * count / sum / mean / worst of the squared L2 from each subvector
+    * to its assigned code. A subspace whose distortion dwarfs the
+    * others is where the codebook spends its error budget — the signal
+    * for re-allocating codes or re-training (Jégou et al. §V). Reads
+    * the memoized [[pqCodes]] frame directly (d2 is already the
+    * 6-dp-rounded assignment distance), micronizes each d2 BEFORE
+    * summing (round(d2·10⁶) — integral up to fp noise since d2 is
+    * 6-dp-grained, so per-sub sums are exact integers, partitioning-
+    * invariant); d2 ≥ 0 so plain div. [[PqSubs]] output rows at any
+    * corpus scale. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    pqCodes(spark, dir)
+      .select(col("sub"), round(col("d2") * lit(1e6)).cast("long").as("d2u"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum("d2u").as("sum_d2_micro"),
+           max("d2u").as("max_d2_micro"))
+      .withColumn("mean_d2_micro", expr("sum_d2_micro div n_vecs"))
+      .select("sub", "n_vecs", "sum_d2_micro", "max_d2_micro", "mean_d2_micro")
+      .orderBy("sub")
+
   /** ADC (asymmetric distance computation) top-3: each query vector
     * precomputes its distance to every (sub, code) centroid ONCE — a
     * queries×8×16 table in exact integer micro-units — then a candidate's
@@ -2175,6 +2199,7 @@ object Similarity {
     "sim_ivf_train_delta" -> ivfTrainDelta _,
     "sim_ivf_incremental_assign" -> ivfIncrementalAssign _,
     "sim_pq_codes"     -> pqCodes _,
+    "sim_pq_distortion" -> pqDistortion _,
     "sim_pq_adc_topk"  -> pqAdcTopK _,
     "sim_pq_rerank_topk" -> pqRerankTopK _,
     "sim_ivfpq_topk"   -> ivfpqTopK _,
@@ -2369,6 +2394,16 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "sim_pq_codes" ->
       s"WITH $pqCteSql SELECT vec_id, sub, code, d2 FROM pfin",
+    // per-sub distortion over the SAME pfin chain; d2 micronized
+    // BEFORE summing (6-dp grain -> exact integers), nonneg div —
+    // lockstep with pqDistortion
+    "sim_pq_distortion" ->
+      (s"WITH $pqCteSql " +
+       "SELECT sub, count(*) AS n_vecs, " +
+       "CAST(sum(CAST(round(d2 * 1e6) AS BIGINT)) AS BIGINT) AS sum_d2_micro, " +
+       "CAST(max(CAST(round(d2 * 1e6) AS BIGINT)) AS BIGINT) AS max_d2_micro, " +
+       "CAST(sum(CAST(round(d2 * 1e6) AS BIGINT)) AS BIGINT) // count(*) AS mean_d2_micro " +
+       "FROM pfin GROUP BY sub ORDER BY sub"),
     // ADC: per-query (sub, code) distance table in exact integer
     // micro-units; candidate distance = sum of 8 lookups (exact BIGINT
     // sum, order-invariant); rank by the sum, ties to the lower id.

@@ -106,6 +106,48 @@ object TimeOps {
               date_format(col("session_window.start"), fmt).as("session_start"),
               col("n"))
 
+  /** Inter-event gap distribution — the EVIDENCE behind [[session]]'s
+    * 5-minute threshold (and any watermark choice): per-user
+    * consecutive-event gaps in integer microseconds (unix_micros ≡
+    * DuckDB epoch_us under the mandatory UTC session, the asofNearest
+    * precedent; ties ordered by (ts, event_id), the rolling-stats
+    * convention), bucketed at the thresholds an operator actually
+    * tunes against — <1 s, <10 s, <60 s, <5 min (THE session gap),
+    * <1 h, ≥1 h — with count/min/max/mean per bucket (gaps nonneg ⇒
+    * plain integer div). One lag window per user + one 6-row agg;
+    * state is |events| rows partitioned by user at any scale. */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((unix_micros(col("ts")) - unix_micros(col("prev"))).as("gap_us"))
+    val bucketId = when(col("gap_us") < 1000000L, 0)
+      .when(col("gap_us") < 10000000L, 1)
+      .when(col("gap_us") < 60000000L, 2)
+      .when(col("gap_us") < 300000000L, 3)
+      .when(col("gap_us") < 3600000000L, 4)
+      .otherwise(5)
+    val bucketName = when(col("bucket_id") === 0, "lt_1s")
+      .when(col("bucket_id") === 1, "lt_10s")
+      .when(col("bucket_id") === 2, "lt_60s")
+      .when(col("bucket_id") === 3, "lt_5m")
+      .when(col("bucket_id") === 4, "lt_1h")
+      .otherwise("ge_1h")
+    gaps.withColumn("bucket_id", bucketId)
+      .withColumn("bucket", bucketName)
+      .groupBy("bucket_id", "bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+           min("gap_us").as("min_us"),
+           max("gap_us").as("max_us"),
+           sum("gap_us").as("sum_us"))
+      .withColumn("mean_us", expr("sum_us div n_gaps"))
+      .select("bucket_id", "bucket", "n_gaps", "min_us", "max_us", "mean_us")
+      .orderBy("bucket_id")
+  }
+
   /** As-of join, composed Spark-first (SURVEY preference (a): built-in
     * composition before custom operators): each purchase event picks up
     * the most recent prior-or-simultaneous click by the same user.
@@ -415,6 +457,7 @@ object TimeOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_gap_stats" -> gapStats _,
     "time_cohort"   -> cohortMatrix _,
     "time_spike"    -> spike _,
     "time_mad_outlier" -> madOutlier _,
@@ -435,6 +478,25 @@ object TimeOps {
   val oracle: Map[String, String] = Map(
     // two-sided 1h range + |dt_us| min, tie on click id — epoch_us ≡
     // unix_micros under the UTC session; lockstep with asofNearest
+    // gp-prefixed; threshold literals mirror gapStats' µs buckets (the
+    // 300 s one IS the session gap); epoch_us ≡ unix_micros under UTC;
+    // gaps nonneg so // == div
+    "time_gap_stats" ->
+      ("WITH gpx AS (SELECT user_id, ts, event_id, lag(ts) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+       "gpg AS (SELECT epoch_us(ts) - epoch_us(prev) AS gap_us FROM gpx " +
+       "WHERE prev IS NOT NULL), " +
+       "gpb AS (SELECT CASE WHEN gap_us < 1000000 THEN 0 " +
+       "WHEN gap_us < 10000000 THEN 1 WHEN gap_us < 60000000 THEN 2 " +
+       "WHEN gap_us < 300000000 THEN 3 WHEN gap_us < 3600000000 THEN 4 " +
+       "ELSE 5 END AS bucket_id, gap_us FROM gpg) " +
+       "SELECT bucket_id, CASE bucket_id WHEN 0 THEN 'lt_1s' WHEN 1 THEN 'lt_10s' " +
+       "WHEN 2 THEN 'lt_60s' WHEN 3 THEN 'lt_5m' WHEN 4 THEN 'lt_1h' " +
+       "ELSE 'ge_1h' END AS bucket, count(*) AS n_gaps, " +
+       "CAST(min(gap_us) AS BIGINT) AS min_us, " +
+       "CAST(max(gap_us) AS BIGINT) AS max_us, " +
+       "CAST(sum(gap_us) AS BIGINT) // count(*) AS mean_us " +
+       "FROM gpb GROUP BY bucket_id ORDER BY bucket_id"),
     "time_asof_nearest" ->
       ("WITH ap AS (SELECT user_id, ts AS p_ts, event_id AS p_id " +
        "FROM events WHERE event_type = 'purchase'), " +
