@@ -338,6 +338,40 @@ object Graph {
       .select("x_id", "y_id", "cn", "ra_micro")
   }
 
+  /** Adamic–Adar link prediction — the third classic index alongside
+    * [[commonNeighbors]] (uniform weight) and [[resourceAlloc]]
+    * (1/deg): each shared neighbor z contributes 1/ln(deg(z)) — a
+    * logarithmic hub discount, the standard middle ground and the
+    * published default in entity-resolution candidate scoring. Float
+    * discipline: ln() is NOT IEEE-exactly-rounded (CLAUDE.md ln rule),
+    * so deg's log is micronized FIRST (`round(ln(deg)·1e6)` as BIGINT)
+    * and the contribution is the integer floor `1e12 div lnm` (micro-
+    * units of 1/ln) — a wedge apex always has deg ≥ 2 (it needs two
+    * distinct neighbors), so lnm ≥ 693147 > 0 and plain-div == `//`
+    * (non-negative operands, CLAUDE.md division rule). Same bounded
+    * wedge enumeration as the siblings: degree ≤ k on a mutual-top-k
+    * graph ⇒ wedges ≤ k²·|V| at any corpus scale. */
+  def adamicAdar(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val lnm = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("apex"),
+              round(log(col("deg").cast("double")) * lit(1e6)).cast("long")
+                .as("lnm"))
+    val aa = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("apex"), col("e1.v").as("x_id"),
+              col("e2.v").as("y_id"))
+      .join(lnm, Seq("apex"))
+      .groupBy("x_id", "y_id")
+      .agg(count(lit(1)).as("cn"),
+           sum(expr("1000000000000 div lnm")).as("aa_micro"))
+    aa.join(mu, aa("x_id") === mu("a_id") && aa("y_id") === mu("b_id"),
+            "left_anti")
+      .select("x_id", "y_id", "cn", "aa_micro")
+  }
+
   /** Two-round semi-supervised label propagation over the mutual-kNN
     * graph — the weak-supervision shape a training pipeline uses to
     * extend a small labeled seed set to its embedding neighborhood
@@ -542,6 +576,7 @@ object Graph {
     "graph_degree_assort" -> degreeAssort _,
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_resource_alloc" -> resourceAlloc _,
+    "graph_adamic_adar" -> adamicAdar _,
     "graph_label_prop" -> labelProp _)
 
   /** One synchronous label-prop round: majority vote of `labeled`
@@ -716,6 +751,23 @@ object Graph {
        "CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro " +
        "FROM rawd GROUP BY 1, 2) " +
        "SELECT p.x_id, p.y_id, p.cn, p.ra_micro FROM rap p " +
+       "LEFT JOIN mu ON mu.a_id = p.x_id AND mu.b_id = p.y_id " +
+       "WHERE mu.a_id IS NULL"),
+    // AA index: micronized ln(deg) first (CLAUDE.md ln rule), then the
+    // integer floor 1e12 // lnm — apex deg >= 2 so lnm >= 693147 and
+    // // == div; aa-prefixed CTE names (knnMutualCteSql owns r/t/mu)
+    "graph_adamic_adar" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "aadg AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "aaln AS (SELECT u, CAST(round(ln(CAST(deg AS DOUBLE)) * 1e6) AS BIGINT) AS lnm " +
+       "FROM aadg), " +
+       "aawd AS (SELECT e1.v AS x_id, e2.v AS y_id, d.lnm " +
+       "FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v " +
+       "JOIN aaln d ON d.u = e1.u), " +
+       "aap AS (SELECT x_id, y_id, count(*) AS cn, " +
+       "CAST(sum(1000000000000 // lnm) AS BIGINT) AS aa_micro " +
+       "FROM aawd GROUP BY 1, 2) " +
+       "SELECT p.x_id, p.y_id, p.cn, p.aa_micro FROM aap p " +
        "LEFT JOIN mu ON mu.a_id = p.x_id AND mu.b_id = p.y_id " +
        "WHERE mu.a_id IS NULL"),
     "graph_label_prop" ->

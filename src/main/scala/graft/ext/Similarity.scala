@@ -345,6 +345,43 @@ object Similarity {
               expr("(100 * c) div n").as("purity_pct"))
   }
 
+  /** Simplified SILHOUETTE over the IVF home-cell partition — the
+    * geometry-based cluster-quality eval completing the family
+    * ([[cellPurity]] grades by labels, graph_cell_modularity by edge
+    * structure): per vector, a = cosine distance to its HOME centroid
+    * (1 − csim₁), b = distance to the RUNNER-UP centroid (1 − csim₂),
+    * s = (b − a)/max(a,b) — the centroid-based simplification
+    * (Hruschka et al.) that replaces silhouette's O(n²) pairwise means
+    * with the already-memoized n×cells ranking, the ONLY form that
+    * survives 100 TB. Home = argmax csim ⇒ a ≤ b ⇒ max = b and
+    * s = (csim₁ − csim₂)/(1 − csim₂) ∈ [0, 1] (near 1 = deep inside
+    * its cell, near 0 = on a cell boundary — exactly the vectors
+    * multi-probe exists for). Float discipline: csims are the memoized
+    * 6-dp values, the one division is IEEE-exactly-rounded on identical
+    * operands, micronized to integer out (no signed-zero rule needed);
+    * c2 = 1 degenerate rows (/0: DuckDB NULL vs Spark ANSI error) are
+    * gated identically on both sides. Consumes [[ivfAssignRanked]]'s
+    * rn ≤ 2 rows as-is — zero new distance computation. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfAssignRanked(spark, dir)
+    val c1 = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("csim").as("c1"))
+    val c2 = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("csim").as("c2"))
+    c1.join(c2, Seq("vec_id"))
+      .filter(lit(1.0) - col("c2") > 0)
+      .withColumn("s_micro",
+        round((col("c1") - col("c2")) / (lit(1.0) - col("c2")) * lit(1e6))
+          .cast("long"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+           sum("s_micro").as("sum_s"),
+           min("s_micro").as("min_s_micro"))
+      .withColumn("mean_s_micro", expr("sum_s div n_vecs"))
+      .select("cell", "n_vecs", "mean_s_micro", "min_s_micro")
+      .orderBy("cell")
+  }
+
   /** RANGE search — the second fundamental ANN operation next to top-k
     * (radius query: EVERY neighbor at cosine ≥ τ, however many): same
     * probed candidate stage as [[ivfTopK]], thresholded instead of
@@ -2170,6 +2207,7 @@ object Similarity {
     "sim_brute_topk"   -> bruteTopK _,
     "sim_range_search" -> rangeSearch _,
     "emb_cell_purity"  -> cellPurity _,
+    "emb_silhouette"   -> silhouette _,
     "emb_drift_report" -> driftReport _,
     "sim_lsh_buckets"  -> lshBuckets _,
     "sim_ann_topk"     -> annTopK _,
@@ -2762,6 +2800,25 @@ object Similarity {
        "SELECT cell, label AS major_label, CAST(n AS BIGINT) AS n_vecs, " +
        "CAST(c AS BIGINT) AS n_major, CAST((100 * c) // n AS BIGINT) " +
        "AS purity_pct FROM et WHERE rn2 = 1"),
+    // simplified silhouette: re-ranks the chain's `s` KEEPING csim
+    // (pr drops it); sil-prefixed names; (c1-c2)/(1-c2)*1e6 in the
+    // SAME op order as silhouette (1.0 is binary-exact, division
+    // IEEE-exact on identical 6-dp operands); c2=1 gate mirrored;
+    // s_micro nonneg ⇒ // ≡ div — lockstep with silhouette
+    "emb_silhouette" ->
+      (ivfTopKCteSql + ", " +
+       "silr AS (SELECT vec_id, cell, csim, row_number() OVER (" +
+       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s), " +
+       "sil1 AS (SELECT vec_id, cell, csim AS c1 FROM silr WHERE rn = 1), " +
+       "sil2 AS (SELECT vec_id, csim AS c2 FROM silr WHERE rn = 2), " +
+       "silv AS (SELECT sil1.cell, " +
+       "CAST(round((sil1.c1 - sil2.c2) / (CAST(1.0 AS DOUBLE) - sil2.c2) * 1e6) " +
+       "AS BIGINT) AS s_micro FROM sil1 JOIN sil2 USING (vec_id) " +
+       "WHERE CAST(1.0 AS DOUBLE) - sil2.c2 > 0) " +
+       "SELECT cell, count(*) AS n_vecs, " +
+       "CAST(sum(s_micro) AS BIGINT) // count(*) AS mean_s_micro, " +
+       "min(s_micro) AS min_s_micro " +
+       "FROM silv GROUP BY cell ORDER BY cell"),
     // radius query over the SAME chain through `p` (lockstep with
     // sim_ivf_topk); threshold literal CAST to DOUBLE (decimal rule)
     "sim_range_search" ->

@@ -242,6 +242,29 @@ object TextOps {
     "CAST(sum(lp.lpm) AS BIGINT) AS sum_lp_micro FROM tk JOIN lp USING (tok) " +
     "GROUP BY tk.doc_id)"
 
+  /** DSIR chain through `dwpd` (doc_id, n_tok, logratio_micro) —
+    * shared by corpus_dsir_weights and corpus_dsir_select so the
+    * measure and its apply can never drift. dw-prefixed names claimed;
+    * target literal 'src0' and the Laplace/micro-nat discipline are
+    * lockstep with [[dsirWeights]]. */
+  private val dsirPdCteSql: String =
+    "dwtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+    "FROM documents), " +
+    "dwtg AS (SELECT doc_id FROM documents WHERE source = 'src0'), " +
+    "dwcr AS (SELECT tok, count(*) AS cr FROM dwtk GROUP BY tok), " +
+    "dwct AS (SELECT tok, count(*) AS ct FROM dwtk " +
+    "JOIN dwtg USING (doc_id) GROUP BY tok), " +
+    "dwk AS (SELECT (SELECT count(*) FROM dwcr) AS v, " +
+    "(SELECT sum(cr) FROM dwcr) AS nr, " +
+    "(SELECT count(*) FROM dwtk JOIN dwtg USING (doc_id)) AS nt), " +
+    "dwlp AS (SELECT dwcr.tok, " +
+    "CAST(round(ln((coalesce(dwct.ct, 0) + 1) / (dwk.nt + dwk.v)) * 1e6) AS BIGINT) - " +
+    "CAST(round(ln((dwcr.cr + 1) / (dwk.nr + dwk.v)) * 1e6) AS BIGINT) AS dlt_micro " +
+    "FROM dwcr LEFT JOIN dwct ON dwcr.tok = dwct.tok, dwk), " +
+    "dwpd AS (SELECT dwtk.doc_id, count(*) AS n_tok, " +
+    "CAST(sum(dwlp.dlt_micro) AS BIGINT) AS logratio_micro " +
+    "FROM dwtk JOIN dwlp USING (tok) GROUP BY dwtk.doc_id)"
+
   private def cmsFoldSql(e: String, b: Long): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len($e)+1), " +
     s"cmi -> CAST(ascii(($e)[cmi]) AS BIGINT)), " +
@@ -1203,6 +1226,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR SELECTION under a per-source token budget — the apply half of
+    * [[dsirWeights]] (the measure→apply pairing rule: IVF train→search,
+    * BPE learn→apply, PII scan→redact): within each source, take docs
+    * in (log-ratio desc, doc_id asc) order while the running token
+    * count stays ≤ 1000 (the budget literal — mirrored in the oracle,
+    * lockstep). Per-SOURCE ranking keeps the window partitioned (the
+    * corpus_quantile_select precedent — never a global single-partition
+    * sort), which is also the realistic deployment: domain budgets, not
+    * one corpus-wide cut. Output carries rank/cumulative tokens so the
+    * cut is auditable; `selected` is the gate. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("logratio_micro").desc, col("doc_id").asc)
+    dsirWeights(spark, dir).drop("keep")
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_tok",
+        sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("selected", (col("cum_tok") <= 1000L).cast("int"))
+      .select("source", "doc_id", "rn", "n_tok", "cum_tok",
+              "logratio_micro", "selected")
+      .orderBy("source", "rn")
+  }
+
   /** CCNet-style perplexity bucketing — the published web-curation
     * recipe (Wenzek et al.: score each document with a language-model
     * perplexity, rank WITHIN its language, cut into head/middle/tail
@@ -1884,6 +1932,7 @@ object TextOps {
     "text_unigram_logprob" -> unigramLogprob _,
     "corpus_ppl_buckets" -> pplBuckets _,
     "corpus_dsir_weights" -> dsirWeights _,
+    "corpus_dsir_select" -> dsirSelect _,
     "text_quality_model" -> qualityModel _,
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
@@ -2216,23 +2265,24 @@ object TextOps {
     // into micro-nats BEFORE the per-token difference (CLAUDE.md ln
     // rule) — all lockstep with dsirWeights
     "corpus_dsir_weights" ->
-      ("WITH dwtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-       "FROM documents), " +
-       "dwtg AS (SELECT doc_id FROM documents WHERE source = 'src0'), " +
-       "dwcr AS (SELECT tok, count(*) AS cr FROM dwtk GROUP BY tok), " +
-       "dwct AS (SELECT tok, count(*) AS ct FROM dwtk " +
-       "JOIN dwtg USING (doc_id) GROUP BY tok), " +
-       "dwk AS (SELECT (SELECT count(*) FROM dwcr) AS v, " +
-       "(SELECT sum(cr) FROM dwcr) AS nr, " +
-       "(SELECT count(*) FROM dwtk JOIN dwtg USING (doc_id)) AS nt), " +
-       "dwlp AS (SELECT dwcr.tok, " +
-       "CAST(round(ln((coalesce(dwct.ct, 0) + 1) / (dwk.nt + dwk.v)) * 1e6) AS BIGINT) - " +
-       "CAST(round(ln((dwcr.cr + 1) / (dwk.nr + dwk.v)) * 1e6) AS BIGINT) AS dlt_micro " +
-       "FROM dwcr LEFT JOIN dwct ON dwcr.tok = dwct.tok, dwk) " +
-       "SELECT dwtk.doc_id, count(*) AS n_tok, " +
-       "CAST(sum(dwlp.dlt_micro) AS BIGINT) AS logratio_micro, " +
-       "CAST(CASE WHEN sum(dwlp.dlt_micro) > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep " +
-       "FROM dwtk JOIN dwlp USING (tok) GROUP BY dwtk.doc_id ORDER BY doc_id"),
+      (s"WITH $dsirPdCteSql " +
+       "SELECT doc_id, n_tok, logratio_micro, " +
+       "CAST(CASE WHEN logratio_micro > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep " +
+       "FROM dwpd ORDER BY doc_id"),
+    // apply half: per-SOURCE rank + running token count, budget literal
+    // 1000 — lockstep with dsirSelect; row_number cast to INTEGER
+    "corpus_dsir_select" ->
+      (s"WITH $dsirPdCteSql, " +
+       "dssrc AS (SELECT doc_id, source FROM documents), " +
+       "dsr AS (SELECT s.source, p.doc_id, p.n_tok, p.logratio_micro, " +
+       "CAST(row_number() OVER w AS INTEGER) AS rn, " +
+       "CAST(sum(p.n_tok) OVER w AS BIGINT) AS cum_tok " +
+       "FROM dwpd p JOIN dssrc s USING (doc_id) " +
+       "WINDOW w AS (PARTITION BY s.source " +
+       "ORDER BY p.logratio_micro DESC, p.doc_id ASC ROWS UNBOUNDED PRECEDING)) " +
+       "SELECT source, doc_id, rn, n_tok, cum_tok, logratio_micro, " +
+       "CAST(CASE WHEN cum_tok <= 1000 THEN 1 ELSE 0 END AS INTEGER) AS selected " +
+       "FROM dsr ORDER BY source, rn"),
     "text_quality_model" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "th AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +

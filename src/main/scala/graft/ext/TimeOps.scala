@@ -89,6 +89,47 @@ object TimeOps {
               col("c"), col("ewm"), col("burst"))
   }
 
+  /** Lag-1 autocorrelation of the hourly event rate per type — the
+    * seasonality/persistence diagnostic behind [[ewma]]'s smoothing
+    * choice (r near 1 ⇒ smooth rates, near 0 ⇒ memoryless arrivals):
+    * Pearson r between consecutive hourly counts. All five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINTs, so num = n·Σxy−Σx·Σy
+    * and the two variance terms are integer-exact; the only float step
+    * is the final num/√dx/√dy — every op in it (int→double cast under
+    * the 2^53 envelope, /, sqrt) is IEEE-exactly-rounded (CLAUDE.md:
+    * unlike ln), mirrored in the same order in the oracle, then
+    * micronized to milli-units (integer out ⇒ no signed-zero rule
+    * needed). Degenerate series (n<2 or zero variance — /0 is a DuckDB
+    * NULL vs Spark ANSI error) are gated out identically on both
+    * sides. One hourly rollup + one lag window + one 5-moment agg over
+    * the |types|×|hours| frame — thousands of rows from billions of
+    * events; BIGINT envelope holds to ~3e5 events/hour·type at 1e4
+    * hours (beyond: DECIMAL(38), the emb_dim_stats pattern). */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hc = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    hc.withColumn("p", lag(col("c"), 1).over(w))
+      .filter(col("p").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum("c").as("sx"), sum("p").as("sy"),
+           sum(col("c") * col("p")).as("sxy"),
+           sum(col("c") * col("c")).as("sxx"),
+           sum(col("p") * col("p")).as("syy"))
+      .withColumn("num", col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n_pairs") >= 2 && col("dx") > 0 && col("dy") > 0)
+      .withColumn("r_milli",
+        round(col("num").cast("double") / sqrt(col("dx").cast("double")) /
+              sqrt(col("dy").cast("double")) * lit(1e3)).cast("long"))
+      .select("event_type", "n_pairs", "num", "dx", "dy", "r_milli")
+      .orderBy("event_type")
+  }
+
   /** Sliding 2-hour windows every 1 hour (each event in 2 windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -466,6 +507,7 @@ object TimeOps {
     "time_tumbling"      -> tumbling _,
     "time_ohlc"          -> ohlc _,
     "time_ewma"          -> ewma _,
+    "time_autocorr"      -> autocorr _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
@@ -497,6 +539,30 @@ object TimeOps {
        "CAST(max(gap_us) AS BIGINT) AS max_us, " +
        "CAST(sum(gap_us) AS BIGINT) // count(*) AS mean_us " +
        "FROM gpb GROUP BY bucket_id ORDER BY bucket_id"),
+    // ac-prefixed; BIGINT-exact moments (DuckDB sum → HUGEINT, cast
+    // back before the products), final r = num/sqrt(dx)/sqrt(dy)*1e3
+    // in the SAME op order as autocorr (every step IEEE-exact);
+    // n>=2 / dx>0 / dy>0 gate mirrored (no /0 on either engine)
+    "time_autocorr" ->
+      ("WITH achc AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+       "count(*) AS c FROM events GROUP BY 1, 2), " +
+       "acpr AS (SELECT event_type, c, " +
+       "lag(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS p FROM achc), " +
+       "acs AS (SELECT event_type, count(*) AS n_pairs, " +
+       "CAST(sum(c) AS BIGINT) AS sx, CAST(sum(p) AS BIGINT) AS sy, " +
+       "CAST(sum(c * p) AS BIGINT) AS sxy, " +
+       "CAST(sum(c * c) AS BIGINT) AS sxx, " +
+       "CAST(sum(p * p) AS BIGINT) AS syy " +
+       "FROM acpr WHERE p IS NOT NULL GROUP BY 1), " +
+       "acd AS (SELECT event_type, n_pairs, " +
+       "n_pairs * sxy - sx * sy AS num, " +
+       "n_pairs * sxx - sx * sx AS dx, " +
+       "n_pairs * syy - sy * sy AS dy FROM acs) " +
+       "SELECT event_type, n_pairs, num, dx, dy, " +
+       "CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE)) / " +
+       "sqrt(CAST(dy AS DOUBLE)) * 1e3) AS BIGINT) AS r_milli " +
+       "FROM acd WHERE n_pairs >= 2 AND dx > 0 AND dy > 0 " +
+       "ORDER BY event_type"),
     "time_asof_nearest" ->
       ("WITH ap AS (SELECT user_id, ts AS p_ts, event_id AS p_id " +
        "FROM events WHERE event_type = 'purchase'), " +

@@ -38,6 +38,32 @@ class DsirSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("select = greedy per-source prefix under the 1000-token budget") {
+    val srcOf = docs.map { case (id, _, s) => id -> s }.toMap
+    val rows = ext.TextOps.queries("corpus_dsir_select")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getInt(6)))
+    assert(rows.length === docs.length, "select must rank every doc")
+    rows.groupBy(_._1).foreach { case (src, xs) =>
+      val sorted = xs.sortBy(_._3)
+      // greedy reference: order by (logratio desc, doc_id asc), running sum
+      val ref = xs.map(t => (t._2, t._6, got(t._2)._1))
+        .sortBy { case (id, lw, _) => (-lw, id) }
+      assert(sorted.map(_._2).toSeq === ref.map(_._1).toSeq, s"$src order")
+      var cum = 0L
+      ref.zip(sorted).foreach { case ((id, _, nt), row) =>
+        cum += nt
+        assert(row._5 === cum, s"$src cum_tok at doc $id")
+        assert(row._7 === (if (cum <= 1000L) 1 else 0), s"$src gate at $id")
+        assert(srcOf(id) === src)
+      }
+      // the budget actually cuts: every sf0.001 source exceeds 1000 tokens
+      assert(xs.exists(_._7 == 0), s"$src budget never fired — vacuous")
+      assert(xs.exists(_._7 == 1), s"$src selected nothing")
+    }
+  }
+
   test("target slice leans positive: mean log-ratio src0 > mean others") {
     val bySrc = docs.map { case (id, _, s) => (s == "src0", got(id)._2) }
     def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size

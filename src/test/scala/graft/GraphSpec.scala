@@ -133,6 +133,33 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall { case (cn, ra) => ra <= cn * 1000000L && ra > 0L })
   }
 
+  test("adamic-adar index == brute force with micronized-ln floor division") {
+    val got = ext.Graph.adamicAdar(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val und = mutualEdges ++ mutualEdges.map { case (a, b) => (b, a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    def term(z: Long): Long =
+      1000000000000L / math.round(math.log(deg(z).toDouble) * 1e6)
+    val brute = (for {
+      (x, nx) <- adj.toSeq
+      (y, ny) <- adj.toSeq
+      if x < y && !mutualEdges.contains((x, y))
+      shared = (nx & ny) if shared.nonEmpty
+    } yield (x, y) -> (shared.size.toLong, shared.toSeq.map(term).sum)).toMap
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    // ln discount is gentler than RA's 1/deg: every contribution is
+    // 1/ln(deg) > 1/deg for deg >= 2, and <= 1/ln(2)
+    val ra = ext.Graph.resourceAlloc(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(got.keySet == ra.keySet, "AA and RA must rank the same pairs")
+    got.foreach { case (k, (cn, aa)) =>
+      assert(aa >= ra(k), s"AA < RA at $k — ln discount inverted")
+      assert(aa <= cn * 1442695L, s"AA above cn/ln(2) bound at $k")
+    }
+  }
+
   test("label propagation: adoptions are unlabeled nodes voting among labeled neighbors") {
     val emb = Tables.embeddings(spark, sf001)
       .select("vec_id", "label").collect()
