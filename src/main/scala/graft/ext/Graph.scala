@@ -544,6 +544,51 @@ object Graph {
     dist.select(col("vec_id"), coalesce(col("d"), lit(-1)).as("layer"))
   }
 
+  /** Personalized PageRank from a trusted seed set over the mutual-kNN
+    * graph — the weighted counterpart of [[bfsLayers]] (which grades
+    * docs by HOP COUNT from the anchors, losing multiplicity): PPR mass
+    * compounds over the number of short paths from the seeds, the
+    * graph-proximity data-selection score published for web-corpus
+    * curation (select documents whose embedding neighborhood is dense
+    * around curated-quality anchors). Same seed rule as BFS (vec_id <
+    * n/10 via CountMemo — literal 50 at sf0.01, adaptive-knob lockstep),
+    * same integer micro-mass discipline as [[pagerank]]: seeds start at
+    * 10⁶ µ, each of 3 rounds spreads `r div deg` along edges and
+    * re-injects the 15% restart mass ON SEEDS ONLY —
+    * r' = seed·150000 + (85·Σ contrib) div 100, all non-negative so
+    * floor division is engine-agnostic and the oracle unrolls identical
+    * pp-prefixed rounds. Per round one |edges| join + one agg, state
+    * |nodes| rows — the Pregel superstep shape; at 100 TB the rank side
+    * alone shuffles per round (the bucketed-edge argument scales here
+    * too if the mutual graph is materialized as a table). Non-seed
+    * nodes more than 3 hops from every seed read 0 — exactly the docs
+    * the selection would drop. */
+  def ppr(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val seedCut = CountMemo.get(spark, dir, "embeddings")(emb.count()) / 10
+    val nodes = dg.select(col("u").as("node"), col("deg"),
+      (col("u") < seedCut).cast("int").as("seed"))
+    val ewd = und.join(dg, Seq("u")) // (u, v, deg) — deg pre-attached
+    var r = nodes.select(col("node"), (col("seed") * lit(1000000L)).as("r"))
+    for (_ <- 1 to rounds) {
+      val contrib = ewd.join(r, ewd("u") === r("node"))
+        .select(col("v").as("node"), expr("r div deg").as("ct"))
+        .groupBy("node").agg(sum("ct").as("c"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("seed") * lit(150000L) +
+            expr("(85 * coalesce(c, 0)) div 100")).as("r"))
+    }
+    nodes.join(r, Seq("node"))
+      .select(col("node").as("vec_id"), col("deg"), col("seed"),
+              col("r").as("ppr_micro"))
+      .orderBy("vec_id")
+  }
+
   /** Degree distribution of the mutual-kNN graph — the one-glance
     * structural health check (a healthy mutual-top-3 graph concentrates
     * at degree ≤ 3; mass at higher degrees means duplicate clusters,
@@ -577,6 +622,7 @@ object Graph {
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_resource_alloc" -> resourceAlloc _,
     "graph_adamic_adar" -> adamicAdar _,
+    "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_label_prop" -> labelProp _)
 
   /** One synchronous label-prop round: majority vote of `labeled`
@@ -602,6 +648,18 @@ object Graph {
     s"JOIN $prev a ON und.u = a.u JOIN $prev b ON und.v = b.u " +
     "GROUP BY und.u), " +
     s"$out AS (SELECT u FROM kd$out WHERE dg >= 2)"
+
+  /** One synchronous PPR round over the mutual graph: spread `r div
+    * deg` along edges, re-inject the seed restart mass — mirrors
+    * [[ppr]]'s loop body in lockstep (pp-prefixed names; all values
+    * non-negative so `//` ≡ div). */
+  private def pprRound(prev: String, out: String): String =
+    s"pc$out AS (SELECT und.v AS node, CAST(sum($prev.r // pd.deg) AS BIGINT) AS c " +
+    s"FROM und JOIN $prev ON und.u = $prev.node " +
+    s"JOIN ppd pd ON und.u = pd.node GROUP BY und.v), " +
+    s"$out AS (SELECT ppn.node, ppn.seed * 150000 + " +
+    s"(85 * coalesce(pc$out.c, 0)) // 100 AS r " +
+    s"FROM ppn LEFT JOIN pc$out ON ppn.node = pc$out.node)"
 
   /** One synchronous BFS hop: frontier = nodes at distance r-1, newly
     * reached nodes get distance r — mirrors [[bfsLayers]]'s loop body. */
@@ -770,6 +828,21 @@ object Graph {
        "SELECT p.x_id, p.y_id, p.cn, p.aa_micro FROM aap p " +
        "LEFT JOIN mu ON mu.a_id = p.x_id AND mu.b_id = p.y_id " +
        "WHERE mu.a_id IS NULL"),
+    // pp-prefixed unrolled rounds; seed literal 50 = n/10 at sf0.01
+    // (adaptive-knob lockstep, same rule as graph_bfs_layers); seeds
+    // start at 1e6 µ, restart mass 150000 on seeds only, damping
+    // (85·c)//100 — all mirrored from ppr(); everything non-negative
+    "graph_ppr" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "ppd AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u), " +
+       "ppn AS (SELECT node, deg, CASE WHEN node < 50 THEN 1 ELSE 0 END " +
+       "AS seed FROM ppd), " +
+       "pp0 AS (SELECT node, CAST(seed * 1000000 AS BIGINT) AS r FROM ppn), " +
+       pprRound("pp0", "pp1") + ", " +
+       pprRound("pp1", "pp2") + ", " +
+       pprRound("pp2", "pp3") + " " +
+       "SELECT ppn.node AS vec_id, ppn.deg, CAST(ppn.seed AS INTEGER) AS seed, " +
+       "pp3.r AS ppr_micro FROM ppn JOIN pp3 USING (node) ORDER BY vec_id"),
     "graph_label_prop" ->
       (Similarity.knnMutualCteSql + ", " + undCte + ", " +
        "l0 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 250), " +

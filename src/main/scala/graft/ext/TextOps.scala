@@ -420,6 +420,40 @@ object TextOps {
       .select("source", "doc_id", "rn")
   }
 
+  /** Weighted sampling without replacement, k per source — the
+    * importance-sampling counterpart of [[samplePerSource]] (uniform):
+    * Efraimidis–Spirakis A-ES with weight w = token count, so long
+    * documents are proportionally likelier to be drawn (the
+    * token-budget-aware inspection/eval sample a curation pipeline
+    * takes — sampling documents uniformly UNDER-represents the tokens
+    * long docs contribute). A-ES keeps the k largest u^(1/w) ≡ the k
+    * SMALLEST −ln(u)/w; u comes from the content-independent Knuth
+    * scramble (`saltOrd`, the bucket-cap precedent) mapped into
+    * (0, 1] at micro grain, so the draw is deterministic and identical
+    * in both engines. Float discipline: the one ln is rounded to
+    * integer micro-nats immediately (CLAUDE.md ln rule — ln is not
+    * exactly rounded), then the key is the pure-integer
+    * (−lnu·1000) div w in nano-nats/token — non-negative, so floor
+    * division is engine-agnostic; ties broken by doc_id. One window
+    * per source (the samplePerSource shuffle shape); at 100 TB this is
+    * a per-partition top-k accumulator, never a global sort. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"),
+              (Similarity.saltOrd(col("doc_id")) % 1000000L + 1L).as("u_micro"))
+      .withColumn("lnu",
+        round(log(col("u_micro").cast("double") /
+                  lit(1000000L).cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("key_nano", expr("((-lnu) * 1000) div n_tok"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("key_nano").asc, col("doc_id").asc)
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("source", "doc_id", "rn", "n_tok", "key_nano")
+  }
+
   /** The end of the curation pipeline, composed: exact-dedup survivors
     * ∧ repetition keep ∧ length band — the final corpus selection a
     * training-data pipeline ships. Each stage is one of the operators
@@ -1971,6 +2005,7 @@ object TextOps {
     "text_repetition"  -> repetition _,
     "text_length_band" -> lengthBand _,
     "text_sample_per_source" -> ((s, d) => samplePerSource(s, d)),
+    "text_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "corpus_select"    -> corpusSelect _)
 
   /** Winnowing fingerprint chain (wn-prefixed CTE names): gram hashes →
@@ -2632,6 +2667,23 @@ object TextOps {
        "SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) t " +
        "WHERE rn <= 5"),
+    // ws-prefixed; A-ES keys: u from the saltOrd Knuth scramble into
+    // (0,1] micro grain, ln rounded to micro-nats FIRST (ln rule), key
+    // = (−lnu·1000) // n_tok non-negative (// ≡ div), k literal 5 and
+    // the doc_id tie-break — all lockstep with weightedSample
+    "text_weighted_sample" ->
+      ("WITH wsd AS (SELECT source, doc_id, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       s"(${Similarity.saltOrdSql("doc_id")} % 1000000) + 1 AS u_micro " +
+       "FROM documents), " +
+       "wsk AS (SELECT source, doc_id, n_tok, " +
+       "((-(CAST(round(ln(CAST(u_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) " +
+       "* 1e6) AS BIGINT))) * 1000) // n_tok AS key_nano FROM wsd), " +
+       "wsr AS (SELECT source, doc_id, n_tok, key_nano, " +
+       "row_number() OVER (PARTITION BY source " +
+       "ORDER BY key_nano ASC, doc_id ASC) AS rn FROM wsk) " +
+       "SELECT source, doc_id, CAST(rn AS INTEGER) AS rn, n_tok, key_nano " +
+       "FROM wsr WHERE rn <= 5"),
     "corpus_select" ->
       ("WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
        "rep AS (SELECT doc_id FROM (SELECT doc_id, " +

@@ -130,6 +130,47 @@ object TimeOps {
       .orderBy("event_type")
   }
 
+  /** CUSUM changepoint statistic on the hourly event rate per type —
+    * the drift detector completing the anomaly family ([[spike]] flags
+    * a single loud hour, [[madOutlier]] a heavy value, this a SUSTAINED
+    * LEVEL SHIFT): for hourly counts c₁..cₙ the classic CUSUM deviation
+    * at k is S_k − (k/n)·S_n; scaling by n gives D_k = n·S_k − k·S_n —
+    * a PURE INTEGER in BIGINT, so the whole statistic (max |D_k|, the
+    * hour attaining it = the estimated changepoint, ties → earliest
+    * hour) is exact arithmetic with no float discipline at all; the one
+    * division is the normalized score (|D|·1000) div (n·S_n), non-
+    * negative so floor division is engine-agnostic. BIGINT envelope:
+    * n·S_k ≤ n·S_n needs ≲ 9·10¹⁵ before the ×1000 — holds to ~10⁹
+    * events over ~10⁴ hours (beyond: DECIMAL(38), the emb_dim_stats
+    * pattern). One hourly rollup, one per-type running-sum window, one
+    * argmax window — thousands of rows from billions of events, same
+    * per-type parallelism as [[autocorr]]. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hc = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hc.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("c").as("total"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("absdev").desc, col("h").asc)
+    hc.withColumn("k", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")).cast("long"))
+      .withColumn("sk", sum("c").over(w))
+      .join(tot, Seq("event_type"))
+      .withColumn("absdev",
+        abs(col("n_hours") * col("sk") - col("k") * col("total")))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .withColumn("dev_milli", expr("(absdev * 1000) div (n_hours * total)"))
+      .select(col("event_type"), col("n_hours"), col("total"),
+              date_format(col("h"), fmt).as("cp_hour"),
+              col("absdev").as("max_absdev"), col("dev_milli"))
+      .orderBy("event_type")
+  }
+
   /** Sliding 2-hour windows every 1 hour (each event in 2 windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -508,6 +549,7 @@ object TimeOps {
     "time_ohlc"          -> ohlc _,
     "time_ewma"          -> ewma _,
     "time_autocorr"      -> autocorr _,
+    "time_cusum"         -> cusum _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
@@ -563,6 +605,29 @@ object TimeOps {
        "sqrt(CAST(dy AS DOUBLE)) * 1e3) AS BIGINT) AS r_milli " +
        "FROM acd WHERE n_pairs >= 2 AND dx > 0 AND dy > 0 " +
        "ORDER BY event_type"),
+    // cu-prefixed; D_k = n·S_k − k·S_n all-BIGINT (DuckDB count/sum →
+    // cast back), abs then argmax with the (absdev desc, h asc)
+    // tie-break and the (|D|·1000) // (n·S_n) normalized score — every
+    // value non-negative so // ≡ div, lockstep with cusum()
+    "time_cusum" ->
+      ("WITH cuh AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+       "count(*) AS c FROM events GROUP BY 1, 2), " +
+       "cuk AS (SELECT event_type, h, " +
+       "CAST(row_number() OVER w AS BIGINT) AS k, " +
+       "CAST(sum(c) OVER w AS BIGINT) AS sk FROM cuh " +
+       "WINDOW w AS (PARTITION BY event_type ORDER BY h " +
+       "ROWS UNBOUNDED PRECEDING)), " +
+       "cut AS (SELECT event_type, count(*) AS n_hours, " +
+       "CAST(sum(c) AS BIGINT) AS total FROM cuh GROUP BY 1), " +
+       "cud AS (SELECT k.event_type, k.h, t.n_hours, t.total, " +
+       "abs(t.n_hours * k.sk - k.k * t.total) AS absdev " +
+       "FROM cuk k JOIN cut t USING (event_type)), " +
+       "cur AS (SELECT cud.*, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY absdev DESC, h ASC) AS rn FROM cud) " +
+       "SELECT event_type, n_hours, total, " +
+       "strftime(h, '%Y-%m-%d %H:%M:%S') AS cp_hour, absdev AS max_absdev, " +
+       "(absdev * 1000) // (n_hours * total) AS dev_milli " +
+       "FROM cur WHERE rn = 1 ORDER BY event_type"),
     "time_asof_nearest" ->
       ("WITH ap AS (SELECT user_id, ts AS p_ts, event_id AS p_id " +
        "FROM events WHERE event_type = 'purchase'), " +

@@ -160,6 +160,42 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalized pagerank == brute integer simulation from the seed set") {
+    val und = mutualEdges ++ mutualEdges.map { case (a, b) => (b, a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val nodes = adj.keySet
+    var r: Map[Long, Long] =
+      nodes.map(n => n -> (if (n < 50) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib =
+        scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (u <- nodes; v <- adj(u)) contrib(v) += r(u) / deg(u)
+      r = nodes.map(n =>
+        n -> ((if (n < 50) 150000L else 0L) + 85L * contrib(n) / 100L)).toMap
+    }
+    val got = ext.Graph.ppr(spark, sf001).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2), x.getLong(3))))
+      .toMap
+    assert(got.keySet == nodes, "node universe != nodes-with-an-edge")
+    got.foreach { case (n, (d, s, p)) =>
+      assert(d === deg(n), s"deg at $n")
+      assert(s === (if (n < 50) 1 else 0), s"seed flag at $n")
+      assert(p === r(n), s"ppr mass at $n")
+    }
+    // mass localizes around the seeds: seed average above non-seed
+    val (se, ns) = got.values.partition(_._2 == 1)
+    assert(se.nonEmpty && ns.nonEmpty, "seed split is vacuous")
+    assert(se.map(_._3).sum / se.size > ns.map(_._3).sum / ns.size,
+      "seeds do not hold more PPR mass than non-seeds")
+    // consistency with BFS: a node 3+ hops from every seed has mass 0
+    val layers = ext.Graph.bfsLayers(spark, sf001).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    got.foreach { case (n, (_, _, p)) =>
+      if (layers(n) == -1) assert(p === 0L, s"unreached node $n has mass $p")
+    }
+  }
+
   test("label propagation: adoptions are unlabeled nodes voting among labeled neighbors") {
     val emb = Tables.embeddings(spark, sf001)
       .select("vec_id", "label").collect()
