@@ -93,6 +93,60 @@ object Multimodal {
       .toDF("doc_id", "bucket", "cnt")
   }
 
+  /** Media near-dup by byte-histogram distance — the cheap signature
+    * tier BETWEEN byte-identical dedup ([[mediaDedup]], exact only)
+    * and content-defined chunking ([[cdcPairs]], byte-shift robust but
+    * chunk-granular): two payloads whose FULL 256-bin byte histograms
+    * sit within L1 ≤ τ are near-identical byte mixtures — re-encodes,
+    * tiny patches, metadata edits. (The 16-bin nibble histogram of
+    * [[byteHistogram]] is NOT discriminative enough here — measured:
+    * 65% of length-band candidates pass τ=20 at 16 bins vs 0.3% at
+    * 256.) Candidate generation is a BANDED LENGTH JOIN (the
+    * join_band_bucket shape, never all pairs): |len_a − len_b| ≤
+    * Σ|h_a − h_b| = L1 ≤ τ, so blocking on length bands of width τ
+    * (probe side fans to bands −1/0/+1, build side keys its own band —
+    * each pair matches exactly once) is LOSSLESS for the final
+    * threshold. The L1 stage is the signed-union trick: ±cnt per
+    * (pair, bucket), one agg to |Σ|, one agg to Σ — |candidates|×
+    * |occupied bins| rows, no wide rows, no HOFs. At 100 TB candidate
+    * volume is per-band occupancy squared; a production tier adds the
+    * saltOrd bucket cap (the shingleGroups precedent) if a single
+    * length band goes hot. τ = 20 bytes is the literal mirrored in the
+    * oracle (band width AND threshold — one constant, lockstep). */
+  def histNearDup(spark: SparkSession, dir: String, tau: Long = 20L): DataFrame = {
+    import spark.implicits._
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val counts = new Array[Long](256)
+        bytes.foreach(b => counts(b & 0xff) += 1)
+        counts.iterator.zipWithIndex
+          .collect { case (c, bucket) if c > 0 => (id, bucket, c) }
+      })
+      .toDF("doc_id", "bucket", "cnt")
+    val len = h.groupBy("doc_id").agg(sum("cnt").as("len"))
+      .withColumn("band", expr(s"len div $tau"))
+    val probe = len.select(col("doc_id").as("a_id"), col("len").as("len_a"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("bk"))
+    val build = len.select(col("doc_id").as("b_id"), col("len").as("len_b"),
+      col("band").as("bk"))
+    val cand = probe.join(build, Seq("bk"))
+      .filter(col("a_id") < col("b_id") &&
+              abs(col("len_a") - col("len_b")) <= tau)
+      .select("a_id", "b_id", "len_a", "len_b")
+    val signed = cand.join(h, h("doc_id") === cand("a_id"))
+        .select(col("a_id"), col("b_id"), col("bucket"), col("cnt").as("s"))
+      .union(cand.join(h, h("doc_id") === cand("b_id"))
+        .select(col("a_id"), col("b_id"), col("bucket"), (-col("cnt")).as("s")))
+    signed.groupBy("a_id", "b_id", "bucket").agg(abs(sum("s")).as("ab"))
+      .groupBy("a_id", "b_id").agg(sum("ab").as("l1"))
+      .filter(col("l1") <= tau)
+      .join(cand, Seq("a_id", "b_id"))
+      .select("a_id", "b_id", "len_a", "len_b", "l1")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Resize stage (pure plan): fit the decoded dimensions into 224×224
     * preserving aspect ratio — the geometry a real resampler would apply;
     * integer-exact across engines via double-multiply + floor. */
@@ -372,6 +426,7 @@ object Multimodal {
     "mm_media_meta_plan" -> mediaMetaPlan _,
     "mm_frame_sample"    -> frameSample _,
     "mm_byte_histogram"  -> byteHistogram _,
+    "mm_hist_near_dup"   -> ((s, d) => histNearDup(s, d)),
     "mm_dedup_media"     -> mediaDedup _,
     "mm_dedup_chunks"    -> mediaChunkDedup _,
     "mm_resize_meta"     -> resizeMeta _)
@@ -380,6 +435,17 @@ object Multimodal {
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
       "(strlen(text) * 7 + 13) % 640 AS width, " +
       "(strlen(text) * 11 + 17) % 480 AS height, 3 AS channels FROM documents"
+
+  /** The FULL 256-bin byte histogram as CTEs ending in `mh` (doc_id,
+    * bucket, cnt) — oracle mirror of the near-dup signature. The
+    * oracle counts ascii(char) where Spark counts payload bytes —
+    * valid only under the ASCII-corpus invariant (TestdataAsciiSpec),
+    * the mm_dedup_media rule. Names claimed: mhc/mh. */
+  private val hist256CteSql: String =
+    "mhc AS (SELECT doc_id, UNNEST(list_transform(range(1, strlen(text)+1), " +
+    "i -> ascii(text[CAST(i AS INTEGER)]))) AS b FROM documents), " +
+    "mh AS (SELECT doc_id, CAST(b AS INTEGER) AS bucket, count(*) AS cnt " +
+    "FROM mhc GROUP BY doc_id, bucket)"
 
   /** The CDC chunk extraction as CTEs ending in `cc` (doc_id, chunk) —
     * oracle mirror of [[cdcChunksOf]]; shared by mm_cdc_chunks and
@@ -479,6 +545,31 @@ object Multimodal {
        "SELECT doc_id, CAST(CASE WHEN nib BETWEEN '0' AND '9' " +
        "THEN ascii(nib)-48 ELSE ascii(nib)-55 END AS INTEGER) AS bucket, " +
        "count(*) AS cnt FROM ch GROUP BY doc_id, bucket"),
+    // mn-prefixed tail over the 256-bin `mh` signature (hist256CteSql,
+    // ASCII-invariant): banded length join (width = threshold = 20,
+    // lossless for L1 <= 20 since |len_a-len_b| <= L1), signed-union
+    // per-bucket |diff| then the sum — all lockstep with histNearDup;
+    // every value non-negative
+    "mm_hist_near_dup" ->
+      (s"WITH $hist256CteSql, " +
+       "mnl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len, " +
+       "CAST(sum(cnt) AS BIGINT) // 20 AS band FROM mh GROUP BY doc_id), " +
+       "mnp AS (SELECT a.doc_id AS a_id, a.len AS len_a, u.bk " +
+       "FROM mnl a, UNNEST([a.band - 1, a.band, a.band + 1]) AS u(bk)), " +
+       "mnc AS (SELECT p.a_id, b.doc_id AS b_id, p.len_a, b.len AS len_b " +
+       "FROM mnp p JOIN mnl b ON p.bk = b.band " +
+       "WHERE p.a_id < b.doc_id AND abs(p.len_a - b.len) <= 20), " +
+       "mns AS (SELECT c.a_id, c.b_id, h.bucket, CAST(h.cnt AS BIGINT) AS s " +
+       "FROM mnc c JOIN mh h ON h.doc_id = c.a_id " +
+       "UNION ALL SELECT c.a_id, c.b_id, h.bucket, -CAST(h.cnt AS BIGINT) " +
+       "FROM mnc c JOIN mh h ON h.doc_id = c.b_id), " +
+       "mnb AS (SELECT a_id, b_id, bucket, abs(CAST(sum(s) AS BIGINT)) AS ab " +
+       "FROM mns GROUP BY 1, 2, 3), " +
+       "mnd AS (SELECT a_id, b_id, CAST(sum(ab) AS BIGINT) AS l1 " +
+       "FROM mnb GROUP BY 1, 2) " +
+       "SELECT c.a_id, c.b_id, c.len_a, c.len_b, d.l1 " +
+       "FROM mnd d JOIN mnc c USING (a_id, b_id) " +
+       "WHERE d.l1 <= 20 ORDER BY a_id, b_id"),
     "mm_resize_meta" ->
       ("SELECT doc_id, width, height, " +
        "CAST(floor(width * 224.0 / greatest(width, height, 1)) AS BIGINT) AS out_w, " +
