@@ -853,16 +853,27 @@ object TextOps {
     * by CmsSpec. Sketch state is d·w counters at ANY corpus scale and
     * merges by addition — the 100 TB re-aggregation shape. Probe terms
     * are the bm25 literal family. */
-  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val tk = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("tok"))
-    val hashed = CmsBases.zipWithIndex.map { case (b, j) =>
+  /** The 4×64 CMS counter table of a document frame — stream-agnostic
+    * (explode → 4 portable hashes → one count agg), shared by the
+    * batch estimator and `DocStream.cmsSketch` so the sketch layout
+    * can't drift between them. Counter sums are commutative and
+    * associative, so a streaming fold over ANY micro-batch arrival
+    * order equals this batch aggregation exactly. */
+  private[graft] def cmsSketchOf(docs: DataFrame): DataFrame = {
+    val tk = docs.select(explode(split(col("text"), " ")).as("tok"))
+    CmsBases.zipWithIndex.map { case (b, j) =>
       tk.select(lit(j).as("row_j"),
         (graft.functions.PolyHashMod.col(col("tok"), b, 1000003L) %
           CmsBuckets).as("bucket"))
     }.reduce(_ unionByName _)
-    val cms = hashed.groupBy("row_j", "bucket").agg(count(lit(1)).as("cnt"))
+      .groupBy("row_j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cms = cmsSketchOf(Tables.documents(spark, dir))
+    val tk = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
     val terms = CmsProbeTerms.toDF("term")
     val probes = CmsBases.zipWithIndex.map { case (b, j) =>
       terms.select(col("term"), lit(j).as("row_j"),
@@ -1258,6 +1269,46 @@ object TextOps {
       .agg(count(lit(1)).as("n_tok"), sum("dlt_micro").as("logratio_micro"))
       .withColumn("keep", (col("logratio_micro") > 0L).cast("int"))
       .orderBy("doc_id")
+  }
+
+  /** Per-source KL divergence from the corpus token distribution — the
+    * distribution-level drift check at TOKEN grain, completing the
+    * drift family ([[ksDrift]] compares LENGTH distributions;
+    * [[dsirWeights]] scores per-document against ONE target): for each
+    * source, KL(P_s ‖ P_corpus) over the shared corpus vocabulary with
+    * Laplace smoothing — the domain-shift number a mixture designer
+    * reads before setting weights. Same micro-nat discipline as DSIR
+    * (each ln micronized FIRST — the ln rule — then all arithmetic
+    * exact BIGINT): the reported numerator is Σ (c_s+1)·Δln_micro,
+    * i.e. KL scaled by the smoothed mass (n_s+|V|); kl_micro divides
+    * once at the end (rounding can push a near-identical source a hair
+    * negative, so the oracle uses the sign-split floor form — CLAUDE.md
+    * division rule). The (source × vocab) grid is model-sized ×
+    * |sources| — bounded at any corpus scale; one broadcast of the
+    * |sources|-row totals. */
+  def klDrift(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val corpus = tk.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val consts = corpus.agg(count(lit(1)).as("v"), sum("cr").as("nr"))
+    val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ns"))
+    val srcCnt = tk.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    corpus.crossJoin(broadcast(srcTot))
+      .join(srcCnt, Seq("source", "tok"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("source"), col("ns"), col("v"),
+        (coalesce(col("cs"), lit(0L)) + lit(1L)).as("csp"),
+        (round(log((coalesce(col("cs"), lit(0L)) + lit(1L)) /
+                     (col("ns") + col("v"))) * lit(1e6)).cast("long") -
+         round(log((col("cr") + lit(1L)) /
+                     (col("nr") + col("v"))) * lit(1e6)).cast("long"))
+          .as("dlt_micro"))
+      .groupBy("source")
+      .agg(first("ns").as("n_tok"), first("v").as("n_vocab"),
+           sum(col("csp") * col("dlt_micro")).as("num"))
+      .withColumn("kl_micro", expr("num div (n_tok + n_vocab)"))
+      .select("source", "n_tok", "n_vocab", "num", "kl_micro")
+      .orderBy("source")
   }
 
   /** DSIR SELECTION under a per-source token budget — the apply half of
@@ -1967,6 +2018,7 @@ object TextOps {
     "corpus_ppl_buckets" -> pplBuckets _,
     "corpus_dsir_weights" -> dsirWeights _,
     "corpus_dsir_select" -> dsirSelect _,
+    "text_kl_drift" -> klDrift _,
     "text_quality_model" -> qualityModel _,
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
@@ -2318,6 +2370,31 @@ object TextOps {
        "SELECT source, doc_id, rn, n_tok, cum_tok, logratio_micro, " +
        "CAST(CASE WHEN cum_tok <= 1000 THEN 1 ELSE 0 END AS INTEGER) AS selected " +
        "FROM dsr ORDER BY source, rn"),
+    // kd-prefixed; source × shared-vocab grid, Laplace (c+1)/(n+|V|)
+    // smoothing, each ln micronized BEFORE the difference (ln rule),
+    // num = Σ (c_s+1)·Δln exact BIGINT; the one division uses the
+    // sign-split floor form (num can round a hair negative) — all
+    // lockstep with klDrift
+    "text_kl_drift" ->
+      ("WITH kdtk AS (SELECT source, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "kdcr AS (SELECT tok, count(*) AS cr FROM kdtk GROUP BY tok), " +
+       "kdk AS (SELECT (SELECT count(*) FROM kdcr) AS v, " +
+       "(SELECT CAST(sum(cr) AS BIGINT) FROM kdcr) AS nr), " +
+       "kdns AS (SELECT source, count(*) AS ns FROM kdtk GROUP BY source), " +
+       "kdcs AS (SELECT source, tok, count(*) AS cs FROM kdtk GROUP BY 1, 2), " +
+       "kdt AS (SELECT s.source, s.ns, (coalesce(x.cs, 0) + 1) AS csp, " +
+       "CAST(round(ln((coalesce(x.cs, 0) + 1) / (s.ns + kdk.v)) * 1e6) AS BIGINT) - " +
+       "CAST(round(ln((c.cr + 1) / (kdk.nr + kdk.v)) * 1e6) AS BIGINT) AS dlt " +
+       "FROM kdcr c CROSS JOIN kdns s " +
+       "LEFT JOIN kdcs x ON x.source = s.source AND x.tok = c.tok, kdk), " +
+       "kda AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_tok, " +
+       "CAST(sum(CAST(csp AS BIGINT) * dlt) AS BIGINT) AS num " +
+       "FROM kdt GROUP BY source) " +
+       "SELECT a.source, a.n_tok, CAST(k.v AS BIGINT) AS n_vocab, a.num, " +
+       "(CASE WHEN a.num < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(a.num) // (a.n_tok + k.v)) AS kl_micro " +
+       "FROM kda a, kdk k ORDER BY source"),
     "text_quality_model" ->
       ("WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "th AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +

@@ -171,6 +171,35 @@ object TimeOps {
       .orderBy("event_type")
   }
 
+  /** Hour-of-day seasonality profile per event type — the diurnal
+    * fingerprint behind [[cusum]]/[[spike]] thresholds (a "spike" at
+    * the daily peak hour is expected load; the same count at 3am is an
+    * incident): collapse the hourly series onto its 24 hour-of-day
+    * bins, report per-bin coverage (n_hours — how many distinct hours
+    * fed the bin), event total, and the ALL-INTEGER mean rate in
+    * micro-events/hour ((total·10⁶) div n_hours, non-negative), plus
+    * an is_peak flag on the top bin per type (mean desc, hod asc
+    * tie-break — the deterministic-argmax convention). hour() reads
+    * the mandatory UTC session, matching DuckDB's naive extract.
+    * ≤ 24·|types| output rows at any scale; the per-type ranking
+    * window is 24 rows. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prof = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hod", hour(col("h")).cast("int"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_hours"), sum("c").as("n_events"))
+      .withColumn("mean_micro", expr("(n_events * 1000000) div n_hours"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("mean_micro").desc, col("hod").asc)
+    prof.withColumn("is_peak", (row_number().over(w) === 1).cast("int"))
+      .select("event_type", "hod", "n_hours", "n_events", "mean_micro",
+              "is_peak")
+      .orderBy("event_type", "hod")
+  }
+
   /** Sliding 2-hour windows every 1 hour (each event in 2 windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -550,6 +579,7 @@ object TimeOps {
     "time_ewma"          -> ewma _,
     "time_autocorr"      -> autocorr _,
     "time_cusum"         -> cusum _,
+    "time_seasonal_profile" -> seasonalProfile _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
@@ -628,6 +658,23 @@ object TimeOps {
        "strftime(h, '%Y-%m-%d %H:%M:%S') AS cp_hour, absdev AS max_absdev, " +
        "(absdev * 1000) // (n_hours * total) AS dev_milli " +
        "FROM cur WHERE rn = 1 ORDER BY event_type"),
+    // sp-prefixed; hour() ≡ extract(hour) under the mandatory UTC
+    // session; (total·1e6) // n_hours non-negative so // ≡ div; peak =
+    // rn 1 under (mean desc, hod asc) — all lockstep with
+    // seasonalProfile
+    "time_seasonal_profile" ->
+      ("WITH sph AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+       "count(*) AS c FROM events GROUP BY 1, 2), " +
+       "spb AS (SELECT event_type, CAST(extract(hour FROM h) AS INTEGER) " +
+       "AS hod, count(*) AS n_hours, CAST(sum(c) AS BIGINT) AS n_events " +
+       "FROM sph GROUP BY 1, 2), " +
+       "spm AS (SELECT event_type, hod, n_hours, n_events, " +
+       "(n_events * 1000000) // n_hours AS mean_micro FROM spb), " +
+       "spr AS (SELECT spm.*, row_number() OVER (PARTITION BY event_type " +
+       "ORDER BY mean_micro DESC, hod ASC) AS rn FROM spm) " +
+       "SELECT event_type, hod, n_hours, n_events, mean_micro, " +
+       "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_peak " +
+       "FROM spr ORDER BY event_type, hod"),
     "time_asof_nearest" ->
       ("WITH ap AS (SELECT user_id, ts AS p_ts, event_id AS p_id " +
        "FROM events WHERE event_type = 'purchase'), " +

@@ -144,6 +144,25 @@ object DocStream {
     graft.ext.Dedup.sourceSigOf(
       graft.ext.Dedup.sourceShingleHashes(docs, 3))
 
+  /** CONTINUOUS count-min sketch — the live face of
+    * `text_cms_estimate`'s counter table and the SECOND mergeable
+    * sketch kept as streaming state (next to [[sourceSignatures]]'
+    * min-fold MinHash): CMS counters are plain sums, commutative and
+    * associative, so the one streaming aggregation equals the batch
+    * sketch after ANY micro-batch arrival order — exactly, not
+    * approximately (StreamingSpec pins counter-for-counter equality
+    * under maxFilesPerTrigger=1 replay). State is the FIXED 4×64
+    * counter table however much text streams past — the
+    * constant-state-per-key argument that makes sketches the right
+    * streaming primitive at 100 TB/day; any point-frequency probe
+    * then reads the live table with the same min-over-rows rule as
+    * the batch estimator. Single-sourced via `TextOps.cmsSketchOf` so
+    * the hash layout (PolyHashMod bases 131/137/139/149, mod 1000003,
+    * 64 buckets) can never drift from the batch sketch or its
+    * cross-engine oracle. */
+  def cmsSketch(docs: DataFrame): DataFrame =
+    graft.ext.TextOps.cmsSketchOf(docs)
+
   /** Streaming PII redaction — the continuous-ingest face of
     * `text_pii_redact`: a stateless per-row projection (inject →
     * count → replace, single-sourced via TextOps.piiRedactOf), so it

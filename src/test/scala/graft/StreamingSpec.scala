@@ -445,6 +445,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == capped, "stream state != capped per-doc min-merge")
   }
 
+  test("continuous CMS counters equal the batch sketch counter-for-counter") {
+    import graft.streaming.DocStream
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft-docs-cms-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-cms-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "docs-000.parquet")
+    writeOne(docs.filter(col("doc_id") % 2 =!= 0), "docs-001.parquet")
+
+    val stream = spark.readStream.schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = DocStream.cmsSketch(stream).writeStream
+      .outputMode(OutputMode.Complete()).format("memory")
+      .queryName("cmssketch").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    val streamed = spark.table("cmssketch").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    assert(nBatches >= 2, "docs arrived in one micro-batch — replay vacuous")
+
+    val batch = graft.ext.TextOps.cmsSketchOf(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "live CMS state != batch sketch")
+    // fixed-size state: at most 4 rows x 64 buckets ever
+    assert(streamed.size <= 4 * 64)
+    // total mass per hash row = total token count (each token hits
+    // every row exactly once)
+    val nTok = docs.select(explode(split(col("text"), " "))).count()
+    (0 until 4).foreach { j =>
+      val mass = streamed.collect { case ((r, _), c) if r == j => c }.sum
+      assert(mass === nTok, s"row $j mass $mass != $nTok")
+    }
+  }
+
   test("streaming per-source reservoir sample equals the batch quota sample") {
     import graft.streaming.DocStream
     val docs = Tables.documents(spark, sf0001)
