@@ -372,6 +372,34 @@ object Graph {
       .select("x_id", "y_id", "cn", "aa_micro")
   }
 
+  /** Neighborhood-Jaccard link prediction — the normalized fourth index
+    * completing [[commonNeighbors]] (raw count) / [[resourceAlloc]]
+    * (1/deg) / [[adamicAdar]] (1/ln deg): |N(x)∩N(y)| / |N(x)∪N(y)|,
+    * which DISCOUNTS THE ENDPOINTS rather than the shared neighbors —
+    * two low-degree nodes sharing 2 of their 3 neighbors outscore two
+    * hubs sharing 2 of 50. ALL-INTEGER: (cn·10⁶) div (dx + dy − cn);
+    * the union size is ≥ cn ≥ 1 so the division is non-negative and
+    * engine-agnostic. Same bounded wedge enumeration, plus two
+    * |pairs|-row degree joins. */
+  def jaccardLink(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val cn = und.as("e1").join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x_id"), col("e2.v").as("y_id"))
+      .groupBy("x_id", "y_id").agg(count(lit(1)).as("cn"))
+    val jac = cn
+      .join(dg.select(col("u").as("x_id"), col("deg").as("dx")), Seq("x_id"))
+      .join(dg.select(col("u").as("y_id"), col("deg").as("dy")), Seq("y_id"))
+      .withColumn("jac_micro",
+        expr("(cn * CAST(1000000 AS BIGINT)) div (dx + dy - cn)"))
+    jac.join(mu, jac("x_id") === mu("a_id") && jac("y_id") === mu("b_id"),
+             "left_anti")
+      .select("x_id", "y_id", "cn", "jac_micro")
+  }
+
   /** Two-round semi-supervised label propagation over the mutual-kNN
     * graph — the weak-supervision shape a training pipeline uses to
     * extend a small labeled seed set to its embedding neighborhood
@@ -622,6 +650,7 @@ object Graph {
     "graph_common_neighbors" -> commonNeighbors _,
     "graph_resource_alloc" -> resourceAlloc _,
     "graph_adamic_adar" -> adamicAdar _,
+    "graph_jaccard_link" -> jaccardLink _,
     "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_label_prop" -> labelProp _)
 
@@ -826,6 +855,21 @@ object Graph {
        "CAST(sum(1000000000000 // lnm) AS BIGINT) AS aa_micro " +
        "FROM aawd GROUP BY 1, 2) " +
        "SELECT p.x_id, p.y_id, p.cn, p.aa_micro FROM aap p " +
+       "LEFT JOIN mu ON mu.a_id = p.x_id AND mu.b_id = p.y_id " +
+       "WHERE mu.a_id IS NULL"),
+    // Jaccard index: (cn·1e6) // (dx + dy − cn) — union ≥ cn ≥ 1 so
+    // non-negative, // == div; ja-prefixed names
+    "graph_jaccard_link" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "jadg AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "jaw AS (SELECT e1.v AS x_id, e2.v AS y_id, count(*) AS cn " +
+       "FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v " +
+       "GROUP BY 1, 2), " +
+       "jap AS (SELECT w.x_id, w.y_id, w.cn, " +
+       "CAST((w.cn * 1000000) // (dx.deg + dy.deg - w.cn) AS BIGINT) " +
+       "AS jac_micro FROM jaw w " +
+       "JOIN jadg dx ON dx.u = w.x_id JOIN jadg dy ON dy.u = w.y_id) " +
+       "SELECT p.x_id, p.y_id, p.cn, p.jac_micro FROM jap p " +
        "LEFT JOIN mu ON mu.a_id = p.x_id AND mu.b_id = p.y_id " +
        "WHERE mu.a_id IS NULL"),
     // pp-prefixed unrolled rounds; seed literal 50 = n/10 at sf0.01

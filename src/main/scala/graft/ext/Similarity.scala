@@ -1702,6 +1702,40 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** Corpus-level embedding ANISOTROPY — the one-number geometry check
+    * next to [[dimStats]]' per-dimension view (Ethayarajh's finding:
+    * contextual embeddings concentrate in a narrow cone; an anisotropic
+    * space makes raw cosine similarity uninformative and argues for
+    * centering/whitening before indexing — this is the number that
+    * justifies [[whiten]]): aniso = ‖μ‖² / E‖x‖², the expected cosine
+    * between two random vectors when norms are comparable — 0 for a
+    * centered isotropic cloud, →1 as the cone collapses. EXACT-INTEGER
+    * discipline throughout: elements quantized once (x·1e6, x²·1e12 —
+    * the dimStats rule) into DECIMAL(38) sums (s1² reaches ~10²⁰ at
+    * corpus scale — far past BIGINT; DECIMAL(38)/HUGEINT carry it to
+    * ~10³⁸), then three non-negative integral divisions. One shuffle
+    * (64 groups) + a 64-row final agg; single output row at any
+    * scale. */
+  def isotropy(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")))
+      .select(col("pos"), col("col").cast("double").as("x"))
+      .select(col("pos"),
+        round(col("x") * lit(1e6)).cast("decimal(38,0)").as("t1"),
+        round(col("x") * col("x") * lit(1e12)).cast("decimal(38,0)").as("t2"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("t1").as("s1"), sum("t2").as("s2"))
+    g.agg(max("n").as("n"), count(lit(1)).as("n_dims"),
+          sum(expr("s1 * s1")).as("num"), sum("s2").as("den"))
+      .select(col("n"), col("n_dims"),
+        expr("CAST(den div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("mean_norm_sq_micro"),
+        expr("CAST(num div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) " +
+             "* 1000000) AS BIGINT)").as("mu_norm_sq_micro"),
+        expr("CAST((num * 1000000) div (CAST(n AS DECIMAL(38,0)) * den) " +
+             "AS BIGINT)").as("aniso_micro"))
+  }
+
   /** Per-dimension EMBEDDING DRIFT between ingest batches — the
     * index-health check a production vector store runs before deciding
     * whether yesterday's trained quantizer still fits today's data
@@ -2209,6 +2243,7 @@ object Similarity {
     "emb_cell_purity"  -> cellPurity _,
     "emb_silhouette"   -> silhouette _,
     "emb_drift_report" -> driftReport _,
+    "emb_isotropy"     -> isotropy _,
     "sim_lsh_buckets"  -> lshBuckets _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
@@ -2787,6 +2822,28 @@ object Similarity {
        "CAST(round((mean_new - mean_ref) * 1e6) AS BIGINT) AS drift_micro, " +
        "CAST(abs(CAST(round((mean_new - mean_ref) * 1e6) AS BIGINT)) >= 100000 " +
        "AS INTEGER) AS shifted FROM dm ORDER BY pos"),
+    // is-prefixed; dimStats element quantization (x·1e6 / x²·1e12 as
+    // BIGINT), HUGEINT carries s1² (the DECIMAL(38) twin of the Spark
+    // side), three non-negative // divisions ≡ div — lockstep with
+    // isotropy
+    "emb_isotropy" ->
+      ("WITH isx AS (SELECT CAST(p.pos1 - 1 AS INTEGER) AS pos, " +
+       "CAST(e.embedding[p.pos1] AS DOUBLE) AS x " +
+       "FROM embeddings e, UNNEST(range(1, len(e.embedding)+1)) AS p(pos1)), " +
+       "ist AS (SELECT pos, CAST(round(x * 1e6) AS BIGINT) AS t1, " +
+       "CAST(round(x * x * 1e12) AS BIGINT) AS t2 FROM isx), " +
+       "isg AS (SELECT pos, count(*) AS n, CAST(sum(t1) AS HUGEINT) AS s1, " +
+       "CAST(sum(t2) AS HUGEINT) AS s2 FROM ist GROUP BY pos), " +
+       "isa AS (SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS n_dims, " +
+       "CAST(sum(s1 * s1) AS HUGEINT) AS num, " +
+       "CAST(sum(s2) AS HUGEINT) AS den FROM isg) " +
+       "SELECT n, n_dims, " +
+       "CAST(den // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) " +
+       "AS mean_norm_sq_micro, " +
+       "CAST(num // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * 1000000) " +
+       "AS BIGINT) AS mu_norm_sq_micro, " +
+       "CAST((num * 1000000) // (CAST(n AS HUGEINT) * den) AS BIGINT) " +
+       "AS aniso_micro FROM isa"),
     // cell purity composes the chain's `home` CTE (unreferenced CTEs
     // are not executed by DuckDB); ep/et-prefixed names, label-asc ties,
     // nonneg // ≡ div — lockstep with cellPurity

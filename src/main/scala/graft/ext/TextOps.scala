@@ -1311,6 +1311,36 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Source×source VOCABULARY overlap matrix — the symmetric companion
+    * of [[klDrift]] (KL is an asymmetric frequency-weighted distance;
+    * this is set-level Jaccard over DISTINCT tokens — which domains
+    * even share words, before asking how differently they use them)
+    * and the vocabulary-grain twin of `dedup_source_overlap` (which
+    * counts near-duplicate DOCUMENT pairs): |V_a ∩ V_b| / |V_a ∪ V_b|
+    * per unordered source pair, all-integer micro. Candidates come
+    * from an inverted token→sources join — a token shared by s sources
+    * contributes s² pair rows, so volume is ≤ |vocab|·|sources|² —
+    * model-sized × a handful, at any corpus scale. */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val sz = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("source").as("src_a"), col("v").as("v_a")),
+            Seq("src_a"))
+      .join(sz.select(col("source").as("src_b"), col("v").as("v_b")),
+            Seq("src_b"))
+      .withColumn("jac_micro",
+        expr("(inter * CAST(1000000 AS BIGINT)) div (v_a + v_b - inter)"))
+      .select("src_a", "src_b", "v_a", "v_b", "inter", "jac_micro")
+      .orderBy("src_a", "src_b")
+  }
+
   /** DSIR SELECTION under a per-source token budget — the apply half of
     * [[dsirWeights]] (the measure→apply pairing rule: IVF train→search,
     * BPE learn→apply, PII scan→redact): within each source, take docs
@@ -2019,6 +2049,7 @@ object TextOps {
     "corpus_dsir_weights" -> dsirWeights _,
     "corpus_dsir_select" -> dsirSelect _,
     "text_kl_drift" -> klDrift _,
+    "text_vocab_overlap" -> vocabOverlap _,
     "text_quality_model" -> qualityModel _,
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
@@ -2370,6 +2401,22 @@ object TextOps {
        "SELECT source, doc_id, rn, n_tok, cum_tok, logratio_micro, " +
        "CAST(CASE WHEN cum_tok <= 1000 THEN 1 ELSE 0 END AS INTEGER) AS selected " +
        "FROM dsr ORDER BY source, rn"),
+    // vo-prefixed; (inter·1e6) // (v_a + v_b − inter) non-negative so
+    // // ≡ div; src_a < src_b unordered pairs — lockstep with
+    // vocabOverlap
+    "text_vocab_overlap" ->
+      ("WITH vot AS (SELECT DISTINCT source, tok FROM (SELECT source, " +
+       "unnest(string_split(text, ' ')) AS tok FROM documents) voq), " +
+       "voz AS (SELECT source, count(*) AS v FROM vot GROUP BY source), " +
+       "voi AS (SELECT a.source AS src_a, b.source AS src_b, " +
+       "count(*) AS inter FROM vot a JOIN vot b " +
+       "ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) " +
+       "SELECT i.src_a, i.src_b, za.v AS v_a, zb.v AS v_b, i.inter, " +
+       "CAST((i.inter * 1000000) // (za.v + zb.v - i.inter) AS BIGINT) " +
+       "AS jac_micro FROM voi i " +
+       "JOIN voz za ON za.source = i.src_a " +
+       "JOIN voz zb ON zb.source = i.src_b " +
+       "ORDER BY src_a, src_b"),
     // kd-prefixed; source × shared-vocab grid, Laplace (c+1)/(n+|V|)
     // smoothing, each ln micronized BEFORE the difference (ln rule),
     // num = Σ (c_s+1)·Δln exact BIGINT; the one division uses the

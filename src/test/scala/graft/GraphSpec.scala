@@ -160,6 +160,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("jaccard link index == brute force; bounded by 1e6; same pairs as CN") {
+    val got = ext.Graph.jaccardLink(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val und = mutualEdges ++ mutualEdges.map { case (a, b) => (b, a) }
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = (for {
+      (x, nx) <- adj.toSeq
+      (y, ny) <- adj.toSeq
+      if x < y && !mutualEdges.contains((x, y))
+      inter = (nx & ny).size.toLong if inter > 0
+    } yield (x, y) ->
+        (inter, inter * 1000000L / (nx.size + ny.size - inter))).toMap
+    assert(got == brute, s"got ${got.size} pairs, brute ${brute.size}")
+    val cn = ext.Graph.commonNeighbors(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet == cn, "Jaccard and CN must rank the same pairs")
+    got.values.foreach { case (c, j) =>
+      assert(j > 0L && j <= 1000000L, s"jac_micro $j out of (0, 1e6]")
+      assert(c >= 1L)
+    }
+  }
+
   test("personalized pagerank == brute integer simulation from the seed set") {
     val und = mutualEdges ++ mutualEdges.map { case (a, b) => (b, a) }
     val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
