@@ -1523,6 +1523,49 @@ object TextOps {
       .withColumn("rn", row_number().over(w))
   }
 
+  /** Windowed skip-gram PMI — the word2vec-style LOCAL collocation
+    * measure next to [[pmi]]'s document-level co-occurrence (whole-doc
+    * co-occurrence finds topics; a ±2-position window finds PHRASES —
+    * the distinction Levy & Goldberg made precise by showing skip-gram
+    * embeddings factorize exactly this matrix): count directed token
+    * pairs at position distance 1..2 within a document, PMI over the
+    * PAIR distribution with its own marginals (textbook joint/marginal
+    * PMI — self-consistent, no vocabulary-size smoothing needed since
+    * only observed pairs are scored). The ratio is formed in doubles
+    * with the identical cast-multiply-divide order in both engines
+    * (every op IEEE-exact; cxy·T overflows BIGINT at corpus scale so
+    * the integer form is NOT the scale-safe one), then the ln is
+    * micronized once. Pair volume ≤ window·Σ|doc| — linear in corpus
+    * tokens; marginals are model-sized; top-k via TakeOrderedAndProject
+    * and a k-row rank window. Window 2 and k = 20 are mirrored
+    * literals. */
+  def skipgramPmi(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pt = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val pairs = pt.as("a").join(pt.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+        col("b.pos") > col("a.pos") && col("b.pos") <= col("a.pos") + 2)
+      .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+      .agg(count(lit(1)).as("cxy"))
+    val t = pairs.agg(sum("cxy").as("t"))
+    val mx = pairs.groupBy("x").agg(sum("cxy").as("cxl"))
+    val my = pairs.groupBy("y").agg(sum("cxy").as("cyr"))
+    val scored = pairs
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(t))
+      .select(col("x"), col("y"), col("cxy"),
+        round(log(col("cxy").cast("double") * col("t").cast("double") /
+                  (col("cxl").cast("double") * col("cyr").cast("double"))) *
+              lit(1e6)).cast("long").as("pmi_micro"))
+    val w = Window.orderBy(col("pmi_micro").desc, col("x").asc, col("y").asc)
+    scored
+      .orderBy(col("pmi_micro").desc, col("x").asc, col("y").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
   /** Per-source token-distribution Shannon entropy — the
     * information-theoretic corpus profile (low entropy = templated or
     * repetitive source, high = diverse): H = −Σ p·ln p in nats over
@@ -2050,6 +2093,7 @@ object TextOps {
     "corpus_dsir_select" -> dsirSelect _,
     "text_kl_drift" -> klDrift _,
     "text_vocab_overlap" -> vocabOverlap _,
+    "text_skipgram_pmi" -> ((s, d) => skipgramPmi(s, d)),
     "text_quality_model" -> qualityModel _,
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
@@ -2293,6 +2337,31 @@ object TextOps {
        "SELECT x, y, cxy, pmi_micro, " +
        "CAST(row_number() OVER (ORDER BY pmi_micro DESC, x, y) AS INTEGER) AS rn " +
        "FROM top"),
+    // sg-prefixed; ±2-position directed pairs, PMI over the pair joint
+    // with its own marginals; ratio formed in doubles with the IDENTICAL
+    // cast-multiply-divide order (cxy·T overflows BIGINT at scale), ln
+    // micronized once; window 2 / top-20 literals — lockstep with
+    // skipgramPmi
+    "text_skipgram_pmi" ->
+      ("WITH sgp AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos, " +
+       "toks[CAST(u.i AS INTEGER)] AS tok FROM (SELECT doc_id, " +
+       "string_split(text, ' ') AS toks FROM documents) sgd, " +
+       "UNNEST(range(1, len(toks)+1)) AS u(i)), " +
+       "sgc AS (SELECT a.tok AS x, b.tok AS y, count(*) AS cxy " +
+       "FROM sgp a JOIN sgp b ON a.doc_id = b.doc_id " +
+       "AND b.pos > a.pos AND b.pos <= a.pos + 2 GROUP BY 1, 2), " +
+       "sgt AS (SELECT CAST(sum(cxy) AS BIGINT) AS t FROM sgc), " +
+       "sgx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cxl FROM sgc GROUP BY x), " +
+       "sgy AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cyr FROM sgc GROUP BY y), " +
+       "sgs AS (SELECT c.x, c.y, c.cxy, " +
+       "CAST(round(ln(CAST(c.cxy AS DOUBLE) * CAST(t.t AS DOUBLE) / " +
+       "(CAST(mx.cxl AS DOUBLE) * CAST(my.cyr AS DOUBLE))) * 1e6) AS BIGINT) " +
+       "AS pmi_micro FROM sgc c JOIN sgx mx ON mx.x = c.x " +
+       "JOIN sgy my ON my.y = c.y CROSS JOIN sgt t), " +
+       "sgk AS (SELECT * FROM sgs ORDER BY pmi_micro DESC, x, y LIMIT 20) " +
+       "SELECT x, y, cxy, pmi_micro, " +
+       "CAST(row_number() OVER (ORDER BY pmi_micro DESC, x, y) AS INTEGER) " +
+       "AS rn FROM sgk"),
     "text_entropy" ->
       ("WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "cnt AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY source, tok), " +
