@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayDot(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("array_l1"),
+      new ExpressionInfo(classOf[ArrayL1].getName, "array_l1"),
+      (children: Seq[Expression]) => {
+        requireArity("array_l1", children, 2)
+        ArrayL1(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("poly_hash_mod"),
       new ExpressionInfo(classOf[PolyHashMod].getName, "poly_hash_mod"),
       (children: Seq[Expression]) => {

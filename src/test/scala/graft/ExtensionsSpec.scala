@@ -17,6 +17,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(h1b === h1)
   }
 
+  test("array_l1 from SQL: codegen distance, null on length mismatch") {
+    val r = spark.sql(
+      "SELECT array_l1(array(1L, 5L, 3L), array(4L, 1L, 3L)) AS d").head()
+    assert(r.getLong(0) === 7L)
+    val mismatch = spark.sql(
+      "SELECT array_l1(array(1L, 2L), array(1L)) AS d").head()
+    assert(mismatch.isNullAt(0), "length mismatch must yield NULL")
+  }
+
   test("poly_hash_mod from SQL matches the portable fold; non-literal params rejected") {
     val h2 = spark.sql("SELECT poly_hash_mod('abc', 31, 1000000007) AS h")
       .head().getLong(0)
