@@ -114,15 +114,35 @@ object Multimodal {
     * sf0.1 on a length-concentrated corpus (10⁶ band candidates);
     * the array form runs the identical million candidates in seconds
     * with NO per-pair shuffle (the ArrayDot-over-HOF rule applied to
-    * integer signatures). The signature table is |docs|×2 KB — joined
-    * by doc_id (auto-broadcast at small scale, plain equi-join at
-    * 100 TB); a production tier additionally caps a hot length band by
-    * the saltOrd scramble (the shingleGroups precedent). τ = 20 bytes
+    * integer signatures).
+    *
+    * HOT-BAND GUARDRAIL: this synthetic corpus concentrates ALL its
+    * documents onto ~27 length bands, so band occupancy — and with it
+    * the candidate count — grows LINEARLY with the corpus (measured
+    * 28 / 245 / 2450 docs in the largest band at sf0.01/0.1/1 →
+    * quadratic pairs, 224 s at sf1 uncapped). Per the dedup family's
+    * bucket-cap rule, each band keeps its first `cap` = 256 docs in
+    * the content-independent saltOrd order (a deterministic unbiased
+    * sample, the shingleGroups truncation precedent), bounding pairs
+    * at |bands|·3·cap² at ANY corpus size; truncation is OBSERVABLE
+    * via the `graft_bucket_cap_band` metric ([[CapMetrics]] WARN-logs
+    * firings — the remediation is a narrower τ or a signature screen
+    * like dedup_minhash_lsh first). The cap does not bite below
+    * occupancy 256 (sf0.01 and sf0.1 results are exactly the uncapped
+    * ones, and the oracle mirrors the cap CTE verbatim). τ = 20 bytes
     * is the literal mirrored in the oracle (band width AND threshold —
     * one constant, lockstep). */
-  def histNearDup(spark: SparkSession, dir: String, tau: Long = 20L): DataFrame = {
+  def histNearDup(spark: SparkSession, dir: String, tau: Long = 20L): DataFrame =
+    histNearDupOf(spark, Tables.documents(spark, dir), tau)
+
+  /** [[histNearDup]] over any (doc_id, text) frame — standalone so the
+    * spec can drive the band cap on a crafted hot-band fixture. */
+  private[graft] def histNearDupOf(spark: SparkSession, docs: DataFrame,
+                                   tau: Long = 20L,
+                                   cap: Int = 256): DataFrame = {
     import spark.implicits._
-    val h = Tables.documents(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val h = docs
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
@@ -131,8 +151,16 @@ object Multimodal {
         (id, bytes.length.toLong, counts)
       })
       .toDF("doc_id", "len", "hist")
+    val wCap = Window.partitionBy("band")
+      .orderBy(Similarity.saltOrd(col("doc_id")).asc, col("doc_id").asc)
     val len = h.select(col("doc_id"), col("len"))
       .withColumn("band", expr(s"len div $tau"))
+      .withColumn("rnb", row_number().over(wCap))
+      .observe(s"graft_bucket_cap_band_${BandCapSeq.incrementAndGet()}",
+        coalesce(sum(when(col("rnb") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("rows_truncated"),
+        coalesce(max(col("rnb")), lit(0)).as("max_bucket_rows"))
+      .filter(col("rnb") <= cap).drop("rnb")
     val probe = len.select(col("doc_id").as("a_id"), col("len").as("len_a"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("bk"))
     val build = len.select(col("doc_id").as("b_id"), col("len").as("len_b"),
@@ -150,6 +178,10 @@ object Multimodal {
       .select("a_id", "b_id", "len_a", "len_b", "l1")
       .orderBy("a_id", "b_id")
   }
+
+  /** Monotone id for band-cap metric names — uniqueness within a plan
+    * (the Similarity.CapSeq rule). */
+  private val BandCapSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Resize stage (pure plan): fit the decoded dimensions into 224×224
     * preserving aspect ratio — the geometry a real resampler would apply;
@@ -558,8 +590,15 @@ object Multimodal {
     // sf0.01-sized mirror, not the scale path); every value non-negative
     "mm_hist_near_dup" ->
       (s"WITH $hist256CteSql, " +
-       "mnl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len, " +
+       "mnl0 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS len, " +
        "CAST(sum(cnt) AS BIGINT) // 20 AS band FROM mh GROUP BY doc_id), " +
+       // band cap 256 in saltOrd order — does not bite at sf0.01
+       // (max occupancy 28) but keeps the CTE chain the exact mirror
+       // of the Spark guardrail
+       "mnr AS (SELECT doc_id, len, band, row_number() OVER " +
+       "(PARTITION BY band ORDER BY " +
+       s"${Similarity.saltOrdSql("doc_id")}, doc_id) AS rnb FROM mnl0), " +
+       "mnl AS (SELECT doc_id, len, band FROM mnr WHERE rnb <= 256), " +
        "mnp AS (SELECT a.doc_id AS a_id, a.len AS len_a, u.bk " +
        "FROM mnl a, UNNEST([a.band - 1, a.band, a.band + 1]) AS u(bk)), " +
        "mnc AS (SELECT p.a_id, b.doc_id AS b_id, p.len_a, b.len AS len_b " +

@@ -200,6 +200,43 @@ object TimeOps {
       .orderBy("event_type", "hod")
   }
 
+  /** Seasonal-naive forecast BACKTEST — the eval harness closing the
+    * seasonality family (the measure→apply pairing rule:
+    * [[seasonalProfile]] measures the diurnal shape, this scores how
+    * well that shape actually predicts): forecast each hour's count as
+    * the FLOOR-MEAN OF ALL PRIOR SAME-HOUR-OF-DAY counts (an expanding
+    * window per (type, hod) — strictly causal, no leakage: the frame
+    * excludes the current row, and the first observation of each bin
+    * is unscored), then report per type the MAE and the signed mean
+    * bias. ALL-INTEGER: forecasts are floor divisions of non-negative
+    * running sums (div ≡ `//`); the bias numerator can be negative →
+    * sign-split floor form in the oracle, plain div in Spark. Same
+    * per-(type, hod) window parallelism as the profile; per-type
+    * single-row output at any scale. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hc = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hod", hour(col("h")).cast("int"))
+    val w = Window.partitionBy("event_type", "hod").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hc.withColumn("np", count(lit(1)).over(w))
+      .withColumn("sp", sum("c").over(w))
+      .filter(col("np") >= 1)
+      .withColumn("fc", expr("sp div np"))
+      .withColumn("err", col("c") - col("fc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_fc"),
+           sum(abs(col("err"))).as("sum_abs_err"),
+           sum("err").as("bias_num"))
+      .withColumn("mae_micro", expr("(sum_abs_err * 1000000) div n_fc"))
+      .withColumn("bias_milli", expr("(bias_num * 1000) div n_fc"))
+      .select("event_type", "n_fc", "sum_abs_err", "mae_micro",
+              "bias_num", "bias_milli")
+      .orderBy("event_type")
+  }
+
   /** Sliding 2-hour windows every 1 hour (each event in 2 windows). */
   def sliding(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -580,6 +617,7 @@ object TimeOps {
     "time_autocorr"      -> autocorr _,
     "time_cusum"         -> cusum _,
     "time_seasonal_profile" -> seasonalProfile _,
+    "time_forecast_backtest" -> forecastBacktest _,
     "time_sliding"       -> sliding _,
     "time_session"       -> session _,
     "time_asof_join"     -> asofJoin _,
@@ -675,6 +713,28 @@ object TimeOps {
        "SELECT event_type, hod, n_hours, n_events, mean_micro, " +
        "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_peak " +
        "FROM spr ORDER BY event_type, hod"),
+    // fb-prefixed; strictly-causal expanding frame (UNBOUNDED PRECEDING
+    // .. 1 PRECEDING per (type, hod)), forecast = sp // np non-negative,
+    // bias numerator signed → sign-split floor form here, plain div in
+    // Spark — lockstep with forecastBacktest
+    "time_forecast_backtest" ->
+      ("WITH fbh AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+       "count(*) AS c FROM events GROUP BY 1, 2), " +
+       "fbw AS (SELECT event_type, h, c, count(*) OVER w AS np, " +
+       "CAST(sum(c) OVER w AS BIGINT) AS sp FROM (SELECT event_type, h, c, " +
+       "CAST(extract(hour FROM h) AS INTEGER) AS hod FROM fbh) fbq " +
+       "WINDOW w AS (PARTITION BY event_type, hod ORDER BY h " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+       "fbe AS (SELECT event_type, c - (sp // np) AS err " +
+       "FROM fbw WHERE np >= 1), " +
+       "fba AS (SELECT event_type, count(*) AS n_fc, " +
+       "CAST(sum(abs(err)) AS BIGINT) AS sum_abs_err, " +
+       "CAST(sum(err) AS BIGINT) AS bias_num FROM fbe GROUP BY 1) " +
+       "SELECT event_type, n_fc, sum_abs_err, " +
+       "(sum_abs_err * 1000000) // n_fc AS mae_micro, bias_num, " +
+       "(CASE WHEN bias_num < 0 THEN -1 ELSE 1 END) * " +
+       "((abs(bias_num) * 1000) // n_fc) AS bias_milli " +
+       "FROM fba ORDER BY event_type"),
     "time_asof_nearest" ->
       ("WITH ap AS (SELECT user_id, ts AS p_ts, event_id AS p_id " +
        "FROM events WHERE event_type = 'purchase'), " +

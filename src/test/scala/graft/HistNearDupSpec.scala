@@ -49,4 +49,27 @@ class HistNearDupSpec extends SparkSpec {
     assert(got.size * 10 < cands,
       s"threshold kept ${got.size} of $cands candidates — not discriminative")
   }
+
+  test("hot-band cap: pairs restricted to the saltOrd-first docs, deterministic") {
+    val spk = spark
+    import spk.implicits._
+    // 40 identical-length docs in ONE band; cap 16 → only the 16
+    // saltOrd-first survive the guardrail, and every kept pair scores
+    val docs = (0L until 40L).map(i => (i, "x " * 50 + s"tail$i"))
+      .toDF("doc_id", "text")
+    def scramble(id: Long): Long =
+      ((id % 2147483648L) * 2654435761L) % 2147483648L
+    val keptIds = (0L until 40L).sortBy(i => (scramble(i), i)).take(16).toSet
+    val got = ext.Multimodal.histNearDupOf(spark, docs, tau = 20L, cap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "crafted near-dups not found")
+    got.foreach { case (a, b) =>
+      assert(keptIds(a) && keptIds(b),
+        s"pair ($a,$b) includes a doc the band cap should have dropped")
+    }
+    // cap off (cap > n) → strictly more pairs, superset of the capped set
+    val full = ext.Multimodal.histNearDupOf(spark, docs, tau = 20L, cap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(full) && full.size > got.size)
+  }
 }
