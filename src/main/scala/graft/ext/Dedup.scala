@@ -256,6 +256,30 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Jaccard-THRESHOLD TUNING CURVE — the chart a dedup operator reads
+    * before picking the production threshold (too low = false merges,
+    * too high = missed near-dups; the knee is corpus-specific): pair
+    * counts surviving each threshold t ∈ {20..90}% among the family's
+    * ≥ 0.2 survivors. Derived from the memoized pair-stats frame —
+    * ZERO additional shingle work, an 8-row broadcast against the
+    * model-sized survivor set; thresholds below the family floor are
+    * by construction invisible (the curve starts AT the production
+    * setting and tightens). Exact integer predicate inter·100 ≥ t·uni;
+    * zero-survivor thresholds still emit a row (left join + coalesce).
+    * The threshold list is mirrored in the oracle — and the 0.2 floor
+    * is dedup_ngram_jaccard's (the pairstats5 lockstep group). */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = Seq(20, 30, 40, 50, 60, 70, 80, 90).toDF("thr_pct")
+    val counted = jaccardPairs(spark, dir)
+      .crossJoin(broadcast(thr))
+      .filter(col("inter") * 100 >= col("thr_pct") * col("uni"))
+      .groupBy("thr_pct").agg(count(lit(1)).as("n"))
+    thr.join(counted, Seq("thr_pct"), "left")
+      .select(col("thr_pct"), coalesce(col("n"), lit(0L)).as("n_pairs"))
+      .orderBy("thr_pct")
+  }
+
   /** Containment near-dup pairs (doc-inside-doc; see
     * [[containmentPairsOf]]), derived from the shared stats frame —
     * the shingle index is built once for the whole 5-gram family. */
@@ -1073,7 +1097,8 @@ object Dedup {
     "dedup_minhash_eval"  -> ((s, d) => minhashEval(s, d)),
     "dedup_band_sweep"    -> ((s, d) => bandSweep(s, d)),
     "dedup_simhash"       -> simhash _,
-    "dedup_simhash_pairs" -> simhashPairs _)
+    "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_threshold_curve" -> thresholdCurve _)
 
   /** DuckDB CTE chain for n-gram shingles with the DF cap over a
     * FILTERED document set: tokens -> distinct shingles -> rare
@@ -1397,6 +1422,17 @@ object Dedup {
        "GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))"),
     "dedup_ngram_jaccard" ->
       s"WITH $ngramPairCte SELECT a_id, b_id, inter, uni FROM jac",
+    // dtc-prefixed tail over the SAME jac chain; threshold list and the
+    // inter·100 >= t·uni predicate mirrored — lockstep with
+    // thresholdCurve (and the family's 0.2 floor)
+    "dedup_threshold_curve" ->
+      (s"WITH $ngramPairCte, " +
+       "dtct AS (SELECT UNNEST([20, 30, 40, 50, 60, 70, 80, 90]) AS thr_pct), " +
+       "dtcc AS (SELECT t.thr_pct, count(j.a_id) AS n_pairs FROM dtct t " +
+       "LEFT JOIN jac j ON j.inter * 100 >= t.thr_pct * j.uni " +
+       "GROUP BY t.thr_pct) " +
+       "SELECT CAST(thr_pct AS INTEGER) AS thr_pct, " +
+       "CAST(n_pairs AS BIGINT) AS n_pairs FROM dtcc ORDER BY thr_pct"),
     // so-prefixed tail over the SAME jac chain; unordered source pair
     // via least/greatest — lockstep with sourceOverlap
     "dedup_source_overlap" ->
