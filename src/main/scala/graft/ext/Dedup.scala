@@ -280,6 +280,36 @@ object Dedup {
       .orderBy("thr_pct")
   }
 
+  /** ONE-ROW CORPUS DASHBOARD — the governance summary a data owner
+    * reads first (and the judge of any downstream number: every other
+    * report normalizes by these totals): document/source/token/vocab
+    * counts, integer mean document length, exact-duplicate exposure
+    * (groups with ≥ 2 byte-identical texts and the redundant doc
+    * count), and the near-duplicate pair count at the family threshold.
+    * Composes the MEMOIZED pair-stats frame (zero extra shingle work);
+    * everything else is two corpus aggregations and a tiny
+    * group-having agg, crossed as 1-row broadcasts. All-integer
+    * (mean in micro tokens/doc, non-negative div). */
+  def statsReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+                        countDistinct("source").as("n_sources"))
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_vocab"))
+    val dupg = docs.groupBy("text").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_dup_groups"),
+           coalesce(sum(col("c") - 1), lit(0L)).as("n_dup_docs"))
+    val nd = jaccardPairs(spark, dir)
+      .agg(count(lit(1)).as("n_neardup_pairs"))
+    base.crossJoin(broadcast(toks)).crossJoin(broadcast(dupg))
+      .crossJoin(broadcast(nd))
+      .withColumn("mean_tok_micro", expr("(n_tokens * 1000000) div n_docs"))
+      .select("n_docs", "n_sources", "n_tokens", "n_vocab",
+              "mean_tok_micro", "n_dup_groups", "n_dup_docs",
+              "n_neardup_pairs")
+  }
+
   /** Containment near-dup pairs (doc-inside-doc; see
     * [[containmentPairsOf]]), derived from the shared stats frame —
     * the shingle index is built once for the whole 5-gram family. */
@@ -1098,7 +1128,8 @@ object Dedup {
     "dedup_band_sweep"    -> ((s, d) => bandSweep(s, d)),
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
-    "dedup_threshold_curve" -> thresholdCurve _)
+    "dedup_threshold_curve" -> thresholdCurve _,
+    "corpus_stats_report" -> statsReport _)
 
   /** DuckDB CTE chain for n-gram shingles with the DF cap over a
     * FILTERED document set: tokens -> distinct shingles -> rare
@@ -1425,6 +1456,25 @@ object Dedup {
     // dtc-prefixed tail over the SAME jac chain; threshold list and the
     // inter·100 >= t·uni predicate mirrored — lockstep with
     // thresholdCurve (and the family's 0.2 floor)
+    // cr-prefixed tails + the shared jac chain; RAW-text dup groups
+    // (HAVING >= 2), coalesced zero on a dup-free corpus, non-negative
+    // mean division — lockstep with statsReport
+    "corpus_stats_report" ->
+      (s"WITH $ngramPairCte, " +
+       "crb AS (SELECT count(*) AS n_docs, " +
+       "count(DISTINCT source) AS n_sources FROM documents), " +
+       "crt AS (SELECT count(*) AS n_tokens, count(DISTINCT tok) AS n_vocab " +
+       "FROM (SELECT unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents) crq), " +
+       "crd AS (SELECT count(*) AS n_dup_groups, " +
+       "CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dup_docs FROM " +
+       "(SELECT count(*) AS c FROM documents GROUP BY text " +
+       "HAVING count(*) > 1) crg), " +
+       "crn AS (SELECT count(*) AS n_neardup_pairs FROM jac) " +
+       "SELECT n_docs, n_sources, n_tokens, n_vocab, " +
+       "(n_tokens * 1000000) // n_docs AS mean_tok_micro, " +
+       "n_dup_groups, n_dup_docs, n_neardup_pairs " +
+       "FROM crb, crt, crd, crn"),
     "dedup_threshold_curve" ->
       (s"WITH $ngramPairCte, " +
        "dtct AS (SELECT UNNEST([20, 30, 40, 50, 60, 70, 80, 90]) AS thr_pct), " +

@@ -130,6 +130,50 @@ object TimeOps {
       .orderBy("event_type")
   }
 
+  /** Multi-lag autocorrelation function (ACF) of the hourly rate — the
+    * full seasonality diagnostic generalizing [[autocorr]]'s lag-1 (a
+    * daily cycle in an hourly series shows as a lag-24 peak; the lag-1
+    * row of this table MUST equal time_autocorr — spec-pinned):
+    * Pearson r at ROW lags {1, 2, 3, 6, 12, 24} per type, same
+    * exact-BIGINT five-moment discipline, same single IEEE-exact float
+    * step, same degenerate-series gates. Lags are expressed as a
+    * row_number self-join (rn ↔ rn−L) rather than |lags| window
+    * passes — one rank window + one equi-join + one 5-moment agg over
+    * the |types|×|hours|×|lags| pair frame, thousands of rows from
+    * billions of events. Row-lag (not time-lag) semantics: a missing
+    * hour splices the series — the [[autocorr]] contract, kept
+    * deliberately so the two stay composable. */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val lags = Seq(1, 2, 3, 6, 12, 24).toDF("lag")
+    val hc = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("h"))
+          .cast("long"))
+    val lagged = hc.crossJoin(broadcast(lags))
+      .select(col("event_type"), col("lag"),
+              (col("rn") + col("lag")).as("rn"), col("c").as("p"))
+    hc.join(lagged, Seq("event_type", "rn"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum("c").as("sx"), sum("p").as("sy"),
+           sum(col("c") * col("p")).as("sxy"),
+           sum(col("c") * col("c")).as("sxx"),
+           sum(col("p") * col("p")).as("syy"))
+      .withColumn("num", col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .filter(col("n_pairs") >= 2 && col("dx") > 0 && col("dy") > 0)
+      .withColumn("r_milli",
+        round(col("num").cast("double") / sqrt(col("dx").cast("double")) /
+              sqrt(col("dy").cast("double")) * lit(1e3)).cast("long"))
+      .select("event_type", "lag", "n_pairs", "r_milli")
+      .orderBy("event_type", "lag")
+  }
+
   /** CUSUM changepoint statistic on the hourly event rate per type —
     * the drift detector completing the anomaly family ([[spike]] flags
     * a single loud hour, [[madOutlier]] a heavy value, this a SUSTAINED
@@ -615,6 +659,7 @@ object TimeOps {
     "time_ohlc"          -> ohlc _,
     "time_ewma"          -> ewma _,
     "time_autocorr"      -> autocorr _,
+    "time_acf"           -> acf _,
     "time_cusum"         -> cusum _,
     "time_seasonal_profile" -> seasonalProfile _,
     "time_forecast_backtest" -> forecastBacktest _,
@@ -673,6 +718,33 @@ object TimeOps {
        "sqrt(CAST(dy AS DOUBLE)) * 1e3) AS BIGINT) AS r_milli " +
        "FROM acd WHERE n_pairs >= 2 AND dx > 0 AND dy > 0 " +
        "ORDER BY event_type"),
+    // af-prefixed; row_number self-join lag form, lag list {1,2,3,6,
+    // 12,24} mirrored; identical 5-moment/float discipline and gates as
+    // time_autocorr (lag-1 rows equal it — AcfSpec pins) — lockstep
+    "time_acf" ->
+      ("WITH afh AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+       "count(*) AS c FROM events GROUP BY 1, 2), " +
+       "afr AS (SELECT event_type, c, CAST(row_number() OVER " +
+       "(PARTITION BY event_type ORDER BY h) AS BIGINT) AS rn FROM afh), " +
+       "afl AS (SELECT UNNEST([1, 2, 3, 6, 12, 24]) AS lag), " +
+       "afp AS (SELECT a.event_type, l.lag, a.c, b.c AS p " +
+       "FROM afr a CROSS JOIN afl l " +
+       "JOIN afr b ON b.event_type = a.event_type " +
+       "AND b.rn = a.rn - l.lag), " +
+       "afs AS (SELECT event_type, lag, count(*) AS n_pairs, " +
+       "CAST(sum(c) AS BIGINT) AS sx, CAST(sum(p) AS BIGINT) AS sy, " +
+       "CAST(sum(c * p) AS BIGINT) AS sxy, " +
+       "CAST(sum(c * c) AS BIGINT) AS sxx, " +
+       "CAST(sum(p * p) AS BIGINT) AS syy FROM afp GROUP BY 1, 2), " +
+       "afd AS (SELECT event_type, lag, n_pairs, " +
+       "n_pairs * sxy - sx * sy AS num, " +
+       "n_pairs * sxx - sx * sx AS dx, " +
+       "n_pairs * syy - sy * sy AS dy FROM afs) " +
+       "SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs, " +
+       "CAST(round(CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE)) / " +
+       "sqrt(CAST(dy AS DOUBLE)) * 1e3) AS BIGINT) AS r_milli " +
+       "FROM afd WHERE n_pairs >= 2 AND dx > 0 AND dy > 0 " +
+       "ORDER BY event_type, lag"),
     // cu-prefixed; D_k = n·S_k − k·S_n all-BIGINT (DuckDB count/sum →
     // cast back), abs then argmax with the (absdev desc, h asc)
     // tie-break and the (|D|·1000) // (n·S_n) normalized score — every
