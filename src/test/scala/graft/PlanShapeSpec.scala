@@ -149,6 +149,25 @@ class PlanShapeSpec extends SparkSpec {
            s"interval join lost its equi-key:\n$p")
   }
 
+  test("skipgram pair join rides the doc_id equi-key with the range as residual") {
+    // the only tolerated nested-loop is the 1-row total-count broadcast;
+    // the position-pair join itself must be a hash/merge join on doc_id
+    // or the stage goes |tokens|² at scale
+    val p = planOf("text_skipgram_pmi")
+    assert(!p.contains("CartesianProduct"), s"skipgram cartesian:\n$p")
+    assert(p.contains("Join condition: ((pos") ||
+           p.contains("(pos"), s"range residual missing:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"skipgram has $nlj nested-loop joins (1-row t only):\n$p")
+  }
+
+  test("hist near-dup candidates come from the band equi-join, ArrayL1 in-plan") {
+    val p = planOf("mm_hist_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+           s"near-dup went quadratic:\n$p")
+    assert(p.contains("array_l1"), s"ArrayL1 fell out of the plan:\n$p")
+  }
+
   test("fuzzy dedup and referential audit never go quadratic") {
     for (q <- Seq("dedup_fuzzy", "audit_referential")) {
       val p = planOf(q)
