@@ -502,6 +502,27 @@ object Graph {
       labels
     })
 
+  /** Component-SIZE distribution — the one-glance health readout of
+    * [[components]] (a near-dup graph whose giant component swallows
+    * the corpus means the similarity threshold is too loose; all
+    * singletons means it is too tight — cluster_stats' lesson applied
+    * to the similarity graph): nodes per component → components per
+    * size, with each size's share of components in non-negative micro
+    * units. Derived from the MEMOIZED label frame — zero extra CC
+    * rounds; output is |distinct sizes| rows (≤ √(2·|V|) distinct
+    * values possible) at any scale. */
+  def componentSizes(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = components(spark, dir)
+      .groupBy("comp").agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(count(lit(1)).as("n_comp"))
+    sizes.groupBy("sz").agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        expr("(n_components * 1000000) div n_comp"))
+      .select("sz", "n_components", "share_micro")
+      .orderBy("sz")
+  }
+
   /** Fixed-round k-core peeling (k=2, 3 synchronous rounds — the
     * pagerank unrolled-rounds contract) over the mutual-kNN graph: each
     * round recomputes every surviving node's degree in the SURVIVING
@@ -643,6 +664,7 @@ object Graph {
     "graph_bfs_layers" -> bfsLayers _,
     "graph_degree_hist" -> degreeHist _,
     "graph_components" -> components _,
+    "graph_component_sizes" -> componentSizes _,
     "graph_triangles" -> triangles _,
     "graph_clustering_coeff" -> clusteringCoeff _,
     "graph_cell_modularity" -> cellModularity _,
@@ -668,6 +690,18 @@ object Graph {
   private def undCte: String =
     "und AS (SELECT a_id AS u, b_id AS v FROM mu " +
     "UNION ALL SELECT b_id, a_id FROM mu)"
+
+  /** The CC closure + min-reachable labels as CTEs ending in `clab`
+    * (vec_id, comp) — oracle mirror of [[components]]; shared by
+    * graph_components and graph_component_sizes (names claimed:
+    * creach/clab; requires WITH RECURSIVE at the head). */
+  private def ccLabCte: String =
+    "creach(u, v) AS (SELECT u, v FROM und " +
+    "UNION SELECT cr.u, e2.v FROM creach cr JOIN und e2 ON cr.v = e2.u), " +
+    "clab AS (SELECT e.vec_id, " +
+    "least(e.vec_id, coalesce(min(cr.v), e.vec_id)) AS comp " +
+    "FROM embeddings e LEFT JOIN creach cr ON cr.u = e.vec_id " +
+    "GROUP BY e.vec_id)"
 
   /** One synchronous peel round over the survivor set `prev`:
     * degrees in the prev-induced subgraph, keep dg >= 2 — mirrors
@@ -737,15 +771,26 @@ object Graph {
        "LEFT JOIN kdf d ON kn0.u = d.u"),
     // cc-prefixed CTE names (knnMutualCteSql owns c/s/pr/probes/home/
     // m/bc/p/r/t/mu, undCte owns und — namespace rule); WITH RECURSIVE
-    // must head the whole chain for the closure CTE
+    // must head the whole chain for the closure CTE. creach/clab are
+    // single-sourced (ccLabCte) for graph_components AND its size
+    // histogram.
     "graph_components" ->
       ("WITH RECURSIVE " +
        Similarity.knnMutualCteSql.stripPrefix("WITH ") + ", " + undCte + ", " +
-       "creach(u, v) AS (SELECT u, v FROM und " +
-       "UNION SELECT cr.u, e2.v FROM creach cr JOIN und e2 ON cr.v = e2.u) " +
-       "SELECT e.vec_id, least(e.vec_id, coalesce(min(cr.v), e.vec_id)) AS comp " +
-       "FROM embeddings e LEFT JOIN creach cr ON cr.u = e.vec_id " +
-       "GROUP BY e.vec_id"),
+       ccLabCte + " " +
+       "SELECT vec_id, comp FROM clab"),
+    // cz-prefixed tail over the SAME clab closure (single-sourced via
+    // ccLabCte — labels and their histogram can't drift); non-negative
+    // share division — lockstep with componentSizes
+    "graph_component_sizes" ->
+      ("WITH RECURSIVE " +
+       Similarity.knnMutualCteSql.stripPrefix("WITH ") + ", " + undCte + ", " +
+       ccLabCte + ", " +
+       "czs AS (SELECT comp, count(*) AS sz FROM clab GROUP BY comp), " +
+       "czt AS (SELECT count(*) AS n_comp FROM czs) " +
+       "SELECT sz, count(*) AS n_components, " +
+       "CAST((count(*) * 1000000) // max(czt.n_comp) AS BIGINT) " +
+       "AS share_micro FROM czs, czt GROUP BY sz ORDER BY sz"),
     // both graph-on-similarity oracles compose Similarity.knnMutualCteSql
     // (the chain through `mu`) — the graph can never drift from the
     // sim_knn_mutual edges it consumes

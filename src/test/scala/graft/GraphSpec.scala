@@ -160,6 +160,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("component-size histogram == brute re-bucketing of the CC labels") {
+    val labels = ext.Graph.components(spark, sf001).collect()
+      .map(r => r.getLong(1))
+    val brute = labels.groupBy(identity).view.mapValues(_.length.toLong)
+      .values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nComp = brute.values.sum
+    val got = ext.Graph.componentSizes(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.view.mapValues(_._1).toMap === brute)
+    got.foreach { case (sz, (n, share)) =>
+      assert(share === n * 1000000L / nComp, s"share at size $sz")
+    }
+    // accounting: Σ sz·count = |V|
+    assert(got.map { case (sz, (n, _)) => sz * n }.sum === labels.length.toLong)
+    assert(got.size > 1, "degenerate single-size histogram — vacuous")
+  }
+
   test("jaccard link index == brute force; bounded by 1e6; same pairs as CN") {
     val got = ext.Graph.jaccardLink(spark, sf001).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
