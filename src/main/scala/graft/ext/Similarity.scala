@@ -382,6 +382,43 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Pairwise-similarity HISTOGRAM over the probe sample — the
+    * threshold-tuning chart for the embedding family (the
+    * dedup_threshold_curve analog in cosine space: where does the
+    * corpus's similarity mass sit, and where is the near-dup knee?):
+    * cosine of every (probe, corpus) pair for the standard 100-vector
+    * probe sample (the eval-family literal), bucketed into ten 0.2-wide
+    * bins over [−1, 1]. Probe-bounded LINEAR cost — 100·n codegen'd
+    * dot products via [[graft.functions.ArrayDot]], never all-pairs;
+    * the bin arithmetic runs on the 6-dp-rounded sim with binary-exact
+    * constants (+1.0, ×5 — both IEEE-exact) so bucket edges are
+    * engine-agnostic; empty bins still emit (left join + coalesce, the
+    * threshold-curve convention). 10 rows out at any scale. */
+  def simHist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"),
+              col("nrm").as("na"))
+    val sims = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(Num.rnd(dotCols(col("embedding"), col("va")) /
+                        (col("nrm") * col("na")), 6).as("sim"))
+    val tot = sims.agg(count(lit(1)).as("n_pairs"))
+    val counted = sims
+      .withColumn("bucket",
+        least(floor((col("sim") + lit(1.0)) * lit(5)).cast("int"), lit(9)))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    (0 until 10).toDF("bucket")
+      .join(counted, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),
+              expr("(coalesce(n, 0) * 1000000) div n_pairs").as("share_micro"))
+      .orderBy("bucket")
+  }
+
   /** RANGE search — the second fundamental ANN operation next to top-k
     * (radius query: EVERY neighbor at cosine ≥ τ, however many): same
     * probed candidate stage as [[ivfTopK]], thresholded instead of
@@ -2242,6 +2279,7 @@ object Similarity {
     "sim_range_search" -> rangeSearch _,
     "emb_cell_purity"  -> cellPurity _,
     "emb_silhouette"   -> silhouette _,
+    "emb_sim_hist"     -> simHist _,
     "emb_drift_report" -> driftReport _,
     "emb_isotropy"     -> isotropy _,
     "sim_lsh_buckets"  -> lshBuckets _,
@@ -2822,6 +2860,25 @@ object Similarity {
        "CAST(round((mean_new - mean_ref) * 1e6) AS BIGINT) AS drift_micro, " +
        "CAST(abs(CAST(round((mean_new - mean_ref) * 1e6) AS BIGINT)) >= 100000 " +
        "AS INTEGER) AS shifted FROM dm ORDER BY pos"),
+    // eh-prefixed; probe literal vec_id < 100 (the eval-family rule),
+    // bin = least(floor((sim + 1.0)·5), 9) on the 6-dp sim with the
+    // DOUBLE-cast literal (decimal rule), empty bins kept — lockstep
+    // with simHist
+    "emb_sim_hist" ->
+      ("WITH ehp AS (SELECT vec_id AS a_id, embedding AS va " +
+       "FROM embeddings WHERE vec_id < 100), " +
+       "ehs AS (SELECT round((list_cosine_similarity(e.embedding::DOUBLE[], " +
+       "p.va::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings e, ehp p WHERE e.vec_id <> p.a_id), " +
+       "eht AS (SELECT count(*) AS n_pairs FROM ehs), " +
+       "ehc AS (SELECT least(CAST(floor((sim + CAST(1.0 AS DOUBLE)) * 5) " +
+       "AS INTEGER), 9) AS bucket, count(*) AS n FROM ehs GROUP BY 1), " +
+       "ehl AS (SELECT UNNEST(range(0, 10)) AS bucket) " +
+       "SELECT CAST(l.bucket AS INTEGER) AS bucket, " +
+       "CAST(coalesce(c.n, 0) AS BIGINT) AS n, " +
+       "(CAST(coalesce(c.n, 0) AS BIGINT) * 1000000) // t.n_pairs " +
+       "AS share_micro FROM ehl l LEFT JOIN ehc c ON c.bucket = l.bucket, " +
+       "eht t ORDER BY bucket"),
     // is-prefixed; dimStats element quantization (x·1e6 / x²·1e12 as
     // BIGINT), HUGEINT carries s1² (the DECIMAL(38) twin of the Spark
     // side), three non-negative // divisions ≡ div — lockstep with
