@@ -346,6 +346,127 @@ object Dedup {
         (coalesce(col("n_corpus_matches"), lit(0L)) === 0).cast("int").as("keep"))
   }
 
+  /** Per-document n-gram NOVELTY against everything that came before it
+    * (doc_id order = arrival order): share of a doc's distinct 3-gram
+    * shingles whose FIRST occurrence is this doc. The crawl-health
+    * curve curation teams watch — novelty collapsing toward 0 means
+    * the crawl is re-reading the web. Unlike the candidate stages this
+    * deliberately has NO DF cap: hot shingles are exactly the
+    * non-novel evidence. Cost is linear — two shuffles on hashed
+    * shingle keys (16-byte double-hash, the shingleGroups rule; the
+    * oracle keeps strings, equal absent a 2^-59 collision), one
+    * min-agg + one join-back, no pair expansion anywhere. Docs too
+    * short for a shingle read novelty 1e6 (nothing seen before —
+    * mirrored CASE). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val n = 3
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+                     s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("sh"))
+      .select(col("doc_id"),
+              polyHash(col("sh"), 31L, P1).as("h1"),
+              polyHash(col("sh"), 131L, P2).as("h2"))
+      .distinct()
+    val first = sh.groupBy("h1", "h2").agg(min("doc_id").as("fd"))
+    val perDoc = sh.join(first, Seq("h1", "h2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+           sum((col("fd") === col("doc_id")).cast("long")).as("n_novel"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_micro",
+        when(col("n_sh") === 0L, lit(1000000L))
+          .otherwise(expr("(n_novel * CAST(1000000 AS BIGINT)) div n_sh")))
+      .orderBy("doc_id")
+  }
+
+  /** Dedup SAVINGS report — the economics line the funnel justifies
+    * itself with: token mass removed by keeping one survivor (min
+    * doc_id) per near-dup cluster. Composes the memoized cluster
+    * labels ([[clusters]] — the jaccard-threshold lockstep group) with
+    * per-doc token counts; one row out at any corpus scale. All counts
+    * non-negative → div ≡ //. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val cl = clusters(spark, dir)
+    val keep = cl.groupBy("cluster").agg(min("doc_id").as("keep_id"))
+    cl.join(keep, Seq("cluster")).join(toks, Seq("doc_id"))
+      .select(col("n_tok"),
+              (col("doc_id") === col("keep_id")).cast("long").as("kept"))
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+           sum("n_tok").as("tok_total"),
+           sum(col("n_tok") * col("kept")).as("tok_kept"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .withColumn("tok_dropped", col("tok_total") - col("tok_kept"))
+      .withColumn("savings_micro",
+        expr("(tok_dropped * CAST(1000000 AS BIGINT)) div tok_total"))
+      .select("n_docs", "n_kept", "n_dropped", "tok_total", "tok_kept",
+              "tok_dropped", "savings_micro")
+  }
+
+  /** Bloom-filter pre-screen for incremental exact dedup — the constant-
+    * memory front gate a daily-ingest pipeline puts BEFORE the exact
+    * corpus join ([[incremental]] is the confirm path; the streaming
+    * twin is DocStream's Bloom screen): the corpus half (doc_id <
+    * split, the incremental family's n/2 rule) sets k=3 bit positions
+    * per normalized document (portable PolyHashMod folds, bases
+    * 131/137/139 mod 1000003, then mod m=4096 bits — the CMS-bases
+    * reuse; every hash cross-engine so the oracle reproduces the EXACT
+    * filter, the text_cms_estimate precedent, never xxhash64); a batch
+    * document is flagged iff ALL its distinct positions are set.
+    * Relational form on BOTH engines — the bit array is a ≤4096-row
+    * DISTINCT frame broadcast to the batch side, so the "filter" scales
+    * to any corpus (positions saturate at m, the broadcast never
+    * grows). Ground truth via md5(norm) membership labels each flag
+    * tp/fp/tn — and 'fn' is structurally impossible (a set member's
+    * positions are all set), which the spec pins. */
+  def bloomScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split =
+      incSplit(CountMemo.get(spark, dir, "documents")(docs.count()))
+    val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+    val keyed = docs.select(col("doc_id"), norm.as("nt"))
+    val posArr = array(BloomBases.map(b =>
+      polyHash(col("nt"), b, 1000003L) % lit(BloomBits)): _*)
+    val bits = keyed.filter(col("doc_id") < split)
+      .select(explode(posArr).as("pos")).distinct()
+      .withColumn("hit", lit(1L))
+    val flags = keyed.filter(col("doc_id") >= split)
+      .select(col("doc_id"), explode(array_distinct(posArr)).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("np"), sum(coalesce(col("hit"), lit(0L))).as("nm"))
+      .withColumn("flagged", (col("nm") === col("np")).cast("int"))
+    val corpusKeys = keyed.filter(col("doc_id") < split)
+      .select(md5(col("nt").cast("binary")).as("k")).distinct()
+      .withColumn("mem", lit(1))
+    // digest-keyed equi join (16-byte exchange width — the dedup_exact
+    // rule); NOT broadcast: the corpus digest set grows with the corpus,
+    // AQE may still choose broadcast when it is small
+    val truth = keyed.filter(col("doc_id") >= split)
+      .join(corpusKeys,
+            md5(col("nt").cast("binary")) === col("k"), "left")
+      .select(col("doc_id"), coalesce(col("mem"), lit(0)).as("is_dup"))
+    flags.join(truth, Seq("doc_id"))
+      .select(col("doc_id"), col("flagged"), col("is_dup"),
+        when(col("flagged") === 1 && col("is_dup") === 1, "tp")
+          .when(col("flagged") === 1, "fp")
+          .when(col("is_dup") === 1, "fn").otherwise("tn").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** k=3 portable hash bases (the CMS family's first three) and the
+    * m=4096-bit filter width — mirrored literally in the oracle. */
+  private[graft] val BloomBases = Seq(131L, 137L, 139L)
+  private[graft] val BloomBits = 4096L
+
   // ---- portable polynomial hash (identical fold in Spark and DuckDB) ----
 
   /** h(s) = fold over codepoints: acc ← (acc·base + code) mod m, acc₀=0.
@@ -1122,6 +1243,9 @@ object Dedup {
     "dedup_containment"   -> containment _,
     "dedup_source_overlap" -> sourceOverlap _,
     "dedup_incremental"   -> incremental _,
+    "dedup_bloom_screen"  -> bloomScreen _,
+    "text_ngram_novelty"  -> ngramNovelty _,
+    "corpus_dedup_savings" -> dedupSavings _,
     "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
     "dedup_minhash_eval"  -> ((s, d) => minhashEval(s, d)),
@@ -1505,6 +1629,70 @@ object Dedup {
        "SELECT a_id, b_id, inter, sa.sz AS sz_a, sb.sz AS sz_b FROM pr " +
        "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
        "WHERE inter * 5 >= least(sa.sz, sb.sz) * 4"),
+    // nv-prefixed; STRING shingles where Spark keys on the 16-byte
+    // double hash (equal absent a 2^-59 collision — the shingleGroups
+    // rule); short docs (< 3 tokens) read novelty 1e6 via the CASE
+    "text_ngram_novelty" ->
+      ("WITH nvt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+       "nvs AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s " +
+       "FROM nvt, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3), " +
+       "nvf AS (SELECT s, min(doc_id) AS fd FROM nvs GROUP BY s), " +
+       "nvp AS (SELECT nvs.doc_id, count(*) AS n_sh, " +
+       "CAST(sum(CASE WHEN nvf.fd = nvs.doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+       "AS n_novel FROM nvs JOIN nvf USING (s) GROUP BY nvs.doc_id) " +
+       "SELECT d.doc_id, CAST(coalesce(p.n_sh, 0) AS BIGINT) AS n_sh, " +
+       "CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel, " +
+       "CASE WHEN coalesce(p.n_sh, 0) = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (p.n_novel * CAST(1000000 AS BIGINT)) // p.n_sh END AS novelty_micro " +
+       "FROM documents d LEFT JOIN nvp p USING (doc_id) ORDER BY d.doc_id"),
+    // dsv-prefixed tail over the cluster labels (clusterLabCte — the
+    // jaccard-threshold lockstep group gains this report); min-doc
+    // survivor rule mirrors dedup_keep
+    "corpus_dedup_savings" ->
+      (s"WITH RECURSIVE $clusterLabCte, " +
+       "dsvt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+       "AS n_tok FROM documents), " +
+       "dsvk AS (SELECT cluster, min(doc_id) AS keep_id FROM lab GROUP BY cluster), " +
+       "dsvl AS (SELECT l.doc_id, t.n_tok, " +
+       "CASE WHEN l.doc_id = k.keep_id THEN 1 ELSE 0 END AS kept " +
+       "FROM lab l JOIN dsvk k USING (cluster) JOIN dsvt t USING (doc_id)), " +
+       "dsva AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(kept) AS BIGINT) AS n_kept, " +
+       "CAST(sum(n_tok) AS BIGINT) AS tok_total, " +
+       "CAST(sum(n_tok * kept) AS BIGINT) AS tok_kept FROM dsvl) " +
+       "SELECT n_docs, n_kept, n_docs - n_kept AS n_dropped, tok_total, " +
+       "tok_kept, tok_total - tok_kept AS tok_dropped, " +
+       "((tok_total - tok_kept) * CAST(1000000 AS BIGINT)) // tok_total " +
+       "AS savings_micro FROM dsva"),
+    // bf-prefixed; bases/bits literals lockstep with BloomBases/
+    // BloomBits; corpus split 250 = n/2 at sf0.01 (adaptive-knob rule);
+    // the bit array is the DISTINCT position set — the oracle
+    // reproduces the EXACT filter via the portable fold
+    "dedup_bloom_screen" -> {
+      val posSqls = BloomBases.map(b =>
+        s"${polyHashSql("nt", b, 1000003L)} % $BloomBits")
+      ("WITH bfn AS (SELECT doc_id, " +
+       "regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS nt FROM documents), " +
+       "bfc AS (SELECT * FROM bfn WHERE doc_id < 250), " +
+       "bfb AS (SELECT * FROM bfn WHERE doc_id >= 250), " +
+       s"bfh AS (${posSqls.map(p => s"SELECT doc_id, $p AS pos FROM bfc")
+                          .mkString(" UNION ALL ")}), " +
+       "bfbits AS (SELECT DISTINCT pos FROM bfh), " +
+       s"bfq AS (SELECT DISTINCT doc_id, pos FROM (${
+         posSqls.map(p => s"SELECT doc_id, $p AS pos FROM bfb")
+                .mkString(" UNION ALL ")}) t), " +
+       "bfm AS (SELECT q.doc_id, count(*) AS np, " +
+       "sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nm " +
+       "FROM bfq q LEFT JOIN bfbits b ON q.pos = b.pos GROUP BY q.doc_id), " +
+       "bfk AS (SELECT DISTINCT md5(nt) AS k FROM bfc), " +
+       "bfd AS (SELECT b.doc_id, CASE WHEN k.k IS NOT NULL THEN 1 ELSE 0 END " +
+       "AS is_dup FROM bfb b LEFT JOIN bfk k ON md5(b.nt) = k.k) " +
+       "SELECT m.doc_id, CAST(m.nm = m.np AS INTEGER) AS flagged, d.is_dup, " +
+       "CASE WHEN m.nm = m.np AND d.is_dup = 1 THEN 'tp' " +
+       "WHEN m.nm = m.np THEN 'fp' WHEN d.is_dup = 1 THEN 'fn' " +
+       "ELSE 'tn' END AS verdict " +
+       "FROM bfm m JOIN bfd d ON m.doc_id = d.doc_id ORDER BY m.doc_id")
+    },
     "dedup_incremental" ->
       (s"WITH $ngramPairCte, " +
        "m AS (SELECT b_id AS doc_id, count(*) AS n_corpus_matches FROM jac " +

@@ -638,6 +638,39 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** Eigenvector centrality over the mutual-kNN graph — truncated power
+    * iteration (3 rounds, unrolled identically in the oracle): x₀ = 10⁶
+    * per node, each round x'(v) = Σ_{u~v} x(u) re-normalized to a 10⁶
+    * ceiling by the round's MAX ((s·10⁶) div max — a one-row broadcast,
+    * never a global sort). Completes the centrality family: [[pagerank]]
+    * is the damped/teleport variant, [[ppr]] the seeded one; raw
+    * eigenvector mass is the "hub duplicates" detector (a doc whose
+    * neighborhood is itself densely connected scores high even at
+    * degree k). All mass non-negative → floor div ≡ `div` on both
+    * engines. BIGINT envelope: s·10⁶ ≤ deg_max·10¹² — safe below
+    * ~9·10⁶ max degree (the mutual-kNN graph is degree-bounded ≪ that
+    * by construction). Per round one |edges| join + one agg; the fixed
+    * round count bounds plan depth, no checkpoint needed. */
+  def eigenCentrality(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+    var x = dg.select(col("node"), lit(1000000L).as("x"))
+    for (_ <- 1 to rounds) {
+      val s = und.join(x, und("u") === x("node"))
+        .groupBy(col("v").as("node")).agg(sum("x").as("s"))
+      val mx = s.agg(max("s").as("mx"))
+      x = dg.join(s, Seq("node"), "left").crossJoin(broadcast(mx))
+        .select(col("node"),
+          coalesce(expr("(s * CAST(1000000 AS BIGINT)) div mx"), lit(0L)).as("x"))
+    }
+    dg.join(x, Seq("node"))
+      .select(col("node").as("vec_id"), col("deg"), col("x").as("ec_micro"))
+      .orderBy("vec_id")
+  }
+
   /** Degree distribution of the mutual-kNN graph — the one-glance
     * structural health check (a healthy mutual-top-3 graph concentrates
     * at degree ≤ 3; mass at higher degrees means duplicate clusters,
@@ -674,6 +707,7 @@ object Graph {
     "graph_adamic_adar" -> adamicAdar _,
     "graph_jaccard_link" -> jaccardLink _,
     "graph_ppr" -> ((s, d) => ppr(s, d)),
+    "graph_eigen_centrality" -> ((s, d) => eigenCentrality(s, d)),
     "graph_label_prop" -> labelProp _)
 
   /** One synchronous label-prop round: majority vote of `labeled`
@@ -723,6 +757,18 @@ object Graph {
     s"$out AS (SELECT ppn.node, ppn.seed * 150000 + " +
     s"(85 * coalesce(pc$out.c, 0)) // 100 AS r " +
     s"FROM ppn LEFT JOIN pc$out ON ppn.node = pc$out.node)"
+
+  /** One synchronous normalized power-iteration round: s(v) = Σ neighbor
+    * mass, re-scaled to a 10⁶ ceiling by the round max — mirrors
+    * [[eigenCentrality]]'s loop body in lockstep (eg-prefixed names;
+    * all mass non-negative so `//` ≡ div). */
+  private def ecRound(prev: String, out: String): String =
+    s"egs$out AS (SELECT und.v AS node, CAST(sum(p.x) AS BIGINT) AS s " +
+    s"FROM und JOIN $prev p ON und.u = p.node GROUP BY und.v), " +
+    s"egm$out AS (SELECT CAST(max(s) AS BIGINT) AS mx FROM egs$out), " +
+    s"$out AS (SELECT d.node, " +
+    s"coalesce((egs$out.s * CAST(1000000 AS BIGINT)) // m.mx, 0) AS x " +
+    s"FROM egd d LEFT JOIN egs$out ON d.node = egs$out.node, egm$out m)"
 
   /** One synchronous BFS hop: frontier = nodes at distance r-1, newly
     * reached nodes get distance r — mirrors [[bfsLayers]]'s loop body. */
@@ -932,6 +978,18 @@ object Graph {
        pprRound("pp2", "pp3") + " " +
        "SELECT ppn.node AS vec_id, ppn.deg, CAST(ppn.seed AS INTEGER) AS seed, " +
        "pp3.r AS ppr_micro FROM ppn JOIN pp3 USING (node) ORDER BY vec_id"),
+    // eg-prefixed unrolled rounds; x₀ = 1e6 per node, per-round s·1e6
+    // // max re-normalization — all mirrored from eigenCentrality();
+    // everything non-negative
+    "graph_eigen_centrality" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "egd AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY u), " +
+       "egr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS x FROM egd), " +
+       ecRound("egr0", "egr1") + ", " +
+       ecRound("egr1", "egr2") + ", " +
+       ecRound("egr2", "egr3") + " " +
+       "SELECT d.node AS vec_id, d.deg, egr3.x AS ec_micro " +
+       "FROM egd d JOIN egr3 ON d.node = egr3.node ORDER BY vec_id"),
     "graph_label_prop" ->
       (Similarity.knnMutualCteSql + ", " + undCte + ", " +
        "l0 AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 250), " +

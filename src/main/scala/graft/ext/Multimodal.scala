@@ -454,7 +454,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** `strings`-tool extraction over binary payloads — the classic
+    * forensic/ingest pass that pulls human-readable runs out of opaque
+    * media (EXIF makers, embedded XMP, codec markers): decode the
+    * binary column, extract printable-letter runs ≥ 6 chars, rank the
+    * global top-20 by (count desc, run asc). The decode→regexp chain
+    * stays whole-stage-codegen (binary in, no UDF); the ranking window
+    * is single-partition BY DESIGN over the vocab-bounded run frame
+    * (the text_ngram_coverage precedent — counts aggregate first, the
+    * window sees only distinct runs). Oracle reads `text` directly
+    * where Spark round-trips through bytes — equal under the
+    * ASCII-corpus invariant (TestdataAsciiSpec, the mm_dedup_media
+    * rule). */
+  def stringsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(decode(payload, 'UTF-8'), " +
+                     "'[A-Za-z]{6,}', 0)")).as("s"))
+    val w = Window.orderBy(col("cnt").desc, col("s").asc)
+    runs.groupBy("s")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("n_docs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("rn", "s", "cnt", "n_docs")
+      .orderBy("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_strings_extract" -> stringsExtract _,
     "mm_cdc_chunks"      -> cdcChunkDedup _,
     "mm_cdc_pairs"       -> cdcPairs _,
     "mm_image_dims"      -> imageDims _,
@@ -501,6 +530,16 @@ object Multimodal {
     "FROM ce, UNNEST(range(1, len(ends)+1)) AS u(k))"
 
   val oracle: Map[String, String] = Map(
+    // mx-prefixed; regexp over text ≡ regexp over decoded payload under
+    // the ASCII-corpus invariant; (cnt desc, s asc) rank, top-20 literal
+    "mm_strings_extract" ->
+      ("WITH mxr AS (SELECT doc_id, unnest(regexp_extract_all(text, " +
+       "'[A-Za-z]{6,}')) AS s FROM documents), " +
+       "mxc AS (SELECT s, count(*) AS cnt, " +
+       "count(DISTINCT doc_id) AS n_docs FROM mxr GROUP BY s), " +
+       "mxk AS (SELECT s, cnt, n_docs, CAST(row_number() OVER (" +
+       "ORDER BY cnt DESC, s ASC) AS INTEGER) AS rn FROM mxc) " +
+       "SELECT rn, s, cnt, n_docs FROM mxk WHERE rn <= 20 ORDER BY rn"),
     // CDC boundary rule mirrored literally: per candidate end position
     // bi, the 16-char window hash is the SAME PolyHashMod fold as the
     // Expression's rolling update (list_reduce with the mandatory

@@ -1341,6 +1341,106 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** Per-source Jensen–Shannon divergence from the corpus distribution —
+    * the SYMMETRIC, bounded companion of [[klDrift]] (KL is unbounded
+    * and asymmetric; JSD ∈ [0, ln 2] and is the number mixture papers
+    * quote). Same Laplace smoothing and micronized-ln discipline, but
+    * the mixture term ln m = ln((p+q)/2) is formed from EXACT integer
+    * rationals: p = a/A, q = b/B ⇒ m = (aB+bA)/(2AB), so
+    * ln p − ln m = [lnM(a) − lnM(A)] − [lnM(aB+bA) − lnM(2AB)] with
+    * each ln micronized FIRST (the ln rule — a raw ln of a quotient
+    * can flip rounding between Java and libm). num_pm = Σ a·Δln is the
+    * p-side KL scaled by A = n_s+|V|; one trailing division each side,
+    * sign-split in the oracle (rounding can push a near-identical
+    * source a hair negative — CLAUDE.md division rule). BIGINT
+    * envelope: aB+bA and 2AB stay < 2^63 for corpora to ~10^9 tokens
+    * per side. Scale: the (source × vocab) grid is model-sized ×
+    * |sources|, totals broadcast — bounded at any corpus size. */
+  def jsdDrift(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column): Column = round(log(c) * lit(1e6)).cast("long")
+    val tk = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val corpus = tk.groupBy("tok").agg(count(lit(1)).as("cr"))
+    val consts = corpus.agg(count(lit(1)).as("v"), sum("cr").as("nr"))
+    val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ns"))
+    corpus.crossJoin(broadcast(srcTot))
+      .join(tk.groupBy("source", "tok").agg(count(lit(1)).as("cs")),
+            Seq("source", "tok"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("source"), col("ns"), col("v"),
+        (coalesce(col("cs"), lit(0L)) + lit(1L)).as("a"),
+        (col("cr") + lit(1L)).as("b"),
+        (col("ns") + col("v")).as("aa"),
+        (col("nr") + col("v")).as("bb"))
+      .withColumn("lnmd",
+        lnMicro(col("a") * col("bb") + col("b") * col("aa")) -
+          lnMicro(lit(2L) * col("aa") * col("bb")))
+      .groupBy("source")
+      .agg(first("ns").as("n_tok"), first("v").as("n_vocab"),
+           first("aa").as("aa"), first("bb").as("bb"),
+           sum(col("a") * (lnMicro(col("a")) - lnMicro(col("aa")) - col("lnmd")))
+             .as("num_pm"),
+           sum(col("b") * (lnMicro(col("b")) - lnMicro(col("bb")) - col("lnmd")))
+             .as("num_qm"))
+      .withColumn("kl_pm_micro", expr("num_pm div aa"))
+      .withColumn("kl_qm_micro", expr("num_qm div bb"))
+      .withColumn("jsd_micro", expr("(kl_pm_micro + kl_qm_micro) div 2"))
+      .select("source", "n_tok", "n_vocab", "num_pm", "num_qm",
+              "kl_pm_micro", "kl_qm_micro", "jsd_micro")
+      .orderBy("source")
+  }
+
+  /** Per-document lexical diversity: type-token ratio and hapax share —
+    * the cheap templated-spam screen (machine-generated boilerplate
+    * repeats a tiny vocabulary → low TTR, few hapax legomena; organic
+    * prose is hapax-rich). All-integer micro shares (n_types ≤ n_tok
+    * and n_hapax ≤ n_types — non-negative, div ≡ //). One (doc, tok)
+    * aggregation then a per-doc fold — two map-side-combined shuffles
+    * on doc-bounded keys, linear at any corpus scale. */
+  def ttr(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+           sum((col("c") === 1L).cast("long")).as("n_hapax"))
+      .withColumn("ttr_micro",
+        expr("(n_types * CAST(1000000 AS BIGINT)) div n_tok"))
+      .withColumn("hapax_micro",
+        expr("(n_hapax * CAST(1000000 AS BIGINT)) div n_tok"))
+      .select("doc_id", "n_tok", "n_types", "n_hapax",
+              "ttr_micro", "hapax_micro")
+      .orderBy("doc_id")
+
+  /** Training-shard assignment plan — the physical layout step a corpus
+    * takes before training (N fixed shards, assignment by deterministic
+    * hash so every engine lands the doc identically): shard =
+    * saltOrd(doc_id) mod 32 (the Knuth multiplicative scramble the
+    * sampling family already mirrors), reporting per-shard doc/token
+    * counts and each shard's deviation from the ideal 1/32 token share
+    * in signed micro (sign-split // in the oracle — CLAUDE.md division
+    * rule). The report is 32 rows at any corpus size; the assignment
+    * itself is one map-side expression, no shuffle beyond the count
+    * agg. A balanced dev_micro column IS the evidence the hash spreads
+    * load — the thing to check before 1000 writers each own a shard. */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        (Similarity.saltOrd(col("doc_id")) % 32L).cast("int"))
+    val sh = docs.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tok"))
+    val tot = sh.agg(sum("shard_tok").as("tot"))
+    sh.crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        expr("(shard_tok * CAST(1000000 AS BIGINT)) div tot"))
+      .withColumn("dev_micro",
+        expr("(shard_tok * CAST(32000000 AS BIGINT) - tot * 1000000) div tot"))
+      .select("shard", "n_docs", "shard_tok", "share_micro", "dev_micro")
+      .orderBy("shard")
+  }
+
   /** DSIR SELECTION under a per-source token budget — the apply half of
     * [[dsirWeights]] (the measure→apply pairing rule: IVF train→search,
     * BPE learn→apply, PII scan→redact): within each source, take docs
@@ -2092,6 +2192,9 @@ object TextOps {
     "corpus_dsir_weights" -> dsirWeights _,
     "corpus_dsir_select" -> dsirSelect _,
     "text_kl_drift" -> klDrift _,
+    "text_jsd_drift" -> jsdDrift _,
+    "text_ttr" -> ttr _,
+    "corpus_shard_plan" -> shardPlan _,
     "text_vocab_overlap" -> vocabOverlap _,
     "text_skipgram_pmi" -> ((s, d) => skipgramPmi(s, d)),
     "text_quality_model" -> qualityModel _,
@@ -2490,6 +2593,72 @@ object TextOps {
     // smoothing, each ln micronized BEFORE the difference (ln rule),
     // num = Σ (c_s+1)·Δln exact BIGINT; the one division uses the
     // sign-split floor form (num can round a hair negative) — all
+    // jd-prefixed; lockstep with jsdDrift — mixture ln from exact
+    // integer rationals (aB+bA over 2AB), each ln micronized FIRST;
+    // trailing divisions sign-split (near-identical sources can round
+    // a hair negative)
+    "text_jsd_drift" ->
+      ("WITH jdtk AS (SELECT source, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "jdcr AS (SELECT tok, count(*) AS cr FROM jdtk GROUP BY tok), " +
+       "jdk AS (SELECT (SELECT count(*) FROM jdcr) AS v, " +
+       "(SELECT CAST(sum(cr) AS BIGINT) FROM jdcr) AS nr), " +
+       "jdns AS (SELECT source, count(*) AS ns FROM jdtk GROUP BY source), " +
+       "jdcs AS (SELECT source, tok, count(*) AS cs FROM jdtk GROUP BY 1, 2), " +
+       "jdt AS (SELECT s.source, s.ns, k.v, " +
+       "(coalesce(x.cs, 0) + 1) AS a, (c.cr + 1) AS b, " +
+       "(s.ns + k.v) AS aa, (k.nr + k.v) AS bb " +
+       "FROM jdcr c CROSS JOIN jdns s " +
+       "LEFT JOIN jdcs x ON x.source = s.source AND x.tok = c.tok, jdk k), " +
+       "jdd AS (SELECT source, ns, v, aa, bb, a, b, " +
+       "CAST(round(ln(a*bb + b*aa) * 1e6) AS BIGINT) - " +
+       "CAST(round(ln(2*aa*bb) * 1e6) AS BIGINT) AS lnmd, " +
+       "CAST(round(ln(a) * 1e6) AS BIGINT) AS lna, " +
+       "CAST(round(ln(b) * 1e6) AS BIGINT) AS lnb, " +
+       "CAST(round(ln(aa) * 1e6) AS BIGINT) AS lnaa, " +
+       "CAST(round(ln(bb) * 1e6) AS BIGINT) AS lnbb FROM jdt), " +
+       "jda AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_tok, " +
+       "CAST(max(v) AS BIGINT) AS n_vocab, " +
+       "CAST(max(aa) AS BIGINT) AS aa, CAST(max(bb) AS BIGINT) AS bb, " +
+       "CAST(sum(CAST(a AS BIGINT) * (lna - lnaa - lnmd)) AS BIGINT) AS num_pm, " +
+       "CAST(sum(CAST(b AS BIGINT) * (lnb - lnbb - lnmd)) AS BIGINT) AS num_qm " +
+       "FROM jdd GROUP BY source), " +
+       "jdf AS (SELECT source, n_tok, n_vocab, num_pm, num_qm, " +
+       "(CASE WHEN num_pm < 0 THEN -1 ELSE 1 END) * (abs(num_pm) // aa) AS kl_pm_micro, " +
+       "(CASE WHEN num_qm < 0 THEN -1 ELSE 1 END) * (abs(num_qm) // bb) AS kl_qm_micro " +
+       "FROM jda) " +
+       "SELECT source, n_tok, n_vocab, num_pm, num_qm, kl_pm_micro, kl_qm_micro, " +
+       "(CASE WHEN kl_pm_micro + kl_qm_micro < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(kl_pm_micro + kl_qm_micro) // 2) AS jsd_micro " +
+       "FROM jdf ORDER BY source"),
+    // tv-prefixed; all shares non-negative so // == div
+    "text_ttr" ->
+      ("WITH tvc AS (SELECT doc_id, tok, count(*) AS c FROM (" +
+       "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t " +
+       "GROUP BY 1, 2), " +
+       "tva AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, " +
+       "CAST(count(*) AS BIGINT) AS n_types, " +
+       "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax " +
+       "FROM tvc GROUP BY 1) " +
+       "SELECT doc_id, n_tok, n_types, n_hapax, " +
+       "(n_types * CAST(1000000 AS BIGINT)) // n_tok AS ttr_micro, " +
+       "(n_hapax * CAST(1000000 AS BIGINT)) // n_tok AS hapax_micro " +
+       "FROM tva ORDER BY doc_id"),
+    // shp-prefixed; shard = saltOrd(doc_id) mod 32 (the Knuth scramble
+    // the sampling family mirrors); dev is SIGNED → sign-split //
+    "corpus_shard_plan" ->
+      ("WITH shpd AS (SELECT doc_id, " +
+       s"CAST(${graft.ext.Similarity.saltOrdSql("doc_id")} % 32 AS INTEGER) AS shard, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+       "shps AS (SELECT shard, count(*) AS n_docs, " +
+       "CAST(sum(n_tok) AS BIGINT) AS shard_tok FROM shpd GROUP BY shard), " +
+       "shpt AS (SELECT CAST(sum(shard_tok) AS BIGINT) AS tot FROM shps) " +
+       "SELECT shard, n_docs, shard_tok, " +
+       "(shard_tok * CAST(1000000 AS BIGINT)) // tot AS share_micro, " +
+       "(CASE WHEN shard_tok * CAST(32000000 AS BIGINT) - tot * 1000000 < 0 " +
+       "THEN -1 ELSE 1 END) * " +
+       "(abs(shard_tok * CAST(32000000 AS BIGINT) - tot * 1000000) // tot) AS dev_micro " +
+       "FROM shps, shpt ORDER BY shard"),
     // lockstep with klDrift
     "text_kl_drift" ->
       ("WITH kdtk AS (SELECT source, unnest(string_split(text, ' ')) AS tok " +

@@ -2,7 +2,8 @@ package graft.ext
 
 import graft.Tables
 import graft.ops.Num
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-window operators over the `events` table — SURVEY §2.9.
@@ -648,7 +649,54 @@ object TimeOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Event-type TRANSITION matrix — the first-order Markov view of user
+    * behavior (which action follows which): per user, order events by
+    * (ts, event_id) (the family's total order), pair each event with its
+    * predecessor via lag, then count (prev_type → event_type) globally
+    * and report each transition's share of its source row. Probability
+    * is exact integer micro (cnt·1e6 div tot — non-negative, so Spark
+    * `div` ≡ DuckDB `//`). Scale: one window shuffle on user_id (the
+    * same exchange every per-user query pays) + one |types|²-row agg —
+    * the matrix is model-sized at any event volume. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cnt = Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("prev_type").agg(sum("cnt").as("tot"))
+    cnt.join(broadcast(tot), Seq("prev_type"))
+      .withColumn("share_micro",
+        expr("(cnt * CAST(1000000 AS BIGINT)) div tot"))
+      .select("prev_type", "event_type", "cnt", "tot", "share_micro")
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Per-user Shannon entropy of the event-type mix — the behavioral
+    * diversity score (bots hammer one endpoint → H ≈ 0; organic users
+    * spread → H ≈ ln |types|). Exact-integer micro-nat discipline (the
+    * ln rule): H = ln n − (Σ c·ln c)/n with each ln micronized FIRST,
+    * then all arithmetic BIGINT (Σ c·lnM(c) ≤ n·lnM(n) — non-negative,
+    * div ≡ //). One groupBy on (user, type) then a per-user fold —
+    * two map-side-combined aggregations, no window. */
+  def userEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column): Column = round(log(c) * lit(1e6)).cast("long")
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+           sum(col("c") * lnMicro(col("c"))).as("sclnc"))
+      .withColumn("h_micro",
+        lnMicro(col("n_events")) - expr("sclnc div n_events"))
+      .select("user_id", "n_events", "n_types", "h_micro")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_transitions" -> transitions _,
+    "time_user_entropy" -> userEntropy _,
     "time_gap_stats" -> gapStats _,
     "time_cohort"   -> cohortMatrix _,
     "time_spike"    -> spike _,
@@ -673,6 +721,32 @@ object TimeOps {
     "cdc_scd2"           -> scd2 _)
 
   val oracle: Map[String, String] = Map(
+    // tn-prefixed; (ts, event_id) total order shared with the lag
+    // family; DuckDB sum(BIGINT) → HUGEINT, cast back; share nonneg
+    // so // == div
+    "time_transitions" ->
+      ("WITH tnp AS (SELECT event_type, lag(event_type) OVER " +
+       "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+       "tnc AS (SELECT prev_type, event_type, count(*) AS cnt FROM tnp " +
+       "WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+       "tnt AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS tot " +
+       "FROM tnc GROUP BY 1) " +
+       "SELECT c.prev_type, c.event_type, c.cnt, t.tot, " +
+       "(c.cnt * CAST(1000000 AS BIGINT)) // t.tot AS share_micro " +
+       "FROM tnc c JOIN tnt t USING (prev_type) " +
+       "ORDER BY prev_type, event_type"),
+    // ue-prefixed; micronized-ln discipline (each ln rounded to µ-nats
+    // FIRST, then exact BIGINT); Σ c·lnM(c) ≤ n·lnM(n) nonneg
+    "time_user_entropy" ->
+      ("WITH uec AS (SELECT user_id, event_type, count(*) AS c " +
+       "FROM events GROUP BY 1, 2), " +
+       "uea AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, " +
+       "CAST(count(*) AS BIGINT) AS n_types, " +
+       "CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS sclnc " +
+       "FROM uec GROUP BY 1) " +
+       "SELECT user_id, n_events, n_types, " +
+       "CAST(round(ln(n_events) * 1e6) AS BIGINT) - (sclnc // n_events) AS h_micro " +
+       "FROM uea ORDER BY user_id"),
     // two-sided 1h range + |dt_us| min, tie on click id — epoch_us ≡
     // unix_micros under the UTC session; lockstep with asofNearest
     // gp-prefixed; threshold literals mirror gapStats' µs buckets (the

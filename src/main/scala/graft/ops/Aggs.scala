@@ -266,7 +266,26 @@ object Aggs {
       .orderBy("q_pct")
   }
 
+  /** Modal value per group (most frequent o_orderpriority per order
+    * status, ties broken by value asc — deterministic). Count-then-rank:
+    * the heavy agg reduces to a |status|×|priority| model-sized frame
+    * FIRST, the ranking window runs over that tiny frame — never a
+    * per-row window at corpus scale. */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+              col("cnt").as("mode_cnt"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode"           -> modeAgg _,
     "agg_hist_quantile"  -> histQuantile _,
     "agg_winsorize"      -> winsorize _,
     "agg_sketch_reagg"  -> sketchReagg _,
@@ -287,6 +306,15 @@ object Aggs {
     // bucket arithmetic (round·100 µ-units, bin() bit length, top-4-bit
     // shifts, 100·cum ≥ q·n rank rule) mirrors histQuantile literally —
     // lockstep only; bin()/length are BIGINT in DuckDB → cast
+    // am-prefixed; (cnt desc, value asc) deterministic tie rule
+    "agg_mode" ->
+      ("WITH amc AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+       "FROM orders GROUP BY 1, 2), " +
+       "amr AS (SELECT o_orderstatus, o_orderpriority, cnt, row_number() OVER (" +
+       "PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority ASC) AS rn " +
+       "FROM amc) " +
+       "SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_cnt " +
+       "FROM amr WHERE rn = 1 ORDER BY o_orderstatus"),
     "agg_hist_quantile" ->
       ("WITH hv AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS vm, " +
        "l_returnflag AS flag FROM lineitem), " +
