@@ -671,6 +671,30 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** Two-hop neighborhood size per node — the dedup "blast radius"
+    * (how many documents are transitively within two similarity hops:
+    * the set a cluster-level excision would touch). n_reach counts
+    * DISTINCT nodes at distance ≤ 2, self excluded; computed from one
+    * wedge join (volume ≤ Σ deg² — bounded on the degree-capped
+    * mutual-kNN graph) + one distinct + one count. Direct neighbors
+    * are unioned in so a path-2 node that is also a neighbor is not
+    * double-counted. */
+  def twoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    val two = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e2.v").as("v"))
+      .filter(col("u") =!= col("v"))
+    val reach = und.union(two).distinct()
+      .groupBy("u").agg(count(lit(1)).as("n_reach"))
+    dg.join(reach, Seq("u"))
+      .select(col("u").as("vec_id"), col("deg"), col("n_reach"))
+      .orderBy("vec_id")
+  }
+
   /** Degree distribution of the mutual-kNN graph — the one-glance
     * structural health check (a healthy mutual-top-3 graph concentrates
     * at degree ≤ 3; mass at higher degrees means duplicate clusters,
@@ -708,6 +732,7 @@ object Graph {
     "graph_jaccard_link" -> jaccardLink _,
     "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_eigen_centrality" -> ((s, d) => eigenCentrality(s, d)),
+    "graph_2hop_reach" -> twoHopReach _,
     "graph_label_prop" -> labelProp _)
 
   /** One synchronous label-prop round: majority vote of `labeled`
@@ -978,6 +1003,18 @@ object Graph {
        pprRound("pp2", "pp3") + " " +
        "SELECT ppn.node AS vec_id, ppn.deg, CAST(ppn.seed AS INTEGER) AS seed, " +
        "pp3.r AS ppr_micro FROM ppn JOIN pp3 USING (node) ORDER BY vec_id"),
+    // h2-prefixed; union of 1-hop and wedge 2-hop, self excluded,
+    // DISTINCT before the count
+    "graph_2hop_reach" ->
+      (Similarity.knnMutualCteSql + ", " + undCte + ", " +
+       "h2d AS (SELECT u, count(*) AS deg FROM und GROUP BY u), " +
+       "h2w AS (SELECT e1.u AS u, e2.v AS v FROM und e1 " +
+       "JOIN und e2 ON e1.v = e2.u WHERE e1.u <> e2.v), " +
+       "h2a AS (SELECT DISTINCT u, v FROM " +
+       "(SELECT u, v FROM und UNION ALL SELECT u, v FROM h2w) t), " +
+       "h2r AS (SELECT u, count(*) AS n_reach FROM h2a GROUP BY u) " +
+       "SELECT d.u AS vec_id, d.deg, r.n_reach FROM h2d d " +
+       "JOIN h2r r ON d.u = r.u ORDER BY vec_id"),
     // eg-prefixed unrolled rounds; x₀ = 1e6 per node, per-round s·1e6
     // // max re-normalization — all mirrored from eigenCentrality();
     // everything non-negative

@@ -211,6 +211,33 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), bucketCol(numPlanes(embCount(spark, dir))))
 
+  /** LSH bucket-balance entropy — the index-health number an ANN
+    * operator watches before trusting its candidate volumes: Shannon
+    * entropy of the bucket-size distribution vs the ln(n_buckets)
+    * ceiling, as a micro-unit balance ratio. Skewed hyperplanes (or a
+    * drifted corpus) collapse mass into few buckets → candidate caps
+    * fire and recall quietly degrades; balance ≈ 1e6 is the healthy
+    * reading. Same micronized-ln discipline as the entropy family
+    * (each ln rounded to µ-nats FIRST, then exact BIGINT; all
+    * non-negative so div ≡ //). One bucket-size agg + a one-row fold —
+    * free at any corpus scale. */
+  def bucketEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMicro(c: Column): Column = round(log(c) * lit(1e6)).cast("long")
+    lshBuckets(spark, dir)
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_buckets"), sum("c").as("n_vecs"),
+           max("c").as("max_bucket"),
+           sum(col("c") * lnMicro(col("c"))).as("sclnc"))
+      .withColumn("h_micro",
+        lnMicro(col("n_vecs")) - expr("sclnc div n_vecs"))
+      .withColumn("h_max_micro", lnMicro(col("n_buckets")))
+      .withColumn("balance_micro",
+        when(col("n_buckets") === 1L, lit(1000000L))
+          .otherwise(expr("(h_micro * CAST(1000000 AS BIGINT)) div h_max_micro")))
+      .select("n_buckets", "n_vecs", "max_bucket",
+              "h_micro", "h_max_micro", "balance_micro")
+  }
+
   /** ANN top-3 per query via LSH: self-join within buckets (candidate set
     * ~n/256 per vector instead of n), exact cosine re-rank, keep 3.
     * The bucketed join is the 100 TB path: shuffle by bucket, no cross
@@ -2283,6 +2310,7 @@ object Similarity {
     "emb_drift_report" -> driftReport _,
     "emb_isotropy"     -> isotropy _,
     "sim_lsh_buckets"  -> lshBuckets _,
+    "sim_bucket_entropy" -> bucketEntropy _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
@@ -2785,6 +2813,23 @@ object Similarity {
        "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id ASC LIMIT 10"),
     "sim_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings",
+    // be-prefixed; micronized-ln entropy discipline, everything nonneg;
+    // the n_buckets=1 guard mirrors the Spark CASE
+    "sim_bucket_entropy" ->
+      (s"WITH beb AS (SELECT CAST($bucketSql AS INTEGER) AS bucket " +
+       "FROM embeddings), " +
+       "bec AS (SELECT bucket, count(*) AS c FROM beb GROUP BY bucket), " +
+       "bea AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets, " +
+       "CAST(sum(c) AS BIGINT) AS n_vecs, CAST(max(c) AS BIGINT) AS max_bucket, " +
+       "CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS sclnc " +
+       "FROM bec), " +
+       "bef AS (SELECT n_buckets, n_vecs, max_bucket, " +
+       "CAST(round(ln(n_vecs) * 1e6) AS BIGINT) - (sclnc // n_vecs) AS h_micro, " +
+       "CAST(round(ln(n_buckets) * 1e6) AS BIGINT) AS h_max_micro FROM bea) " +
+       "SELECT n_buckets, n_vecs, max_bucket, h_micro, h_max_micro, " +
+       "CASE WHEN n_buckets = 1 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (h_micro * CAST(1000000 AS BIGINT)) // h_max_micro END " +
+       "AS balance_micro FROM bef"),
     // bc mirrors the Spark-side bucket cap (salted-scramble order, cap
     // 1024): no sf0.01 bucket approaches the cap, so results are
     // unchanged — the CTE pins the truncation ORDER parity for when it

@@ -1441,6 +1441,37 @@ object TextOps {
       .orderBy("shard")
   }
 
+  /** Vocabulary growth curve (Heaps' law checkpoints) — distinct-token
+    * count after the first {50, 100, 250, 500} documents in arrival
+    * (doc_id) order, with the running TTR. The companion of
+    * `text_ngram_novelty` at TOKEN grain: a crawl whose vocab curve
+    * flattens early is re-reading the same template. Cut literals are
+    * mirrored in the oracle (lockstep); cuts beyond the corpus size
+    * simply report the full corpus. One |vocab|-sized first-occurrence
+    * frame × a 4-row broadcast — bounded at any corpus scale. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cuts = VocabGrowthCuts.toDF("cut")
+    val docs = Tables.documents(spark, dir)
+    val fd = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("fd"))
+    val vg = fd.crossJoin(broadcast(cuts)).filter(col("fd") < col("cut"))
+      .groupBy("cut").agg(count(lit(1)).as("n_vocab"))
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .crossJoin(broadcast(cuts)).filter(col("doc_id") < col("cut"))
+      .groupBy("cut").agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tok"))
+      .join(vg, Seq("cut"))
+      .withColumn("ttr_micro",
+        expr("(n_vocab * CAST(1000000 AS BIGINT)) div n_tok"))
+      .select("cut", "n_docs", "n_tok", "n_vocab", "ttr_micro")
+      .orderBy("cut")
+  }
+
+  /** Checkpoint literals for [[vocabGrowth]] — mirrored in its oracle. */
+  private[graft] val VocabGrowthCuts = Seq(50L, 100L, 250L, 500L)
+
   /** DSIR SELECTION under a per-source token budget — the apply half of
     * [[dsirWeights]] (the measure→apply pairing rule: IVF train→search,
     * BPE learn→apply, PII scan→redact): within each source, take docs
@@ -2194,6 +2225,7 @@ object TextOps {
     "text_kl_drift" -> klDrift _,
     "text_jsd_drift" -> jsdDrift _,
     "text_ttr" -> ttr _,
+    "corpus_vocab_growth" -> vocabGrowth _,
     "corpus_shard_plan" -> shardPlan _,
     "text_vocab_overlap" -> vocabOverlap _,
     "text_skipgram_pmi" -> ((s, d) => skipgramPmi(s, d)),
@@ -2631,6 +2663,23 @@ object TextOps {
        "(CASE WHEN kl_pm_micro + kl_qm_micro < 0 THEN -1 ELSE 1 END) * " +
        "(abs(kl_pm_micro + kl_qm_micro) // 2) AS jsd_micro " +
        "FROM jdf ORDER BY source"),
+    // vg-prefixed; cut literals lockstep with VocabGrowthCuts
+    "corpus_vocab_growth" ->
+      ("WITH vgc AS (SELECT CAST(cut AS BIGINT) AS cut FROM " +
+       s"(VALUES ${graft.ext.TextOps.VocabGrowthCuts.map(c => s"($c)").mkString(", ")}) t(cut)), " +
+       "vgtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+       "FROM documents), " +
+       "vgfd AS (SELECT tok, min(doc_id) AS fd FROM vgtk GROUP BY tok), " +
+       "vgv AS (SELECT c.cut, count(*) AS n_vocab FROM vgfd f " +
+       "JOIN vgc c ON f.fd < c.cut GROUP BY c.cut), " +
+       "vgdt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) " +
+       "AS nt FROM documents), " +
+       "vgt AS (SELECT c.cut, count(*) AS n_docs, " +
+       "CAST(sum(d.nt) AS BIGINT) AS n_tok FROM vgdt d " +
+       "JOIN vgc c ON d.doc_id < c.cut GROUP BY c.cut) " +
+       "SELECT t.cut, t.n_docs, t.n_tok, CAST(v.n_vocab AS BIGINT) AS n_vocab, " +
+       "(CAST(v.n_vocab AS BIGINT) * CAST(1000000 AS BIGINT)) // t.n_tok " +
+       "AS ttr_micro FROM vgt t JOIN vgv v ON t.cut = v.cut ORDER BY t.cut"),
     // tv-prefixed; all shares non-negative so // == div
     "text_ttr" ->
       ("WITH tvc AS (SELECT doc_id, tok, count(*) AS c FROM (" +

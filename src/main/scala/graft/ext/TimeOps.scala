@@ -694,7 +694,32 @@ object TimeOps {
       .orderBy("user_id")
   }
 
+  /** Exact per-type value quantiles (p50/p90/p99) by positional rank —
+    * the latency-report shape: rank rn = ceil(q·n/100) = (q·n+99) div
+    * 100 under the (value, event_id) total order, exact SELECTION of a
+    * stored double (zero float arithmetic — the agg_median rule; the
+    * sketch path is agg_hist_quantile). One window pass + one
+    * conditional agg per type. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("value")))
+          .as("p50"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("value")))
+          .as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value")))
+          .as("p99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_value_quantiles" -> valueQuantiles _,
     "time_transitions" -> transitions _,
     "time_user_entropy" -> userEntropy _,
     "time_gap_stats" -> gapStats _,
@@ -721,6 +746,17 @@ object TimeOps {
     "cdc_scd2"           -> scd2 _)
 
   val oracle: Map[String, String] = Map(
+    // qv-prefixed; ceil-rank (q·n+99)//100, exact double selection
+    // under the (value, event_id) total order — nonneg so // == div
+    "time_value_quantiles" ->
+      ("WITH qvr AS (SELECT event_type, value, row_number() OVER (" +
+       "PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn, " +
+       "count(*) OVER (PARTITION BY event_type) AS n FROM events) " +
+       "SELECT event_type, CAST(max(n) AS BIGINT) AS n, " +
+       "max(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50, " +
+       "max(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90, " +
+       "max(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99 " +
+       "FROM qvr GROUP BY event_type ORDER BY event_type"),
     // tn-prefixed; (ts, event_id) total order shared with the lag
     // family; DuckDB sum(BIGINT) → HUGEINT, cast back; share nonneg
     // so // == div

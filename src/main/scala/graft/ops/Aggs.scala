@@ -284,7 +284,29 @@ object Aggs {
       .orderBy("o_orderstatus")
   }
 
+  /** Exact per-group median — lower median by positional rank
+    * ((n+1) div 2 under (value asc, key asc) order): exact SELECTION of
+    * a stored double, zero float arithmetic, so the value is
+    * bit-identical cross-engine (the corpus_quantile_select rule). The
+    * per-group sort is the honest exact-median cost at scale; the
+    * sketch path is `agg_hist_quantile`. */
+  def medianAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("o_orderpriority")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("o_orderpriority"), col("n"),
+              col("o_totalprice").as("median_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_median"         -> medianAgg _,
     "agg_mode"           -> modeAgg _,
     "agg_hist_quantile"  -> histQuantile _,
     "agg_winsorize"      -> winsorize _,
@@ -306,6 +328,16 @@ object Aggs {
     // bucket arithmetic (round·100 µ-units, bin() bit length, top-4-bit
     // shifts, 100·cum ≥ q·n rank rule) mirrors histQuantile literally —
     // lockstep only; bin()/length are BIGINT in DuckDB → cast
+    // md-prefixed; lower-median positional rank — exact selection,
+    // nonneg so // == div
+    "agg_median" ->
+      ("WITH mdr AS (SELECT o_orderpriority, o_totalprice, " +
+       "row_number() OVER (PARTITION BY o_orderpriority " +
+       "ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn, " +
+       "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) " +
+       "SELECT o_orderpriority, CAST(n AS BIGINT) AS n, " +
+       "o_totalprice AS median_price FROM mdr WHERE rn = (n + 1) // 2 " +
+       "ORDER BY o_orderpriority"),
     // am-prefixed; (cnt desc, value asc) deterministic tie rule
     "agg_mode" ->
       ("WITH amc AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
