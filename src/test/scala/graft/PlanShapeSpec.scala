@@ -176,6 +176,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bloom screen: split filters reach parquet, bit array broadcasts") {
+    val p = planOf("dedup_bloom_screen")
+    // n/2 split (50 at sf0.001) is pushed into both scans
+    assert(p.contains("GreaterThanOrEqual(doc_id,"), p)
+    assert(p.contains("LessThan(doc_id,"), p)
+    // the ≤4096-row distinct bit frame joins by broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ngram novelty: hashed-key shuffles only, no pair expansion") {
+    val p = planOf("text_ngram_novelty")
+    assert(p.contains("poly_hash_mod"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"novelty must stay linear:\n$p")
+  }
+
   test("no query collects unbounded data to the driver") {
     // the one deliberate collect (semi_isin parity demo) is bounded by the
     // 25-row nation table; every other query builds a single lazy plan.
