@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   * family), so no dedup work is repeated. */
 object Curate {
 
-  /** Per-stage funnel counts: (stage_ord, stage, n_kept). Row 0 is the
-    * arrival count; row k is the running-AND survivor count. */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc gate bits (doc_id, g1..g6) — the ONE frame [[funnel]]
+    * aggregates and [[gateReport]] emits row-by-row (single-sourced so
+    * the two can never drift; the oracle twins share `flags` the same
+    * way). */
+  private def gateFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), TextOps.pfxCol.as("pfx"))
     val lang = TextOps.langid(spark, dir).select("doc_id", "predicted")
@@ -45,13 +47,14 @@ object Curate {
     val ctm  = TextOps.contamination(spark, dir).select("doc_id", "contam_pct")
     val keep = Dedup.keepList(spark, dir)
       .select(col("doc_id"), lit(1).as("kp"))
-    val flags = docs
+    docs
       .join(lang, Seq("doc_id"))
       .join(qual, Seq("doc_id"))
       .join(bp, Seq("pfx"), "left")
       .join(ctm, Seq("doc_id"), "left")
       .join(keep, Seq("doc_id"), "left")
       .select(
+        col("doc_id"),
         (col("predicted") === "en").cast("int").as("g1"),
         (col("quality_ok") === 1).cast("int").as("g2"),
         (col("keep_doc").isNull || col("keep_doc") === col("doc_id"))
@@ -61,6 +64,12 @@ object Curate {
         // eval-source (dropped by g4 anyway) — passes the gate
         (coalesce(col("contam_pct"), lit(0.0)) < 50.0).cast("int").as("g5"),
         coalesce(col("kp"), lit(0)).as("g6"))
+  }
+
+  /** Per-stage funnel counts: (stage_ord, stage, n_kept). Row 0 is the
+    * arrival count; row k is the running-AND survivor count. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gateFlags(spark, dir)
     val run = (1 to 6).map(k =>
       sum((1 to k).map(j => col(s"g$j")).reduce(_ * _)).as(s"c$k"))
     val agg = flags.agg(count(lit(1)).as("c0"), run: _*)
@@ -72,6 +81,26 @@ object Curate {
       }: _*)).as("f"))
       .select(col("f.stage_ord"), col("f.stage"), col("f.n_kept"))
       .orderBy("stage_ord")
+  }
+
+  /** Per-DOCUMENT gate explain — the audit row a curation run persists
+    * next to every kept/dropped doc (why did doc X fall out?): the six
+    * gate bits of [[gateFlags]], the fail count, and the FIRST failing
+    * stage in funnel order (the attribution rule the funnel's
+    * running-AND implies — a doc dropped at langid never reaches the
+    * quality gate). Same stage frames and literals as the funnel
+    * (single-sourced, lockstep); |docs| rows, one join-chain pass. */
+  def gateReport(spark: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("langid_en", "quality", "boilerplate", "holdout",
+                     "contamination", "dedup")
+    val firstFail = stages.zipWithIndex.foldRight(lit("pass")) {
+      case ((s, i), rest) => when(col(s"g${i + 1}") === 0, s).otherwise(rest)
+    }
+    gateFlags(spark, dir)
+      .withColumn("n_fail",
+        lit(6) - (1 to 6).map(j => col(s"g$j")).reduce(_ + _))
+      .withColumn("first_fail", firstFail)
+      .orderBy("doc_id")
   }
 
   /** Per-SOURCE curation dashboard — the other report a curation run
@@ -110,6 +139,7 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate_funnel" -> funnel _,
+    "corpus_gate_report"   -> gateReport _,
     "corpus_report"        -> report _)
 
   /** Funnel oracle: composes the shared stage chains — the langid
@@ -118,31 +148,49 @@ object Curate {
     * cluster-label chain — exactly as the Spark side composes the stage
     * frames. Gate literals ('en', 50.0, 'src0') mirror [[funnel]];
     * change only in lockstep. */
+  /** The gate-flags WITH chain through `flags` (doc_id, g1..g6) —
+    * oracle mirror of [[gateFlags]], shared by corpus_curate_funnel
+    * and corpus_gate_report (lockstep; the Spark twins share the
+    * frame the same way). */
+  private def gateFlagsCteSql: String =
+    s"WITH RECURSIVE ${Dedup.clusterLabCte}, " +
+    s"${TextOps.contaminationCteSql}, " +
+    s"lid AS (SELECT doc_id, ${TextOps.langPredCaseSql} AS predicted " +
+    s"FROM (${TextOps.langScoresInnerSql}) t), " +
+    s"ql AS (SELECT doc_id, " +
+    s"CAST(${TextOps.qualityOkCondSql} AS INTEGER) AS quality_ok " +
+    "FROM documents), " +
+    s"bpg AS (${TextOps.boilerplateGroupsSql}), " +
+    "kl AS (SELECT min(doc_id) AS doc_id FROM lab GROUP BY cluster), " +
+    "flags AS (SELECT d.doc_id, " +
+    "CASE WHEN l.predicted = 'en' THEN 1 ELSE 0 END AS g1, " +
+    "q.quality_ok AS g2, " +
+    "CASE WHEN b.keep_doc IS NULL OR b.keep_doc = d.doc_id " +
+    "THEN 1 ELSE 0 END AS g3, " +
+    "CASE WHEN d.source <> 'src0' THEN 1 ELSE 0 END AS g4, " +
+    "CASE WHEN coalesce(c.contam_pct, 0.0) < 50.0 THEN 1 ELSE 0 END AS g5, " +
+    "CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g6 " +
+    "FROM documents d " +
+    "JOIN lid l USING (doc_id) JOIN ql q USING (doc_id) " +
+    "LEFT JOIN bpg b ON b.pfx = " +
+    "array_to_string(string_split(d.text, ' ')[1:8], ' ') " +
+    "LEFT JOIN ctm c ON c.doc_id = d.doc_id " +
+    "LEFT JOIN kl k ON k.doc_id = d.doc_id)"
+
   val oracle: Map[String, String] = Map(
+    // first-fail attribution follows funnel order (a doc dropped at
+    // langid never reaches quality) — stage names lockstep with funnel
+    "corpus_gate_report" -> (
+      gateFlagsCteSql + " " +
+      "SELECT doc_id, g1, g2, g3, g4, g5, g6, " +
+      "6 - (g1 + g2 + g3 + g4 + g5 + g6) AS n_fail, " +
+      "CASE WHEN g1 = 0 THEN 'langid_en' WHEN g2 = 0 THEN 'quality' " +
+      "WHEN g3 = 0 THEN 'boilerplate' WHEN g4 = 0 THEN 'holdout' " +
+      "WHEN g5 = 0 THEN 'contamination' WHEN g6 = 0 THEN 'dedup' " +
+      "ELSE 'pass' END AS first_fail " +
+      "FROM flags ORDER BY doc_id"),
     "corpus_curate_funnel" -> (
-      s"WITH RECURSIVE ${Dedup.clusterLabCte}, " +
-      s"${TextOps.contaminationCteSql}, " +
-      s"lid AS (SELECT doc_id, ${TextOps.langPredCaseSql} AS predicted " +
-      s"FROM (${TextOps.langScoresInnerSql}) t), " +
-      s"ql AS (SELECT doc_id, " +
-      s"CAST(${TextOps.qualityOkCondSql} AS INTEGER) AS quality_ok " +
-      "FROM documents), " +
-      s"bpg AS (${TextOps.boilerplateGroupsSql}), " +
-      "kl AS (SELECT min(doc_id) AS doc_id FROM lab GROUP BY cluster), " +
-      "flags AS (SELECT " +
-      "CASE WHEN l.predicted = 'en' THEN 1 ELSE 0 END AS g1, " +
-      "q.quality_ok AS g2, " +
-      "CASE WHEN b.keep_doc IS NULL OR b.keep_doc = d.doc_id " +
-      "THEN 1 ELSE 0 END AS g3, " +
-      "CASE WHEN d.source <> 'src0' THEN 1 ELSE 0 END AS g4, " +
-      "CASE WHEN coalesce(c.contam_pct, 0.0) < 50.0 THEN 1 ELSE 0 END AS g5, " +
-      "CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g6 " +
-      "FROM documents d " +
-      "JOIN lid l USING (doc_id) JOIN ql q USING (doc_id) " +
-      "LEFT JOIN bpg b ON b.pfx = " +
-      "array_to_string(string_split(d.text, ' ')[1:8], ' ') " +
-      "LEFT JOIN ctm c ON c.doc_id = d.doc_id " +
-      "LEFT JOIN kl k ON k.doc_id = d.doc_id) " +
+      gateFlagsCteSql + " " +
       "SELECT 0 AS stage_ord, 'ingest' AS stage, " +
       "CAST(count(*) AS BIGINT) AS n_kept FROM flags " +
       (1 to 6).zip(Seq("langid_en", "quality", "boilerplate",

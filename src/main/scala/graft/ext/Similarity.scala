@@ -891,6 +891,135 @@ object Similarity {
           .as("precision_micro"))
   }
 
+  // ---- greedy graph search over the mutual-kNN graph (HNSW layer-0) ----
+
+  /** Beam width and expansion rounds for [[graphSearch]] — mirrored as
+    * literals in the oracle chain (lockstep). */
+  private val GraphBeam = 4
+  private val GraphSearchRounds = 2
+
+  /** Greedy beam search over the mutual-kNN graph — the SERVING shape
+    * of graph-based ANN, as a two-tier cascade (the production
+    * architecture: a cheap coarse screen picks ENTRY vertices, the
+    * graph walk refines): per probe the beam seeds with the sign-bit
+    * Hamming top-[[GraphBeam]] (16 bytes/vector, xor+popcount — the
+    * [[signShortlist]] tier), then each of 2 rounds expands the beam
+    * by its mutual-kNN neighbors, scores candidates by exact cosine,
+    * and keeps the best [[GraphBeam]] under (sim desc, b_id asc). A
+    * single fixed entry was measured at 1% recall on this corpus —
+    * the mutual-top-3 graph is component-fragmented and a walk cannot
+    * cross components, which is WHY real graph indexes pair the walk
+    * with a coarse entry picker. Per round the candidate volume is
+    * ≤ |probes|·B·(deg+1) — degree-bounded, so float vectors are
+    * touched for a few dozen rows per probe, never the corpus
+    * product; the walk rides the SAME memoized graph every graph_*
+    * query uses (owner sim_knn_mutual). Output: final beam's top-3. */
+  def graphSearch(spark: SparkSession, dir: String,
+                  probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mu = knnMutual(spark, dir).select("a_id", "b_id")
+    val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(mu.select(col("b_id").as("u"), col("a_id").as("v")))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val probes = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val wE = Window.partitionBy("a_id").orderBy(col("hd").asc, col("b_id").asc)
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    var beam: DataFrame = signShortlist(spark, dir, probeN)
+      .withColumn("re", row_number().over(wE))
+      .filter(col("re") <= GraphBeam)
+      .select("a_id", "b_id")
+    var scoredBeam: DataFrame = null
+    for (_ <- 1 to GraphSearchRounds) {
+      val cand = beam.select("a_id", "b_id")
+        .union(beam.join(und, beam("b_id") === und("u"))
+          .select(col("a_id"), col("v").as("b_id")))
+        .distinct()
+      scoredBeam = cand
+        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"),
+                         col("nrm").as("bnrm")), Seq("b_id"))
+        .join(broadcast(probes), Seq("a_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          Num.rnd(dotCols(col("bv"), col("qv")) / (col("bnrm") * col("qnrm")), 6)
+            .as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= GraphBeam)
+      beam = scoredBeam.select("a_id", "b_id")
+    }
+    scoredBeam.filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("rn").cast("int").as("rn"),
+              col("sim"))
+  }
+
+  /** Graph-search recall eval — the fifth leg of the eval-harness
+    * family (sketch / index / compression / binary / GRAPH WALK): does
+    * the Hamming-seeded 2-round beam walk retain the exact cosine
+    * top-3? Same fixed-probe contract (vec_id < 100) and integer
+    * micro recall as [[ivfRecallEval]]. The number quantifies the
+    * serving trade: a walk touches O(B·deg·rounds) float vectors per
+    * probe (plus the binary screen) where IVF touches
+    * O(corpus/cells·nprobe). */
+  def graphSearchEval(spark: SparkSession, dir: String,
+                      probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val truth = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        Num.rnd(dotCols(col("embedding"), col("qv")) /
+                  (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val found = graphSearch(spark, dir, probeN).select("a_id", "b_id")
+    val hit = truth.join(found, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"))
+  }
+
+  /** Beam-walk chain through `gsb2` (a_id, b_id, sim, rn ≤ 4) —
+    * oracle mirror of [[graphSearch]], shared by sim_graph_search and
+    * sim_graph_search_eval (gs-prefixed names claimed; composes
+    * [[knnMutualCteSql]], which owns r/t/mu). */
+  private def graphSearchCteSql: String = {
+    def round(prev: String, k: Int): String =
+      s"gsc$k AS (SELECT a_id, b_id FROM $prev UNION " +
+      s"SELECT b.a_id, g.v FROM $prev b JOIN gsu g ON b.b_id = g.u), " +
+      s"gss$k AS (SELECT c.a_id, c.b_id, " +
+      "round((list_dot_product(e.embedding, p.qv) / (e.nrm * p.qnrm)) * 1e6) / 1e6 AS sim " +
+      s"FROM gsc$k c JOIN gse e ON c.b_id = e.vec_id " +
+      "JOIN gsp p ON c.a_id = p.a_id WHERE c.a_id <> c.b_id), " +
+      s"gsb$k AS (SELECT a_id, b_id, sim, rn FROM (SELECT gss$k.*, " +
+      "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+      s"FROM gss$k) gsq$k WHERE rn <= $GraphBeam)"
+    knnMutualCteSql + ", " + signCteSql + ", " +
+    "gsu AS (SELECT a_id AS u, b_id AS v FROM mu " +
+    "UNION ALL SELECT b_id, a_id FROM mu), " +
+    "gse AS (SELECT vec_id, embedding::DOUBLE[] AS embedding, " +
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm " +
+    "FROM embeddings), " +
+    "gsp AS (SELECT vec_id AS a_id, embedding AS qv, nrm AS qnrm " +
+    "FROM gse WHERE vec_id < 100), " +
+    "gsb0 AS (SELECT a_id, b_id FROM (SELECT sgsh.*, row_number() OVER (" +
+    "PARTITION BY a_id ORDER BY hd ASC, b_id ASC) AS re FROM sgsh) gsq0 " +
+    s"WHERE re <= $GraphBeam), " +
+    round("gsb0", 1) + ", " + round("gsb1", 2)
+  }
+
   // ---- Johnson–Lindenstrauss random projection ----
 
   /** JL target dimensionality and the plane-index offset that keeps the
@@ -2311,6 +2440,8 @@ object Similarity {
     "emb_isotropy"     -> isotropy _,
     "sim_lsh_buckets"  -> lshBuckets _,
     "sim_bucket_entropy" -> bucketEntropy _,
+    "sim_graph_search" -> ((s, d) => graphSearch(s, d)),
+    "sim_graph_search_eval" -> ((s, d) => graphSearchEval(s, d)),
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
@@ -2813,6 +2944,30 @@ object Similarity {
        "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id ASC LIMIT 10"),
     "sim_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings",
+    // gs-prefixed; beam B=4 / 2 rounds / entry = min graph node / probe
+    // vec_id < 100 — all lockstep with graphSearch; UNION dedups ≡
+    // .distinct(); search and eval share the chain (move both or
+    // neither)
+    "sim_graph_search" ->
+      (graphSearchCteSql + " " +
+       "SELECT a_id, b_id, CAST(rn AS INTEGER) AS rn, sim FROM gsb2 " +
+       "WHERE rn <= 3"),
+    "sim_graph_search_eval" ->
+      (graphSearchCteSql + ", " +
+       "gst AS (SELECT p.a_id, e.vec_id AS b_id, " +
+       "round((list_dot_product(e.embedding, p.qv) / (e.nrm * p.qnrm)) * 1e6) / 1e6 AS sim " +
+       "FROM gse e CROSS JOIN gsp p WHERE e.vec_id <> p.a_id), " +
+       "gsr AS (SELECT a_id, b_id FROM (SELECT gst.*, row_number() OVER (" +
+       "PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn FROM gst) gsq " +
+       "WHERE rn <= 3), " +
+       "gsh AS (SELECT count(*) AS n_hit FROM gsr JOIN gsb2 " +
+       "ON gsr.a_id = gsb2.a_id AND gsr.b_id = gsb2.b_id AND gsb2.rn <= 3), " +
+       "gsn AS (SELECT count(*) AS n_truth FROM gsr) " +
+       "SELECT CAST(gsn.n_truth AS BIGINT) AS n_truth, " +
+       "CAST(gsh.n_hit AS BIGINT) AS n_hit, " +
+       "CASE WHEN gsn.n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (CAST(gsh.n_hit AS BIGINT) * 1000000) // gsn.n_truth END " +
+       "AS recall_micro FROM gsn, gsh"),
     // be-prefixed; micronized-ln entropy discipline, everything nonneg;
     // the n_buckets=1 guard mirrors the Spark CASE
     "sim_bucket_entropy" ->

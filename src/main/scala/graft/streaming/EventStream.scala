@@ -201,6 +201,40 @@ object EventStream {
       .toDF("user_id", "stage")
   }
 
+  /** Streaming event-type transitions via flatMapGroupsWithState — the
+    * online face of `time_transitions`: per-user state is ONE tuple
+    * (last ts, event_id, type); each micro-batch sorts its slice by the
+    * family's (ts, event_id) total order and emits one (prev_type,
+    * event_type) pair per consecutive step, carrying the boundary event
+    * across batches in state. Equal to the batch lag when the source
+    * delivers each user's events time-ordered across batches (the
+    * funnelStream contract — the checkpoint-resume spec drives a
+    * time-split two-batch arrival to prove the carry). State O(users);
+    * output Append. */
+  def transitionsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+              col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, evs: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          var last = state.getOption.orNull
+          val out = Seq.newBuilder[(String, String)]
+          evs.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, id, t) =>
+            if (last != null) out += ((last._3, t))
+            last = (ts, id, t)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+      .toDF("prev_type", "event_type")
+  }
+
   /** Stream-stream interval join: purchases within 1 hour AFTER a click
     * by the same user. Both sides carry watermarks so join state is
     * evicted once the interval can no longer match — bounded state, the
@@ -226,9 +260,10 @@ object EventStream {
     * (idempotent, the standard exactly-once file-sink recipe when the
     * built-in file sink's log can't be used). */
   def runToParquet(streamed: DataFrame, outDir: String,
-                   checkpointDir: String): Unit = {
+                   checkpointDir: String,
+                   mode: OutputMode = OutputMode.Update()): Unit = {
     val q = streamed.writeStream
-      .outputMode(OutputMode.Update())
+      .outputMode(mode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")

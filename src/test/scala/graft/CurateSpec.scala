@@ -73,4 +73,29 @@ class CurateSpec extends SparkSpec {
     assert(rows.head.getDouble(3) == expectedPct,
       s"$src en_pct ${rows.head.getDouble(3)} != direct $expectedPct")
   }
+
+  test("gate report ties out against the funnel; first-fail attribution holds") {
+    val rows = Curate.gateReport(spark, sf0001).collect()
+      .map(r => (r.getLong(0),
+                 (1 to 6).map(i => r.getInt(i)),
+                 r.getInt(7), r.getString(8)))
+    val c = counts(sf0001)
+    assert(rows.length.toLong === c(0), "one row per ingested doc")
+    // funnel count k == docs passing gates 1..k per the report bits
+    (1 to 6).foreach { k =>
+      val pass = rows.count(t => (0 until k).forall(j => t._2(j) == 1)).toLong
+      assert(pass === c(k), s"stage $k: report says $pass, funnel ${c(k)}")
+    }
+    val stages = Seq("langid_en", "quality", "boilerplate", "holdout",
+                     "contamination", "dedup")
+    rows.foreach { case (id, gs, nFail, ff) =>
+      assert(nFail === gs.count(_ == 0), s"doc $id n_fail")
+      val expect = gs.indexWhere(_ == 0) match {
+        case -1 => "pass"; case i => stages(i)
+      }
+      assert(ff === expect, s"doc $id first_fail")
+    }
+    assert(rows.exists(_._4 == "pass") && rows.exists(_._4 != "pass"),
+      "fixture must have both kept and dropped docs")
+  }
 }

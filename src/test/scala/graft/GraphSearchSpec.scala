@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Graph beam search (Similarity.graphSearch): the Hamming-seeded
+  * 2-round walk must equal a brute driver-side simulation of the whole
+  * cascade, and per-(probe, rank) similarity must never degrade below
+  * the seeds alone (the walk can only improve the beam).
+  */
+class GraphSearchSpec extends SparkSpec {
+
+  private def rnd6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  test("beam walk equals brute cascade; walk ≥ seeds per rank") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    val mu = ext.Similarity.knnMutual(spark, sf0001)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (mu ++ mu.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = emb.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    def sim(a: Long, b: Long): Double =
+      rnd6(dot(emb(a), emb(b)) / (nrm(a) * nrm(b)))
+    // sign-bit hamming tier (bit i of word = sign of dim lo+i)
+    def words(v: Array[Double]): (Long, Long) = {
+      def pack(lo: Int): Long =
+        (0 until 32).foldLeft(0L)((acc, i) =>
+          if (v(lo + i) >= 0.0) acc | (1L << i) else acc)
+      (pack(0), pack(32))
+    }
+    val wds = emb.view.mapValues(words).toMap
+    def hd(a: Long, b: Long): Int = {
+      val (a1, a2) = wds(a); val (b1, b2) = wds(b)
+      java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+    }
+    val probes = emb.keys.filter(_ < 100).toSeq.sorted
+    def topBy[T](xs: Seq[(Long, T)], k: Int)(ord: Ordering[(T, Long)]): Seq[Long] =
+      xs.sortBy(x => (x._2, x._1))(ord).take(k).map(_._1)
+    val expect = probes.flatMap { p =>
+      val seeds = emb.keys.filter(_ != p).toSeq
+        .map(b => (b, hd(p, b)))
+        .sortBy { case (b, h) => (h, b) }.take(4).map(_._1)
+      var beam = seeds
+      var scored: Seq[(Long, Double)] = Seq.empty
+      for (_ <- 1 to 2) {
+        val cand = (beam ++ beam.flatMap(b => adj.getOrElse(b, Set.empty)))
+          .distinct.filter(_ != p)
+        scored = cand.map(b => (b, sim(p, b)))
+          .sortBy { case (b, s) => (-s, b) }.take(4)
+        beam = scored.map(_._1)
+      }
+      scored.take(3).zipWithIndex.map { case ((b, s), i) => (p, b, i + 1, s) }
+    }.toSet
+    val got = ext.Similarity.queries("sim_graph_search")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+                           r.getDouble(3))).toSet
+    assert(got === expect)
+    // per-(probe, rank) sim never degrades vs the seeds-only top-3
+    val gotByProbe = got.groupBy(_._1)
+    probes.foreach { p =>
+      val seedsTop = emb.keys.filter(_ != p).toSeq
+        .map(b => (b, hd(p, b))).sortBy { case (b, h) => (h, b) }
+        .take(4).map { case (b, _) => sim(p, b) }
+        .sorted(Ordering[Double].reverse).take(3)
+      val walkTop = gotByProbe(p).toSeq.sortBy(_._3).map(_._4)
+      seedsTop.zip(walkTop).foreach { case (s0, s1) =>
+        assert(s1 >= s0, s"probe $p: walk degraded $s1 < seed $s0")
+      }
+    }
+    // the walk actually found something the seeds did not
+    assert(probes.exists { p =>
+      val seedSet = emb.keys.filter(_ != p).toSeq
+        .map(b => (b, hd(p, b))).sortBy { case (b, h) => (h, b) }
+        .take(4).map(_._1).toSet
+      gotByProbe(p).exists(t => !seedSet.contains(t._2))
+    }, "walk never left the seed set — vacuous expansion")
+  }
+}

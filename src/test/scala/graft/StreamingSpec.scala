@@ -530,4 +530,52 @@ class StreamingSpec extends SparkSpec {
     val fin = streamed.map(t => (t._1, t._2))
     assert((gen1 -- fin).nonEmpty, "second batch evicted nothing — vacuous")
   }
+
+  test("streaming transitions equal batch lag pairs across a two-batch " +
+       "time-split arrival (state carries the boundary event)") {
+    val inDir = Files.createTempDirectory("graft-trans-in").toString
+    val out = Files.createTempDirectory("graft-trans-out").toString
+    val ckpt = Files.createTempDirectory("graft-trans-ckpt").toString
+    val ev = Tables.events(spark, sf0001)
+    val cut = ev.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect().head.getLong(0)
+    def addFile(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-trans-$name")
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$inDir/$name.parquet"),
+                 StandardCopyOption.REPLACE_EXISTING)
+    }
+    // global time split: every user's early events arrive in batch 1,
+    // late in batch 2 — the per-user order the operator's contract needs
+    addFile(unix_micros(col("ts")) <= cut, "early")
+    EventStream.runToParquet(
+      EventStream.transitionsStream(spark, EventStream.readEvents(spark, inDir)),
+      out, ckpt, OutputMode.Append())
+    addFile(unix_micros(col("ts")) > cut, "late")
+    EventStream.runToParquet(
+      EventStream.transitionsStream(spark, EventStream.readEvents(spark, inDir)),
+      out, ckpt, OutputMode.Append())
+    val streamed = spark.read.parquet(out)
+      .groupBy("prev_type", "event_type").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val batch = ext.TimeOps.queries("time_transitions")(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(streamed === batch, "stream pair counts != batch lag counts")
+    // the carry actually fired: every late event of a user WITH early
+    // history pairs against carried state, so batch 2 emits one pair
+    // per late event except the first event of all-late users
+    val late = spark.read.parquet(s"$out/batch_id=1").count()
+    val lateEvents = ev.filter(unix_micros(col("ts")) > cut).count()
+    val allLateUsers = ev.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("mn"))
+      .filter(col("mn") > cut).count()
+    assert(late === lateEvents - allLateUsers,
+      s"batch 2 emitted $late pairs for $lateEvents late events " +
+      s"($allLateUsers all-late users) — boundary state did not carry")
+    assert(late > 0L, "no cross-boundary pairs — vacuous split")
+  }
 }
