@@ -299,6 +299,29 @@ object TimeOps {
               date_format(col("session_window.start"), fmt).as("session_start"),
               col("n"))
 
+  /** Per-EVENT session-id assignment — the gaps-and-islands companion
+    * of [[session]] (which aggregates per session; this labels every
+    * event row so downstream joins can group by session): new-session
+    * flag when the per-user gap ≥ the SAME 5-minute threshold, running
+    * sum = the session ordinal. The (ts, event_id) total order makes
+    * ties deterministic; one window pass, one user_id exchange. */
+  def sessionIds(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull ||
+         unix_micros(col("ts")) - unix_micros(col("prev")) >= 300000000L)
+          .cast("long"))
+      .withColumn("session_no",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("event_id"), col("session_no"),
+              col("new_s").cast("int").as("is_session_start"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Inter-event gap distribution — the EVIDENCE behind [[session]]'s
     * 5-minute threshold (and any watermark choice): per-user
     * consecutive-event gaps in integer microseconds (unix_micros ≡
@@ -719,6 +742,7 @@ object TimeOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "time_session_ids" -> sessionIds _,
     "time_value_quantiles" -> valueQuantiles _,
     "time_transitions" -> transitions _,
     "time_user_entropy" -> userEntropy _,
@@ -746,6 +770,18 @@ object TimeOps {
     "cdc_scd2"           -> scd2 _)
 
   val oracle: Map[String, String] = Map(
+    // si-prefixed; the SAME ≥ 5-minute gap rule as time_session
+    // (lockstep), (ts, event_id) total order
+    "time_session_ids" ->
+      ("WITH six AS (SELECT user_id, event_id, ts, lag(ts) OVER (" +
+       "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+       "siy AS (SELECT user_id, event_id, ts, CASE WHEN prev IS NULL OR " +
+       "epoch_us(ts) - epoch_us(prev) >= 300000000 THEN 1 ELSE 0 END AS new_s " +
+       "FROM six) " +
+       "SELECT user_id, event_id, CAST(sum(new_s) OVER (" +
+       "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) " +
+       "AS BIGINT) AS session_no, CAST(new_s AS INTEGER) AS is_session_start " +
+       "FROM siy ORDER BY user_id, event_id"),
     // qv-prefixed; ceil-rank (q·n+99)//100, exact double selection
     // under the (value, event_id) total order — nonneg so // == div
     "time_value_quantiles" ->

@@ -192,6 +192,40 @@ object Sources {
     * asserted by PartitionPruningSpec; this query adds the
     * oracle-checked content half: what survives the pruned scan is
     * exactly the source rows with that key). */
+  /** DYNAMIC partition overwrite — the daily-reprocess ingest shape
+    * (rewrite yesterday's partition, leave the rest of the table
+    * untouched): phase 1 lands the full table partitioned by priority;
+    * phase 2 overwrites ONLY the 1-URGENT partition with a 10%-
+    * discounted restatement under
+    * `partitionOverwriteMode=dynamic` (STATIC mode would truncate the
+    * whole table — the difference this operator exists to pin). The
+    * read-back aggregate is oracle-checked against a relational
+    * restatement of the same two phases, so the oracle proves the
+    * other four partitions SURVIVED the overwrite. Money discipline:
+    * the discounted price is rounded at 2 dp before the sum (2-dp
+    * grain in, 2-dp out). */
+  def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = Tables.scratch("dynpart_orders")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+    base.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      base.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", Num.rnd(col("o_totalprice") * 0.9, 2))
+        .write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(out)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Num.rnd(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Tables.scratch("part_orders")
     Tables.orders(spark, dir)
@@ -228,6 +262,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_compaction" -> compaction _,
+    "src_dynamic_overwrite" -> dynamicOverwrite _,
     "src_partitioned_roundtrip" -> partitionedRoundtrip _,
     "src_csv_roundtrip"  -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
@@ -248,6 +283,15 @@ object Sources {
       ("SELECT o_orderpriority, count(*) AS n, " +
        "round((sum(o_totalprice)) * 1e2) / 1e2 AS total " +
        "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority"),
+    // relational restatement of the two write phases — equality proves
+    // the non-overwritten partitions survived; 0.9 CAST to DOUBLE
+    // (decimal-literal rule), discount rounded at 2 dp BEFORE the sum
+    "src_dynamic_overwrite" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+       "round((sum(CASE WHEN o_orderpriority = '1-URGENT' " +
+       "THEN round((o_totalprice * CAST(0.9 AS DOUBLE)) * 1e2) / 1e2 " +
+       "ELSE o_totalprice END)) * 1e2) / 1e2 AS total " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
     "src_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",
     "src_json_roundtrip" ->

@@ -59,6 +59,25 @@ class TransitionsSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0L), "all-zero entropy — vacuous fixture")
   }
 
+  test("session ids tie out against the session_window aggregate") {
+    val ids = ext.TimeOps.queries("time_session_ids")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val sessions = ext.TimeOps.queries("time_session")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // same session count and same per-session size multiset as the
+    // session_window aggregation (different composition, same 5-min rule)
+    val bySession = ids.groupBy(t => (t._1, t._3)).map(_._2.length.toLong)
+    assert(bySession.size === sessions.length)
+    assert(bySession.toSeq.sorted === sessions.map(_._2).sorted.toSeq)
+    // exactly one start flag per session; ordinals start at 1, contiguous
+    ids.groupBy(t => (t._1, t._3)).values
+      .foreach(g => assert(g.count(_._4 == 1) === 1))
+    ids.groupBy(_._1).values.foreach { g =>
+      val sids = g.map(_._3).distinct.sorted
+      assert(sids === (1L to sids.max))
+    }
+  }
+
   test("mode equals brute (count desc, value asc) argmax per group") {
     val o = Tables.orders(spark, sf0001)
       .select(col("o_orderstatus"), col("o_orderpriority"))
