@@ -1020,6 +1020,28 @@ object Similarity {
     round("gsb0", 1) + ", " + round("gsb1", 2)
   }
 
+  /** The recall-vs-method FRONTIER — the one-table summary an ANN
+    * deployment decision actually reads: all six single-number recall
+    * evals (IVF index, sign-bit binary, int8, JL projection,
+    * Matryoshka prefix, graph walk) side by side under the SAME fixed
+    * probe set and truth definition. Pure composition: each leg IS the
+    * registered eval query (Spark functions and oracle SQL both —
+    * lockstep by construction), so the frontier can never disagree
+    * with its legs. */
+  def evalFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val legs = Seq(
+      "graph"      -> graphSearchEval(spark, dir),
+      "int8"       -> int8RecallEval(spark, dir),
+      "ivf"        -> ivfRecallEval(spark, dir),
+      "jl"         -> jlRecallEval(spark, dir),
+      "matryoshka" -> matryoshkaRecallEval(spark, dir),
+      "sign"       -> signRecallEval(spark, dir))
+    legs.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("n_truth"), col("n_hit"),
+                col("recall_micro"))
+    }.reduce(_.unionByName(_)).orderBy("method")
+  }
+
   // ---- Johnson–Lindenstrauss random projection ----
 
   /** JL target dimensionality and the plane-index offset that keeps the
@@ -2442,6 +2464,7 @@ object Similarity {
     "sim_bucket_entropy" -> bucketEntropy _,
     "sim_graph_search" -> ((s, d) => graphSearch(s, d)),
     "sim_graph_search_eval" -> ((s, d) => graphSearchEval(s, d)),
+    "sim_eval_frontier" -> evalFrontier _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
@@ -2661,7 +2684,7 @@ object Similarity {
     "AND c.vec_id <> d.q_id GROUP BY 1, 2)"
   }
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "sim_pq_codes" ->
       s"WITH $pqCteSql SELECT vec_id, sub, code, d2 FROM pfin",
     // per-sub distortion over the SAME pfin chain; d2 micronized
@@ -3487,4 +3510,22 @@ object Similarity {
     "FROM m x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
     "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
     "ORDER BY sim DESC, b_id ASC) AS rn FROM p)"
+
+  /** The frontier oracle wraps the six REGISTERED leg oracles verbatim
+    * as parenthesized subqueries (CTE names stay scoped per leg), so
+    * frontier and legs move together by construction. */
+  private def frontierLegSql(m: String, q: String): String =
+    s"SELECT '$m' AS method, n_truth, n_hit, recall_micro " +
+    s"FROM (${oracleBase(q)}) f_$m"
+
+  val oracle: Map[String, String] = oracleBase +
+    ("sim_eval_frontier" ->
+      (Seq("graph" -> "sim_graph_search_eval",
+           "int8" -> "emb_int8_recall",
+           "ivf" -> "sim_ivf_recall_eval",
+           "jl" -> "sim_jl_recall",
+           "matryoshka" -> "emb_matryoshka_recall",
+           "sign" -> "emb_sign_recall")
+         .map { case (m, q) => frontierLegSql(m, q) }
+         .mkString(" UNION ALL ") + " ORDER BY method"))
 }

@@ -139,4 +139,46 @@ object AlgebraProps extends Properties("graft.algebra") {
       Prop(direct == expected && merged == expected) :|
         s"direct=$direct merged=$merged expected=$expected"
     }
+
+  // pure-function model of text_jsd_drift's integer pipeline (the exact
+  // arithmetic TextOps.jsdDrift runs): over RANDOM count distributions
+  // the micronized-ln JSD must track the true float JSD within the
+  // per-token rounding budget, and identical distributions must read ~0
+  // (the symmetry/identity axioms a divergence is trusted for)
+  property("integer JSD tracks float JSD; zero on identical dists") =
+    forAll(Gen.listOfN(20, Gen.chooseNum(0L, 50L)),
+           Gen.listOfN(20, Gen.chooseNum(0L, 50L))) { (csL, crL) =>
+      def lnM(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+      def jsdMicro(cs: Seq[Long], cr: Seq[Long]): Long = {
+        val v = cs.length.toLong
+        val ns = cs.sum; val nr = cr.sum
+        val aa = ns + v; val bb = nr + v
+        var numPm = 0L; var numQm = 0L
+        cs.zip(cr).foreach { case (c1, c2) =>
+          val a = c1 + 1; val b = c2 + 1
+          val lnmd = lnM(a * bb + b * aa) - lnM(2L * aa * bb)
+          numPm += a * (lnM(a) - lnM(aa) - lnmd)
+          numQm += b * (lnM(b) - lnM(bb) - lnmd)
+        }
+        (numPm / aa + numQm / bb) / 2
+      }
+      def jsdFloat(cs: Seq[Long], cr: Seq[Long]): Double = {
+        val v = cs.length.toDouble
+        val aa = cs.sum + v; val bb = cr.sum + v
+        cs.zip(cr).map { case (c1, c2) =>
+          val p = (c1 + 1) / aa; val q = (c2 + 1) / bb
+          val m = (p + q) / 2
+          (p * math.log(p / m) + q * math.log(q / m)) / 2
+        }.sum
+      }
+      val self = jsdMicro(csL, csL)
+      val cross = jsdMicro(csL, crL)
+      val truth = jsdFloat(csL, crL)
+      // rounding budget: 4 micronized lns per token, ±0.5µ each,
+      // weighted by smoothed mass ≈ 1 → ≤ ~4µ + division slack
+      Prop(math.abs(self) <= 5L &&
+           math.abs(cross - math.round(truth * 1e6)) <= 10L &&
+           cross >= -5L && cross <= 693153L) :|
+        s"self=$self cross=$cross truth=${math.round(truth * 1e6)}"
+    }
 }

@@ -83,4 +83,23 @@ class GraphSearchSpec extends SparkSpec {
       gotByProbe(p).exists(t => !seedSet.contains(t._2))
     }, "walk never left the seed set — vacuous expansion")
   }
+
+  test("eval frontier rows equal the leg queries cell-for-cell") {
+    val frontier = ext.Similarity.queries("sim_eval_frontier")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val legs = Map(
+      "graph" -> "sim_graph_search_eval", "int8" -> "emb_int8_recall",
+      "ivf" -> "sim_ivf_recall_eval", "jl" -> "sim_jl_recall",
+      "matryoshka" -> "emb_matryoshka_recall", "sign" -> "emb_sign_recall")
+    assert(frontier.keySet === legs.keySet)
+    legs.foreach { case (m, q) =>
+      val r = ext.Similarity.queries(q)(spark, sf0001).collect().head
+      val leg = (r.getLong(r.fieldIndex("n_truth")),
+                 r.getLong(r.fieldIndex("n_hit")),
+                 r.getLong(r.fieldIndex("recall_micro")))
+      assert(frontier(m) === leg, s"frontier row $m drifted from $q")
+    }
+  }
 }
