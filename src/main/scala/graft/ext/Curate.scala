@@ -103,6 +103,30 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** Training-export MANIFEST — the last table a curation run hands to
+    * the training job: the fully-curated survivor set (ALL six
+    * [[gateFlags]] gates pass), assigned to 32 fixed shards by the
+    * Knuth-scramble hash (the corpus_shard_plan rule), with per-shard
+    * doc/token counts and the packed-sequence count at the 256-token
+    * context (greedy concatenate-and-chunk ⇒ ceil(tokens/256) =
+    * (n_tokens+255) div 256 — the text_pack length-literal family).
+    * 32 rows out at any corpus scale; non-negative ⇒ div ≡ //. */
+  def trainManifest(spark: SparkSession, dir: String): DataFrame = {
+    val kept = gateFlags(spark, dir)
+      .filter((1 to 6).map(j => col(s"g$j") === 1).reduce(_ && _))
+      .select("doc_id")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"),
+              (Similarity.saltOrd(col("doc_id")) % 32L).cast("int").as("shard"))
+    kept.join(toks, Seq("doc_id"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("n_seqs", expr("(n_tokens + 255) div 256"))
+      .select("shard", "n_docs", "n_tokens", "n_seqs")
+      .orderBy("shard")
+  }
+
   /** Per-SOURCE curation dashboard — the other report a curation run
     * publishes: where the funnel says what each gate cost globally,
     * this says which ingest sources are healthy (doc/token volume,
@@ -140,6 +164,7 @@ object Curate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_curate_funnel" -> funnel _,
     "corpus_gate_report"   -> gateReport _,
+    "corpus_train_manifest" -> trainManifest _,
     "corpus_report"        -> report _)
 
   /** Funnel oracle: composes the shared stage chains — the langid
@@ -189,6 +214,21 @@ object Curate {
       "WHEN g5 = 0 THEN 'contamination' WHEN g6 = 0 THEN 'dedup' " +
       "ELSE 'pass' END AS first_fail " +
       "FROM flags ORDER BY doc_id"),
+    // tm-prefixed tail over the shared flags chain; shard = the
+    // corpus_shard_plan scramble, pack length literal 256 (the
+    // text_pack family); everything non-negative
+    "corpus_train_manifest" -> (
+      gateFlagsCteSql + ", " +
+      "tmk AS (SELECT doc_id FROM flags WHERE g1 = 1 AND g2 = 1 AND g3 = 1 " +
+      "AND g4 = 1 AND g5 = 1 AND g6 = 1), " +
+      "tmt AS (SELECT doc_id, " +
+      s"CAST(${Similarity.saltOrdSql("doc_id")} % 32 AS INTEGER) AS shard, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "tma AS (SELECT t.shard, count(*) AS n_docs, " +
+      "CAST(sum(t.n_tok) AS BIGINT) AS n_tokens " +
+      "FROM tmk k JOIN tmt t USING (doc_id) GROUP BY t.shard) " +
+      "SELECT shard, n_docs, n_tokens, (n_tokens + 255) // 256 AS n_seqs " +
+      "FROM tma ORDER BY shard"),
     "corpus_curate_funnel" -> (
       gateFlagsCteSql + " " +
       "SELECT 0 AS stage_ord, 'ingest' AS stage, " +

@@ -98,4 +98,29 @@ class CurateSpec extends SparkSpec {
     assert(rows.exists(_._4 == "pass") && rows.exists(_._4 != "pass"),
       "fixture must have both kept and dropped docs")
   }
+
+  test("train manifest ties out: survivors = funnel tail, packing exact") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val manifest = Curate.trainManifest(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val c = counts(sf0001)
+    assert(manifest.map(_._2).sum === c(6),
+      "manifest doc total != funnel final survivor count")
+    val passIds = Curate.gateReport(spark, sf0001).collect()
+      .filter(_.getString(8) == "pass").map(_.getLong(0)).toSet
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def saltOrd(id: Long): Long =
+      math.floorMod(math.floorMod(id, 2147483648L) * 2654435761L, 2147483648L)
+    val expect = passIds.groupBy(id => (saltOrd(id) % 32L).toInt)
+      .map { case (s, ids) =>
+        val t = ids.toSeq.map(toks).sum
+        (s, ids.size.toLong, t, (t + 255L) / 256L)
+      }.toSet
+    assert(manifest.toSet === expect)
+    manifest.foreach { case (_, _, t, q) =>
+      assert(q === (t + 255L) / 256L && q * 256L >= t && (q - 1) * 256L < t)
+    }
+  }
 }
