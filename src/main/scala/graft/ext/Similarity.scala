@@ -1035,6 +1035,11 @@ object Similarity {
       "ivf"        -> ivfRecallEval(spark, dir),
       "jl"         -> jlRecallEval(spark, dir),
       "matryoshka" -> matryoshkaRecallEval(spark, dir),
+      // the refined-graph column pair of the descent eval, renamed to
+      // the frontier's (n_hit, recall_micro) contract
+      "nn_descent" -> nnDescentEval(spark, dir)
+        .select(col("n_truth"), col("n_hit_ref").as("n_hit"),
+                col("recall_ref_micro").as("recall_micro")),
       "sign"       -> signRecallEval(spark, dir))
     legs.map { case (m, df) =>
       df.select(lit(m).as("method"), col("n_truth"), col("n_hit"),
@@ -3520,12 +3525,16 @@ object Similarity {
 
   val oracle: Map[String, String] = oracleBase +
     ("sim_eval_frontier" ->
-      (Seq("graph" -> "sim_graph_search_eval",
-           "int8" -> "emb_int8_recall",
-           "ivf" -> "sim_ivf_recall_eval",
-           "jl" -> "sim_jl_recall",
-           "matryoshka" -> "emb_matryoshka_recall",
-           "sign" -> "emb_sign_recall")
-         .map { case (m, q) => frontierLegSql(m, q) }
+      ((Seq("graph" -> "sim_graph_search_eval",
+            "int8" -> "emb_int8_recall",
+            "ivf" -> "sim_ivf_recall_eval",
+            "jl" -> "sim_jl_recall",
+            "matryoshka" -> "emb_matryoshka_recall",
+            "sign" -> "emb_sign_recall")
+          .map { case (m, q) => frontierLegSql(m, q) } :+
+         // descent's refined columns renamed to the frontier contract
+         ("SELECT 'nn_descent' AS method, n_truth, n_hit_ref AS n_hit, " +
+          "recall_ref_micro AS recall_micro " +
+          s"FROM (${oracleBase("sim_nn_descent_eval")}) f_nnd"))
          .mkString(" UNION ALL ") + " ORDER BY method"))
 }

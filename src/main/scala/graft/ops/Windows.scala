@@ -148,7 +148,33 @@ object Windows {
               nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
   }
 
+  /** Cumulative DISTINCT count over a window — the standard workaround
+    * idiom (COUNT(DISTINCT) OVER is unsupported on both engines):
+    * flag each (user, event_type)'s FIRST occurrence with one ranking
+    * window, then a running sum of the flag under the same per-user
+    * order = "distinct event types seen so far" per event. Behavioral
+    * breadth as a curve, per event row; two windows on different keys
+    * ((user, type) then user) — two exchanges is the honest cost of
+    * the idiom, both on bounded per-user slices. */
+  def cumDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_first",
+        (row_number().over(wFirst) === 1).cast("long"))
+      .withColumn("n_types_seen", sum("is_first").over(wRun))
+      .select(col("user_id"), col("event_id"),
+              col("is_first").cast("int").as("is_first"),
+              col("n_types_seen"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_cum_distinct"      -> cumDistinct _,
     "window_first_last"        -> firstLast _,
     "window_ranking_suite"     -> rankingSuite _,
     "window_topk_agg"          -> topkAgg _,
@@ -161,6 +187,17 @@ object Windows {
     "sort_limit"               -> sortLimit _)
 
   val oracle: Map[String, String] = Map(
+    // wc-prefixed; first-occurrence flag + running sum — the
+    // COUNT(DISTINCT) OVER workaround, (ts, event_id) total order
+    "window_cum_distinct" ->
+      ("WITH wcf AS (SELECT user_id, event_id, ts, " +
+       "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type " +
+       "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first " +
+       "FROM events) " +
+       "SELECT user_id, event_id, CAST(is_first AS INTEGER) AS is_first, " +
+       "CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+       "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen " +
+       "FROM wcf ORDER BY user_id, event_id"),
     "window_first_last" ->
       ("SELECT o_orderkey, o_custkey, first_value(o_totalprice) OVER w AS first_price, " +
        "last_value(o_totalprice) OVER w AS last_price, " +

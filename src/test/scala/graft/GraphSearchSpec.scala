@@ -90,15 +90,19 @@ class GraphSearchSpec extends SparkSpec {
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     val legs = Map(
-      "graph" -> "sim_graph_search_eval", "int8" -> "emb_int8_recall",
-      "ivf" -> "sim_ivf_recall_eval", "jl" -> "sim_jl_recall",
-      "matryoshka" -> "emb_matryoshka_recall", "sign" -> "emb_sign_recall")
+      "graph" -> ("sim_graph_search_eval", "n_hit", "recall_micro"),
+      "int8" -> ("emb_int8_recall", "n_hit", "recall_micro"),
+      "ivf" -> ("sim_ivf_recall_eval", "n_hit", "recall_micro"),
+      "jl" -> ("sim_jl_recall", "n_hit", "recall_micro"),
+      "matryoshka" -> ("emb_matryoshka_recall", "n_hit", "recall_micro"),
+      "nn_descent" -> ("sim_nn_descent_eval", "n_hit_ref", "recall_ref_micro"),
+      "sign" -> ("emb_sign_recall", "n_hit", "recall_micro"))
     assert(frontier.keySet === legs.keySet)
-    legs.foreach { case (m, q) =>
+    legs.foreach { case (m, (q, hitCol, recCol)) =>
       val r = ext.Similarity.queries(q)(spark, sf0001).collect().head
       val leg = (r.getLong(r.fieldIndex("n_truth")),
-                 r.getLong(r.fieldIndex("n_hit")),
-                 r.getLong(r.fieldIndex("recall_micro")))
+                 r.getLong(r.fieldIndex(hitCol)),
+                 r.getLong(r.fieldIndex(recCol)))
       assert(frontier(m) === leg, s"frontier row $m drifted from $q")
     }
   }

@@ -53,4 +53,33 @@ class WindowsSpec extends SparkSpec {
     assert(top.length === 10)
     assert(top.head.getAs[Double]("o_totalprice") === maxPrice)
   }
+
+  test("cumulative distinct equals brute running-set recompute") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { xs =>
+      val seen = collection.mutable.Set[String]()
+      xs.sortBy(t => (t._2, t._3)).map { case (u, _, id, t) =>
+        val first = seen.add(t)
+        (u, id) -> ((if (first) 1 else 0, seen.size.toLong))
+      }
+    }.toMap
+    val got = ops.Windows.cumDistinct(spark, sf0001)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+    // the final value per user == that user's true distinct type count
+    val finals = ev.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._4).distinct.length.toLong
+    }
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val lastId = xs.maxBy(t => (t._2, t._3))._3
+      assert(got((u, lastId))._2 === finals(u))
+    }
+  }
 }
