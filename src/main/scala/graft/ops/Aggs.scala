@@ -305,7 +305,36 @@ object Aggs {
       .orderBy("o_orderpriority")
   }
 
+  /** Herfindahl–Hirschman concentration index per market segment — the
+    * "is this segment's revenue concentrated in few customers" number:
+    * HHI = Σ share_i² over customer revenue shares, in exact integer
+    * micro. Money enters as exact cents (round(price·100) — the 2-dp
+    * grain rule), squares ride DECIMAL(38) ≡ DuckDB HUGEINT (Σ s² and
+    * S² overflow BIGINT at ~10¹⁰ cents — the emb_isotropy envelope
+    * pattern), one trailing `div` on non-negative decimals (≡ //).
+    * Two aggregations; |segments| rows out at any scale. */
+  def hhiAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * lit(100)).cast("long")
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+              .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+            Seq("o_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(sum(cents).as("s_cents"))
+      .select(col("c_mktsegment"),
+              col("s_cents").cast("decimal(38,0)").as("sd"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum("sd").as("stot"),
+           sum(expr("sd * sd")).as("ssq"))
+      .select(col("c_mktsegment"), col("n_cust"),
+        col("stot").cast("long").as("total_cents"),
+        expr("CAST((ssq * 1000000) div (stot * stot) AS BIGINT)")
+          .as("hhi_micro"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hhi"            -> hhiAgg _,
     "agg_median"         -> medianAgg _,
     "agg_mode"           -> modeAgg _,
     "agg_hist_quantile"  -> histQuantile _,
@@ -328,6 +357,18 @@ object Aggs {
     // bucket arithmetic (round·100 µ-units, bin() bit length, top-4-bit
     // shifts, 100·cum ≥ q·n rank rule) mirrors histQuantile literally —
     // lockstep only; bin()/length are BIGINT in DuckDB → cast
+    // hh-prefixed; exact cents, HUGEINT squares ≡ DECIMAL(38),
+    // nonneg // == div
+    "agg_hhi" ->
+      ("WITH hhc AS (SELECT c_mktsegment, o_custkey, " +
+       "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS sd " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+       "hha AS (SELECT c_mktsegment, count(*) AS n_cust, " +
+       "CAST(sum(sd) AS HUGEINT) AS stot, CAST(sum(sd * sd) AS HUGEINT) AS ssq " +
+       "FROM hhc GROUP BY 1) " +
+       "SELECT c_mktsegment, n_cust, CAST(stot AS BIGINT) AS total_cents, " +
+       "CAST((ssq * 1000000) // (stot * stot) AS BIGINT) AS hhi_micro " +
+       "FROM hha ORDER BY c_mktsegment"),
     // md-prefixed; lower-median positional rank — exact selection,
     // nonneg so // == div
     "agg_median" ->

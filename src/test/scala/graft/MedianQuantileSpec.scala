@@ -44,6 +44,30 @@ class MedianQuantileSpec extends SparkSpec {
     }
   }
 
+  test("HHI equals brute exact-cents recompute; 1/n ≤ HHI ≤ 1 bounds") {
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val seg = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = o.groupBy(t => seg(t._1)).map { case (s, xs) =>
+      val perCust = xs.groupBy(_._1).values.map(_.map(_._2).sum).toSeq
+      val tot = perCust.map(BigInt(_)).sum
+      val ssq = perCust.map(c => BigInt(c) * BigInt(c)).sum
+      s -> ((perCust.size.toLong, tot.toLong,
+             ((ssq * 1000000) / (tot * tot)).toLong))
+    }
+    val got = ops.Aggs.queries("agg_hhi")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+    got.values.foreach { case (n, _, h) =>
+      assert(h >= 1000000L / n - 1 && h <= 1000000L)
+    }
+  }
+
   test("2-hop reach equals brute BFS-2 recompute; reach ≥ degree") {
     val mu = ext.Similarity.knnMutual(spark, sf0001)
       .select(col("a_id"), col("b_id"))
