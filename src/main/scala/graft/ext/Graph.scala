@@ -695,6 +695,48 @@ object Graph {
       .orderBy("vec_id")
   }
 
+  /** Label homophily of the mutual-kNN graph — do similarity edges
+    * connect same-label vectors more than chance? observed same-label
+    * edge share vs the expected share under endpoint-label
+    * independence (Σ q_l² over the degree-weighted endpoint label
+    * distribution), normalized to the standard homophily index
+    * (obs − exp)/(1 − exp). The sanity gate before trusting
+    * label-propagation or kNN-label-eval outputs: h ≈ 0 means the
+    * graph carries no label signal. Exact integers: shares in micro,
+    * Σ c² rides DECIMAL(38) ≡ HUGEINT (the agg_hhi envelope), the
+    * index numerator is SIGNED → sign-split // in the oracle, plain
+    * div in Spark; all-one-label degenerates to 1e6 via a mirrored
+    * CASE. One |E| join + model-sized label frames. */
+  def labelHomophily(spark: SparkSession, dir: String): DataFrame = {
+    val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
+    val lab = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val e = mu
+      .join(lab.withColumnsRenamed(Map("vec_id" -> "a_id", "label" -> "la")),
+            Seq("a_id"))
+      .join(lab.withColumnsRenamed(Map("vec_id" -> "b_id", "label" -> "lb")),
+            Seq("b_id"))
+    val obs = e.agg(count(lit(1)).as("n_edges"),
+                    sum((col("la") === col("lb")).cast("long")).as("n_same"))
+    val cnt = e.select(col("la").as("l"))
+      .union(e.select(col("lb").as("l")))
+      .groupBy("l").agg(count(lit(1)).as("c"))
+    val exp = cnt.agg(
+      sum(expr("CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))")).as("ssq"),
+      sum("c").as("tot"))
+    obs.crossJoin(broadcast(exp))
+      .withColumn("obs_micro",
+        expr("(n_same * CAST(1000000 AS BIGINT)) div n_edges"))
+      .withColumn("exp_micro",
+        expr("CAST((ssq * 1000000) div (CAST(tot AS DECIMAL(38,0)) * " +
+             "CAST(tot AS DECIMAL(38,0))) AS BIGINT)"))
+      .withColumn("homophily_micro",
+        when(col("exp_micro") === 1000000L, lit(1000000L))
+          .otherwise(expr("((obs_micro - exp_micro) * 1000000) div " +
+                          "(1000000 - exp_micro)")))
+      .select("n_edges", "n_same", "obs_micro", "exp_micro",
+              "homophily_micro")
+  }
+
   /** Degree distribution of the mutual-kNN graph — the one-glance
     * structural health check (a healthy mutual-top-3 graph concentrates
     * at degree ≤ 3; mass at higher degrees means duplicate clusters,
@@ -733,6 +775,7 @@ object Graph {
     "graph_ppr" -> ((s, d) => ppr(s, d)),
     "graph_eigen_centrality" -> ((s, d) => eigenCentrality(s, d)),
     "graph_2hop_reach" -> twoHopReach _,
+    "graph_label_homophily" -> labelHomophily _,
     "graph_label_prop" -> labelProp _)
 
   /** One synchronous label-prop round: majority vote of `labeled`
@@ -1003,6 +1046,29 @@ object Graph {
        pprRound("pp2", "pp3") + " " +
        "SELECT ppn.node AS vec_id, ppn.deg, CAST(ppn.seed AS INTEGER) AS seed, " +
        "pp3.r AS ppr_micro FROM ppn JOIN pp3 USING (node) ORDER BY vec_id"),
+    // lh-prefixed; HUGEINT squares, signed homophily numerator →
+    // sign-split //; all-one-label CASE mirrored
+    "graph_label_homophily" ->
+      (Similarity.knnMutualCteSql + ", " +
+       "lhe AS (SELECT mu.a_id, mu.b_id, x.label AS la, y.label AS lb " +
+       "FROM mu JOIN embeddings x ON mu.a_id = x.vec_id " +
+       "JOIN embeddings y ON mu.b_id = y.vec_id), " +
+       "lho AS (SELECT count(*) AS n_edges, " +
+       "CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_same " +
+       "FROM lhe), " +
+       "lhc AS (SELECT l, count(*) AS c FROM " +
+       "(SELECT la AS l FROM lhe UNION ALL SELECT lb FROM lhe) lhu GROUP BY l), " +
+       "lhx AS (SELECT CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) " +
+       "AS HUGEINT) AS ssq, CAST(sum(c) AS HUGEINT) AS tot FROM lhc), " +
+       "lhf AS (SELECT o.n_edges, o.n_same, " +
+       "(o.n_same * CAST(1000000 AS BIGINT)) // o.n_edges AS obs_micro, " +
+       "CAST((x.ssq * 1000000) // (x.tot * x.tot) AS BIGINT) AS exp_micro " +
+       "FROM lho o, lhx x) " +
+       "SELECT n_edges, n_same, obs_micro, exp_micro, " +
+       "CASE WHEN exp_micro = 1000000 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (CASE WHEN obs_micro - exp_micro < 0 THEN -1 ELSE 1 END) * " +
+       "((abs(obs_micro - exp_micro) * 1000000) // (1000000 - exp_micro)) END " +
+       "AS homophily_micro FROM lhf"),
     // h2-prefixed; union of 1-hop and wedge 2-hop, self excluded,
     // DISTINCT before the count
     "graph_2hop_reach" ->

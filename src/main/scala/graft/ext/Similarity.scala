@@ -221,10 +221,13 @@ object Similarity {
     * (each ln rounded to µ-nats FIRST, then exact BIGINT; all
     * non-negative so div ≡ //). One bucket-size agg + a one-row fold —
     * free at any corpus scale. */
-  def bucketEntropy(spark: SparkSession, dir: String): DataFrame = {
+  /** One-row micronized-ln entropy fold over a (key, c) size frame —
+    * shared by [[bucketEntropy]] (LSH buckets) and [[cellBalance]]
+    * (trained-IVF home cells): the two index-health twins must apply
+    * the identical discipline. */
+  private def entropyFold(sizes: DataFrame): DataFrame = {
     def lnMicro(c: Column): Column = round(log(c) * lit(1e6)).cast("long")
-    lshBuckets(spark, dir)
-      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    sizes
       .agg(count(lit(1)).as("n_buckets"), sum("c").as("n_vecs"),
            max("c").as("max_bucket"),
            sum(col("c") * lnMicro(col("c"))).as("sclnc"))
@@ -237,6 +240,23 @@ object Similarity {
       .select("n_buckets", "n_vecs", "max_bucket",
               "h_micro", "h_max_micro", "balance_micro")
   }
+
+  def bucketEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyFold(lshBuckets(spark, dir)
+      .groupBy("bucket").agg(count(lit(1)).as("c")))
+
+  /** IVF cell-balance entropy — the trained-quantizer twin of
+    * [[bucketEntropy]] (random hyperplanes vs learned centroids): the
+    * entropy of HOME-cell occupancy from the memoized assignment
+    * (owner sim_ivf_assign family). Imbalanced cells mean nprobe
+    * recall varies by query region and the per-cell candidate cap
+    * fires early — this is the number that says "retrain the
+    * quantizer". Same fold, same guards, cell-named columns. */
+  def cellBalance(spark: SparkSession, dir: String): DataFrame =
+    entropyFold(ivfAssignRanked(spark, dir).filter(col("rn") === 1)
+      .groupBy("cell").agg(count(lit(1)).as("c")))
+      .toDF("n_cells", "n_vecs", "max_cell",
+            "h_micro", "h_max_micro", "balance_micro")
 
   /** ANN top-3 per query via LSH: self-join within buckets (candidate set
     * ~n/256 per vector instead of n), exact cosine re-rank, keep 3.
@@ -2470,6 +2490,7 @@ object Similarity {
     "sim_graph_search" -> ((s, d) => graphSearch(s, d)),
     "sim_graph_search_eval" -> ((s, d) => graphSearchEval(s, d)),
     "sim_eval_frontier" -> evalFrontier _,
+    "emb_cell_balance" -> cellBalance _,
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
@@ -2996,6 +3017,23 @@ object Similarity {
        "CASE WHEN gsn.n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
        "ELSE (CAST(gsh.n_hit AS BIGINT) * 1000000) // gsn.n_truth END " +
        "AS recall_micro FROM gsn, gsh"),
+    // eb-prefixed; identical fold discipline as sim_bucket_entropy over
+    // the composed chain's home cells (unreferenced CTEs are free —
+    // the emb_cell_purity rule)
+    "emb_cell_balance" ->
+      (ivfTopKCteSql + ", " +
+       "ebc AS (SELECT cell, count(*) AS c FROM home GROUP BY cell), " +
+       "eba AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, " +
+       "CAST(sum(c) AS BIGINT) AS n_vecs, CAST(max(c) AS BIGINT) AS max_cell, " +
+       "CAST(sum(c * CAST(round(ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS sclnc " +
+       "FROM ebc), " +
+       "ebf AS (SELECT n_cells, n_vecs, max_cell, " +
+       "CAST(round(ln(n_vecs) * 1e6) AS BIGINT) - (sclnc // n_vecs) AS h_micro, " +
+       "CAST(round(ln(n_cells) * 1e6) AS BIGINT) AS h_max_micro FROM eba) " +
+       "SELECT n_cells, n_vecs, max_cell, h_micro, h_max_micro, " +
+       "CASE WHEN n_cells = 1 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (h_micro * CAST(1000000 AS BIGINT)) // h_max_micro END " +
+       "AS balance_micro FROM ebf"),
     // be-prefixed; micronized-ln entropy discipline, everything nonneg;
     // the n_buckets=1 guard mirrors the Spark CASE
     "sim_bucket_entropy" ->

@@ -24,6 +24,46 @@ class BucketEntropySpec extends SparkSpec {
     assert(nb > 1L, "single bucket — vacuous fixture")
   }
 
+  test("cell balance equals brute entropy over the home-cell sizes") {
+    val cells = ext.Similarity.queries("sim_ivf_assign")(spark, sf0001)
+      .collect().map(r => r.getLong(r.fieldIndex("cell")))
+    def lnM(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    val cs = cells.groupBy(identity).values.map(_.length.toLong).toSeq
+    val n = cs.sum; val nc = cs.size.toLong
+    val h = lnM(n) - cs.map(c => c * lnM(c)).sum / n
+    val r = ext.Similarity.queries("emb_cell_balance")(spark, sf0001)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((nc, n, cs.max)))
+    assert(r.getLong(3) === h)
+    assert(r.getLong(5) ===
+      (if (nc == 1L) 1000000L else h * 1000000L / lnM(nc)))
+  }
+
+  test("label homophily equals brute recompute; signed index in bounds") {
+    val mu = ext.Similarity.knnMutual(spark, sf0001)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lab = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val pairs = mu.map { case (a, b) => (lab(a), lab(b)) }
+    val nEdges = pairs.length.toLong
+    val nSame = pairs.count(p => p._1 == p._2).toLong
+    val obs = nSame * 1000000L / nEdges
+    val ends = pairs.flatMap(p => Seq(p._1, p._2))
+    val tot = BigInt(ends.length)
+    val ssq = ends.groupBy(identity).values
+      .map(v => BigInt(v.length) * BigInt(v.length)).sum
+    val exp = ((ssq * 1000000) / (tot * tot)).toLong
+    val hom = if (exp == 1000000L) 1000000L
+              else (obs - exp) * 1000000L / (1000000L - exp)
+    val r = ext.Graph.queries("graph_label_homophily")(spark, sf0001)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)) === ((nEdges, nSame, obs, exp, hom)))
+    assert(hom >= -1000000L && hom <= 1000000L)
+  }
+
   test("vocab growth equals brute cumulative recompute; monotone") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"))
