@@ -1441,6 +1441,31 @@ object TextOps {
       .orderBy("shard")
   }
 
+  /** Per-source document-length quantiles (p50/p90/p99 token counts by
+    * positional ceil-rank — the time_value_quantiles discipline on the
+    * corpus: exact integer SELECTION, zero float arithmetic). The
+    * length profile a mixture designer reads next to the KS drift
+    * number; one window pass per source + a conditional agg. */
+  def lenQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tok").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(max("n").as("n_docs"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("n_tok")))
+          .as("p50_tok"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("n_tok")))
+          .as("p90_tok"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("n_tok")))
+          .as("p99_tok"))
+      .orderBy("source")
+  }
+
   /** Vocabulary growth curve (Heaps' law checkpoints) — distinct-token
     * count after the first {50, 100, 250, 500} documents in arrival
     * (doc_id) order, with the running TTR. The companion of
@@ -2226,6 +2251,7 @@ object TextOps {
     "text_jsd_drift" -> jsdDrift _,
     "text_ttr" -> ttr _,
     "corpus_vocab_growth" -> vocabGrowth _,
+    "text_len_quantiles" -> lenQuantiles _,
     "corpus_shard_plan" -> shardPlan _,
     "text_vocab_overlap" -> vocabOverlap _,
     "text_skipgram_pmi" -> ((s, d) => skipgramPmi(s, d)),
@@ -2663,6 +2689,19 @@ object TextOps {
        "(CASE WHEN kl_pm_micro + kl_qm_micro < 0 THEN -1 ELSE 1 END) * " +
        "(abs(kl_pm_micro + kl_qm_micro) // 2) AS jsd_micro " +
        "FROM jdf ORDER BY source"),
+    // lq-prefixed; ceil-rank (q·n+99)//100 under the (n_tok, doc_id)
+    // order — the time_value_quantiles discipline on token counts
+    "text_len_quantiles" ->
+      ("WITH lqr AS (SELECT source, " +
+       "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, " +
+       "row_number() OVER (PARTITION BY source " +
+       "ORDER BY len(string_split(text, ' ')), doc_id) AS rn, " +
+       "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+       "SELECT source, CAST(max(n) AS BIGINT) AS n_docs, " +
+       "max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_tok END) AS p50_tok, " +
+       "max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_tok END) AS p90_tok, " +
+       "max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_tok END) AS p99_tok " +
+       "FROM lqr GROUP BY source ORDER BY source"),
     // vg-prefixed; cut literals lockstep with VocabGrowthCuts
     "corpus_vocab_growth" ->
       ("WITH vgc AS (SELECT CAST(cut AS BIGINT) AS cut FROM " +

@@ -333,7 +333,45 @@ object Aggs {
       .orderBy("c_mktsegment")
   }
 
+  /** Gini coefficient of customer spend per segment — the inequality
+    * companion of [[hhiAgg]] (HHI reads top-heaviness, Gini the whole
+    * Lorenz curve): G = 2·Σ i·s₍ᵢ₎/(n·S) − (n+1)/n over spend sorted
+    * ascending (ties by custkey — deterministic ranks). Exact integer
+    * micro: cents in, the rank-weighted sum rides DECIMAL(38) ≡
+    * HUGEINT (i·s terms overflow BIGINT at ~10⁸ customers × 10¹⁰
+    * cents), two floor divisions subtracted — the result can round a
+    * µ negative at perfect equality, which the spec bounds. One
+    * per-segment sort (the exact-statistic cost, as agg_median). */
+  def giniAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = round(col("o_totalprice") * lit(100)).cast("long")
+    val spend = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+              .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+            Seq("o_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(sum(cents).as("s_cents"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("s_cents").asc, col("o_custkey").asc)
+    spend.withColumn("i", row_number().over(w).cast("long"))
+      .select(col("c_mktsegment"),
+        expr("CAST(i AS DECIMAL(38,0)) * CAST(s_cents AS DECIMAL(38,0))")
+          .as("is_"),
+        col("s_cents").cast("decimal(38,0)").as("sd"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum("sd").as("stot"),
+           sum("is_").as("wsum"))
+      .select(col("c_mktsegment"), col("n_cust"),
+        col("stot").cast("long").as("total_cents"),
+        (expr("CAST((wsum * 2000000) div (CAST(n_cust AS DECIMAL(38,0)) * stot) " +
+              "AS BIGINT)") -
+         expr("((n_cust + 1) * CAST(1000000 AS BIGINT)) div n_cust"))
+          .as("gini_micro"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini"           -> giniAgg _,
     "agg_hhi"            -> hhiAgg _,
     "agg_median"         -> medianAgg _,
     "agg_mode"           -> modeAgg _,
@@ -357,6 +395,24 @@ object Aggs {
     // bucket arithmetic (round·100 µ-units, bin() bit length, top-4-bit
     // shifts, 100·cum ≥ q·n rank rule) mirrors histQuantile literally —
     // lockstep only; bin()/length are BIGINT in DuckDB → cast
+    // gn-prefixed; rank-weighted HUGEINT sum, ascending (spend, key)
+    // rank order lockstep with giniAgg; both // operands nonneg (the
+    // SUBTRACTION is where the sign can appear — no division after it)
+    "agg_gini" ->
+      ("WITH gnc AS (SELECT c_mktsegment, o_custkey, " +
+       "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_cents " +
+       "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+       "gnr AS (SELECT c_mktsegment, s_cents, row_number() OVER (" +
+       "PARTITION BY c_mktsegment ORDER BY s_cents ASC, o_custkey ASC) AS i " +
+       "FROM gnc), " +
+       "gna AS (SELECT c_mktsegment, count(*) AS n_cust, " +
+       "CAST(sum(CAST(s_cents AS HUGEINT)) AS HUGEINT) AS stot, " +
+       "CAST(sum(CAST(i AS HUGEINT) * CAST(s_cents AS HUGEINT)) AS HUGEINT) " +
+       "AS wsum FROM gnr GROUP BY 1) " +
+       "SELECT c_mktsegment, n_cust, CAST(stot AS BIGINT) AS total_cents, " +
+       "CAST((wsum * 2000000) // (CAST(n_cust AS HUGEINT) * stot) AS BIGINT) - " +
+       "((n_cust + 1) * CAST(1000000 AS BIGINT)) // n_cust AS gini_micro " +
+       "FROM gna ORDER BY c_mktsegment"),
     // hh-prefixed; exact cents, HUGEINT squares ≡ DECIMAL(38),
     // nonneg // == div
     "agg_hhi" ->

@@ -68,6 +68,56 @@ class MedianQuantileSpec extends SparkSpec {
     }
   }
 
+  test("gini equals brute rank-weighted recompute; bounds; HHI coherence") {
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val seg = Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = o.groupBy(t => seg(t._1)).map { case (s, xs) =>
+      val perCust = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy { case (k, c) => (c, k) }
+      val n = perCust.size.toLong
+      val tot = perCust.map(t => BigInt(t._2)).sum
+      val wsum = perCust.zipWithIndex
+        .map { case ((_, c), i) => BigInt(i + 1) * BigInt(c) }.sum
+      val g = ((wsum * 2000000) / (BigInt(n) * tot)).toLong -
+        (n + 1) * 1000000L / n
+      s -> ((n, tot.toLong, g))
+    }
+    val got = ops.Aggs.queries("agg_gini")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+    got.values.foreach { case (_, _, g) =>
+      assert(g >= -2L && g < 1000000L)
+    }
+  }
+
+  test("per-source length quantiles equal brute ceil-rank picks") {
+    val d = Tables.documents(spark, sf0001)
+      .select(col("source"), col("doc_id"),
+              size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = d.groupBy(_._1).map { case (s, xs) =>
+      val v = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      val n = v.length.toLong
+      def pick(q: Long) = v(((n * q + 99) / 100 - 1).toInt)
+      s -> ((n, pick(50), pick(90), pick(99)))
+    }
+    val got = ext.TextOps.queries("text_len_quantiles")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0),
+                 (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expect)
+    got.values.foreach { case (_, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("2-hop reach equals brute BFS-2 recompute; reach ≥ degree") {
     val mu = ext.Similarity.knnMutual(spark, sf0001)
       .select(col("a_id"), col("b_id"))
