@@ -358,9 +358,13 @@ object Dedup {
     * min-agg + one join-back, no pair expansion anywhere. Docs too
     * short for a shingle read novelty 1e6 (nothing seen before —
     * mirrored CASE). */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val n = 3
-    val sh = Tables.documents(spark, dir)
+  /** UNCAPPED distinct hashed n-gram shingles per doc — the raw
+    * (doc_id, h1, h2) frame [[ngramNovelty]] and [[dfHist]] read
+    * (candidate stages go through the capped [[shingleGroups]]
+    * instead). */
+  private def hashedShingles(spark: SparkSession, dir: String,
+                             n: Int): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
@@ -370,6 +374,9 @@ object Dedup {
               polyHash(col("sh"), 31L, P1).as("h1"),
               polyHash(col("sh"), 131L, P2).as("h2"))
       .distinct()
+
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(spark, dir, 3)
     val first = sh.groupBy("h1", "h2").agg(min("doc_id").as("fd"))
     val perDoc = sh.join(first, Seq("h1", "h2"))
       .groupBy("doc_id")
@@ -384,6 +391,38 @@ object Dedup {
         when(col("n_sh") === 0L, lit(1000000L))
           .otherwise(expr("(n_novel * CAST(1000000 AS BIGINT)) div n_sh")))
       .orderBy("doc_id")
+  }
+
+  /** Shingle document-frequency HISTOGRAM — the tuning evidence behind
+    * [[MaxShingleDf]] (= 100): how many distinct 3-gram shingles land
+    * in each power-of-two DF band, their posting mass, and — the cell
+    * that justifies the cap — how many sit OVER the cap (exactly the
+    * shingles [[shingleGroups]] drops from candidate generation, each
+    * of which would have contributed O(df²) pairs). Band edges are
+    * powers of two up to the cap boundary, mirrored literally in the
+    * oracle. Linear: one hashed-shingle aggregation, ≤ 9 rows out. */
+  def dfHist(spark: SparkSession, dir: String): DataFrame = {
+    val df = hashedShingles(spark, dir, 3)
+      .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+    val bucketId = when(col("df") === 1L, 0).when(col("df") <= 2L, 1)
+      .when(col("df") <= 4L, 2).when(col("df") <= 8L, 3)
+      .when(col("df") <= 16L, 4).when(col("df") <= 32L, 5)
+      .when(col("df") <= 64L, 6).when(col("df") <= MaxShingleDf.toLong, 7)
+      .otherwise(8)
+    val names = Seq("df_1", "df_2", "df_3_4", "df_5_8", "df_9_16",
+                    "df_17_32", "df_33_64", s"df_65_$MaxShingleDf", "over_cap")
+    val bucketName = names.zipWithIndex.foldRight(lit("?")) {
+      case ((s, i), rest) => when(col("bucket_id") === i, s).otherwise(rest)
+    }
+    val agg = df.withColumn("bucket_id", bucketId)
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
+    agg.crossJoin(broadcast(agg.agg(sum("n_shingles").as("tot"))))
+      .withColumn("bucket", bucketName)
+      .withColumn("share_micro",
+        expr("(n_shingles * CAST(1000000 AS BIGINT)) div tot"))
+      .select("bucket_id", "bucket", "n_shingles", "n_postings", "share_micro")
+      .orderBy("bucket_id")
   }
 
   /** Dedup SAVINGS report — the economics line the funnel justifies
@@ -1245,6 +1284,7 @@ object Dedup {
     "dedup_incremental"   -> incremental _,
     "dedup_bloom_screen"  -> bloomScreen _,
     "text_ngram_novelty"  -> ngramNovelty _,
+    "dedup_df_hist"       -> dfHist _,
     "corpus_dedup_savings" -> dedupSavings _,
     "dedup_incremental_minhash" -> incrementalMinhash _,
     "dedup_minhash_lsh"   -> minhashLsh _,
@@ -1629,6 +1669,30 @@ object Dedup {
        "SELECT a_id, b_id, inter, sa.sz AS sz_a, sb.sz AS sz_b FROM pr " +
        "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
        "WHERE inter * 5 >= least(sa.sz, sb.sz) * 4"),
+    // fh-prefixed; composes the shingle generator's UNCAPPED sh0
+    // (double-hash keys); band edges powers of two to the cap boundary
+    // (MaxShingleDf lockstep); over_cap = the shingles the candidate
+    // stage drops
+    "dedup_df_hist" -> {
+      val names = Seq("df_1", "df_2", "df_3_4", "df_5_8", "df_9_16",
+                      "df_17_32", "df_33_64", s"df_65_$MaxShingleDf",
+                      "over_cap")
+      val nameCase = names.zipWithIndex
+        .map { case (s, i) => s"WHEN $i THEN '$s'" }.mkString(" ")
+      (s"WITH ${shingleCteFor(3, "fh", "")}, " +
+       "fhd AS (SELECT h1, h2, count(*) AS df FROM fhsh0 GROUP BY h1, h2), " +
+       "fhb AS (SELECT CASE WHEN df = 1 THEN 0 WHEN df <= 2 THEN 1 " +
+       "WHEN df <= 4 THEN 2 WHEN df <= 8 THEN 3 WHEN df <= 16 THEN 4 " +
+       "WHEN df <= 32 THEN 5 WHEN df <= 64 THEN 6 " +
+       s"WHEN df <= $MaxShingleDf THEN 7 ELSE 8 END AS bucket_id, df FROM fhd), " +
+       "fha AS (SELECT bucket_id, count(*) AS n_shingles, " +
+       "CAST(sum(df) AS BIGINT) AS n_postings FROM fhb GROUP BY bucket_id), " +
+       "fht AS (SELECT CAST(sum(n_shingles) AS BIGINT) AS tot FROM fha) " +
+       s"SELECT bucket_id, CASE bucket_id $nameCase ELSE '?' END AS bucket, " +
+       "n_shingles, n_postings, " +
+       "(n_shingles * CAST(1000000 AS BIGINT)) // tot AS share_micro " +
+       "FROM fha, fht ORDER BY bucket_id")
+    },
     // nv-prefixed; STRING shingles where Spark keys on the 16-byte
     // double hash (equal absent a 2^-59 collision — the shingleGroups
     // rule); short docs (< 3 tokens) read novelty 1e6 via the CASE

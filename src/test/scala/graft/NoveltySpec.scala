@@ -36,6 +36,31 @@ class NoveltySpec extends SparkSpec {
     assert(got.values.map(_._3).toSet.size > 1, "constant novelty — vacuous")
   }
 
+  test("df histogram equals brute shingle-frequency recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dfs = docs.flatMap { case (id, t) =>
+      val shs: Seq[String] = t.split(" ").sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq.distinct
+      shs.map(sh => (id, sh))
+    }.groupBy(_._2).values.map(_.length.toLong).toSeq
+    def bucket(df: Long): Int =
+      if (df == 1) 0 else if (df <= 2) 1 else if (df <= 4) 2
+      else if (df <= 8) 3 else if (df <= 16) 4 else if (df <= 32) 5
+      else if (df <= 64) 6 else if (df <= 100) 7 else 8
+    val expect = dfs.groupBy(bucket).map { case (b, xs) =>
+      b -> ((xs.size.toLong, xs.sum, xs.size.toLong * 1000000L / dfs.size))
+    }
+    val got = ext.Dedup.queries("dedup_df_hist")(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expect)
+    assert(got.values.map(_._1).sum === dfs.size.toLong)
+    assert(got.size >= 2, "one-band histogram — vacuous fixture")
+  }
+
   test("savings report consistent with keep list and token totals") {
     val keep = ext.Dedup.queries("dedup_keep")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
