@@ -414,9 +414,13 @@ object Dedup {
     val bucketName = names.zipWithIndex.foldRight(lit("?")) {
       case ((s, i), rest) => when(col("bucket_id") === i, s).otherwise(rest)
     }
+    // ≤ 9 rows; localCheckpoint so the corpus-scale shingle agg runs
+    // ONCE — referencing the same plan twice (agg + its total) would
+    // otherwise risk a double scan if exchange reuse doesn't fire
     val agg = df.withColumn("bucket_id", bucketId)
       .groupBy("bucket_id")
       .agg(count(lit(1)).as("n_shingles"), sum("df").as("n_postings"))
+      .localCheckpoint()
     agg.crossJoin(broadcast(agg.agg(sum("n_shingles").as("tot"))))
       .withColumn("bucket", bucketName)
       .withColumn("share_micro",

@@ -911,6 +911,98 @@ object Similarity {
           .as("precision_micro"))
   }
 
+  // ---- reciprocal-rank fusion of two retrieval tiers ----
+
+  /** Per-leg candidate depth and the standard RRF smoothing constant
+    * (K = 60, Cormack/Clarke/Buettcher 2009) — both mirrored as
+    * literals in the oracle chain (lockstep). Depth 8 matches
+    * [[SignShortlist]] so the two fused legs contribute symmetric
+    * list lengths. */
+  private val RrfDepth = 8
+  private val RrfK = 60
+
+  /** Reciprocal-rank FUSION of the two cheap retrieval tiers the index
+    * already serves — the standard hybrid-retrieval shape (fuse a
+    * lexical/coarse ranking with a semantic one by rank, never by
+    * score, because the legs' score scales are incomparable): per
+    * probe, leg A = the IVF multi-probe ranking (top-[[RrfDepth]] by
+    * 6-dp cosine), leg B = the sign-bit Hamming shortlist ranking
+    * (top-[[SignShortlist]] by hd), fused by
+    * score = Σ_legs 1e6 div ([[RrfK]] + rank) — EXACT integer
+    * arithmetic (nonneg ⇒ div ≡ //), so both engines fuse
+    * bit-identically; a candidate missing from one leg simply
+    * contributes 0 (the FULL OUTER join). Final rank under
+    * (score desc, b_id asc), top-3 out. Cost: two already-bounded
+    * shortlists per probe — |probes|·8 rows each — one outer join on
+    * (a_id, b_id), no new corpus scan; at 100 TB the fusion stage is
+    * query-side-only work. */
+  def rrfFusion(spark: SparkSession, dir: String,
+                probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wa = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val legA = ivfCandidates(spark, dir)
+      .filter(col("a_id") < probeN)
+      .withColumn("ra", row_number().over(wa))
+      .filter(col("ra") <= RrfDepth)
+      .select("a_id", "b_id", "ra")
+    val wb = Window.partitionBy("a_id").orderBy(col("hd").asc, col("b_id").asc)
+    val legB = signShortlist(spark, dir, probeN)
+      .withColumn("rb", row_number().over(wb))
+      .select("a_id", "b_id", "rb")
+    val wf = Window.partitionBy("a_id")
+      .orderBy(col("rrf_micro").desc, col("b_id").asc)
+    legA.join(legB, Seq("a_id", "b_id"), "full_outer")
+      .withColumn("rrf_micro",
+        expr(s"coalesce(CAST(1000000 AS BIGINT) div ($RrfK + ra), " +
+             "CAST(0 AS BIGINT)) + " +
+             s"coalesce(CAST(1000000 AS BIGINT) div ($RrfK + rb), " +
+             "CAST(0 AS BIGINT))"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("rrf_micro"),
+              col("rn").cast("int").as("rn"))
+  }
+
+  /** RRF recall eval — does rank fusion of the IVF and sign tiers beat
+    * either alone? Same fixed-probe/truth contract and micro-unit
+    * outputs as [[ivfRecallEval]]/[[signRecallEval]]; the eighth
+    * frontier leg. The fused top-3 can only draw from the union of
+    * the two legs' shortlists, so its recall is bounded by the union's
+    * — the measured number tells whether rank agreement (a candidate
+    * surfacing in BOTH cheap tiers) is a better top-3 signal than
+    * either tier's own score. */
+  def rrfRecallEval(spark: SparkSession, dir: String,
+                    probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("nrm").as("qnrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val truth = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        Num.rnd(dotCols(col("embedding"), col("qv")) /
+                  (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val screen = rrfFusion(spark, dir, probeN).select("a_id", "b_id")
+    val hit = truth.join(screen, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(screen.agg(count(lit(1)).as("n_screen")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_screen"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
+          .as("precision_micro"))
+  }
+
   // ---- greedy graph search over the mutual-kNN graph (HNSW layer-0) ----
 
   /** Beam width and expansion rounds for [[graphSearch]] — mirrored as
@@ -1041,9 +1133,10 @@ object Similarity {
   }
 
   /** The recall-vs-method FRONTIER — the one-table summary an ANN
-    * deployment decision actually reads: all six single-number recall
+    * deployment decision actually reads: all eight single-number recall
     * evals (IVF index, sign-bit binary, int8, JL projection,
-    * Matryoshka prefix, graph walk) side by side under the SAME fixed
+    * Matryoshka prefix, graph walk, NN-descent, RRF fusion) side by
+    * side under the SAME fixed
     * probe set and truth definition. Pure composition: each leg IS the
     * registered eval query (Spark functions and oracle SQL both —
     * lockstep by construction), so the frontier can never disagree
@@ -1060,6 +1153,7 @@ object Similarity {
       "nn_descent" -> nnDescentEval(spark, dir)
         .select(col("n_truth"), col("n_hit_ref").as("n_hit"),
                 col("recall_ref_micro").as("recall_micro")),
+      "rrf"        -> rrfRecallEval(spark, dir),
       "sign"       -> signRecallEval(spark, dir))
     legs.map { case (m, df) =>
       df.select(lit(m).as("method"), col("n_truth"), col("n_hit"),
@@ -2504,6 +2598,8 @@ object Similarity {
     "emb_sign_bits"    -> signBits _,
     "sim_hamming_topk" -> ((s, d) => hammingTopK(s, d)),
     "emb_sign_recall"  -> ((s, d) => signRecallEval(s, d)),
+    "sim_rrf_fusion"   -> ((s, d) => rrfFusion(s, d)),
+    "sim_rrf_recall"   -> ((s, d) => rrfRecallEval(s, d)),
     "emb_rand_proj"    -> randProj _,
     "sim_jl_recall"    -> ((s, d) => jlRecallEval(s, d)),
     "emb_matryoshka_recall" -> ((s, d) => matryoshkaRecallEval(s, d)),
@@ -2993,7 +3089,8 @@ object Similarity {
        "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id ASC LIMIT 10"),
     "sim_lsh_buckets" ->
       s"SELECT vec_id, CAST($bucketSql AS INTEGER) AS bucket FROM embeddings",
-    // gs-prefixed; beam B=4 / 2 rounds / entry = min graph node / probe
+    // gs-prefixed; beam B=4 / 2 rounds / entry = sign-bit Hamming top-4
+    // (gsb0) / probe
     // vec_id < 100 — all lockstep with graphSearch; UNION dedups ≡
     // .distinct(); search and eval share the chain (move both or
     // neither)
@@ -3330,6 +3427,36 @@ object Similarity {
        "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
        "FROM sgcm"),
+    // rf-prefixed; RRF composes BOTH shared chains (ivfTopKCteSql's `r`
+    // + signCteSql's `sgsh`) then fuses by exact integer
+    // 1e6 // (60 + rank) — depth 8 / K=60 literals mirror
+    // RrfDepth/RrfK (lockstep); fusion and recall share the chain
+    // (move both or neither); nonneg scores so // ≡ div
+    "sim_rrf_fusion" ->
+      (rrfCteSql + " " +
+       "SELECT a_id, b_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, " +
+       "CAST(rn AS INTEGER) AS rn FROM rfr WHERE rn <= 3"),
+    "sim_rrf_recall" ->
+      (rrfCteSql + ", " +
+       "rfs AS (SELECT a_id, b_id FROM rfr WHERE rn <= 3), " +
+       "rft AS (SELECT q.vec_id AS a_id, x.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+       "q.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings q ON x.vec_id <> q.vec_id " +
+       "WHERE q.vec_id < 100), " +
+       "rftr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM rft) t WHERE rn <= 3), " +
+       "rfht AS (SELECT a_id, b_id FROM rftr JOIN rfs USING (a_id, b_id)), " +
+       "rfcm AS (SELECT (SELECT count(*) FROM rftr) AS n_truth, " +
+       "(SELECT count(*) FROM rfs) AS n_screen, " +
+       "(SELECT count(*) FROM rfht) AS n_hit) " +
+       "SELECT n_truth, n_screen, n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+       "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
+       "FROM rfcm"),
     // JL family: integer micro-coordinate chain shared by both queries;
     // projected similarity = exact BIGINT dot/norms, one double divide,
     // 6-dp round — both engines fold identical integers
@@ -3554,6 +3681,24 @@ object Similarity {
     "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
     "ORDER BY sim DESC, b_id ASC) AS rn FROM p)"
 
+  /** The RRF chain through `rfr` (rf-prefixed names rfa/rfb/rff/rfr
+    * claimed; recall adds rfs/rft/rftr/rfht/rfcm) — composes
+    * [[ivfTopKCteSql]]'s `r` and [[signCteSql]]'s `sgsh`; shared by
+    * sim_rrf_fusion and sim_rrf_recall so the serving and eval paths
+    * can never drift. Depth/K literals = [[RrfDepth]]/[[RrfK]]. */
+  private def rrfCteSql: String =
+    ivfTopKCteSql + ", " + signCteSql + ", " +
+    s"rfa AS (SELECT a_id, b_id, rn AS ra FROM r WHERE a_id < 100 AND rn <= $RrfDepth), " +
+    "rfb AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id " +
+    "ORDER BY hd ASC, b_id ASC) AS rb FROM sgsh), " +
+    "rff AS (SELECT coalesce(a.a_id, b.a_id) AS a_id, " +
+    "coalesce(a.b_id, b.b_id) AS b_id, " +
+    s"coalesce(CAST(1000000 AS BIGINT) // ($RrfK + a.ra), 0) + " +
+    s"coalesce(CAST(1000000 AS BIGINT) // ($RrfK + b.rb), 0) AS rrf_micro " +
+    "FROM rfa a FULL JOIN rfb b ON a.a_id = b.a_id AND a.b_id = b.b_id), " +
+    "rfr AS (SELECT a_id, b_id, rrf_micro, row_number() OVER (" +
+    "PARTITION BY a_id ORDER BY rrf_micro DESC, b_id ASC) AS rn FROM rff)"
+
   /** The frontier oracle wraps the six REGISTERED leg oracles verbatim
     * as parenthesized subqueries (CTE names stay scoped per leg), so
     * frontier and legs move together by construction. */
@@ -3568,6 +3713,7 @@ object Similarity {
             "ivf" -> "sim_ivf_recall_eval",
             "jl" -> "sim_jl_recall",
             "matryoshka" -> "emb_matryoshka_recall",
+            "rrf" -> "sim_rrf_recall",
             "sign" -> "emb_sign_recall")
           .map { case (m, q) => frontierLegSql(m, q) } :+
          // descent's refined columns renamed to the frontier contract

@@ -210,16 +210,14 @@ object Sources {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
               col("o_orderpriority"))
     base.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      base.filter(col("o_orderpriority") === "1-URGENT")
-        .withColumn("o_totalprice", Num.rnd(col("o_totalprice") * 0.9, 2))
-        .write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-write option (takes precedence over the session conf) — never
+    // mutate the session-global partitionOverwriteMode: a concurrent
+    // write constructed in the same session would silently inherit it
+    base.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", Num.rnd(col("o_totalprice") * 0.9, 2))
+      .write.partitionBy("o_orderpriority")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(out)
     spark.read.parquet(out)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), Num.rnd(sum("o_totalprice"), 2).as("total"))

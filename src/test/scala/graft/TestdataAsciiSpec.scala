@@ -29,6 +29,26 @@ class TestdataAsciiSpec extends SparkSpec {
     }
   }
 
+  test("rank-selection value columns are non-null at every scale") {
+    // agg_median / time_value_quantiles / text_len_quantiles order by raw
+    // stored values: Spark sorts NULLs FIRST asc, DuckDB LAST — a future
+    // generator emitting NULLs would silently shift positional ranks on
+    // one engine only. Fail loudly here instead (ADVICE round 11).
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/events.parquet").exists()) {
+        assert(Tables.events(spark, dir)
+                 .filter(col("value").isNull).count() === 0L,
+          s"$sf has NULL events.value — rank-selection oracles need an " +
+            "IS NOT NULL guard on BOTH engines before this data is usable")
+        assert(Tables.orders(spark, dir)
+                 .filter(col("o_totalprice").isNull).count() === 0L,
+          s"$sf has NULL orders.o_totalprice — agg_median's positional " +
+            "rank needs an IS NOT NULL guard on BOTH engines")
+      }
+    }
+  }
+
   // A third suspected invariant of this class — "the funnel/scd2/asof
   // strict-ts oracles need microsecond-grain event timestamps" — was
   // investigated and REFUTED: the at-rest nanos DO carry sub-µs
