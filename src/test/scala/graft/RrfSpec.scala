@@ -2,10 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Pins `sim_rrf_fusion` against a fully independent Scala re-derivation
-  * of the whole hybrid pipeline at sf0.001: brute IVF multi-probe ranks
-  * (centroids = vec_id < C rediscovered from the home assignment, top-2
-  * cells by 6-dp cosine, candidates = probe-cell ∩ home-cell members),
+/** Pins `sim_rrf_fusion` against a Scala re-derivation of the FUSION
+  * stage at sf0.001. Two production outputs are deliberately reused as
+  * inputs rather than re-derived — the packed sign words
+  * (`Similarity.signBits`; independence for packWord lives in
+  * SignBitsSpec) and the IVF home assignment (only to discover the cell
+  * count; assignment independence lives in IvfRecallSpec) — everything
+  * downstream is brute: IVF multi-probe ranks (top-2 cells by 6-dp
+  * cosine, candidates = probe-cell ∩ home-cell members),
   * brute sign-bit Hamming ranks (xor+popcount over the packed words),
   * integer RRF scores 1e6/(60+r) summed per pair, top-3 under
   * (score desc, b_id asc). Full-table equality — any drift in the leg
