@@ -280,6 +280,47 @@ object Dedup {
       .orderBy("thr_pct")
   }
 
+  /** PARAGRAPH-level near-dup (round-12 verdict item 5 — Lee et al.
+    * dedup at sub-document granularity): split every doc on the
+    * existing [[TextOps.chunk]] boundaries (non-overlapping 200-char
+    * windows — stride = size, so no unit double-counts), run the SAME
+    * capped 5-gram inverted-index Jaccard pipeline
+    * ([[jaccardPairsOf]] — cap, double-hash keys, exact integer
+    * threshold all inherited, the lockstep rule) with paragraphs as
+    * the unit, keep only CROSS-document pairs, and report each doc's
+    * duplicated-paragraph fraction. This catches the template page
+    * whose doc-level Jaccard is diluted below 0.2 by unique filler: a
+    * shared boilerplate paragraph matches at paragraph grain no matter
+    * how long the host doc is. Unit id = doc_id·10⁶ + chunk_idx (exact
+    * BIGINT for docs < 10⁶ paragraphs and doc_id < 9·10¹²; parent
+    * recovery is a nonneg `div` ≡ `//`). flagged = ≥ half the doc's
+    * paragraphs duplicated (the [[TextOps.dupSpanFrac]] 0.5
+    * convention). Scale: paragraphs ≈ chars/200 — the pipeline's
+    * candidate volume keeps the same DF-cap bound, per-unit shingle
+    * sets are just smaller. */
+  def paraNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val units = TextOps.chunk(spark, dir, 200, 200)
+      .select(col("doc_id"),
+              (col("doc_id") * 1000000L + col("chunk_idx")).as("pid"),
+              col("chunk"))
+    val pairs = jaccardPairsOf(
+      units.select(col("pid").as("doc_id"), col("chunk").as("text")))
+    val crossDoc = pairs
+      .filter(expr("a_id div 1000000") =!= expr("b_id div 1000000"))
+    val dup = crossDoc.select(col("a_id").as("pid"))
+      .union(crossDoc.select(col("b_id").as("pid"))).distinct()
+    val perDoc = units.groupBy("doc_id").agg(count(lit(1)).as("n_para"))
+    val dupPerDoc = dup.select(expr("pid div 1000000").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_para"),
+              coalesce(col("n_dup"), lit(0L)).as("n_dup_para"))
+      .withColumn("dup_frac_micro",
+                  expr("(n_dup_para * 1000000) div n_para"))
+      .withColumn("flagged", (col("dup_frac_micro") >= 500000L).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** ONE-ROW CORPUS DASHBOARD — the governance summary a data owner
     * reads first (and the judge of any downstream number: every other
     * report normalizes by these totals): document/source/token/vocab
@@ -1297,6 +1338,7 @@ object Dedup {
     "dedup_simhash"       -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
+    "dedup_para_neardup"  -> paraNearDup _,
     "corpus_stats_report" -> statsReport _)
 
   /** DuckDB CTE chain for n-gram shingles with the DF cap over a
@@ -1304,12 +1346,15 @@ object Dedup {
     * (df <= cap, within the filtered set) -> capped shingles. `pfx`
     * namespaces the CTEs so two document sets (corpus/batch) compose in
     * one query. */
-  private def shingleCteFor(n: Int, pfx: String, where: String): String =
+  private def shingleCteFor(n: Int, pfx: String, where: String,
+                            from: String = "documents"): String =
     // keys are the mirrored (h1, h2) double polyhash of the shingle —
     // lockstep with [[shingleGroups]]'s long-encoded index; DISTINCT at
-    // the (doc_id, h1, h2) grain = the bounded set's collision-merge
+    // the (doc_id, h1, h2) grain = the bounded set's collision-merge;
+    // `from` lets a derived (doc_id, text) relation (e.g. the paragraph
+    // units of dedup_para_neardup) reuse the capped chain verbatim
     s"${pfx}toks AS (SELECT doc_id, string_split(text, ' ') AS t " +
-    s"FROM documents $where), " +
+    s"FROM $from $where), " +
     s"${pfx}sh0 AS (SELECT DISTINCT doc_id, " +
     s"${polyHashSql("s", 31L, P1)} AS h1, ${polyHashSql("s", 131L, P2)} AS h2 " +
     s"FROM (SELECT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS s " +
@@ -1662,6 +1707,41 @@ object Dedup {
        "JOIN sosrc b ON jac.b_id = b.doc_id) " +
        "SELECT src_a, src_b, count(*) AS n_pairs FROM sop " +
        "GROUP BY src_a, src_b ORDER BY src_a, src_b"),
+    // pnd-prefixed: paragraph units (text_chunk's 200/200 windows,
+    // pid = doc_id*1e6 + idx), the SAME capped shingle chain via
+    // shingleCteFor's `from` relation, the SAME inter*5 >= uni
+    // threshold (jaccard lockstep group), cross-doc pairs only,
+    // per-doc duplicated-paragraph fraction; all quantities nonneg so
+    // // ≡ div; flagged at the 0.5 dupSpanFrac convention
+    "dedup_para_neardup" ->
+      ("WITH pndu AS (SELECT doc_id, " +
+       "doc_id * 1000000 + CAST(i AS BIGINT) AS pid, " +
+       "substr(text, CAST(i * 200 + 1 AS INTEGER), 200) AS ptext " +
+       "FROM documents, UNNEST(range(0, (length(text) - 1) // 200 + 1)) AS u(i) " +
+       "WHERE length(text) > 0), " +
+       shingleCteFor(5, "pnd", "",
+         "(SELECT pid AS doc_id, ptext AS text FROM pndu) ps") + ", " +
+       "pndsz AS (SELECT doc_id, count(*) AS sz FROM pndsh GROUP BY doc_id), " +
+       "pndpr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+       "FROM pndsh x JOIN pndsh y ON x.h1 = y.h1 AND x.h2 = y.h2 " +
+       "AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+       "pndjac AS (SELECT a_id, b_id FROM pndpr " +
+       "JOIN pndsz sa ON sa.doc_id = a_id JOIN pndsz sb ON sb.doc_id = b_id " +
+       "WHERE inter * 5 >= sa.sz + sb.sz - inter), " +
+       "pndx AS (SELECT a_id, b_id FROM pndjac " +
+       "WHERE a_id // 1000000 <> b_id // 1000000), " +
+       "pndd AS (SELECT DISTINCT pid FROM " +
+       "(SELECT a_id AS pid FROM pndx UNION ALL SELECT b_id FROM pndx) t), " +
+       "pndn AS (SELECT doc_id, count(*) AS n_para FROM pndu GROUP BY doc_id), " +
+       "pndc AS (SELECT pid // 1000000 AS doc_id, count(*) AS n_dup " +
+       "FROM pndd GROUP BY 1) " +
+       "SELECT n.doc_id, CAST(n.n_para AS BIGINT) AS n_para, " +
+       "CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_para, " +
+       "(CAST(coalesce(c.n_dup, 0) AS BIGINT) * 1000000) // n.n_para " +
+       "AS dup_frac_micro, " +
+       "CAST((CAST(coalesce(c.n_dup, 0) AS BIGINT) * 1000000) // n.n_para " +
+       ">= 500000 AS INTEGER) AS flagged " +
+       "FROM pndn n LEFT JOIN pndc c USING (doc_id) ORDER BY n.doc_id"),
     // same candidate/stats CTEs as jac, containment threshold instead:
     // smaller side >= 80% contained (inter*5 >= min(sz)*4, exact ints)
     "dedup_containment" ->

@@ -1150,6 +1150,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cut grid for [[qualityRoc]] — per-token log-odds thresholds in
+    * micro-nats (0 = the production gate's own cut, the balanced-prior
+    * log-odds sign). Mirrored literally in the oracle (lockstep). */
+  private val QualityRocCuts = Seq(-200000L, -100000L, -50000L, -20000L,
+    -10000L, 0L, 10000L, 20000L, 50000L, 100000L, 200000L)
+
+  /** Quality-classifier THRESHOLD CURVE (round-12 verdict item 4) — the
+    * number that picks the curation funnel's quality gate: for each
+    * per-token log-odds cut in [[QualityRocCuts]], how many docs the
+    * trained NB scorer would accept and the precision/recall of that
+    * acceptance against the gopher-gate labels the model was trained
+    * on (the standard bootstrap audit: the curve shows where the
+    * learned gate diverges from its own teacher). The cut is applied
+    * WITHOUT division — predicted ⟺ score_micro > cut · n_tok, the
+    * exact integer cross-multiplication form ([[Dedup.thresholdCurve]]
+    * idiom), so a small positive score near a zero cut can never be
+    * lost to truncation, and the cut=0 row's n_pred is BY CONSTRUCTION
+    * [[qualityScoreTrained]]'s keep count (QualityRocSpec pins it).
+    * Scale: one scored-docs frame × an 11-row broadcast grid, one
+    * groupBy(cut) with partial agg — no corpus-wide sort (exact decile
+    * SELECTION would need one; the per-token grid is the scale-honest
+    * sweep). All counts non-negative ⇒ div ≡ `//`. */
+  def qualityRoc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cuts = QualityRocCuts.toDF("cut_micro")
+    val scored = qualityScoreTrained(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("score_micro"))
+    val lab = gopherGates(spark, dir)
+      .select(col("doc_id"), col("gopher_ok").as("y"))
+    val pred = col("score_micro") > col("cut_micro") * col("n_tok")
+    scored.join(lab, Seq("doc_id"))
+      .crossJoin(broadcast(cuts))
+      .groupBy("cut_micro")
+      .agg(
+        sum(when(pred, 1L).otherwise(0L)).as("n_pred"),
+        sum(when(pred && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("cut_micro"), col("n_pred"), col("tp"), col("fp"),
+        col("n_pos"),
+        expr("CASE WHEN n_pred = 0 THEN CAST(1000000 AS BIGINT) " +
+             "ELSE (tp * CAST(1000000 AS BIGINT)) div n_pred END")
+          .as("precision_micro"),
+        expr("CASE WHEN n_pos = 0 THEN CAST(1000000 AS BIGINT) " +
+             "ELSE (tp * CAST(1000000 AS BIGINT)) div n_pos END")
+          .as("recall_micro"))
+      .orderBy("cut_micro")
+  }
+
   /** Cross-document duplicated-span fraction — the scalable proxy for
     * exact-substring dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): per doc, the fraction of its
@@ -2258,6 +2307,7 @@ object TextOps {
     "text_quality_model" -> qualityModel _,
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
+    "text_quality_roc" -> qualityRoc _,
     "text_dup_span_frac" -> dupSpanFrac _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
@@ -3058,6 +3108,31 @@ object TextOps {
        "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id) " +
        "SELECT doc_id, n_tok, score_micro, " +
        "CAST(score_micro > 0 AS INTEGER) AS keep FROM qsc ORDER BY doc_id"),
+    // qr-prefixed tail over the SAME trainer chain (qlab supplies the
+    // labels, qtb/qw the score — train, score and curve move together);
+    // cut grid = QualityRocCuts mirrored literally; predicted is the
+    // division-free cross-multiplied form, counts nonneg so // ≡ div
+    "text_quality_roc" ->
+      (s"WITH $qualityTrainCteSql, " +
+       "qrs AS (SELECT doc_id, count(*) AS n_tok, " +
+       "CAST(sum(w_micro) AS BIGINT) AS score_micro " +
+       "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id), " +
+       "qrc AS (SELECT UNNEST([-200000, -100000, -50000, -20000, -10000, " +
+       "0, 10000, 20000, 50000, 100000, 200000]) AS cut_micro), " +
+       "qrj AS (SELECT c.cut_micro, s.score_micro, s.n_tok, l.y " +
+       "FROM qrs s JOIN qlab l USING (doc_id) CROSS JOIN qrc c), " +
+       "qrg AS (SELECT CAST(cut_micro AS BIGINT) AS cut_micro, " +
+       "CAST(sum(CASE WHEN score_micro > cut_micro * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_pred, " +
+       "CAST(sum(CASE WHEN score_micro > cut_micro * n_tok AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, " +
+       "CAST(sum(CASE WHEN score_micro > cut_micro * n_tok AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, " +
+       "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos " +
+       "FROM qrj GROUP BY cut_micro) " +
+       "SELECT cut_micro, n_pred, tp, fp, n_pos, " +
+       "CASE WHEN n_pred = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (tp * CAST(1000000 AS BIGINT)) // n_pred END AS precision_micro, " +
+       "CASE WHEN n_pos = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (tp * CAST(1000000 AS BIGINT)) // n_pos END AS recall_micro " +
+       "FROM qrg ORDER BY cut_micro"),
     // same segmentations as text_tokens; all sums non-negative so //
     // matches Spark's div
     "text_fertility_by_source" ->

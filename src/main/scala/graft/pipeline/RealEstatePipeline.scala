@@ -125,15 +125,29 @@ object RealEstatePipeline {
                       sampleSeed: Long): (DataFrame, PipelineStats) = {
     val census = readCensus(spark, censusJson)
     val listings = readListings(spark, listingsCsv)
-
-    // audit counts: one cached lineage, one agg per stage boundary —
-    // capability parity with the reference's 13 actions, without the
-    // 13 rescans (SURVEY §3.2 "faithful capability, not faithful waste")
-    val inStates = listings.filter(col("state").isin(targetStates: _*))
-    val cleaned = inStates.na.drop(
-      Seq("price", "zip_code", "house_size", "bed", "bath"))
     val censusKeys = census.select(col("zip_code")).distinct()
-    val covered = cleaned.join(broadcast(censusKeys), Seq("zip_code"), "left_semi")
+
+    // audit counts: the reference prints a count after EVERY stage (13
+    // uncached rescans, SURVEY §3.2). The four stage boundaries are
+    // running-AND predicates, so they fold into ONE conditional
+    // aggregation over ONE listings scan — each sum is exactly the
+    // corresponding staged count (PipelineSpec pins both the values and
+    // the ≤ 2 total CSV scans per run: this agg + the cache fill).
+    // Coverage is a broadcast LEFT join against the distinct census
+    // keys (no row multiplication), marker-null = uncovered.
+    val stateOk = col("state").isin(targetStates: _*)
+    val cleanOk = Seq("price", "zip_code", "house_size", "bed", "bath")
+      .map(col(_).isNotNull).reduce(_ && _)
+    val staged = listings
+      .join(broadcast(censusKeys.withColumn("__census_cov", lit(1))),
+            Seq("zip_code"), "left")
+      .agg(
+        count(lit(1)).as("raw"),
+        sum(when(stateOk, 1L).otherwise(0L)).as("in_states"),
+        sum(when(stateOk && cleanOk, 1L).otherwise(0L)).as("cleaned"),
+        sum(when(stateOk && cleanOk && col("__census_cov").isNotNull, 1L)
+              .otherwise(0L)).as("covered"))
+      .head()
 
     val enriched = transform(listings, census, samplePerState, sampleSeed).cache()
     val audit = enriched.agg(
@@ -142,10 +156,10 @@ object RealEstatePipeline {
     val (joinedN, matchedN) = (audit.getLong(0), audit.getLong(1))
     val stats = PipelineStats(
       censusZips = censusKeys.count(),
-      rawListings = listings.count(),
-      afterStateFilter = inStates.count(),
-      afterNullClean = cleaned.count(),
-      afterCoverage = covered.count(),
+      rawListings = staged.getLong(0),
+      afterStateFilter = staged.getLong(1),
+      afterNullClean = staged.getLong(2),
+      afterCoverage = staged.getLong(3),
       sampled = joinedN, // sample rows == join left side rows (left join)
       joined = joinedN,
       matched = matchedN,

@@ -86,15 +86,40 @@ object CensusRest {
     * completion order, so downstream frames stay deterministic.  The
     * transport must be thread-safe ([[httpTransport]]'s JDK HttpClient
     * is).  `maxConcurrentRequests = 1` degenerates to the reference's
-    * sequential loop shape; callers who also want the Lambda's 0.1 s
-    * pacing (`CensusDataFetch.py:148`) keep using [[fetchRaw]] — a
-    * throttle under a concurrent pool would pace per-thread, which is a
-    * different (and unreferenced) rate contract. */
+    * sequential loop shape.
+    *
+    * `minStartIntervalMs` is the Lambda's 0.1 s pacing
+    * (`CensusDataFetch.py:148`) generalized to a pool: a GLOBAL
+    * request-START spacer shared by every worker — consecutive request
+    * starts are at least the interval apart across ALL threads (an API
+    * rate limit is per caller, never per thread; a per-thread throttle
+    * at pool=4 would hit the API 4× the contracted rate). 0 = unpaced
+    * (the previous behavior). Clock and sleep are injected so
+    * CensusRestSpec pins the contract without wall-clock waits. */
   def fetchRawConcurrent(zips: Seq[String], transport: String => String,
-                         maxConcurrentRequests: Int)
+                         maxConcurrentRequests: Int,
+                         minStartIntervalMs: Long = 0L,
+                         clock: () => Long = System.currentTimeMillis,
+                         sleep: Long => Unit = Thread.sleep)
       : (Seq[RawCensusPayload], Seq[(String, String)]) = {
     require(maxConcurrentRequests >= 1,
       s"maxConcurrentRequests must be >= 1, got $maxConcurrentRequests")
+    require(minStartIntervalMs >= 0L,
+      s"minStartIntervalMs must be >= 0, got $minStartIntervalMs")
+    // global start-spacing limiter: each request claims the next free
+    // slot under the lock, then waits OUT of the lock — so a slow
+    // transport never blocks other workers' slot claims
+    val slotLock = new Object
+    var nextStart = Long.MinValue
+    def pace(): Unit = if (minStartIntervalMs > 0) {
+      val wait = slotLock.synchronized {
+        val now = clock()
+        val at = math.max(now, nextStart)
+        nextStart = at + minStartIntervalMs
+        at - now
+      }
+      if (wait > 0) sleep(wait)
+    }
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(maxConcurrentRequests)
     try {
@@ -102,7 +127,7 @@ object CensusRest {
       // bound. Collect in submission (= input) order.
       val futures = zips.map { z =>
         z -> pool.submit(new java.util.concurrent.Callable[String] {
-          def call(): String = transport(z)
+          def call(): String = { pace(); transport(z) }
         })
       }
       val ok = Seq.newBuilder[RawCensusPayload]

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The per-run deltas of src_bookmark_ingest that the composed query's
+  * oracle can only prove in sum: run 2 consumes EXACTLY the late batch's
+  * files (never re-reads bookmarked ones), run 3 is a true no-op (no
+  * append, no ledger growth), and the final output holds every source
+  * row exactly once. */
+class BookmarkSpec extends SparkSpec {
+
+  private def parquetFilesUnder(p: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(p))
+  }
+
+  test("bookmark ledger skips processed files; re-runs are no-ops") {
+    val in = Tables.scratch("bms_in")
+    val out = Tables.scratch("bms_out")
+    val ledger = Tables.scratch("bms_ledger")
+    Seq(in, out, ledger).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+    }
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def land(b: Int): Unit =
+      base.filter(pmod(col("o_orderkey"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$in/b$b")
+
+    land(0); land(1)
+    val run1 = ops.Sources.bookmarkIngestOnce(spark, in, out, ledger)
+    val filesAfter2Batches = parquetFilesUnder(in)
+    assert(run1 === filesAfter2Batches, "run 1 must consume every landed file")
+    val outAfter1 = spark.read.parquet(out).count()
+
+    land(2)
+    val b2Files = parquetFilesUnder(s"$in/b2")
+    val run2 = ops.Sources.bookmarkIngestOnce(spark, in, out, ledger)
+    assert(run2 === b2Files,
+      s"run 2 must consume only the late batch's $b2Files files, got $run2")
+    val outAfter2 = spark.read.parquet(out).count()
+    val b2Rows = base.filter(pmod(col("o_orderkey"), lit(3)) === 2).count()
+    assert(outAfter2 === outAfter1 + b2Rows, "run 2 appended the wrong rows")
+
+    val ledgerAfter2 = spark.read.parquet(ledger).count()
+    val run3 = ops.Sources.bookmarkIngestOnce(spark, in, out, ledger)
+    assert(run3 === 0, "run 3 saw no new files and must be a no-op")
+    assert(spark.read.parquet(out).count() === outAfter2, "no-op run appended")
+    assert(spark.read.parquet(ledger).count() === ledgerAfter2,
+      "no-op run grew the ledger")
+
+    // every source row ingested exactly once across the three runs
+    val got = spark.read.parquet(out)
+    assert(got.count() === base.count())
+    assert(got.exceptAll(base).isEmpty && base.exceptAll(got).isEmpty,
+      "bookmark ingest lost or duplicated rows")
+    // the ledger is one row per input file — metadata cardinality
+    assert(ledgerAfter2 === parquetFilesUnder(in).toLong)
+  }
+}

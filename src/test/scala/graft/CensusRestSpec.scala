@@ -65,6 +65,37 @@ class CensusRestSpec extends SparkSpec {
     assert(failed === Seq.empty)
   }
 
+  test("fetchRawConcurrent: pool=1 pacing spaces request starts exactly " +
+       "(injected clock, no wall-clock waits)") {
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val starts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val zips = (1 to 5).map(i => f"$i%05d")
+    val (ok, failed) = CensusRest.fetchRawConcurrent(zips,
+      transport = z => { starts.add(clock.get()); s"body-$z" },
+      maxConcurrentRequests = 1, minStartIntervalMs = 100L,
+      clock = () => clock.get(), sleep = ms => { clock.addAndGet(ms); () })
+    // sequential pool: each start lands exactly on its claimed slot
+    assert(starts.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq
+             === Seq(0L, 100L, 200L, 300L, 400L))
+    assert(ok.map(_.zip_code) === zips && failed.isEmpty)
+  }
+
+  test("fetchRawConcurrent: pacing is GLOBAL across the pool, not per-thread") {
+    val clock = new java.util.concurrent.atomic.AtomicLong(0L)
+    val zips = (1 to 8).map(i => f"$i%05d")
+    val (ok, failed) = CensusRest.fetchRawConcurrent(zips,
+      transport = z => s"body-$z",
+      maxConcurrentRequests = 4, minStartIntervalMs = 100L,
+      clock = () => clock.get(), sleep = ms => { clock.addAndGet(ms); () })
+    // 8 requests claim slots 0,100,...,700 on the SHARED limiter, so the
+    // injected clock must advance to at least the last slot. A per-thread
+    // throttle at pool=4 would only advance (8/4 - 1) * 100 = 100 — this
+    // bound is what separates the two contracts.
+    assert(clock.get() >= 700L,
+      s"clock advanced only ${clock.get()} ms — pacing is per-thread, not global")
+    assert(ok.map(_.zip_code) === zips && failed.isEmpty)
+  }
+
   test("decode: positional fields, derivations, sentinel and or-0/or-1 semantics") {
     val raws = Seq(
       // normal: income 85000, pop 39000, college 100+200+50+50=400 of
