@@ -46,7 +46,7 @@ object Bench {
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
       "sim_ivf_topk", "sim_knn_mutual", "sim_pq_codes", "sim_ivfpq_topk",
       "graph_pagerank", "graph_components", "emb_pca_power",
-      "text_contamination", "sim_eval_frontier")
+      "text_contamination", "sim_eval_frontier", "dedup_para_neardup")
     val allOrdered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // optional prefix filter (local scaling runs, e.g. the sf1 heavy-

@@ -298,15 +298,34 @@ object Dedup {
     * convention). Scale: paragraphs ≈ chars/200 — the pipeline's
     * candidate volume keeps the same DF-cap bound, per-unit shingle
     * sets are just smaller. */
-  def paraNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val units = TextOps.chunk(spark, dir, 200, 200)
+  /** Paragraph units shared by the measure ([[paraNearDup]]) and apply
+    * ([[paraExcise]]) halves: non-overlapping 200/200 chunk windows,
+    * pid = doc_id·10⁶ + chunk_idx. */
+  private def paraUnits(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunk(spark, dir, 200, 200)
       .select(col("doc_id"),
               (col("doc_id") * 1000000L + col("chunk_idx")).as("pid"),
               col("chunk"))
-    val pairs = jaccardPairsOf(
-      units.select(col("pid").as("doc_id"), col("chunk").as("text")))
-    val crossDoc = pairs
-      .filter(expr("a_id div 1000000") =!= expr("b_id div 1000000"))
+
+  /** The CROSS-document paragraph near-dup pair frame, memoized
+    * ("parapairs", owner: dedup_para_neardup in Bench's list) — the
+    * shingle pipeline over the paragraph units runs once per (session,
+    * dir) and feeds both the measure and the excise halves. Same-doc
+    * pairs are excluded here (within-doc repetition is
+    * text_repetition's domain); both consumers inherit that rule. */
+  private def paraPairs(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "parapairs"), {
+      val units = paraUnits(spark, dir)
+      jaccardPairsOf(
+        units.select(col("pid").as("doc_id"), col("chunk").as("text")))
+        .filter(expr("a_id div 1000000") =!= expr("b_id div 1000000"))
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    })
+
+  def paraNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val units = paraUnits(spark, dir)
+    val crossDoc = paraPairs(spark, dir)
     val dup = crossDoc.select(col("a_id").as("pid"))
       .union(crossDoc.select(col("b_id").as("pid"))).distinct()
     val perDoc = units.groupBy("doc_id").agg(count(lit(1)).as("n_para"))
@@ -318,6 +337,36 @@ object Dedup {
       .withColumn("dup_frac_micro",
                   expr("(n_dup_para * 1000000) div n_para"))
       .withColumn("flagged", (col("dup_frac_micro") >= 500000L).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Paragraph EXCISE — the apply half of [[paraNearDup]] (the
+    * measure→apply pattern: IVF train→search, text_quality
+    * train→score→roc): drop the b side of every cross-doc near-dup
+    * paragraph pair (pairs are ordered a < b, so the smallest-pid copy
+    * of a duplicated paragraph survives — dedup_keep's min-id
+    * convention at paragraph grain, pairwise, no closure) and report
+    * per doc what excision saves: paragraphs kept/excised, tokens
+    * kept/total, saved_micro = excised-token share. Consumes the
+    * memoized pair frame — zero extra shingle work beyond the measure
+    * half. tok_total ≥ n_para ≥ 1 (a 200-char window always splits to
+    * ≥ 1 token), so the div is non-negative with a nonzero
+    * denominator. */
+  def paraExcise(spark: SparkSession, dir: String): DataFrame = {
+    val units = paraUnits(spark, dir)
+      .withColumn("n_tok", size(split(col("chunk"), " ")).cast("long"))
+    val dropped = paraPairs(spark, dir)
+      .select(col("b_id").as("pid")).distinct()
+      .withColumn("drp", lit(1))
+    units.join(dropped, Seq("pid"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_para"),
+           sum(when(col("drp").isNotNull, 1L).otherwise(0L)).as("n_excised"),
+           sum("n_tok").as("tok_total"),
+           sum(when(col("drp").isNull, col("n_tok")).otherwise(0L))
+             .as("tok_kept"))
+      .withColumn("saved_micro",
+                  expr("((tok_total - tok_kept) * 1000000) div tok_total"))
       .orderBy("doc_id")
   }
 
@@ -1339,6 +1388,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_threshold_curve" -> thresholdCurve _,
     "dedup_para_neardup"  -> paraNearDup _,
+    "dedup_para_excise"   -> paraExcise _,
     "corpus_stats_report" -> statsReport _)
 
   /** DuckDB CTE chain for n-gram shingles with the DF cap over a
@@ -1430,6 +1480,31 @@ object Dedup {
     "jac AS (SELECT a_id, b_id, inter, sa.sz + sb.sz - inter AS uni FROM pr " +
     "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
     "WHERE inter * 5 >= sa.sz + sb.sz - inter)"
+
+  /** Paragraph-unit pair chain through `pndx` (pnd-prefixed names
+    * pndu/pndtoks/pndsh0/pndrare/pndsh/pndsz/pndpr/pndjac/pndx claimed;
+    * neardup adds pndd/pndn/pndc, excise adds pnde/pndk) — the oracle
+    * mirror of [[paraPairs]]: 200/200 chunk units, the capped shingle
+    * chain over the derived relation via [[shingleCteFor]]'s `from`,
+    * the family's inter·5 ≥ uni threshold, cross-doc filter. Shared by
+    * dedup_para_neardup and dedup_para_excise (lockstep). */
+  private def paraPairCte: String =
+    "pndu AS (SELECT doc_id, " +
+    "doc_id * 1000000 + CAST(i AS BIGINT) AS pid, " +
+    "substr(text, CAST(i * 200 + 1 AS INTEGER), 200) AS ptext " +
+    "FROM documents, UNNEST(range(0, (length(text) - 1) // 200 + 1)) AS u(i) " +
+    "WHERE length(text) > 0), " +
+    shingleCteFor(5, "pnd", "",
+      "(SELECT pid AS doc_id, ptext AS text FROM pndu) ps") + ", " +
+    "pndsz AS (SELECT doc_id, count(*) AS sz FROM pndsh GROUP BY doc_id), " +
+    "pndpr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+    "FROM pndsh x JOIN pndsh y ON x.h1 = y.h1 AND x.h2 = y.h2 " +
+    "AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+    "pndjac AS (SELECT a_id, b_id FROM pndpr " +
+    "JOIN pndsz sa ON sa.doc_id = a_id JOIN pndsz sb ON sb.doc_id = b_id " +
+    "WHERE inter * 5 >= sa.sz + sb.sz - inter), " +
+    "pndx AS (SELECT a_id, b_id FROM pndjac " +
+    "WHERE a_id // 1000000 <> b_id // 1000000)"
 
   /** jac → undirected edges → transitive closure → per-doc min-reachable
     * cluster label (`lab`) — the oracle mirror of [[clusters]]. ONE
@@ -1714,22 +1789,7 @@ object Dedup {
     // per-doc duplicated-paragraph fraction; all quantities nonneg so
     // // ≡ div; flagged at the 0.5 dupSpanFrac convention
     "dedup_para_neardup" ->
-      ("WITH pndu AS (SELECT doc_id, " +
-       "doc_id * 1000000 + CAST(i AS BIGINT) AS pid, " +
-       "substr(text, CAST(i * 200 + 1 AS INTEGER), 200) AS ptext " +
-       "FROM documents, UNNEST(range(0, (length(text) - 1) // 200 + 1)) AS u(i) " +
-       "WHERE length(text) > 0), " +
-       shingleCteFor(5, "pnd", "",
-         "(SELECT pid AS doc_id, ptext AS text FROM pndu) ps") + ", " +
-       "pndsz AS (SELECT doc_id, count(*) AS sz FROM pndsh GROUP BY doc_id), " +
-       "pndpr AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
-       "FROM pndsh x JOIN pndsh y ON x.h1 = y.h1 AND x.h2 = y.h2 " +
-       "AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
-       "pndjac AS (SELECT a_id, b_id FROM pndpr " +
-       "JOIN pndsz sa ON sa.doc_id = a_id JOIN pndsz sb ON sb.doc_id = b_id " +
-       "WHERE inter * 5 >= sa.sz + sb.sz - inter), " +
-       "pndx AS (SELECT a_id, b_id FROM pndjac " +
-       "WHERE a_id // 1000000 <> b_id // 1000000), " +
+      (s"WITH $paraPairCte, " +
        "pndd AS (SELECT DISTINCT pid FROM " +
        "(SELECT a_id AS pid FROM pndx UNION ALL SELECT b_id FROM pndx) t), " +
        "pndn AS (SELECT doc_id, count(*) AS n_para FROM pndu GROUP BY doc_id), " +
@@ -1742,6 +1802,24 @@ object Dedup {
        "CAST((CAST(coalesce(c.n_dup, 0) AS BIGINT) * 1000000) // n.n_para " +
        ">= 500000 AS INTEGER) AS flagged " +
        "FROM pndn n LEFT JOIN pndc c USING (doc_id) ORDER BY n.doc_id"),
+    // pnde/pndk tail over the SHARED pnd chain (measure and excise move
+    // together): drop = b side of any cross-doc pair (min-pid survivor,
+    // pairwise); len() is BIGINT in DuckDB, Spark side casts to long
+    "dedup_para_excise" ->
+      (s"WITH $paraPairCte, " +
+       "pnde AS (SELECT DISTINCT b_id AS pid FROM pndx), " +
+       "pndk AS (SELECT u.doc_id, u.pid, " +
+       "CAST(len(string_split(u.ptext, ' ')) AS BIGINT) AS n_tok, " +
+       "CASE WHEN e.pid IS NOT NULL THEN 1 ELSE 0 END AS drp " +
+       "FROM pndu u LEFT JOIN pnde e USING (pid)) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_para, " +
+       "CAST(sum(drp) AS BIGINT) AS n_excised, " +
+       "CAST(sum(n_tok) AS BIGINT) AS tok_total, " +
+       "CAST(sum(CASE WHEN drp = 0 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept, " +
+       "((CAST(sum(n_tok) AS BIGINT) - " +
+       "CAST(sum(CASE WHEN drp = 0 THEN n_tok ELSE 0 END) AS BIGINT)) " +
+       "* 1000000) // CAST(sum(n_tok) AS BIGINT) AS saved_micro " +
+       "FROM pndk GROUP BY doc_id ORDER BY doc_id"),
     // same candidate/stats CTEs as jac, containment threshold instead:
     // smaller side >= 80% contained (inter*5 >= min(sz)*4, exact ints)
     "dedup_containment" ->

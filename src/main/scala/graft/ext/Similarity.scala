@@ -567,8 +567,14 @@ object Similarity {
     * jl, matryoshka, rrf, sign, graph, nn_descent) share only this
     * truth frame — their screens stay their own. probeN is part of the
     * key because specs probe at 10 (the eval-family default is 100). */
-  private[ext] def exactTruthTop3(spark: SparkSession, dir: String,
-                                  probeN: Long): DataFrame =
+  /** The memo holds the RANKED top-[[TruthDepth]] (with rn) so
+    * [[recallAtK]]'s k-sweep and the legs' top-3 slice share ONE
+    * probe × corpus pass; a top-3 slice of the deeper ranking is
+    * identical to ranking-then-cutting at 3 (same window order). */
+  private val TruthDepth = 10
+
+  private[ext] def exactTruthRanked(spark: SparkSession, dir: String,
+                                    probeN: Long): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "simtruth", probeN), {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(spark, dir)
@@ -585,10 +591,15 @@ object Similarity {
                 Num.rnd(dotCols(col("embedding"), col("qv")) /
                           (col("nrm") * col("qnrm")), 6).as("sim"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("a_id", "b_id")
+        .filter(col("rn") <= TruthDepth)
+        .select("a_id", "b_id", "rn")
         .localCheckpoint()
     })
+
+  private[ext] def exactTruthTop3(spark: SparkSession, dir: String,
+                                  probeN: Long): DataFrame =
+    exactTruthRanked(spark, dir, probeN)
+      .filter(col("rn") <= 3).select("a_id", "b_id")
 
   /** Recall gain of the [[nnDescent]] round vs the [[ivfTopK]] baseline
     * it refines — same fixed probe sample and exact ground truth as
@@ -650,6 +661,79 @@ object Similarity {
         expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
           .as("precision_micro"))
+  }
+
+  /** Recall@k CURVE — the other axis of the [[nprobeSweep]] tuning
+    * table: at fixed nprobe, how does the index degrade as the caller
+    * asks for MORE neighbors (k ∈ {1, 3, 5, 10})? Truth-k and screen-k
+    * are both prefix slices of one ranking each (the memoized
+    * [[exactTruthRanked]] frame and one window over the candidate
+    * stage), swept relationally against a 4-row broadcast grid — no
+    * per-k recomputation. The k=3 row reproduces [[ivfRecallEval]]
+    * EXACTLY (RecallAtKSpec pins it), and hits are monotone
+    * non-decreasing in k by the prefix-superset property. k ≤
+    * [[TruthDepth]] by construction. */
+  def recallAtK(spark: SparkSession, dir: String,
+                probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val ks = Seq(1, 3, 5, 10).toDF("k")
+    val ranked = exactTruthRanked(spark, dir, probeN)
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val scr = ivfCandidates(spark, dir).filter(col("a_id") < probeN)
+      .withColumn("srn", row_number().over(w))
+      .select("a_id", "b_id", "srn")
+    val tr = ranked.crossJoin(broadcast(ks)).filter(col("rn") <= col("k"))
+      .select("k", "a_id", "b_id")
+    val sc = scr.crossJoin(broadcast(ks)).filter(col("srn") <= col("k"))
+      .select("k", "a_id", "b_id")
+    val nt = tr.groupBy("k").agg(count(lit(1)).as("n_truth"))
+    val ns = sc.groupBy("k").agg(count(lit(1)).as("n_screen"))
+    val nh = tr.join(sc, Seq("k", "a_id", "b_id"))
+      .groupBy("k").agg(count(lit(1)).as("n_hit"))
+    nt.join(ns, Seq("k")).join(nh, Seq("k"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("k"), col("n_truth"), col("n_screen"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+             "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+             "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
+          .as("precision_micro"))
+      .orderBy("k")
+  }
+
+  /** Index TAKEDOWN search — the governance operation every serving
+    * index needs (right-to-be-forgotten / licensing removal): 10% of
+    * the corpus (vec_id % 10 = 0) is deleted, and search runs over the
+    * SURVIVING index without retraining. Centroids are POSITIONS, not
+    * members — they survive a member takedown — and per-vector cell
+    * assignment is independent, so filtering the live set into the
+    * same memoized-assignment candidate stage (re-capping on the
+    * remaining members) is EXACTLY a from-scratch index over the
+    * remaining corpus; the oracle rebuilds from scratch and the hash
+    * equality is the proof, plus the structural guarantee that no
+    * deleted id can appear in any result. Probe side = the eval-family
+    * fixed sample ∩ live. */
+  def ivfDeleteSearch(spark: SparkSession, dir: String,
+                      probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = ivfAssignRanked(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val probes = emb.filter(col("vec_id") < probeN)
+      .join(ranked.select("vec_id", "cell"), Seq("vec_id"))
+    val indexed = emb.join(ranked.filter(col("rn") === 1)
+                             .select("vec_id", "cell"), Seq("vec_id"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("sim"),
+              col("rn").cast("int").as("rn"))
   }
 
   /** nprobe SWEEP — the tuning table behind the [[NProbe]] doc's
@@ -1334,6 +1418,21 @@ object Similarity {
     * groups concentrate inside one cell; for cross-bucket coverage at
     * lower thresholds use [[embeddingNearDup]] (LSH buckets are
     * similarity-keyed, not partition-of-space). */
+  /** All in-cell candidate pairs (a < b) with their 6-dp cosine, over
+    * the TRAINED home-cell assignment — the un-thresholded frame
+    * [[semanticDedup]] (τ = 0.4) and [[semanticCurve]] (τ grid) both
+    * cut; extracted so the dedup decision and its tuning curve can
+    * never diverge on the candidate stage. */
+  private def semanticPairsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfTrainedRanked(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val withCell = emb.join(
+      ranked.filter(col("rn") === 1).select("vec_id", "cell"), Seq("vec_id"))
+    pairCandidates(withCell, "cell").filter(col("a_id") < col("b_id"))
+  }
+
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val ranked = ivfTrainedRanked(spark, dir)
     val emb = Tables.embeddings(spark, dir)
@@ -1341,8 +1440,7 @@ object Similarity {
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
     val withCell = emb.join(
       ranked.filter(col("rn") === 1).select("vec_id", "cell"), Seq("vec_id"))
-    val dups = pairCandidates(withCell, "cell")
-      .filter(col("a_id") < col("b_id"))
+    val dups = semanticPairsAll(spark, dir)
       .filter(col("sim") >= 0.4)
     // a vector's dup-with-smaller-id count arrives on the b side (a < b)
     val nSmaller = dups.groupBy(col("b_id").as("vec_id"))
@@ -1352,6 +1450,38 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),
         (coalesce(col("n_dups_smaller"), lit(0L)) === 0).cast("int").as("keep"))
+  }
+
+  /** SemDeDup THRESHOLD CURVE — the tuning knob behind
+    * [[semanticDedup]]'s fixed τ = 0.4, the [[Dedup.thresholdCurve]]
+    * idiom applied to the semantic family: for τ ∈ {0.2 .. 0.7} (grid
+    * in exact micro-units, the comparison value derived as
+    * CAST(τµ AS DOUBLE)/1e6 IDENTICALLY on both engines — correctly-
+    * rounded division, so each grid point is the same double the
+    * literal would parse to), count surviving in-cell pairs and the
+    * docs the min-id rule would drop, plus the corpus drop share. The
+    * τ=0.4 row's n_drop is BY CONSTRUCTION dedup_semantic's keep=0
+    * count (SemanticCurveSpec pins it). One un-thresholded pair frame
+    * × a 6-row broadcast grid, one groupBy — the same cell-bounded
+    * candidate volume as the dedup itself, swept for free. */
+  def semanticCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Seq(200000L, 300000L, 400000L, 500000L, 600000L, 700000L)
+      .toDF("tau_micro")
+      .withColumn("tau", col("tau_micro").cast("double") / lit(1e6))
+    val pairs = semanticPairsAll(spark, dir)
+    val nVec = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_vec"))
+    val counted = pairs.crossJoin(broadcast(grid))
+      .filter(col("sim") >= col("tau"))
+      .groupBy("tau_micro")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("b_id").as("n_drop"))
+    grid.select("tau_micro").join(counted, Seq("tau_micro"), "left")
+      .crossJoin(broadcast(nVec))
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("n_drop", coalesce(col("n_drop"), lit(0L)))
+      .withColumn("drop_frac_micro", expr("(n_drop * 1000000) div n_vec"))
+      .select("tau_micro", "n_pairs", "n_drop", "drop_frac_micro")
+      .orderBy("tau_micro")
   }
 
   /** Matryoshka (MRL-style) prefix-truncation recall — the dimension-
@@ -2517,6 +2647,8 @@ object Similarity {
     "sim_nn_descent"   -> nnDescent _,
     "sim_nn_descent_eval" -> ((s, d) => nnDescentEval(s, d)),
     "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
+    "sim_recall_at_k" -> ((s, d) => recallAtK(s, d)),
+    "sim_ivf_delete_search" -> ((s, d) => ivfDeleteSearch(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "emb_int8_recall"  -> ((s, d) => int8RecallEval(s, d)),
     "emb_sign_bits"    -> signBits _,
@@ -2534,6 +2666,7 @@ object Similarity {
     "emb_outlier_report" -> outlierReport _,
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
     "dedup_semantic"   -> semanticDedup _,
+    "dedup_semantic_curve" -> semanticCurve _,
     "dedup_semantic_eval" -> ((s, d) => semanticDedupEval(s, d)),
     "sim_ivf_train_delta" -> ivfTrainDelta _,
     "sim_ivf_incremental_assign" -> ivfIncrementalAssign _,
@@ -2870,6 +3003,27 @@ object Similarity {
        "coalesce(d.n, CAST(0 AS BIGINT)) AS n_dups_smaller, " +
        "CAST(coalesce(d.n, CAST(0 AS BIGINT)) = 0 AS INTEGER) AS keep " +
        "FROM m LEFT JOIN d ON d.b_id = m.vec_id"),
+    // dsc-prefixed tail over the SAME semanticCellCte chain's `p` (the
+    // un-thresholded in-cell pairs — dedup and curve move together);
+    // grid in micro-units, comparison value = CAST(τµ AS DOUBLE)/1e6 on
+    // BOTH engines (correctly-rounded division ≡ the parsed literal);
+    // counts nonneg so // ≡ div
+    "dedup_semantic_curve" ->
+      (s"WITH $semanticCellCte, " +
+       "dscg AS (SELECT UNNEST([200000, 300000, 400000, 500000, 600000, " +
+       "700000]) AS tau_micro), " +
+       "dscc AS (SELECT g.tau_micro, count(*) AS n_pairs, " +
+       "count(DISTINCT p.b_id) AS n_drop FROM p CROSS JOIN dscg g " +
+       "WHERE p.sim >= CAST(g.tau_micro AS DOUBLE) / 1e6 " +
+       "GROUP BY g.tau_micro), " +
+       "dscn AS (SELECT count(*) AS n_vec FROM embeddings) " +
+       "SELECT CAST(g.tau_micro AS BIGINT) AS tau_micro, " +
+       "CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs, " +
+       "CAST(coalesce(c.n_drop, 0) AS BIGINT) AS n_drop, " +
+       "(CAST(coalesce(c.n_drop, 0) AS BIGINT) * 1000000) // n.n_vec " +
+       "AS drop_frac_micro " +
+       "FROM dscg g LEFT JOIN dscc c USING (tau_micro) CROSS JOIN dscn n " +
+       "ORDER BY tau_micro"),
     // composes the SAME semanticCellCte chain as dedup_semantic (the
     // eval can never drift from the decision it measures); probe 100 /
     // 0.4 threshold literals mirror semanticDedupEval — lockstep
@@ -3281,6 +3435,65 @@ object Similarity {
        "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
        "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
        "FROM rcm"),
+    // rk-prefixed tail: truth ranking to depth 10 (TruthDepth lockstep)
+    // and ivfTopKCteSql's full `r` ranking, both prefix-sliced against
+    // the {1,3,5,10} grid; the k=3 row ≡ sim_ivf_recall_eval
+    "sim_recall_at_k" ->
+      (ivfTopKCteSql + ", " +
+       "rkg AS (SELECT UNNEST([1, 3, 5, 10]) AS k), " +
+       "rke AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+       "WHERE x.vec_id < 100), " +
+       "rkr AS (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id " +
+       "ORDER BY sim DESC, b_id ASC) AS rn FROM rke), " +
+       "rkt AS (SELECT g.k, a_id, b_id FROM rkr CROSS JOIN rkg g " +
+       "WHERE rn <= g.k), " +
+       "rks AS (SELECT g.k, a_id, b_id FROM r CROSS JOIN rkg g " +
+       "WHERE a_id < 100 AND rn <= g.k), " +
+       "rkh AS (SELECT t.k, count(*) AS n_hit FROM rkt t JOIN rks s " +
+       "ON t.k = s.k AND t.a_id = s.a_id AND t.b_id = s.b_id GROUP BY t.k), " +
+       "rkn AS (SELECT k, count(*) AS n_truth FROM rkt GROUP BY k), " +
+       "rkm AS (SELECT k, count(*) AS n_screen FROM rks GROUP BY k) " +
+       "SELECT CAST(n.k AS INTEGER) AS k, " +
+       "CAST(n.n_truth AS BIGINT) AS n_truth, " +
+       "CAST(m.n_screen AS BIGINT) AS n_screen, " +
+       "CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit, " +
+       "CASE WHEN n.n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // n.n_truth END " +
+       "AS recall_micro, " +
+       "CASE WHEN m.n_screen = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (CAST(coalesce(h.n_hit, 0) AS BIGINT) * 1000000) // m.n_screen END " +
+       "AS precision_micro " +
+       "FROM rkn n JOIN rkm m USING (k) LEFT JOIN rkh h USING (k) " +
+       "ORDER BY k"),
+    // dl-prefixed from-scratch rebuild over the SURVIVING corpus
+    // (vec_id % 10 <> 0): centroids stay the full seed POSITIONS,
+    // assignment is per-vector independent, the bucket cap re-applies
+    // over live members — hash equality proves filter-the-live-set ≡
+    // rebuild; constants 16 / NProbe / 1024 lockstep with ivfTopKCteSql
+    "sim_ivf_delete_search" ->
+      ("WITH dlc AS (SELECT vec_id AS cell, embedding AS cv " +
+       "FROM embeddings WHERE vec_id < 16), " +
+       "dls AS (SELECT e.vec_id, c.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+       "FROM embeddings e CROSS JOIN dlc c WHERE e.vec_id % 10 <> 0), " +
+       "dlp AS (SELECT vec_id, cell, row_number() OVER (" +
+       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM dls), " +
+       "dlm AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e " +
+       s"JOIN dlp p ON e.vec_id = p.vec_id AND p.rn <= $NProbe " +
+       "WHERE e.vec_id < 100), " +
+       "dlb AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e " +
+       "JOIN dlp h ON e.vec_id = h.vec_id AND h.rn = 1 " +
+       s"QUALIFY row_number() OVER (PARTITION BY h.cell " +
+       s"ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+       "dlpr AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM dlm x JOIN dlb y ON x.cell = y.cell AND x.vec_id <> y.vec_id) " +
+       "SELECT a_id, b_id, sim, CAST(rn AS INTEGER) AS rn FROM (" +
+       "SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+       "ORDER BY sim DESC, b_id ASC) AS rn FROM dlpr) t WHERE rn <= 3 " +
+       "ORDER BY a_id, rn"),
     // sw-prefixed CTE chain; cell count 16 / probe 100 / cap 1024 are
     // the sf0.01 adaptive-knob constants (lockstep rule); the prn<=2
     // slice mirrors sim_ivf_recall_eval's screen exactly
