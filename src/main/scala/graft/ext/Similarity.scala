@@ -736,6 +736,81 @@ object Similarity {
               col("rn").cast("int").as("rn"))
   }
 
+  /** FILTERED vector search — the metadata-predicate ANN every vector
+    * store ships (return neighbors satisfying a filter, here: candidate
+    * label must equal the probe's OWN label — a per-probe predicate,
+    * the hard shape; a global predicate would just pre-filter the
+    * index). PRE-filter semantics by construction: the bucket key is
+    * the COMPOSITE (cell, label) — the equality predicate becomes part
+    * of the join key, so only matching candidates are ever generated
+    * and the bucket cap re-applies per (cell, label) slice, exactly an
+    * index built per label partition (the [[ivfDeleteSearch]]
+    * filter-before-cap rebuild rule; post-filtering a capped top-k
+    * would silently lose recall when the filter is selective). A probe
+    * whose probed cells hold no same-label member returns no rows —
+    * the honest filtered-search contract. */
+  def filteredTopK(spark: SparkSession, dir: String,
+                   probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = ivfAssignRanked(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val probes = emb.filter(col("vec_id") < probeN)
+      .join(ranked.select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("ck", concat_ws("#", col("cell"), col("label")))
+    val indexed = emb.join(ranked.filter(col("rn") === 1)
+                             .select("vec_id", "cell"), Seq("vec_id"))
+      .withColumn("ck", concat_ws("#", col("cell"), col("label")))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    pairCandidatesAB(probes, indexed, "ck", MaxBucketCandidates)
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("sim"),
+              col("rn").cast("int").as("rn"))
+  }
+
+  /** Recall eval for [[filteredTopK]] — truth = the exact SAME-LABEL
+    * top-3 per probe (the filtered contract's own truth; a DIFFERENT
+    * definition than the frontier's unfiltered truth, which is why
+    * this deliberately is NOT a frontier leg — the frontier compares
+    * methods under one truth). Same fixed-probe / micro-unit outputs
+    * as [[ivfRecallEval]]; the number quantifies what the (cell,
+    * label)-sliced index loses at cell boundaries when the predicate
+    * thins each bucket. */
+  def filteredRecallEval(spark: SparkSession, dir: String,
+                         probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val q = emb.filter(col("vec_id") < probeN)
+      .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
+              col("label").as("qlabel"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
+    val truth = fanOut(emb).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("a_id") && col("label") === col("qlabel"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+              Num.rnd(dotCols(col("embedding"), col("qv")) /
+                        (col("nrm") * col("qnrm")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("a_id", "b_id")
+    val screen = filteredTopK(spark, dir, probeN).select("a_id", "b_id")
+    val hit = truth.join(screen, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(screen.agg(count(lit(1)).as("n_screen")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_screen"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
+          .as("precision_micro"))
+  }
+
   /** nprobe SWEEP — the tuning table behind the [[NProbe]] doc's
     * "raise for recall, lower for cost" guidance: for nprobe ∈
     * {1, 2, 4}, candidate volume (the cost proxy — each probed cell
@@ -2649,6 +2724,8 @@ object Similarity {
     "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
     "sim_recall_at_k" -> ((s, d) => recallAtK(s, d)),
     "sim_ivf_delete_search" -> ((s, d) => ivfDeleteSearch(s, d)),
+    "sim_filtered_topk" -> ((s, d) => filteredTopK(s, d)),
+    "sim_filtered_recall" -> ((s, d) => filteredRecallEval(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
     "emb_int8_recall"  -> ((s, d) => int8RecallEval(s, d)),
     "emb_sign_bits"    -> signBits _,
@@ -3494,6 +3571,42 @@ object Similarity {
        "SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
        "ORDER BY sim DESC, b_id ASC) AS rn FROM dlpr) t WHERE rn <= 3 " +
        "ORDER BY a_id, rn"),
+    // fl-prefixed: the composite (cell, label) bucket key expressed as
+    // join equality + a per-(cell,label) cap partition — identical
+    // slicing to Spark's concat_ws key; constants lockstep with
+    // ivfTopKCteSql; chain shared with sim_filtered_recall
+    "sim_filtered_topk" ->
+      (s"WITH $filteredCteSql " +
+       "SELECT a_id, b_id, sim, CAST(rn AS INTEGER) AS rn FROM (" +
+       "SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+       "ORDER BY sim DESC, b_id ASC) AS rn FROM flpr) t WHERE rn <= 3 " +
+       "ORDER BY a_id, rn"),
+    // flsc/flex/flxr/flht/flcm tail over the SHARED fl chain (serving
+    // and eval move together); truth = exact SAME-LABEL top-3 (a
+    // different truth definition than the frontier's unfiltered one —
+    // deliberately NOT a frontier leg)
+    "sim_filtered_recall" ->
+      (s"WITH $filteredCteSql, " +
+       "flsc AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+       "AS rn FROM flpr) t WHERE rn <= 3), " +
+       "flex AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+       "AND y.label = x.label WHERE x.vec_id < 100), " +
+       "flxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+       "AS rn FROM flex) e WHERE rn <= 3), " +
+       "flht AS (SELECT a_id, b_id FROM flxr JOIN flsc USING (a_id, b_id)), " +
+       "flcm AS (SELECT (SELECT count(*) FROM flxr) AS n_truth, " +
+       "(SELECT count(*) FROM flsc) AS n_screen, " +
+       "(SELECT count(*) FROM flht) AS n_hit) " +
+       "SELECT n_truth, n_screen, n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+       "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END AS precision_micro " +
+       "FROM flcm"),
     // sw-prefixed CTE chain; cell count 16 / probe 100 / cap 1024 are
     // the sf0.01 adaptive-knob constants (lockstep rule); the prn<=2
     // slice mirrors sim_ivf_recall_eval's screen exactly
@@ -3817,6 +3930,31 @@ object Similarity {
     "FROM m x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
     "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
     "ORDER BY sim DESC, b_id ASC) AS rn FROM p)"
+
+  /** The filtered-search chain through `flpr` (fl-prefixed names
+    * flc/fls/flp/flm/flb/flpr claimed; recall adds flsc/flex/flxr/
+    * flht/flcm) — the composite (cell, label) key as join equality +
+    * per-(cell,label) cap partition; shared by sim_filtered_topk and
+    * sim_filtered_recall so serving and eval can never drift. */
+  private def filteredCteSql: String =
+    "flc AS (SELECT vec_id AS cell, embedding AS cv " +
+    "FROM embeddings WHERE vec_id < 16), " +
+    "fls AS (SELECT e.vec_id, c.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN flc c), " +
+    "flp AS (SELECT vec_id, cell, row_number() OVER (" +
+    "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM fls), " +
+    "flm AS (SELECT e.vec_id, e.embedding, e.label, p.cell " +
+    s"FROM embeddings e JOIN flp p ON e.vec_id = p.vec_id AND p.rn <= $NProbe " +
+    "WHERE e.vec_id < 100), " +
+    "flb AS (SELECT e.vec_id, e.embedding, e.label, h.cell " +
+    "FROM embeddings e JOIN flp h ON e.vec_id = h.vec_id AND h.rn = 1 " +
+    s"QUALIFY row_number() OVER (PARTITION BY h.cell, e.label " +
+    s"ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+    "flpr AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM flm x JOIN flb y ON x.cell = y.cell AND x.label = y.label " +
+    "AND x.vec_id <> y.vec_id)"
 
   /** The RRF chain through `rfr` (rf-prefixed names rfa/rfb/rff/rfr
     * claimed; recall adds rfs/rft/rftr/rfht/rfcm) — composes
