@@ -11,7 +11,7 @@
 # Usage: scripts/gates.sh <round-number>
 # Appends a dated "Round <N> gates" block to BASELINE.md and leaves the
 # builder bench.json at the repo root for the commit. Exits non-zero on
-# the first red gate.
+# the first red gate. Full per-gate logs live in /tmp/gates_*_r<N>.log.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${1:?usage: scripts/gates.sh <round-number>}"
@@ -22,15 +22,29 @@ LOG=/tmp/gates_r${ROUND}.log
 : > "$LOG"
 
 echo "== gate 1/3: sbt test ==" | tee -a "$LOG"
-sbt -batch test 2>&1 | tail -5 | tee -a "$LOG"
-TESTS_LINE=$(grep -E "Tests: succeeded" "$LOG" | tail -1 || true)
-if ! grep -qE "All tests passed" "$LOG"; then
-  echo "GATE 1 RED — stopping" | tee -a "$LOG"; exit 1
+TLOG=/tmp/gates_tests_r${ROUND}.log
+sbt -batch test > "$TLOG" 2>&1
+TRC=$?
+tail -5 "$TLOG" | tee -a "$LOG"
+TESTS_LINE=$(grep -E "Tests: succeeded" "$TLOG" | tail -1)
+# exit status AND the ScalaTest summary, grepped over the FULL log (a
+# trailing shutdown/deprecation line must not flip the verdict)
+if [ $TRC -ne 0 ] || ! grep -q "All tests passed" "$TLOG"; then
+  echo "GATE 1 RED (rc=$TRC) — stopping; see $TLOG" | tee -a "$LOG"; exit 1
 fi
 
 echo "== gate 2/3: Verify + oracle mirror ==" | tee -a "$LOG"
 rm -rf "$OUT"
-sbt -batch "runMain graft.Verify $SF_VERIFY $OUT" 2>&1 | tail -3 >> "$LOG"
+VLOG=/tmp/gates_verify_r${ROUND}.log
+if ! sbt -batch "runMain graft.Verify $SF_VERIFY $OUT" > "$VLOG" 2>&1; then
+  echo "GATE 2 RED (Verify run failed) — stopping; see $VLOG" | tee -a "$LOG"
+  exit 1
+fi
+if grep -q "failed:" "$VLOG"; then
+  echo "GATE 2 RED (per-query Verify failures) — stopping; see $VLOG" \
+    | tee -a "$LOG"
+  exit 1
+fi
 # compare_oracle exits 1 on any FAIL; its last line is "N pass, N fail, N rows-only"
 if ! ORACLE_LINE=$(python3 scripts/compare_oracle.py "$SF_VERIFY" "$OUT" | tail -1); then
   echo "oracle mirror: $ORACLE_LINE" | tee -a "$LOG"
@@ -39,22 +53,33 @@ fi
 echo "oracle mirror: $ORACLE_LINE" | tee -a "$LOG"
 
 echo "== gate 3/3: builder bench sf0.1 ==" | tee -a "$LOG"
-SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" 2>&1 | tail -3 >> "$LOG"
+BLOG=/tmp/gates_bench_r${ROUND}.log
+if ! SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_CPUS=32 \
+     sbt -batch "runMain graft.Bench" > "$BLOG" 2>&1; then
+  echo "GATE 3 RED (bench run failed) — stopping; see $BLOG" | tee -a "$LOG"
+  exit 1
+fi
+# n_errors is Bench's own per-query failure count (errored queries keep
+# their elapsed seconds in `queries` — never infer errors from values)
 BENCH_LINE=$(python3 - <<'EOF'
 import json
 b = json.load(open("bench.json"))
-q = b.get("queries", {})
-print(f'{b.get("value"):.1f} s / {len(q)} queries / errors={sum(1 for v in q.values() if v is None or v < 0)}')
+print(f'{b.get("value"):.1f} s / {len(b.get("queries", {}))} queries / '
+      f'errors={b.get("n_errors", "?")}')
 EOF
 )
 echo "bench: $BENCH_LINE" | tee -a "$LOG"
+case "$BENCH_LINE" in
+  *"errors=0"*) ;;
+  *) echo "GATE 3 RED (bench query errors) — stopping; see $BLOG" \
+       | tee -a "$LOG"; exit 1 ;;
+esac
 
 {
   echo ""
   echo "## Round ${ROUND} gates ($(date -u +%Y-%m-%d))"
   echo ""
-  echo "- tests: ${TESTS_LINE:-see $LOG}"
+  echo "- tests: ${TESTS_LINE:-see $TLOG}"
   echo "- oracle mirror (sf0.01): ${ORACLE_LINE}"
   echo "- builder bench (sf0.1, local[32]): ${BENCH_LINE} — committed bench.json"
 } >> BASELINE.md

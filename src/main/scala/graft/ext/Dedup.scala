@@ -316,11 +316,14 @@ object Dedup {
   private def paraPairs(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((spark, dir, "parapairs"), {
       val units = paraUnits(spark, dir)
+      // jaccardPairsOf already localCheckpoints the pair set — the memo
+      // stores the tiny filter+project ON TOP of that checkpoint rather
+      // than materializing the frame a second time (bounded lineage is
+      // the memo's contract, not a checkpoint root per se)
       jaccardPairsOf(
         units.select(col("pid").as("doc_id"), col("chunk").as("text")))
         .filter(expr("a_id div 1000000") =!= expr("b_id div 1000000"))
         .select("a_id", "b_id")
-        .localCheckpoint()
     })
 
   def paraNearDup(spark: SparkSession, dir: String): DataFrame = {

@@ -1509,18 +1509,16 @@ object Similarity {
   }
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = ivfTrainedRanked(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val withCell = emb.join(
-      ranked.filter(col("rn") === 1).select("vec_id", "cell"), Seq("vec_id"))
+    // the keep-list join needs only (vec_id, cell) — straight off the
+    // memoized trained ranking, no second embeddings scan
+    val homeCells = ivfTrainedRanked(spark, dir)
+      .filter(col("rn") === 1).select("vec_id", "cell")
     val dups = semanticPairsAll(spark, dir)
       .filter(col("sim") >= 0.4)
     // a vector's dup-with-smaller-id count arrives on the b side (a < b)
     val nSmaller = dups.groupBy(col("b_id").as("vec_id"))
       .agg(count(lit(1)).as("n_dups_smaller"))
-    withCell.select("vec_id", "cell")
+    homeCells
       .join(nSmaller, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_dups_smaller"), lit(0L)).as("n_dups_smaller"),

@@ -153,7 +153,21 @@ class PipelineSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       RealEstatePipeline.run(spark, fixtures._1, fixtures._2, samplePerState = 10)
-      Thread.sleep(1500) // QueryExecutionListener delivery is async
+      // QueryExecutionListener delivery is async; a fixed sleep on a
+      // contended box undercounts and the assertion passes vacuously.
+      // Poll until the count is stable for 2 s (max 20 s) — late events
+      // would move it, and a stable count is the drained state.
+      var last = -1
+      var stableMs = 0
+      var waited = 0
+      while (stableMs < 2000 && waited < 20000) {
+        Thread.sleep(250); waited += 250
+        val cur = scans.get()
+        if (cur == last) stableMs += 250 else { stableMs = 0; last = cur }
+      }
+      assert(scans.get() >= 1,
+        "no uncached CSV scan observed — listener events never arrived, " +
+        "the assertion below would be vacuous")
       assert(scans.get() <= 2,
         s"listings CSV scanned uncached ${scans.get()} times — the stage " +
         "counts have unfolded back into per-stage actions")
