@@ -835,6 +835,41 @@ object TextOps {
         expr("(n_tokens * rate_micro) div CAST(1000000 AS BIGINT)"))
   }
 
+  /** EPOCH plan — the repetition half the capped mixture plan throws
+    * away: [[mixturePlan]] clamps each source's sampling rate at 1.0
+    * (never up-samples), but a real data recipe REPEATS an under-sized
+    * high-value source across epochs to hit its budget share. Per
+    * source: the UNCAPPED epochs_micro = (share·10⁶) div n_tokens (>
+    * 10⁶ means the source must repeat), split into operational terms —
+    * full passes (share div n_tokens) and the final partial pass's
+    * token count (share % n_tokens) — plus over_repeat flagging > 4
+    * epochs (the diminishing-returns guidance of repeated-data scaling
+    * studies; past ~4 epochs repetition stops buying loss). Same
+    * 10000-token budget literal and equal-share rule as the mixture
+    * plan (lockstep: least(10⁶, epochs_micro) ≡ rate_micro —
+    * EpochPlanSpec pins it). All integers non-negative ⇒ div ≡ `//`,
+    * % ≡ %. |sources| rows at any corpus scale. */
+  def epochPlan(spark: SparkSession, dir: String,
+                budgetTokens: Long = 10000L): DataFrame = {
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val nSrc = perSrc.agg(count(lit(1)).as("n_src"))
+    perSrc.crossJoin(broadcast(nSrc))
+      .withColumn("share_tokens",
+                  expr(s"CAST($budgetTokens AS BIGINT) div n_src"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_tokens"),
+        expr("(share_tokens * CAST(1000000 AS BIGINT)) div n_tokens")
+          .as("epochs_micro"),
+        expr("share_tokens div n_tokens").as("n_full_passes"),
+        expr("share_tokens % n_tokens").as("tail_tokens"))
+      .withColumn("over_repeat", (col("epochs_micro") > 4000000L).cast("int"))
+      .orderBy("source")
+  }
+
   /** Count-min-sketch hash bases (4 rows × 64 buckets, mod 1000003) —
     * mirrored literally in the oracle's per-base folds; lockstep only. */
   private val CmsBases = Seq(131L, 137L, 139L, 149L)
@@ -2312,6 +2347,7 @@ object TextOps {
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
     "corpus_mixture_plan" -> ((s, d) => mixturePlan(s, d)),
+    "corpus_epoch_plan" -> ((s, d) => epochPlan(s, d)),
     "corpus_mixture_apply" -> mixtureApply _,
     "text_ks_drift"      -> ksDrift _,
     "text_pack"        -> ((s, d) => pack(s, d)),
@@ -2856,6 +2892,21 @@ object TextOps {
        "SELECT source, n_docs, n_tokens, rate_micro, " +
        "(n_tokens * rate_micro) // CAST(1000000 AS BIGINT) AS planned_tokens " +
        "FROM j"),
+    // epj tail over the SHARED mixture chain's ps/n (j unreferenced —
+    // free); uncapped epochs + pass/tail split; budget literal 10000
+    // and the > 4-epoch flag mirrored; all nonneg so // ≡ div, % ≡ %
+    "corpus_epoch_plan" ->
+      (s"WITH $mixturePlanCteSql, " +
+       "epj AS (SELECT ps.source, ps.n_docs, ps.n_tokens, " +
+       "CAST(10000 AS BIGINT) // n.n_src AS share_tokens " +
+       "FROM ps CROSS JOIN n) " +
+       "SELECT source, n_docs, n_tokens, share_tokens, " +
+       "(share_tokens * CAST(1000000 AS BIGINT)) // n_tokens AS epochs_micro, " +
+       "share_tokens // n_tokens AS n_full_passes, " +
+       "share_tokens % n_tokens AS tail_tokens, " +
+       "CAST((share_tokens * CAST(1000000 AS BIGINT)) // n_tokens > 4000000 " +
+       "AS INTEGER) AS over_repeat " +
+       "FROM epj ORDER BY source"),
     // the plan chain verbatim + the Knuth-scramble rate gate (lockstep
     // with mixtureApply's saltOrd % 1e6 < rate_micro)
     "corpus_mixture_apply" ->
