@@ -63,9 +63,19 @@ fi
 # their elapsed seconds in `queries` — never infer errors from values)
 BENCH_LINE=$(python3 - <<'EOF'
 import json
-b = json.load(open("bench.json"))
-print(f'{b.get("value"):.1f} s / {len(b.get("queries", {}))} queries / '
-      f'errors={b.get("n_errors", "?")}')
+# guard the format: a schema change in bench.json must report itself as
+# "malformed", never crash the f-string and leave a blank bench: line
+try:
+    b = json.load(open("bench.json"))
+except Exception as e:
+    print(f"malformed bench.json (unreadable: {e})")
+else:
+    value = b.get("value")
+    if isinstance(value, (int, float)):
+        print(f'{value:.1f} s / {len(b.get("queries", {}))} queries / '
+              f'errors={b.get("n_errors", "?")}')
+    else:
+        print(f"malformed bench.json (no numeric value: {value!r})")
 EOF
 )
 echo "bench: $BENCH_LINE" | tee -a "$LOG"

@@ -750,13 +750,27 @@ object Similarity {
     * whose probed cells hold no same-label member returns no rows —
     * the honest filtered-search contract. */
   def filteredTopK(spark: SparkSession, dir: String,
-                   probeN: Long = 100): DataFrame = {
+                   probeN: Long = 100): DataFrame =
+    filteredTopKFor(spark, dir,
+      Tables.embeddings(spark, dir).filter(col("vec_id") < probeN)
+        .select("vec_id", "embedding", "label"))
+
+  /** The filtered-search composition over a GIVEN probe frame (vec_id,
+    * embedding, label) — the seam [[filteredTopK]] (fixed batch probe
+    * sample) and [[graft.streaming.VecStream]] (arriving probe
+    * micro-batches) share, so the online and offline serve paths can
+    * never diverge. Per-probe ranking is complete within one call
+    * because the index side is the full static corpus. */
+  private[graft] def filteredTopKFor(spark: SparkSession, dir: String,
+                                     probeVecs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = ivfAssignRanked(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val probes = emb.filter(col("vec_id") < probeN)
+    val probes = probeVecs
+      .select(col("vec_id"), col("embedding"), col("label"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
       .join(ranked.select("vec_id", "cell"), Seq("vec_id"))
       .withColumn("ck", concat_ws("#", col("cell"), col("label")))
     val indexed = emb.join(ranked.filter(col("rn") === 1)
@@ -1456,9 +1470,18 @@ object Similarity {
     * [[ivfTopK]] (probe side rn ≤ [[NProbe]], indexed side home cell
     * rn = 1, capped bucket join, exact cosine re-rank) but over the
     * Lloyd-trained cells from [[ivfTrainedRanked]]. */
-  def ivfTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopKTrained(spark: SparkSession, dir: String): DataFrame =
+    trainedServeFrom(spark, dir, ivfTrainedRanked(spark, dir))
+
+  /** The trained-index serve composition over a GIVEN ranked-assignment
+    * frame (vec_id, cell, rn ≤ [[NProbe]]): probe cells rn ≤ NProbe,
+    * home cell rn = 1, capped bucket join, exact cosine re-rank top-3 —
+    * shared by [[ivfTopKTrained]] (the session-lifetime memoized index)
+    * and [[ivfIndexPersistSearch]] (the same index reloaded from
+    * durable parquet), so the two serve paths can never diverge. */
+  private def trainedServeFrom(spark: SparkSession, dir: String,
+                               ranked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = ivfTrainedRanked(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
@@ -1471,6 +1494,96 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("a_id", "b_id", "rn", "sim")
+  }
+
+  /** Persisted-ANN round trip (sim_index_persist) — the vector-side
+    * analog of [[Dedup.indexPersistScreen]]: production indexes are
+    * built offline and served online, so the trained index's two
+    * tables are written to durable parquet and search runs from the
+    * RELOADED files. Layout: `centroids` = the trained quantizer in
+    * long form (cell, pos, m — model-sized, ≤ 4096×64 rows at any
+    * corpus scale) and `postings` = the ranked assignment (vec_id,
+    * cell, csim, rn ≤ [[NProbe]]) PARTITIONED BY cell — a
+    * cell-restricted maintenance scan (rebalance one cell, audit one
+    * cell's members) prunes the rest of the index at the file listing,
+    * the band-partitioned minhash index's pruning story on the vector
+    * side. Result ≡ [[ivfTopKTrained]] by construction — the oracle IS
+    * sim_ivf_topk_trained's, unchanged: the only thing that moved is
+    * the index's home, from a session-lifetime localCheckpoint to
+    * durable columnar files. Partition-column round-trip note: `cell`
+    * comes back as the partition directory's inferred INT — cast back
+    * to the stored LONG so the serve joins stay type-identical
+    * (SimIndexPersistSpec pins equality and the layout). The writes
+    * happen at query-construction (the eager-persist family — never in
+    * PlanShapeSpec's laziness list). */
+  def ivfIndexPersistSearch(spark: SparkSession, dir: String): DataFrame = {
+    val centsPath = Tables.scratch("ivf_index_centroids")
+    ivfTrain(spark, dir).write.mode("overwrite").parquet(centsPath)
+    val postingsPath = Tables.scratch("ivf_index_postings")
+    ivfTrainedRanked(spark, dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(postingsPath)
+    val reloaded = spark.read.parquet(postingsPath)
+      .withColumn("cell", col("cell").cast("long"))
+    trainedServeFrom(spark, dir, reloaded)
+  }
+
+  /** UPSERT lifecycle serving (sim_ivf_upsert_search) — the ARRIVAL
+    * half of the index-maintenance pair ([[ivfDeleteSearch]] is the
+    * takedown half): the quantizer was trained on the base corpus
+    * snapshot (vec_id < n/2 — [[ivfIncrementalAssign]]'s split
+    * contract, 250 at sf0.01) and FROZEN; since then a takedown
+    * removed vec_id % 10 = 0 from the base, and a new batch
+    * (vec_id ≥ n/2) arrived and was assigned to the frozen trained
+    * cells without retraining. Serving runs over the combined live
+    * membership. Correctness argument = [[ivfDeleteSearch]]'s extended
+    * to arrivals: trained centroids are POSITIONS frozen at train time
+    * (they survive member takedown and member arrival alike —
+    * retraining is a separate scheduled job, [[ivfTrainIter]]), and
+    * per-vector assignment against frozen centroids is independent, so
+    * incremental-add + delete-filter + re-cap over live members is
+    * EXACTLY a from-scratch rebuild over the live set against the same
+    * centroids — the oracle (up-prefixed tail over the shared
+    * [[incAssignCteSql]] chain) rebuilds from scratch and hash
+    * equality is the proof. In production the add costs |batch| ×
+    * cells and the delete costs a filter; neither rescans the corpus.
+    * Probes = the eval-family fixed sample ∩ live. */
+  def ivfUpsertSearch(spark: SparkSession, dir: String,
+                      probeN: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = embCount(spark, dir) / 2
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    // frozen quantizer: trained on the FULL base snapshot — training
+    // history includes members later taken down (it doesn't un-happen)
+    val corpus = emb.filter(col("vec_id") < split)
+    val seeds = corpus.filter(col("vec_id") < ivfCells(split))
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+              col("nrm").as("cnrm"))
+    val cents = centsOf(lloydStep(fanOut(corpus), seeds))
+    val live = emb.filter(
+      (col("vec_id") < split && col("vec_id") % 10 =!= 0) ||
+        col("vec_id") >= split)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell").asc)
+    val ranked = fanOut(live).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+              Num.rnd(dotCols(col("embedding"), col("cv")) /
+                        (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NProbe)
+    val probes = live.filter(col("vec_id") < probeN)
+      .join(ranked.select("vec_id", "cell"), Seq("vec_id"))
+    val indexed = live.join(ranked.filter(col("rn") === 1)
+                              .select("vec_id", "cell"), Seq("vec_id"))
+    val wr = Window.partitionBy("a_id")
+      .orderBy(col("sim").desc, col("b_id").asc)
+    pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 3)
+      .select(col("a_id"), col("b_id"), col("sim"),
+              col("rn").cast("int").as("rn"))
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-confirm, after Abbas et
@@ -2740,6 +2853,8 @@ object Similarity {
     "sim_ivf_assign_trained" -> ivfAssignTrained _,
     "emb_outlier_report" -> outlierReport _,
     "sim_ivf_topk_trained" -> ivfTopKTrained _,
+    "sim_index_persist" -> ivfIndexPersistSearch _,
+    "sim_ivf_upsert_search" -> ((s, d) => ivfUpsertSearch(s, d)),
     "dedup_semantic"   -> semanticDedup _,
     "dedup_semantic_curve" -> semanticCurve _,
     "dedup_semantic_eval" -> ((s, d) => semanticDedupEval(s, d)),
@@ -2786,6 +2901,54 @@ object Similarity {
     "FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id, " +
     "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1) " +
     "GROUP BY a.cell, p.pos1)"
+
+  /** Shared incremental-training chain: the FROZEN base-half quantizer
+    * (seeds vec_id < 16, corpus vec_id < 250, one Lloyd step) ending in
+    * the list-form trained centroids `iicl` — composed by
+    * sim_ivf_incremental_assign (batch-assignment tail `iib`) and
+    * sim_ivf_upsert_search (up-prefixed rebuild tail). CTE names
+    * iic/iis/iia/iit/iicl belong to this chain (namespace rule). Split
+    * 250 / seeds 16 are the CountMemo n/2 and ivfCells-clamp-floor
+    * constants at sf0.01 — lockstep with the runtime knobs. */
+  private val incAssignCteSql: String =
+    "iic AS (SELECT vec_id AS cell, embedding AS cv " +
+    "FROM embeddings WHERE vec_id < 16), " +
+    "iis AS (SELECT e.vec_id, c.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN iic c WHERE e.vec_id < 250), " +
+    "iia AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+    "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
+    "FROM iis) WHERE rn = 1), " +
+    "iit AS (SELECT a.cell, p.pos1, " +
+    "round((avg(CAST(e.embedding[p.pos1] AS DOUBLE))) * 1e6) / 1e6 AS m " +
+    "FROM embeddings e JOIN iia a ON e.vec_id = a.vec_id, " +
+    "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1) " +
+    "GROUP BY a.cell, p.pos1), " +
+    "iicl AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM iit GROUP BY cell)"
+
+  /** The full trained-index search oracle (tc/s2/pr2 trained chain +
+    * the probe/home/cap/rerank composition) — registered VERBATIM for
+    * BOTH sim_ivf_topk_trained and sim_index_persist: the persisted
+    * round trip changes where the index lives, never what it serves. */
+  private lazy val trainedTopKOracleSql: String =
+    s"WITH $ivfTrainCte, " +
+    "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
+    "s2 AS (SELECT e.vec_id, t.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+    "FROM embeddings e CROSS JOIN tc t), " +
+    "pr2 AS (SELECT vec_id, cell, row_number() OVER (" +
+    "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s2), " +
+    s"probes AS (SELECT vec_id, cell FROM pr2 WHERE rn <= $NProbe), " +
+    "home AS (SELECT vec_id, cell FROM pr2 WHERE rn = 1), " +
+    "m2 AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
+    "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
+    s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+    "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM m2 x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
+    "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
+    "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"
 
   /** Unrolled Lloyd trajectory as CTEs: `tr1` = the shared one-step
     * chain ([[ivfTrainCte]]'s `tr`), then per round r: list-form
@@ -3123,25 +3286,12 @@ object Similarity {
        "FROM sdm"),
     // trained-index search: the sim_ivf_topk probe/home/cap composition
     // over the TRAINED cells (tc/s2 as in sim_ivf_assign_trained)
-    "sim_ivf_topk_trained" ->
-      (s"WITH $ivfTrainCte, " +
-       "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
-       "s2 AS (SELECT e.vec_id, t.cell, " +
-       "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
-       "FROM embeddings e CROSS JOIN tc t), " +
-       "pr2 AS (SELECT vec_id, cell, row_number() OVER (" +
-       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s2), " +
-       s"probes AS (SELECT vec_id, cell FROM pr2 WHERE rn <= $NProbe), " +
-       "home AS (SELECT vec_id, cell FROM pr2 WHERE rn = 1), " +
-       "m2 AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
-       "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
-       s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
-       "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
-       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-       "FROM m2 x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
-       "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
-       "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
-       "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"),
+    "sim_ivf_topk_trained" -> trainedTopKOracleSql,
+    // persisted-index round trip: the oracle IS sim_ivf_topk_trained's,
+    // UNCHANGED — only the index's storage moved (localCheckpoint →
+    // cell-partitioned parquet), so hash equality proves the reloaded
+    // index serves identical results (the dedup_index_persist rule)
+    "sim_index_persist" -> trainedTopKOracleSql,
     "emb_centroid_by_source" ->
       (s"WITH $centroidCte " +
        "SELECT source, CAST(pos1 - 1 AS INTEGER) AS pos, m FROM cent " +
@@ -3610,31 +3760,48 @@ object Similarity {
     // slice mirrors sim_ivf_recall_eval's screen exactly
     "sim_nprobe_sweep" -> nprobeSweepSql,
     // incremental assign: the ivfTrainCte shape restricted to the
-    // existing corpus half (vec_id < 250 = CountMemo n/2 at sf0.01;
-    // seeds < 16 = ivfCells clamp floor), then the batch (>= 250)
-    // assigned to the frozen trained centroids — keep split/seed
-    // literals in lockstep with ivfIncrementalAssign's runtime knobs
+    // existing corpus half via the shared incAssignCteSql chain, then
+    // the batch (>= 250) assigned to the frozen trained centroids —
+    // keep split/seed literals in lockstep with ivfIncrementalAssign's
+    // runtime knobs
     "sim_ivf_incremental_assign" ->
-      ("WITH iic AS (SELECT vec_id AS cell, embedding AS cv " +
-       "FROM embeddings WHERE vec_id < 16), " +
-       "iis AS (SELECT e.vec_id, c.cell, " +
-       "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
-       "FROM embeddings e CROSS JOIN iic c WHERE e.vec_id < 250), " +
-       "iia AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
-       "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
-       "FROM iis) WHERE rn = 1), " +
-       "iit AS (SELECT a.cell, p.pos1, " +
-       "round((avg(CAST(e.embedding[p.pos1] AS DOUBLE))) * 1e6) / 1e6 AS m " +
-       "FROM embeddings e JOIN iia a ON e.vec_id = a.vec_id, " +
-       "UNNEST(range(1, len(e.embedding)+1)) AS p(pos1) " +
-       "GROUP BY a.cell, p.pos1), " +
-       "iicl AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM iit GROUP BY cell), " +
+      (s"WITH $incAssignCteSql, " +
        "iib AS (SELECT e.vec_id, t.cell, " +
        "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
        "FROM embeddings e CROSS JOIN iicl t WHERE e.vec_id >= 250) " +
        "SELECT vec_id, cell, csim FROM (SELECT vec_id, cell, csim, " +
        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn " +
        "FROM iib) WHERE rn = 1"),
+    // up-prefixed FROM-SCRATCH rebuild over the live membership
+    // ((vec_id < 250 AND vec_id % 10 <> 0) OR vec_id >= 250) against
+    // the SAME frozen base-trained centroids (the shared incAssignCteSql
+    // chain — train-time snapshot includes later-deleted members):
+    // hash equality proves incremental add + delete-filter + re-cap ≡
+    // rebuild; constants NProbe / 1024 / probe 100 lockstep with
+    // ivfTopKCteSql's family
+    "sim_ivf_upsert_search" ->
+      (s"WITH $incAssignCteSql, " +
+       "upl AS (SELECT vec_id, embedding FROM embeddings " +
+       "WHERE (vec_id < 250 AND vec_id % 10 <> 0) OR vec_id >= 250), " +
+       "ups AS (SELECT e.vec_id, t.cell, " +
+       "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) / 1e6 AS csim " +
+       "FROM upl e CROSS JOIN iicl t), " +
+       "upp AS (SELECT vec_id, cell, row_number() OVER (" +
+       "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM ups), " +
+       "upm AS (SELECT e.vec_id, e.embedding, p.cell FROM upl e " +
+       s"JOIN upp p ON e.vec_id = p.vec_id AND p.rn <= $NProbe " +
+       "WHERE e.vec_id < 100), " +
+       "upb AS (SELECT e.vec_id, e.embedding, h.cell FROM upl e " +
+       "JOIN upp h ON e.vec_id = h.vec_id AND h.rn = 1 " +
+       s"QUALIFY row_number() OVER (PARTITION BY h.cell " +
+       s"ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+       "uppr AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM upm x JOIN upb y ON x.cell = y.cell AND x.vec_id <> y.vec_id) " +
+       "SELECT a_id, b_id, sim, CAST(rn AS INTEGER) AS rn FROM (" +
+       "SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+       "ORDER BY sim DESC, b_id ASC) AS rn FROM uppr) t WHERE rn <= 3 " +
+       "ORDER BY a_id, rn"),
     // sign-bit family: packed words mirror packWord bit for bit (1-based
     // element i in [lo, lo+32) gets shift i-lo; Spark's 0-based lambda i
     // over slice(embedding, lo+1, 32) is the same bit); >= 0 is exact

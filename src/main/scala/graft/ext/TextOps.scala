@@ -1234,6 +1234,54 @@ object TextOps {
       .orderBy("cut_micro")
   }
 
+  /** Quality-gate CALIBRATION curve (text_quality_calibration) — the
+    * reliability diagram [[qualityRoc]]'s cut sweep doesn't give: rank
+    * docs by per-token NB score, split into 10 equal-count(-ish)
+    * deciles, and report the OBSERVED gopher-label rate per decile —
+    * the table that picks a *probability* threshold rather than a
+    * score cut (a well-calibrated scorer shows rate rising with
+    * decile; a flat column is a bucket the score can't separate).
+    *
+    * Decile rule (exact SELECTION, never interpolation — the qv/md
+    * family): docs are ordered by the integer per-token score
+    * spt = score_micro div n_tok (Spark div truncates toward zero;
+    * score can be NEGATIVE so the oracle mirrors with the sign-split
+    * `//` form — CLAUDE.md integer-division rule), equal scores share
+    * a decile via the exclusive-prefix rank: decile = least(9,
+    * (cum_before · 10) div n). Scale shape: ONE groupBy collapses the
+    * corpus to the per-token-score histogram — its cardinality is
+    * bounded by the score RANGE (±~0.2e6 micro-nats), not the corpus —
+    * and the single-partition running-sum window runs over that
+    * model-sized frame (the madOutlier histogram precedent), never
+    * over docs. CalibrationSpec ties Σn_docs to the corpus count and
+    * Σn_pos to [[qualityRoc]]'s n_pos column. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScoreTrained(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("score_micro"))
+    val lab = gopherGates(spark, dir)
+      .select(col("doc_id"), col("gopher_ok").as("y"))
+    val g = scored.join(lab, Seq("doc_id"))
+      .select(expr("score_micro div n_tok").as("spt_micro"), col("y"))
+      .groupBy("spt_micro")
+      .agg(count(lit(1)).as("n_g"), sum("y").cast("long").as("p_g"))
+    val n = g.agg(sum("n_g").as("n"))
+    val wCum = Window.orderBy("spt_micro")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum("n_g").over(wCum), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", least(lit(9L), expr("(cum * 10) div n")))
+      .groupBy("decile")
+      .agg(sum("n_g").as("n_docs"), sum("p_g").as("n_pos"),
+           min("spt_micro").as("spt_min_micro"),
+           max("spt_micro").as("spt_max_micro"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+              col("spt_min_micro"), col("spt_max_micro"),
+              expr("(n_pos * CAST(1000000 AS BIGINT)) div n_docs")
+                .as("rate_micro"))
+      .orderBy("decile")
+  }
+
   /** Cross-document duplicated-span fraction — the scalable proxy for
     * exact-substring dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): per doc, the fraction of its
@@ -2343,6 +2391,7 @@ object TextOps {
     "text_quality_train" -> qualityTrain _,
     "text_quality_score_trained" -> qualityScoreTrained _,
     "text_quality_roc" -> qualityRoc _,
+    "text_quality_calibration" -> qualityCalibration _,
     "text_dup_span_frac" -> dupSpanFrac _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
@@ -3184,6 +3233,35 @@ object TextOps {
        "CASE WHEN n_pos = 0 THEN CAST(1000000 AS BIGINT) " +
        "ELSE (tp * CAST(1000000 AS BIGINT)) // n_pos END AS recall_micro " +
        "FROM qrg ORDER BY cut_micro"),
+    // qc-prefixed tail over the SAME trainer chain: per-token score
+    // spt = score_micro div n_tok mirrored with the sign-split // form
+    // (score can be negative); decile = least(9, (cum_before·10) // n)
+    // over the spt histogram — equal scores share a decile on both
+    // engines, so no literal-grid scaffold is needed; trailing counts
+    // non-negative ⇒ // ≡ div
+    "text_quality_calibration" ->
+      (s"WITH $qualityTrainCteSql, " +
+       "qcs AS (SELECT doc_id, count(*) AS n_tok, " +
+       "CAST(sum(w_micro) AS BIGINT) AS score_micro " +
+       "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id), " +
+       "qcj AS (SELECT (CASE WHEN s.score_micro < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(s.score_micro) // s.n_tok) AS spt_micro, l.y " +
+       "FROM qcs s JOIN qlab l USING (doc_id)), " +
+       "qcg AS (SELECT spt_micro, CAST(count(*) AS BIGINT) AS n_g, " +
+       "CAST(sum(y) AS BIGINT) AS p_g FROM qcj GROUP BY spt_micro), " +
+       "qcn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM qcg), " +
+       "qcc AS (SELECT spt_micro, n_g, p_g, " +
+       "CAST(coalesce(sum(n_g) OVER (ORDER BY spt_micro " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+       "AS cum FROM qcg), " +
+       "qcd AS (SELECT least(CAST(9 AS BIGINT), (cum * 10) // n) AS decile, " +
+       "n_g, p_g, spt_micro FROM qcc CROSS JOIN qcn) " +
+       "SELECT decile, CAST(sum(n_g) AS BIGINT) AS n_docs, " +
+       "CAST(sum(p_g) AS BIGINT) AS n_pos, " +
+       "CAST(min(spt_micro) AS BIGINT) AS spt_min_micro, " +
+       "CAST(max(spt_micro) AS BIGINT) AS spt_max_micro, " +
+       "(CAST(sum(p_g) AS BIGINT) * 1000000) // CAST(sum(n_g) AS BIGINT) " +
+       "AS rate_micro FROM qcd GROUP BY decile ORDER BY decile"),
     // same segmentations as text_tokens; all sums non-negative so //
     // matches Spark's div
     "text_fertility_by_source" ->

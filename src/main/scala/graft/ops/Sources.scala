@@ -229,7 +229,19 @@ object Sources {
     * paths. Returns the number of files consumed this run (0 = no-op —
     * nothing is appended and the ledger does not grow). Exposed so
     * BookmarkSpec can drive the runs itself and pin the per-run file
-    * deltas that the composed query's oracle can only prove in sum. */
+    * deltas that the composed query's oracle can only prove in sum.
+    *
+    * DELIVERY CONTRACT — at-least-once, not exactly-once: the data
+    * append and the ledger commit are two non-atomic writes, so a crash
+    * BETWEEN them re-processes those files on the next run and
+    * double-counts their rows — the same failure window Glue's own
+    * `job.commit()` has (bookmark state commits after the job's
+    * writes). Callers also assume a SINGLE RUNNER per ledger: two
+    * concurrent runs race the list-diff-commit sequence and can both
+    * consume the same files. Dedup the output on a key downstream (or
+    * accept at-least-once) exactly as Glue pipelines do; the completed
+    * three-run query below never crashes mid-run, which is why its
+    * oracle equality holds. */
   def bookmarkIngestOnce(spark: SparkSession, in: String, out: String,
                          ledger: String): Int = {
     val avail = spark.read.option("recursiveFileLookup", "true")

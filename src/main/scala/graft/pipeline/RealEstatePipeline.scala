@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,18 @@ case class PipelineStats(
 object RealEstatePipeline {
 
   val targetStates = Seq("Massachusetts", "California", "New York")
+
+  /** Step-4 clean columns and the ONE predicate derived from them —
+    * shared by [[transform]]'s stage filter and [[run]]'s folded audit
+    * so the two can never diverge. The isNotNull conjunction equals the
+    * reference's dropna ONLY because listings are read ALL-STRING (Glue
+    * DynamicFrame parity — `na.drop` on typed float/double columns would
+    * additionally drop NaN); stating the predicate once means a future
+    * typed reader moves the stage and the audit together. */
+  private val cleanColumns =
+    Seq("price", "zip_code", "house_size", "bed", "bath")
+  private val cleanOk: Column =
+    cleanColumns.map(col(_).isNotNull).reduce(_ && _)
   val outputColumns: Seq[String] = Seq(
     "brokered_by", "status", "price", "bed", "bath", "acre_lot", "street",
     "city", "state", "zip_code", "house_size", "prev_sold_date",
@@ -57,9 +69,9 @@ object RealEstatePipeline {
                 samplePerState: Int = 100, sampleSeed: Long = 42L): DataFrame = {
     // STEP 3: state IN-list filter (:64-65)
     val inStates = listings.filter(col("state").isin(targetStates: _*))
-    // STEP 4: conjunctive NOT NULL clean (:79-85)
-    val cleaned = inStates.na.drop(
-      Seq("price", "zip_code", "house_size", "bed", "bath"))
+    // STEP 4: conjunctive NOT NULL clean (:79-85) — the shared cleanOk
+    // predicate (the folded audit applies the identical Column)
+    val cleaned = inStates.filter(cleanOk)
     // STEP 5: census-coverage restriction — left-semi join, the scale-safe
     // form of the reference's collect+isin (:41,96)
     val censusKeys = census.select(col("zip_code")).distinct()
@@ -136,8 +148,6 @@ object RealEstatePipeline {
     // Coverage is a broadcast LEFT join against the distinct census
     // keys (no row multiplication), marker-null = uncovered.
     val stateOk = col("state").isin(targetStates: _*)
-    val cleanOk = Seq("price", "zip_code", "house_size", "bed", "bath")
-      .map(col(_).isNotNull).reduce(_ && _)
     val staged = listings
       .join(broadcast(censusKeys.withColumn("__census_cov", lit(1))),
             Seq("zip_code"), "left")

@@ -106,5 +106,33 @@ class GraphSearchSpec extends SparkSpec {
                  r.getLong(r.fieldIndex(recCol)))
       assert(frontier(m) === leg, s"frontier row $m drifted from $q")
     }
+    // Frontier-MEMBERSHIP contract (VERDICT r13 item 5): a leg belongs
+    // to the frontier IFF its truth is the SHARED exactTruthRanked
+    // frame — the legs are only comparable under one truth. Every
+    // n_truth cell must therefore equal the brute unfiltered top-3
+    // truth count; evals that define their OWN truth (sim_filtered_
+    // recall's same-label truth, dedup_semantic_eval's ≥0.4 threshold
+    // truth, sim_ivf_delete_search's live-set truth) are deliberately
+    // NOT legs and would fail this equality.
+    val embT = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toMap
+    def dotT(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrmT = embT.view.mapValues(v => math.sqrt(dotT(v, v))).toMap
+    val truthN = embT.keys.filter(_ < 100).toSeq.map { p =>
+      embT.keys.filter(_ != p).toSeq
+        .map(b => (b, rnd6(dotT(embT(p), embT(b)) / (nrmT(p) * nrmT(b)))))
+        .sortBy { case (b, s) => (-s, b) }.take(3).size.toLong
+    }.sum
+    frontier.foreach { case (m, (nt, _, _)) =>
+      assert(nt === truthN,
+        s"frontier leg $m has n_truth $nt != shared truth $truthN — " +
+          "a leg with its own truth definition must not join the frontier")
+    }
   }
 }

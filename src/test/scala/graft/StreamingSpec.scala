@@ -578,4 +578,44 @@ class StreamingSpec extends SparkSpec {
       s"($allLateUsers all-late users) — boundary state did not carry")
     assert(late > 0L, "no cross-boundary pairs — vacuous split")
   }
+
+  test("streaming filtered search equals the batch filtered top-k on a " +
+       "two-batch probe split") {
+    import graft.streaming.VecStream
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label")
+    // two stream files + maxFilesPerTrigger=1 → the probe set arrives
+    // across (at least) two micro-batches; per-probe ranking is
+    // batch-local by construction, so the split point is arbitrary
+    val dir = Files.createTempDirectory("graft-vec-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-vec-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeOne(emb.filter(col("vec_id") % 2 === 0), "vecs-000.parquet")
+    writeOne(emb.filter(col("vec_id") % 2 =!= 0), "vecs-001.parquet")
+
+    val out = Files.createTempDirectory("graft-vec-out").toString
+    val ckpt = Files.createTempDirectory("graft-vec-ckpt").toString
+    val probeStream = spark.readStream.schema(VecStream.vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .filter(col("vec_id") < 100)
+    VecStream.filteredSearchToParquet(spark, sf0001, probeStream, out, ckpt)
+
+    // micro-batching actually happened (one batch_id dir per file)
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs.length >= 2)
+
+    val streamed = spark.read.parquet(s"$out/batch_id=*")
+      .select("a_id", "b_id", "sim", "rn")
+    val batch = ext.Similarity.queries("sim_filtered_topk")(spark, sf0001)
+      .select("a_id", "b_id", "sim", "rn")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }

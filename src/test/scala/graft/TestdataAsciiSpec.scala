@@ -49,6 +49,25 @@ class TestdataAsciiSpec extends SparkSpec {
     }
   }
 
+  test("embeddings.label is non-null at every scale") {
+    // sim_filtered_topk's composite bucket key concat_ws("#", cell,
+    // label) SKIPS a NULL label (concat_ws semantics), so null-labeled
+    // vectors would bucket together and match each other on the Spark
+    // side while the oracle's x.label = y.label join never matches NULL
+    // — the bijective-key claim holds only on null-free labels. Enforce
+    // it, don't assume it (ADVICE round 13).
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        assert(Tables.embeddings(spark, dir)
+                 .filter(col("label").isNull).count() === 0L,
+          s"$sf has NULL embeddings.label — sim_filtered_topk's composite " +
+            "(cell, label) key needs label.isNotNull on BOTH engines " +
+            "before this data is usable")
+      }
+    }
+  }
+
   // A third suspected invariant of this class — "the funnel/scd2/asof
   // strict-ts oracles need microsecond-grain event timestamps" — was
   // investigated and REFUTED: the at-rest nanos DO carry sub-µs
