@@ -2212,6 +2212,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Learned-tokenizer FERTILITY report (text_bpe_fertility) — closes
+    * the tokenizer loop's reporting half: [[text_fertility_by_source]]
+    * prices sources in the fixed regex segmentation, this one prices
+    * them in the TRAINED [[bpeMerges]] tokenizer's own units. Per
+    * source: whitespace words, model symbols after [[BpeRounds]]
+    * merges, raw characters, fertility (symbols per word, the number a
+    * pack/budget planner multiplies by), and the compression the
+    * learned merges bought vs the character baseline
+    * (savings = (chars − syms)/chars — NON-NEGATIVE by construction,
+    * a merge only ever reduces the symbol count, so plain div ≡ `//`).
+    * Same one-join plan as [[bpeApply]]: the corpus is priced through
+    * the |vocab|-row model table, never re-segmented. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wn = bpeTrainOf(docs)._2
+      .groupBy("w").agg(count(lit(1)).as("n_sym"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(wn, "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+           sum("n_sym").as("n_syms"),
+           sum(length(col("w"))).cast("long").as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_syms"), col("n_chars"),
+        expr("(n_syms * CAST(1000000 AS BIGINT)) div n_words")
+          .as("fertility_micro"),
+        expr("((n_chars - n_syms) * CAST(1000000 AS BIGINT)) div n_chars")
+          .as("savings_micro"))
+      .orderBy("source")
+  }
+
   /** The mixture-plan oracle chain through `j` (source, n_docs,
     * n_tokens, rate_micro) — shared by corpus_mixture_plan and
     * corpus_mixture_apply. All quantities non-negative, so DuckDB //
@@ -2275,6 +2305,24 @@ object TextOps {
     "SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_ws_tok, " +
     "CAST(sum(wn.n_sym) AS BIGINT) AS n_bpe_tok " +
     "FROM dw JOIN wn ON dw.w = wn.w GROUP BY dw.doc_id"
+
+  /** [[bpeFertility]] oracle — the same chain folded per SOURCE
+    * (bf-prefixed names, disjoint from bpeApply's `wn`/`dw`); savings
+    * non-negative ⇒ // ≡ div, len ≡ length under the ASCII invariant. */
+  private def bpeFertilityOracleSql: String =
+    "WITH " + bpeChainCteSql + ", " +
+    s"bfw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_sym FROM s$BpeRounds " +
+    "GROUP BY w), " +
+    "bfd AS (SELECT source, unnest(string_split(text, ' ')) AS w " +
+    "FROM documents) " +
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_words, " +
+    "CAST(sum(n_sym) AS BIGINT) AS n_syms, " +
+    "CAST(sum(len(w)) AS BIGINT) AS n_chars, " +
+    "(CAST(sum(n_sym) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) " +
+    "AS fertility_micro, " +
+    "((CAST(sum(len(w)) AS BIGINT) - CAST(sum(n_sym) AS BIGINT)) * 1000000) " +
+    "// CAST(sum(len(w)) AS BIGINT) AS savings_micro " +
+    "FROM bfd JOIN bfw USING (w) GROUP BY source ORDER BY source"
 
   // ---- winnowing fingerprints (MOSS; Schleimer/Wilkerson/Aiken 2003) ----
 
@@ -2371,6 +2419,7 @@ object TextOps {
     "text_zipf"          -> zipf _,
     "text_bpe_merges"    -> bpeMerges _,
     "text_bpe_apply"     -> bpeApply _,
+    "text_bpe_fertility" -> bpeFertility _,
     "text_boilerplate"   -> boilerplate _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
@@ -2588,6 +2637,7 @@ object TextOps {
     "text_boilerplate" -> boilerplateGroupsSql,
     "text_bpe_merges" -> bpeOracleSql,
     "text_bpe_apply" -> bpeApplyOracleSql,
+    "text_bpe_fertility" -> bpeFertilityOracleSql,
     // exact-integer KS: cross-multiplied CDF compare, divide only the
     // final micro ratio (all quantities non-negative: // == div)
     "text_ks_drift" ->

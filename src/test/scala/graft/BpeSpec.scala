@@ -134,4 +134,29 @@ class BpeSpec extends SparkSpec {
       assert(y <= x, s"pair count rose across rounds: $pcs")
     }
   }
+
+  test("fertility report ties to the per-doc apply and to raw characters") {
+    import org.apache.spark.sql.functions._
+    val fert = TextOps.queries("text_bpe_fertility")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    // per-source sums == the per-doc apply's sums over that source's docs
+    val src = Tables.documents(spark, sf0001).select("doc_id", "source")
+    val byDoc = TextOps.queries("text_bpe_apply")(spark, sf0001)
+      .join(src, Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_ws_tok").as("w"), sum("n_bpe_tok").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    fert.foreach { case (source, nWords, nSyms, nChars, fm, sm) =>
+      assert((nWords, nSyms) === byDoc(source),
+        s"$source fertility totals drifted from the per-doc apply")
+      // merges only ever reduce the symbol count below raw characters
+      assert(nSyms <= nChars && nSyms >= nWords)
+      assert(fm === nSyms * 1000000L / nWords)
+      assert(sm === (nChars - nSyms) * 1000000L / nChars)
+      assert(sm > 0L, s"$source: learned merges saved nothing — vacuous")
+    }
+  }
 }
