@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // the bounded top-k Aggregator (TopKPairsAggregator) must stay in
+      // HASH-based object aggregation: the default fallback threshold
+      // (128 keys) silently degrades the n-keys-per-partition ranked-IVF
+      // partial agg to sort-based, re-paying the window sort it replaced
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -42,6 +42,32 @@ object Similarity {
   private val vecMeanD = udaf(new graft.functions.VecSumD,
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
 
+  /** Bounded top-[[NProbe]] cell ranking as a typed Aggregator
+    * ([[graft.functions.TopKPairsAggregator]]) — replaces the
+    * `row_number over (partition by vec_id order by csim desc, cell)`
+    * window on the n×cells scans. The window form exchanges and SORTS
+    * every (vec, cell, csim) row: at 150 k vectors × the 4096-cell
+    * clamp that is a ~600 M-row sort that outgrows per-task execution
+    * memory and spills multi-pass (measured 2× data → 9× CPU / 19 GB
+    * spill — round-14 BASELINE). The aggregate keeps NProbe pairs per
+    * vector per partition, combines MAP-SIDE, ships n·NProbe rows, and
+    * never sorts — so past the cell clamp the scan is genuinely linear
+    * in n. Selection and rank are IDENTICAL to the window (largest
+    * csim first, ties to the lower cell); every oracle is unchanged. */
+  // lazy: NProbe is declared later in the file — a plain val would
+  // capture the uninitialized 0 during object construction
+  private lazy val topNProbe = udaf(
+    new graft.functions.TopKPairsAggregator(NProbe),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+
+  /** Expand a [[topNProbe]] result column `tk` back to the ranked long
+    * form (vec_id, cell, csim, rn) every consumer expects. */
+  private def explodeRanked(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), posexplode(col("tk")))
+      .select(col("vec_id"), col("col._2").as("cell"),
+              col("col._1").as("csim"),
+              (col("pos") + 1).cast("int").as("rn"))
+
   /** Long-form centroid rows from a vecMean result: (key…, pos, m) with
     * means rounded at 6 dp for the cross-engine check — posexplode here
     * runs on the ALREADY-AGGREGATED tiny frame (keys×64 rows). */
@@ -319,16 +345,17 @@ object Similarity {
       val cents = emb.filter(col("vec_id") < ivfCells(embCount(spark, dir)))
         .select(col("vec_id").as("cell"), col("embedding").as("cv"),
                 col("nrm").as("cnrm"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-      fanOut(emb).crossJoin(broadcast(cents))
-        .select(col("vec_id"),
-                col("cell"),
-                Num.rnd(dotCols(col("embedding"), col("cv")) /
-                          (col("nrm") * col("cnrm")), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= NProbe)
-        .select("vec_id", "cell", "csim", "rn")
+      // bounded top-NProbe aggregate, not a window: the n×cells scan
+      // map-side-combines to NProbe pairs per vector — no full sort,
+      // no spill, linear in n past the cell clamp (see topNProbe doc)
+      explodeRanked(
+        fanOut(emb).crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+                  Num.rnd(dotCols(col("embedding"), col("cv")) /
+                            (col("nrm") * col("cnrm")), 6).as("csim"),
+                  col("cell"))
+          .groupBy("vec_id")
+          .agg(topNProbe(col("csim"), col("cell")).as("tk")))
         .localCheckpoint()
     })
 
@@ -1407,23 +1434,25 @@ object Similarity {
     * file-wide invariant) so the scan does ONE 64-dim fold per pair. */
   private def ivfTrainedRanked(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "ivftrainedranked"), {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
       val cents = ivfTrain(spark, dir)
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
                        x => x.getField("m")).as("cv"))
         .withColumn("cnrm", sqrt(dotCols(col("cv"), col("cv"))))
-      fanOut(Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding"),
-                  sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm")))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cell"),
-                Num.rnd(dotCols(col("embedding"), col("cv")) /
-                          (col("nrm") * col("cnrm")), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= NProbe)
-        .select("vec_id", "cell", "csim", "rn")
+      // same bounded top-NProbe aggregate as ivfAssignRanked — the
+      // trained scan is the second n×cells pass and spilled identically
+      // under the window form
+      explodeRanked(
+        fanOut(Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding"),
+                    sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm")))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+                  Num.rnd(dotCols(col("embedding"), col("cv")) /
+                            (col("nrm") * col("cnrm")), 6).as("csim"),
+                  col("cell"))
+          .groupBy("vec_id")
+          .agg(topNProbe(col("csim"), col("cell")).as("tk")))
         .localCheckpoint()
     })
 
@@ -1564,14 +1593,14 @@ object Similarity {
     val live = emb.filter(
       (col("vec_id") < split && col("vec_id") % 10 =!= 0) ||
         col("vec_id") >= split)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell").asc)
-    val ranked = fanOut(live).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
-              Num.rnd(dotCols(col("embedding"), col("cv")) /
-                        (col("nrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= NProbe)
+    val ranked = explodeRanked(
+      fanOut(live).crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+                Num.rnd(dotCols(col("embedding"), col("cv")) /
+                          (col("nrm") * col("cnrm")), 6).as("csim"),
+                col("cell"))
+        .groupBy("vec_id")
+        .agg(topNProbe(col("csim"), col("cell")).as("tk")))
     val probes = live.filter(col("vec_id") < probeN)
       .join(ranked.select("vec_id", "cell"), Seq("vec_id"))
     val indexed = live.join(ranked.filter(col("rn") === 1)
@@ -1775,7 +1804,6 @@ object Similarity {
     * corpus half by the same [[ivfCells]] clamp (16 at n=250 — floor
     * of the clamp, so the oracle's literal holds). */
   def ivfIncrementalAssign(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val split = embCount(spark, dir) / 2
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -1785,15 +1813,18 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
               col("nrm").as("cnrm"))
     val cents = centsOf(lloydStep(fanOut(corpus), seeds))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell").asc)
+    // batch × cells nearest-centroid via the bounded top-1 aggregate
+    // (the ivfAssignRanked discipline — no window sort)
     fanOut(emb.filter(col("vec_id") >= split)).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"),
               Num.rnd(dotCols(col("embedding"), col("cv")) /
-                        (col("nrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell", "csim")
+                        (col("nrm") * col("cnrm")), 6).as("csim"),
+              col("cell"))
+      .groupBy("vec_id")
+      .agg(topNProbe(col("csim"), col("cell")).as("tk"))
+      .select(col("vec_id"),
+              element_at(col("tk"), 1).getField("_2").as("cell"),
+              element_at(col("tk"), 1).getField("_1").as("csim"))
   }
 
   def ivfTrainDelta(spark: SparkSession, dir: String): DataFrame = {
@@ -1837,15 +1868,19 @@ object Similarity {
     * simply vanishes from the next round's table — identically on both
     * engines, since assignments are identical. */
   private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    // nearest-centroid assignment via the bounded top-1 aggregate (the
+    // ivfAssignRanked discipline): map-side combine, no n×cells sort —
+    // this is the per-round scan the iterated trainer pays LloydMaxRounds
+    // times, so the window form's spill multiplied with rounds
     val asg = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"),
               Num.rnd(dotCols(col("embedding"), col("cv")) /
-                        (col("nrm") * col("cnrm")), 6).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell")
+                        (col("nrm") * col("cnrm")), 6).as("csim"),
+              col("cell"))
+      .groupBy("vec_id")
+      .agg(topNProbe(col("csim"), col("cell")).as("tk"))
+      .select(col("vec_id"),
+              element_at(col("tk"), 1).getField("_2").as("cell"))
     meanLongForm(
       emb.select("vec_id", "embedding").join(asg, Seq("vec_id"))
         .groupBy("cell")
@@ -2181,15 +2216,17 @@ object Similarity {
     val cents = wv.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cell"), col("wv").as("cv"),
               col("nrm").as("cnrm"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    // bounded top-1 aggregate (the ivfAssignRanked discipline)
     wv.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id"),
         (Num.rnd(dotCols(col("wv"), col("cv")) /
-                   (col("nrm") * col("cnrm")), 6) + lit(0.0)).as("csim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell", "csim")
+                   (col("nrm") * col("cnrm")), 6) + lit(0.0)).as("csim"),
+        col("cell"))
+      .groupBy("vec_id")
+      .agg(topNProbe(col("csim"), col("cell")).as("tk"))
+      .select(col("vec_id"),
+              element_at(col("tk"), 1).getField("_2").as("cell"),
+              element_at(col("tk"), 1).getField("_1").as("csim"))
   }
 
   /** The dim-stats oracle chain through `ds` (pos, n, mean, var_samp,

@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the bounded top-k Aggregator hash-based (see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              "4194304")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
