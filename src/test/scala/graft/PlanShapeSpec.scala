@@ -193,6 +193,26 @@ class PlanShapeSpec extends SparkSpec {
       s"novelty must stay linear:\n$p")
   }
 
+  test("ranked-IVF scan aggregates bounded top-k, never window-sorts") {
+    // the round-14 invariant: the n×cells ranking must be the
+    // TopKPairsAggregator partial aggregate (ObjectHashAggregate), not a
+    // row_number window over all candidate rows (which exchange-and-sorts
+    // n×cells and spills past the cell clamp — BASELINE r14). The
+    // memoized ranked frames hide behind localCheckpoint scans, so pin
+    // the one query that builds its ranked scan inline: upsert search.
+    // Exactly two windows survive, both k-bounded by WindowGroupLimit:
+    // the per-cell bucket cap (1024) and the per-probe top-3 re-rank —
+    // a third would mean an n×cells ranking regressed to a window.
+    val p = planOf("sim_ivf_upsert_search")
+    assert(p.contains("ObjectHashAggregate"),
+      s"upsert ranking lost the bounded top-k aggregate:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows <= 2,
+      s"beyond the cap + rerank windows in the upsert plan ($windows):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"surviving windows are not group-limit bounded:\n$p")
+  }
+
   test("no query collects unbounded data to the driver") {
     // the one deliberate collect (semi_isin parity demo) is bounded by the
     // 25-row nation table; every other query builds a single lazy plan.
