@@ -2665,10 +2665,17 @@ object Similarity {
     * residuals — same code path, mirrored CTEs. */
   private[graft] def residualSubs(spark: SparkSession, dir: String,
                                   pairs: DataFrame): DataFrame =
+    residualSubsWith(spark, dir, pairs, trainedCentroidList(spark, dir))
+
+  /** [[residualSubs]] against a GIVEN centroid-list frame (cell, cv) —
+    * the seam the persisted-index serve path reloads its coarse
+    * centroids through. */
+  private def residualSubsWith(spark: SparkSession, dir: String,
+                               pairs: DataFrame, cents: DataFrame): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .join(pairs, Seq("vec_id"))
-      .join(broadcast(trainedCentroidList(spark, dir)), Seq("cell"))
+      .join(broadcast(cents), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("embedding").cast("array<double>"), col("cv"),
                  (a, b) => a - b).as("res"))
@@ -2734,28 +2741,80 @@ object Similarity {
     * which runs first in Bench's owner list). */
   private def ivfpqAdcRanked(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "ivfpqadc"), {
-      import org.apache.spark.sql.expressions.Window
-      val cb = ivfpqCodebook(spark, dir)
-      val probes = ivfTrainedRanked(spark, dir)
-        .filter(col("rn") <= NProbe)
-        .filter(col("vec_id") < PqQueries)
-        .select("vec_id", "cell")
-      val dtab = residualSubs(spark, dir, probes)
-        .join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id").as("q_id"), col("cell"), col("sub"), col("code"),
-          round((col("dxx") - lit(2.0) * dotCols(col("sv"), col("cv"))
-                   + col("dcc")) * lit(1e6)).cast("long").as("t"))
-      val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
-      ivfpqCodes(spark, dir)
-        .join(broadcast(dtab), Seq("cell", "sub", "code"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(Num.rnd(sum("t").cast("double") / lit(1e6), 6).as("adist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= PqShortlist)
-        .select("q_id", "vec_id", "rn", "adist")
+      ivfpqAdcFrom(spark, dir,
+        ivfTrainedRanked(spark, dir), ivfpqCodebook(spark, dir),
+        ivfpqCodes(spark, dir), trainedCentroidList(spark, dir))
         .localCheckpoint()
     })
+
+  /** The IVF-PQ ADC serve composition over GIVEN index frames — shared
+    * by [[ivfpqAdcRanked]] (session-lifetime memos) and
+    * [[ivfpqIndexPersistSearch]] (the same index reloaded from durable
+    * parquet), so the two serve paths can never diverge. `ranked` =
+    * the coarse ranked assignment (vec_id, cell, rn ≤ NProbe); `cb` =
+    * the residual codebook (sub, code, cv, dcc); `codes` = the postings
+    * (vec_id, sub, code, cell); `cents` = the coarse centroid list
+    * (cell, cv). */
+  private def ivfpqAdcFrom(spark: SparkSession, dir: String,
+                           ranked: DataFrame, cb: DataFrame,
+                           codes: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = ranked
+      .filter(col("rn") <= NProbe)
+      .filter(col("vec_id") < PqQueries)
+      .select("vec_id", "cell")
+    val dtab = residualSubsWith(spark, dir, probes, cents)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("q_id"), col("cell"), col("sub"), col("code"),
+        round((col("dxx") - lit(2.0) * dotCols(col("sv"), col("cv"))
+                 + col("dcc")) * lit(1e6)).cast("long").as("t"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    codes
+      .join(broadcast(dtab), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(Num.rnd(sum("t").cast("double") / lit(1e6), 6).as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PqShortlist)
+      .select("q_id", "vec_id", "rn", "adist")
+  }
+
+  /** Persisted IVF-PQ index round trip (sim_ivfpq_persist) — the
+    * [[ivfIndexPersistSearch]] rule applied to the COMPOSED index, i.e.
+    * everything a production billion-vector index ships on disk: the
+    * coarse centroids (long form, model-sized), the coarse ranked
+    * postings (vec_id, cell, rn ≤ NProbe — PARTITIONED BY cell), the
+    * residual PQ codebook (8×16 rows), and the PQ code postings
+    * (vec_id, 8 codes + home cell — PARTITIONED BY cell, 9 small ints
+    * per vector: the compressed domain that stays hot at 100 TB while
+    * floats are only fetched for re-rank). Search runs entirely from
+    * the RELOADED files via the shared [[ivfpqAdcFrom]] seam; the
+    * oracle IS sim_ivfpq_topk's SQL unchanged — only the index's home
+    * moved. IvfPqPersistSpec pins search equality and the layout. */
+  def ivfpqIndexPersistSearch(spark: SparkSession, dir: String): DataFrame = {
+    val centsPath = Tables.scratch("ivfpq_index_centroids")
+    ivfTrain(spark, dir).write.mode("overwrite").parquet(centsPath)
+    val postingsPath = Tables.scratch("ivfpq_index_postings")
+    ivfTrainedRanked(spark, dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(postingsPath)
+    val cbPath = Tables.scratch("ivfpq_index_codebook")
+    ivfpqCodebook(spark, dir).write.mode("overwrite").parquet(cbPath)
+    val codesPath = Tables.scratch("ivfpq_index_codes")
+    ivfpqCodes(spark, dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
+    val ranked = spark.read.parquet(postingsPath)
+      .withColumn("cell", col("cell").cast("long"))
+    val cents = spark.read.parquet(centsPath)
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("cv"))
+    val cb = spark.read.parquet(cbPath)
+    val codes = spark.read.parquet(codesPath)
+      .withColumn("cell", col("cell").cast("long"))
+    ivfpqAdcFrom(spark, dir, ranked, cb, codes, cents)
+      .filter(col("rn") <= 3)
+      .select("q_id", "vec_id", "rn", "adist")
+  }
 
   def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
     ivfpqAdcRanked(spark, dir)
@@ -2902,6 +2961,7 @@ object Similarity {
     "sim_pq_adc_topk"  -> pqAdcTopK _,
     "sim_pq_rerank_topk" -> pqRerankTopK _,
     "sim_ivfpq_topk"   -> ivfpqTopK _,
+    "sim_ivfpq_persist" -> ivfpqIndexPersistSearch _,
     "sim_ivfpq_rerank_topk" -> ivfpqRerankTopK _,
     "emb_centroid_by_source" -> centroidBySource _,
     "emb_quantize"     -> quantize _,
@@ -2986,6 +3046,15 @@ object Similarity {
     "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
     "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
     "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"
+
+  /** The IVF-PQ ADC top-k oracle — registered VERBATIM for BOTH
+    * sim_ivfpq_topk and sim_ivfpq_persist (the storage-moved rule). */
+  private lazy val ivfpqTopKOracleSql: String =
+    s"WITH $ivfpqCteSql " +
+    "SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rn, adist FROM (" +
+    "SELECT q_id, vec_id, round((CAST(ts AS DOUBLE) / 1e6) * 1e6) / 1e6 AS adist, " +
+    "row_number() OVER (PARTITION BY q_id ORDER BY ts ASC, vec_id ASC) AS rn " +
+    "FROM vad) WHERE rn <= 3"
 
   /** Unrolled Lloyd trajectory as CTEs: `tr1` = the shared one-step
     * chain ([[ivfTrainCte]]'s `tr`), then per round r: list-form
@@ -3176,12 +3245,12 @@ object Similarity {
     // IVF-PQ: residual codebook within trained coarse cells, ADC over
     // probed cells only — the integer micro-unit sum ranks identically
     // on both engines (order-invariant BIGINT)
-    "sim_ivfpq_topk" ->
-      (s"WITH $ivfpqCteSql " +
-       "SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rn, adist FROM (" +
-       "SELECT q_id, vec_id, round((CAST(ts AS DOUBLE) / 1e6) * 1e6) / 1e6 AS adist, " +
-       "row_number() OVER (PARTITION BY q_id ORDER BY ts ASC, vec_id ASC) AS rn " +
-       "FROM vad) WHERE rn <= 3"),
+    "sim_ivfpq_topk" -> ivfpqTopKOracleSql,
+    // persisted composed-index round trip: the oracle IS
+    // sim_ivfpq_topk's, UNCHANGED — centroids/postings/codebook/codes
+    // moved to parquet, the search they serve did not (the
+    // dedup_index_persist / sim_index_persist rule)
+    "sim_ivfpq_persist" -> ivfpqTopKOracleSql,
     // composed-index re-rank: the sim_ivfpq_topk ADC chain widened to
     // the shortlist, then the sim_pq_rerank_topk exact-L2 stage verbatim
     // (keep all three in lockstep)
