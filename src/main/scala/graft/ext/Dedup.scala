@@ -933,6 +933,39 @@ object Dedup {
         Tables.documents(spark, dir).filter(col("doc_id") >= split))
     })
 
+  /** Signature-index TAKEDOWN screen (dedup_index_delete) — the
+    * governance half the vector side already has
+    * ([[Similarity.ivfDeleteSearch]]): 10% of the corpus (doc_id % 10 =
+    * 0) is removed from the signature index by TOMBSTONE FILTER — the
+    * deleted docs' rows vanish from both persisted frames (hashed
+    * shingles and band buckets), every other doc's rows are untouched —
+    * and the batch screen runs over the surviving index. That is
+    * exactly what a production takedown does to an on-disk index
+    * (delete the doc's rows / mask via tombstones; nobody re-signs the
+    * whole corpus), and the oracle mirrors it literally: the SAME
+    * capped corpus chain with the deleted doc_ids filtered from its
+    * outputs — structurally exact at ANY scale, no under-cap regime
+    * caveat. The deliberate semantic note: a tombstoned index is NOT
+    * bit-identical to a from-scratch rebuild on the survivors when a
+    * shingle's document frequency sits at the [[MaxShingleDf]] cap
+    * boundary (deletions can pull a hot shingle back under the cap —
+    * only a rebuild/compaction heals that drift); the takedown contract
+    * here is row removal, the rebuild is [[incrementalMinhash]] on the
+    * filtered corpus. A deleted doc can no longer match anything:
+    * matches only ever decrease, so keep flags flip 0→1 only
+    * (IndexDeleteSpec pins both directions on a planted fixture). */
+  def indexDeleteScreen(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "idxdelete"), {
+      val split =
+        incSplit(CountMemo.get(spark, dir, "documents")(
+          Tables.documents(spark, dir).count()))
+      val (hs, bands) = corpusMinhashIndex(spark, dir, split)
+      incMinhashScreen(
+        hs.filter(col("doc_id") % 10 =!= 0),
+        bands.filter(col("doc_id") % 10 =!= 0),
+        Tables.documents(spark, dir).filter(col("doc_id") >= split))
+    })
+
   private val SimBits = 60 // 30 bits from each modulus (P1, P2 < 2^30)
 
   /** 60-bit SimHash per document: two portable token polyhashes supply 30
@@ -1370,6 +1403,7 @@ object Dedup {
     "corpus_split_safe"   -> splitSafe _,
     "dedup_sketch_merge"  -> sketchMerge _,
     "dedup_index_persist" -> indexPersistScreen _,
+    "dedup_index_delete" -> indexDeleteScreen _,
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_clusters"      -> clusters _,
@@ -1615,12 +1649,15 @@ object Dedup {
     * batch is signed fresh (per-side DF caps included) — then candidates
     * are the batch×corpus band-bucket join and the confirm runs over the
     * unioned hashed shingles, exactly the Spark composition. */
-  private def incMinhashOracleSql: String =
-    s"WITH ${shingleCteFor(3, "c", "WHERE doc_id < 250")}, ${bandsSqlFor("c")}, " +
-    s"${shingleCteFor(3, "b", "WHERE doc_id >= 250")}, ${bandsSqlFor("b")}, " +
+  /** The batch-screen tail over NAMED corpus index relations — shared
+    * by the plain incremental screen (chs/cbands) and the takedown
+    * screen (the tombstone-filtered dhs/dbnd): candidates from the
+    * batch×corpus band-bucket join, confirm over the unioned hashed
+    * shingles, per-batch-doc keep flags. */
+  private def incScreenTailSql(corpusHs: String, corpusBands: String): String =
     "cand AS (SELECT DISTINCT c.doc_id AS a_id, b.doc_id AS b_id " +
-    "FROM bbands b JOIN cbands c ON b.band = c.band AND b.bh = c.bh), " +
-    "uhs AS (SELECT doc_id, h FROM chs UNION ALL SELECT doc_id, h FROM bhs), " +
+    s"FROM bbands b JOIN $corpusBands c ON b.band = c.band AND b.bh = c.bh), " +
+    s"uhs AS (SELECT doc_id, h FROM $corpusHs UNION ALL SELECT doc_id, h FROM bhs), " +
     "sz AS (SELECT doc_id, count(*) AS sz FROM uhs GROUP BY doc_id), " +
     "it AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c " +
     "JOIN uhs x ON x.doc_id = c.a_id " +
@@ -1632,6 +1669,23 @@ object Dedup {
     "CAST(coalesce(m.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches, " +
     "CAST(coalesce(m.n_corpus_matches, 0) = 0 AS INTEGER) AS keep " +
     "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"
+
+  private def incMinhashOracleSql: String =
+    s"WITH ${shingleCteFor(3, "c", "WHERE doc_id < 250")}, ${bandsSqlFor("c")}, " +
+    s"${shingleCteFor(3, "b", "WHERE doc_id >= 250")}, ${bandsSqlFor("b")}, " +
+    incScreenTailSql("chs", "cbands")
+
+  /** Takedown oracle: the SAME capped corpus chain (built on the full
+    * corpus half — signatures don't un-happen), with the deleted
+    * doc_ids tombstone-filtered from its two index outputs before the
+    * shared screen tail — literally the Spark-side row filter, so the
+    * equality is structural at any scale. */
+  private def indexDeleteOracleSql: String =
+    s"WITH ${shingleCteFor(3, "c", "WHERE doc_id < 250")}, ${bandsSqlFor("c")}, " +
+    s"${shingleCteFor(3, "b", "WHERE doc_id >= 250")}, ${bandsSqlFor("b")}, " +
+    "dhs AS (SELECT doc_id, h FROM chs WHERE doc_id % 10 <> 0), " +
+    "dbnd AS (SELECT doc_id, band, bh FROM cbands WHERE doc_id % 10 <> 0), " +
+    incScreenTailSql("dhs", "dbnd")
 
   /** SimHash fingerprint chain as a CTE ending in `shh(doc_id, simhash)`
     * — same two folds, same 60 sign-bit sums as the Spark side; shared
@@ -1936,6 +1990,7 @@ object Dedup {
     "dedup_incremental_minhash" -> incMinhashOracleSql,
     // the disk-index screen computes the identical result — same oracle
     "dedup_index_persist" -> incMinhashOracleSql,
+    "dedup_index_delete" -> indexDeleteOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "dedup_clusters" ->

@@ -730,6 +730,36 @@ object Similarity {
       .orderBy("k")
   }
 
+  /** Mean reciprocal rank of the TRUE nearest neighbor in the served
+    * top-3 (sim_mrr_eval) — the retrieval metric the recall family
+    * doesn't give: recall counts hits anywhere in the cut, MRR weights
+    * WHERE the index puts the one answer that matters most (the exact
+    * NN). Truth = rank 1 of the SHARED [[exactTruthRanked]] memo; this
+    * is a shared-truth eval but deliberately NOT a frontier leg — its
+    * row is rank-weighted (n_probes/n_found/rr_sum/mrr_micro), not the
+    * n_truth/n_hit/recall shape the frontier compares cell-for-cell.
+    * Screen = the production [[ivfTopK]] serving cut (rn ≤ 3). Per
+    * probe RR = 1e6 div rank when the NN is served, else 0;
+    * MRR = Σ RR div n_probes — all quantities non-negative so
+    * div ≡ `//`. Probe cost fixed at 100 queries at any corpus scale;
+    * MrrSpec ties the row to a driver-side recompute and its bounds. */
+  def mrrEval(spark: SparkSession, dir: String,
+              probeN: Long = 100): DataFrame = {
+    val truth1 = exactTruthRanked(spark, dir, probeN)
+      .filter(col("rn") === 1).select("a_id", "b_id")
+    val screen = ivfTopK(spark, dir)
+      .filter(col("a_id") < probeN)
+      .select(col("a_id"), col("b_id"), col("rn"))
+    truth1.join(screen, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_probes"),
+           sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("n_found"),
+           sum(when(col("rn").isNotNull,
+                    expr("CAST(1000000 AS BIGINT) div rn"))
+                 .otherwise(0L)).as("rr_sum"))
+      .select(col("n_probes"), col("n_found"), col("rr_sum"),
+              expr("rr_sum div n_probes").as("mrr_micro"))
+  }
+
   /** Index TAKEDOWN search — the governance operation every serving
     * index needs (right-to-be-forgotten / licensing removal): 10% of
     * the corpus (vec_id % 10 = 0) is deleted, and search runs over the
@@ -2930,6 +2960,7 @@ object Similarity {
     "sim_nn_descent_eval" -> ((s, d) => nnDescentEval(s, d)),
     "sim_ivf_recall_eval" -> ((s, d) => ivfRecallEval(s, d)),
     "sim_recall_at_k" -> ((s, d) => recallAtK(s, d)),
+    "sim_mrr_eval" -> ((s, d) => mrrEval(s, d)),
     "sim_ivf_delete_search" -> ((s, d) => ivfDeleteSearch(s, d)),
     "sim_filtered_topk" -> ((s, d) => filteredTopK(s, d)),
     "sim_filtered_recall" -> ((s, d) => filteredRecallEval(s, d)),
@@ -3798,6 +3829,27 @@ object Similarity {
        "AS precision_micro " +
        "FROM rkn n JOIN rkm m USING (k) LEFT JOIN rkh h USING (k) " +
        "ORDER BY k"),
+    // mq-prefixed tail over ivfTopKCteSql's full `r`: truth = exact
+    // brute rank-1 NN per probe (TruthDepth's rn=1 slice in Spark),
+    // screen join restricted to r.rn <= 3 (the serving cut); RR/MRR in
+    // nonneg integer micro-units (// ≡ div)
+    "sim_mrr_eval" ->
+      (ivfTopKCteSql + ", " +
+       "mqe AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+       "WHERE x.vec_id < 100), " +
+       "mqt AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
+       "FROM mqe) WHERE rn = 1), " +
+       "mqj AS (SELECT t.a_id, r.rn FROM mqt t LEFT JOIN r " +
+       "ON r.a_id = t.a_id AND r.b_id = t.b_id AND r.rn <= 3), " +
+       "mqs AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, " +
+       "CAST(sum(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found, " +
+       "CAST(sum(CASE WHEN rn IS NOT NULL THEN 1000000 // rn ELSE 0 END) AS BIGINT) AS rr_sum " +
+       "FROM mqj) " +
+       "SELECT n_probes, n_found, rr_sum, rr_sum // n_probes AS mrr_micro " +
+       "FROM mqs"),
     // dl-prefixed from-scratch rebuild over the SURVIVING corpus
     // (vec_id % 10 <> 0): centroids stay the full seed POSITIONS,
     // assignment is per-vector independent, the bucket cap re-applies
