@@ -1122,6 +1122,38 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("cluster_size"))
       .select("doc_id", "cluster_size")
 
+  /** Quality-aware dedup survivor selection (dedup_keep_best) — the
+    * modern production recipe [[keepList]]'s min-id rule simplifies
+    * away: within each near-dup cluster keep the member the TRAINED
+    * quality scorer ranks highest ([[TextOps.qualityScoreTrained]]'s
+    * integer micro-nat score; ties to the lower doc_id — fully
+    * deterministic, integer keys only). Output one row per cluster:
+    * the survivor, its score, the cluster size, and whether the
+    * quality rule changed the pick vs min-id (the cell quantifying
+    * what quality-aware selection buys — on duplicated content you
+    * keep the BEST copy, not the first-crawled one). Cost: the two
+    * memoized halves the pipeline already pays for (cluster labels +
+    * NB scores) joined once (|docs| rows) and one groupBy(cluster)
+    * with a max(struct) partial agg — no window, no sort. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val lab = clusters(spark, dir)
+    val sc = graft.ext.TextOps.qualityScoreTrained(spark, dir)
+      .select(col("doc_id"), col("score_micro"))
+    lab.join(sc, Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(
+        max(struct(col("score_micro"), (-col("doc_id")).as("nid"))).as("best"),
+        min("doc_id").as("min_id"),
+        count(lit(1)).as("cluster_size"))
+      .select(
+        col("cluster"),
+        (-col("best.nid")).as("doc_id"),
+        col("best.score_micro").as("score_micro"),
+        col("cluster_size"),
+        (col("best.nid") =!= -col("min_id")).cast("int").as("changed_pick"))
+      .orderBy("cluster")
+  }
+
   /** Blocked edit-distance fuzzy matching — the record-linkage modality
     * the n-gram/minhash family can't express: catalog names that differ
     * by a typo-scale edit ("red bolt" / "old bolt"). The production
@@ -1406,6 +1438,7 @@ object Dedup {
     "dedup_index_delete" -> indexDeleteScreen _,
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
+    "dedup_keep_best"     -> keepBest _,
     "dedup_clusters"      -> clusters _,
     "dedup_exact"         -> exact _,
     "dedup_exact_norm"    -> exactNorm _,
@@ -2004,6 +2037,25 @@ object Dedup {
     "dedup_keep" ->
       (s"WITH RECURSIVE $clusterLabCte " +
        "SELECT min(doc_id) AS doc_id, count(*) AS cluster_size FROM lab GROUP BY cluster"),
+    // kb-prefixed tail composing the cluster chain with TextOps'
+    // quality-trainer chain (q-prefixed names, disjoint by the prefix
+    // rule) — survivor = (score_micro desc, doc_id asc) rank 1 per
+    // cluster; all-integer keys, no float discipline needed
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE $clusterLabCte, ${TextOps.qualityTrainCteSql}, " +
+       "kbs AS (SELECT doc_id, CAST(sum(w_micro) AS BIGINT) AS score_micro " +
+       "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id), " +
+       "kbj AS (SELECT l.cluster, l.doc_id, s.score_micro " +
+       "FROM lab l JOIN kbs s USING (doc_id)), " +
+       "kbr AS (SELECT cluster, doc_id, score_micro, " +
+       "row_number() OVER (PARTITION BY cluster " +
+       "ORDER BY score_micro DESC, doc_id ASC) AS rn, " +
+       "count(*) OVER (PARTITION BY cluster) AS cluster_size, " +
+       "min(doc_id) OVER (PARTITION BY cluster) AS min_id FROM kbj) " +
+       "SELECT cluster, doc_id, score_micro, " +
+       "CAST(cluster_size AS BIGINT) AS cluster_size, " +
+       "CAST(doc_id <> min_id AS INTEGER) AS changed_pick " +
+       "FROM kbr WHERE rn = 1 ORDER BY cluster"),
     // the clusters chain + the corpus_split Knuth-scramble rule applied
     // to the CLUSTER label
     "corpus_split_safe" ->

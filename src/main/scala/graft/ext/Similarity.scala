@@ -1835,6 +1835,18 @@ object Similarity {
     * of the clamp, so the oracle's literal holds). */
   def ivfIncrementalAssign(spark: SparkSession, dir: String): DataFrame = {
     val split = embCount(spark, dir) / 2
+    assignToCentroids(
+      Tables.embeddings(spark, dir).filter(col("vec_id") >= split),
+      frozenBaseCentroids(spark, dir))
+  }
+
+  /** The FROZEN base-half quantizer (seeds < ivfCells(n/2), one Lloyd
+    * step on the base snapshot) — the centroid table
+    * [[ivfIncrementalAssign]] and [[graft.streaming.VecStream]]'s
+    * continuous assignment both serve against. Model-sized. */
+  private[graft] def frozenBaseCentroids(spark: SparkSession,
+                                         dir: String): DataFrame = {
+    val split = embCount(spark, dir) / 2
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
@@ -1842,10 +1854,18 @@ object Similarity {
     val seeds = corpus.filter(col("vec_id") < ivfCells(split))
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
               col("nrm").as("cnrm"))
-    val cents = centsOf(lloydStep(fanOut(corpus), seeds))
-    // batch × cells nearest-centroid via the bounded top-1 aggregate
-    // (the ivfAssignRanked discipline — no window sort)
-    fanOut(emb.filter(col("vec_id") >= split)).crossJoin(broadcast(cents))
+    centsOf(lloydStep(fanOut(corpus), seeds))
+  }
+
+  /** Nearest-frozen-centroid assignment for an arbitrary (vec_id,
+    * embedding, …) batch — per-vector independent, so micro-batch
+    * streaming ≡ one-shot batch at any arrival split. Bounded top-1
+    * aggregate (the ivfAssignRanked discipline — no window sort). */
+  private[graft] def assignToCentroids(batch: DataFrame,
+                                       cents: DataFrame): DataFrame =
+    fanOut(batch.select(col("vec_id"), col("embedding"),
+             sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm")))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"),
               Num.rnd(dotCols(col("embedding"), col("cv")) /
                         (col("nrm") * col("cnrm")), 6).as("csim"),
@@ -1855,7 +1875,6 @@ object Similarity {
       .select(col("vec_id"),
               element_at(col("tk"), 1).getField("_2").as("cell"),
               element_at(col("tk"), 1).getField("_1").as("csim"))
-  }
 
   def ivfTrainDelta(spark: SparkSession, dir: String): DataFrame = {
     val seed = Tables.embeddings(spark, dir)

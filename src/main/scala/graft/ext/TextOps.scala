@@ -2535,7 +2535,9 @@ object TextOps {
     * Mirrors [[qualityTrain]]: gopher labels, PolyHashMod(31, 1e9+7)
     * mod-64 buckets, Laplace(+1) counts over a 64-row scaffold, each ln
     * rounded to micro-nats BEFORE the BIGINT log-odds arithmetic. */
-  private def qualityTrainCteSql: String =
+  // private[graft]: Dedup's quality-aware survivor oracle composes it
+  // with the cluster chain (dedup_keep_best)
+  private[graft] def qualityTrainCteSql: String =
     s"qlab AS (SELECT doc_id, CAST($gopherCondSql AS INTEGER) AS y " +
     s"FROM ($gopherInnerSql) t), " +
     "qtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +

@@ -40,6 +40,40 @@ object VecStream {
   def readVecs(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(vecSchema).parquet(dir)
 
+  /** CONTINUOUS incremental IVF assignment — the streaming face of
+    * `sim_ivf_incremental_assign` (and the online half of the upsert
+    * lifecycle): the frozen base-trained centroid table is built ONCE
+    * and localCheckpointed, then every arriving vector micro-batch is
+    * assigned to its nearest frozen cell through the SHARED
+    * Similarity.assignToCentroids seam. Assignment is per-vector
+    * against a frozen model, so stream ≡ batch at ANY arrival split —
+    * no state, no watermark; per-micro-batch cost is
+    * O(|batch| × cells) with the corpus never rescanned (the dedup
+    * signature screen's contract on the vector side). */
+  def incrementalAssignToParquet(spark: SparkSession, dir: String,
+                                 stream: DataFrame, outDir: String,
+                                 checkpointDir: String): Unit = {
+    val cents = graft.ext.Similarity.frozenBaseCentroids(spark, dir)
+      .localCheckpoint() // one build; micro-batches re-read the frame
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Similarity.assignToCentroids(batch, cents)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // free the centroid checkpoint once the stream is done — the
+    // screenNewMinhashToParquet lifecycle rule
+    org.apache.spark.sql.GraftSql.checkpointRdd(cents)
+      .foreach(_.unpersist(false))
+  }
+
   /** Serve each arriving probe micro-batch against the static filtered
     * index; one `batch_id=N` parquet dir per micro-batch. */
   def filteredSearchToParquet(spark: SparkSession, dir: String,

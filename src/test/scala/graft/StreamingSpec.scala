@@ -618,4 +618,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("streaming incremental IVF assignment equals the batch assign " +
+       "on a two-batch arrival split") {
+    import graft.streaming.VecStream
+    val split = Tables.embeddings(spark, sf0001).count() / 2
+    val arrivals = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") >= split)
+      .select("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("graft-iva-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-iva-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeOne(arrivals.filter(col("vec_id") % 2 === 0), "vecs-000.parquet")
+    writeOne(arrivals.filter(col("vec_id") % 2 =!= 0), "vecs-001.parquet")
+    val out = Files.createTempDirectory("graft-iva-out").toString
+    val ckpt = Files.createTempDirectory("graft-iva-ckpt").toString
+    val stream = spark.readStream.schema(VecStream.vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    VecStream.incrementalAssignToParquet(spark, sf0001, stream, out, ckpt)
+    assert(new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id=")) >= 2)
+    val streamed = spark.read.parquet(s"$out/batch_id=*")
+      .select("vec_id", "cell", "csim")
+    val batch = ext.Similarity.queries("sim_ivf_incremental_assign")(
+      spark, sf0001).select("vec_id", "cell", "csim")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
