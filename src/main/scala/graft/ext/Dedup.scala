@@ -1154,6 +1154,41 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** Duplication-aware weighted sampling (dedup_weighted_sample) —
+    * [[TextOps.weightedSample]]'s A-ES discipline with the weight
+    * turned AGAINST duplication: per source, k docs sampled with
+    * probability ∝ 1/cluster_size, so replicated content is sampled as
+    * ONE unit of evidence instead of cluster_size units (the
+    * repetition bias every eval/inspection sample over a crawled
+    * corpus carries, removed at the sampler). Key = (−ln u) ·
+    * cluster_size with u from the deterministic saltOrd scramble and
+    * the ln micronized FIRST (the ln rule); singletons reduce to the
+    * uniform sampler, and weighting by 1/size needs NO division at all
+    * — the integer product is exact (envelope: cluster_size · 13.8e6 <
+    * 2^63 to ~6e11-member clusters). Smallest-k keys win per source,
+    * ties to the lower doc_id. Reuses the memoized cluster labels —
+    * marginal cost is one |docs| join + a per-source top-k window. */
+  def dedupWeightedSample(spark: SparkSession, dir: String,
+                          k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lab = clusters(spark, dir)
+    val csz = lab.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val keyed = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(lab, Seq("doc_id"))
+      .join(csz, Seq("cluster"))
+      .withColumn("u_micro",
+        Similarity.saltOrd(col("doc_id")) % 1000000L + 1L)
+      .withColumn("lnu",
+        round(log(col("u_micro").cast("double") /
+                  lit(1000000L).cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("key_micro", (-col("lnu")) * col("cluster_size"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("key_micro").asc, col("doc_id").asc)
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("source", "doc_id", "rn", "cluster_size", "key_micro")
+  }
+
   /** Blocked edit-distance fuzzy matching — the record-linkage modality
     * the n-gram/minhash family can't express: catalog names that differ
     * by a typo-scale edit ("red bolt" / "old bolt"). The production
@@ -1439,6 +1474,7 @@ object Dedup {
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_keep_best"     -> keepBest _,
+    "dedup_weighted_sample" -> ((s, d) => dedupWeightedSample(s, d)),
     "dedup_clusters"      -> clusters _,
     "dedup_exact"         -> exact _,
     "dedup_exact_norm"    -> exactNorm _,
@@ -2056,6 +2092,27 @@ object Dedup {
        "CAST(cluster_size AS BIGINT) AS cluster_size, " +
        "CAST(doc_id <> min_id AS INTEGER) AS changed_pick " +
        "FROM kbr WHERE rn = 1 ORDER BY cluster"),
+    // dk-prefixed tail over the cluster labels: A-ES keys with weight
+    // 1/cluster_size as the DIVISION-FREE product (−lnu)·cluster_size;
+    // u scramble, micronized-ln-first, k literal 5 and the doc_id
+    // tie-break all lockstep with dedupWeightedSample (and the ws
+    // family's discipline)
+    "dedup_weighted_sample" ->
+      (s"WITH RECURSIVE $clusterLabCte, " +
+       "dkz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size " +
+       "FROM lab GROUP BY cluster), " +
+       "dkk AS (SELECT d.source, l.doc_id, z.cluster_size, " +
+       s"(${Similarity.saltOrdSql("l.doc_id")} % 1000000) + 1 AS u_micro " +
+       "FROM lab l JOIN documents d USING (doc_id) " +
+       "JOIN dkz z ON z.cluster = l.cluster), " +
+       "dkl AS (SELECT source, doc_id, cluster_size, " +
+       "(-(CAST(round(ln(CAST(u_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) " +
+       "* 1e6) AS BIGINT))) * cluster_size AS key_micro FROM dkk), " +
+       "dkr AS (SELECT source, doc_id, cluster_size, key_micro, " +
+       "row_number() OVER (PARTITION BY source " +
+       "ORDER BY key_micro ASC, doc_id ASC) AS rn FROM dkl) " +
+       "SELECT source, doc_id, CAST(rn AS INTEGER) AS rn, cluster_size, " +
+       "key_micro FROM dkr WHERE rn <= 5"),
     // the clusters chain + the corpus_split Knuth-scramble rule applied
     // to the CLUSTER label
     "corpus_split_safe" ->

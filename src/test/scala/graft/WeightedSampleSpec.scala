@@ -53,4 +53,38 @@ class WeightedSampleSpec extends SparkSpec {
       }
     }
   }
+
+  test("dedup-weighted sample equals the brute 1/cluster_size reference") {
+    // same A-ES reference with weight = 1/cluster_size, i.e. the
+    // DIVISION-FREE key (−lnu)·cluster_size
+    def dkey(docId: Long, csz: Long): Long = {
+      val u = ((docId % 2147483648L) * 2654435761L) % 2147483648L % 1000000L + 1L
+      val lnu = BigDecimal(math.log(u.toDouble / 1000000.0) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (-lnu) * csz
+    }
+    val lab = ext.Dedup.queries("dedup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val csz = lab.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val src = Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = lab.keys.groupBy(src).flatMap { case (s, ids) =>
+      ids.toSeq.map { d => (d, csz(lab(d)), dkey(d, csz(lab(d)))) }
+        .sortBy { case (d, _, k) => (k, d) }
+        .take(5).zipWithIndex
+        .map { case ((d, c, k), i) => (s, d, i + 1, c, k) }
+    }.toSet
+    val got = ext.Dedup.queries("dedup_weighted_sample")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+                 r.getLong(4)))
+      .toSet
+    assert(got === expect)
+    // downweighting is live: a cluster_size-c doc's key is exactly c x
+    // the singleton key at equal u
+    lab.keys.take(20).foreach { d =>
+      assert(dkey(d, 3L) === 3L * dkey(d, 1L))
+    }
+  }
 }
