@@ -181,4 +181,39 @@ object AlgebraProps extends Properties("graft.algebra") {
            cross >= -5L && cross <= 693153L) :|
         s"self=$self cross=$cross truth=${math.round(truth * 1e6)}"
     }
+
+  // keys/ids for the top-k aggregator ≡ window property; ±0.0 and exact
+  // duplicates generated deliberately (the tie cases that bit round 14's
+  // window→aggregate conversion design)
+  private val rankRows = Gen.listOfN(60, Gen.zip(
+    Gen.chooseNum(0L, 6L),
+    Gen.oneOf(Gen.chooseNum(-3.0, 3.0), Gen.oneOf(0.0, -0.0, 1.5, -1.5)),
+    Gen.chooseNum(0L, 30L)))
+
+  property("bounded top-k aggregate ≡ row_number window (±0.0 ties incl.)") =
+    forAll(rankRows) { xs =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // distinct (group, id): the production inputs (one row per
+      // (vec, cell)) never repeat an id within a group
+      val rows = xs.groupBy(x => (x._1, x._3)).values.map(_.head).toSeq
+      val df = rows.toDF("g", "key", "id")
+      val w = Window.partitionBy("g").orderBy($"key".desc, $"id".asc)
+      val viaWindow = df
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .select($"g", $"id", $"key", $"rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)
+                               + 0.0, r.getInt(3))).toSet
+      val topk = udaf(new graft.functions.TopKPairsAggregator(2),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      val viaAgg = df.groupBy("g")
+        .agg(topk($"key", $"id").as("tk"))
+        .select($"g", posexplode($"tk"))
+        .select($"g", $"col._2".as("id"), $"col._1".as("key"),
+                ($"pos" + 1).cast("int").as("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)
+                               + 0.0, r.getInt(3))).toSet
+      Prop(viaAgg == viaWindow) :| s"agg=$viaAgg window=$viaWindow"
+    }
 }
