@@ -94,3 +94,11 @@ esac
   echo "- builder bench (sf0.1, local[32]): ${BENCH_LINE} — committed bench.json"
 } >> BASELINE.md
 echo "Appended Round ${ROUND} gate block to BASELINE.md"
+
+# Durable builder record: the driver's post-commit bench overwrites
+# bench.json every round (VERDICT r13/r14 housekeeping item). Keep the
+# builder's quiet-box run at a path the driver never touches, so the next
+# round can restore bench.json with a one-line copy instead of git
+# archaeology.
+cp bench.json bench_builder.json
+echo "Saved builder record to bench_builder.json"
