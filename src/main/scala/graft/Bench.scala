@@ -48,7 +48,11 @@ object Bench {
     // build cost on the same timed query each run; the family totals
     // still include all real work (nothing hides in untimed warmup).
     val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
-      "dedup_minhash_lsh", "dedup_incremental_minhash", "sim_ivf_assign",
+      "dedup_minhash_lsh", "dedup_incremental_minhash",
+      // idxdelete's memo gained a second consumer (dedup_index_compact,
+      // which sorts BEFORE it) — pin the owner so the tombstone screen's
+      // build cost stays on the delete query
+      "dedup_index_delete", "sim_ivf_assign",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
       "sim_ivf_topk", "sim_knn_mutual", "sim_pq_codes", "sim_ivfpq_topk",
       "graph_pagerank", "graph_components", "emb_pca_power",

@@ -51,9 +51,28 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Scratch dir for source round-trip queries (only place we write
-    * outside the driver-given outDir). Unique per table name. */
-  def scratch(name: String): String = {
+    * outside the driver-given outDir). Unique per table name AND per
+    * JVM: a fixed shared path let two concurrent runners (an
+    * overlapping Bench and Verify, or parallel test forks) race
+    * overwrite-vs-read on the same directory and serve a half-written
+    * index (ADVICE r14) — the pid suffix isolates processes, and a
+    * shutdown hook reaps this JVM's tree so /tmp doesn't accumulate.
+    * Same-JVM sessions still share (the queries re-derive identical
+    * content per sfDir, and the single-runner-per-JVM assumption is the
+    * bookmarkIngestOnce precedent). */
+  private lazy val scratchBase: String = {
     val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    s"$base/graft-scratch/$name"
+    val dir = s"$base/graft-scratch-${ProcessHandle.current.pid}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
+    dir
   }
+
+  def scratch(name: String): String = s"$scratchBase/$name"
 }

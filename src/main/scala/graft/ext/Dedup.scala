@@ -966,6 +966,60 @@ object Dedup {
         Tables.documents(spark, dir).filter(col("doc_id") >= split))
     })
 
+  /** Index COMPACTION reconcile (dedup_index_compact) — retires the
+    * compaction debt [[indexDeleteScreen]] documents: the tombstoned
+    * index drifts from a fresh rebuild exactly where a shingle's
+    * document frequency sat at the [[MaxShingleDf]] cap boundary
+    * (deletions pull a hot shingle back under the cap — only a rebuild
+    * re-signs it into the index). The compaction job is that rebuild:
+    * [[buildMinhashIndex]] over the LIVE (tombstone-filtered) corpus,
+    * with the DF cap recomputed on surviving counts, then the same
+    * batch screen. This operator runs BOTH serve paths and reconciles
+    * them per batch doc — n/keep from the tombstone filter vs the
+    * compacted rebuild, plus a drift flag — the audit report a
+    * maintenance job emits before swapping the compacted index in. At
+    * 100 TB the rebuild is the scheduled-compaction cost (one corpus
+    * re-sign, amortized over takedown volume); the reconcile itself is
+    * two |batch|-row frames joined on doc_id. Below cap occupancy the
+    * two paths are bit-identical (CompactSpec pins it, and the natural
+    * sf0.01 corpus — max DF ≪ 100 on the live half — hash-proves it in
+    * the oracle); the drift column quantifies the debt when the cap is
+    * in play (CompactSpec plants a 101-doc hot shingle to drive it). */
+  def indexCompactReconcile(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "idxcompact"), {
+      val split =
+        incSplit(CountMemo.get(spark, dir, "documents")(
+          Tables.documents(spark, dir).count()))
+      val docs = Tables.documents(spark, dir)
+      compactReconcileOf(
+        indexDeleteScreen(spark, dir),
+        docs.filter(col("doc_id") < split && col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") >= split))
+    })
+
+  /** The reconcile seam over an ARBITRARY (tombstone screen, live
+    * corpus, batch) triple — CompactSpec drives the planted cap-boundary
+    * fixture through it; [[indexCompactReconcile]] is the production
+    * (n/2 split, %10 takedown) instance. */
+  private[graft] def compactReconcileOf(tombScreen: DataFrame,
+                                        liveCorpus: DataFrame,
+                                        batchDocs: DataFrame): DataFrame = {
+    val (lhs, lbands) = buildMinhashIndex(liveCorpus)
+    val comp = incMinhashScreen(lhs, lbands, batchDocs)
+    // the compacted index frames are dead once the screen result (a
+    // localCheckpoint inside incMinhashScreen) has materialized
+    Seq(lhs, lbands).foreach(f =>
+      org.apache.spark.sql.GraftSql.checkpointRdd(f).foreach(_.unpersist(false)))
+    tombScreen.select(col("doc_id"),
+        col("n_corpus_matches").as("n_tomb"), col("keep").as("keep_tomb"))
+      .join(comp.select(col("doc_id"),
+        col("n_corpus_matches").as("n_comp"), col("keep").as("keep_comp")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_tomb"), col("keep_tomb"),
+        col("n_comp"), col("keep_comp"),
+        (col("n_tomb") =!= col("n_comp")).cast("int").as("drift"))
+  }
+
   private val SimBits = 60 // 30 bits from each modulus (P1, P2 < 2^30)
 
   /** 60-bit SimHash per document: two portable token polyhashes supply 30
@@ -1471,6 +1525,7 @@ object Dedup {
     "dedup_sketch_merge"  -> sketchMerge _,
     "dedup_index_persist" -> indexPersistScreen _,
     "dedup_index_delete" -> indexDeleteScreen _,
+    "dedup_index_compact" -> indexCompactReconcile _,
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_keep_best"     -> keepBest _,
@@ -1724,20 +1779,29 @@ object Dedup {
     * batch×corpus band-bucket join, confirm over the unioned hashed
     * shingles, per-batch-doc keep flags. */
   private def incScreenTailSql(corpusHs: String, corpusBands: String): String =
-    "cand AS (SELECT DISTINCT c.doc_id AS a_id, b.doc_id AS b_id " +
-    s"FROM bbands b JOIN $corpusBands c ON b.band = c.band AND b.bh = c.bh), " +
-    s"uhs AS (SELECT doc_id, h FROM $corpusHs UNION ALL SELECT doc_id, h FROM bhs), " +
-    "sz AS (SELECT doc_id, count(*) AS sz FROM uhs GROUP BY doc_id), " +
-    "it AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c " +
-    "JOIN uhs x ON x.doc_id = c.a_id " +
-    "JOIN uhs y ON y.doc_id = c.b_id AND y.h = x.h GROUP BY 1, 2), " +
-    "m AS (SELECT b_id AS doc_id, count(*) AS n_corpus_matches FROM it " +
-    "JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id " +
-    "WHERE inter * 2 >= sa.sz + sb.sz - inter GROUP BY 1) " +
+    incScreenCtesFor("", corpusHs, corpusBands) + " " +
     "SELECT d.doc_id, " +
     "CAST(coalesce(m.n_corpus_matches, 0) AS BIGINT) AS n_corpus_matches, " +
     "CAST(coalesce(m.n_corpus_matches, 0) = 0 AS INTEGER) AS keep " +
     "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"
+
+  /** The screen's CTE body over `pfx`-namespaced names, ending in
+    * `<pfx>m(doc_id, n_corpus_matches)` — extracted so the compact
+    * reconcile can run TWO screens (tombstone vs rebuilt index) in one
+    * WITH; the "" instance reproduces the original tail's names
+    * byte-for-byte (all three single-screen consumers unchanged). */
+  private def incScreenCtesFor(pfx: String, corpusHs: String,
+                               corpusBands: String): String =
+    s"${pfx}cand AS (SELECT DISTINCT c.doc_id AS a_id, b.doc_id AS b_id " +
+    s"FROM bbands b JOIN $corpusBands c ON b.band = c.band AND b.bh = c.bh), " +
+    s"${pfx}uhs AS (SELECT doc_id, h FROM $corpusHs UNION ALL SELECT doc_id, h FROM bhs), " +
+    s"${pfx}sz AS (SELECT doc_id, count(*) AS sz FROM ${pfx}uhs GROUP BY doc_id), " +
+    s"${pfx}it AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM ${pfx}cand c " +
+    s"JOIN ${pfx}uhs x ON x.doc_id = c.a_id " +
+    s"JOIN ${pfx}uhs y ON y.doc_id = c.b_id AND y.h = x.h GROUP BY 1, 2), " +
+    s"${pfx}m AS (SELECT b_id AS doc_id, count(*) AS n_corpus_matches FROM ${pfx}it " +
+    s"JOIN ${pfx}sz sa ON sa.doc_id = a_id JOIN ${pfx}sz sb ON sb.doc_id = b_id " +
+    "WHERE inter * 2 >= sa.sz + sb.sz - inter GROUP BY 1)"
 
   private def incMinhashOracleSql: String =
     s"WITH ${shingleCteFor(3, "c", "WHERE doc_id < 250")}, ${bandsSqlFor("c")}, " +
@@ -1755,6 +1819,33 @@ object Dedup {
     "dhs AS (SELECT doc_id, h FROM chs WHERE doc_id % 10 <> 0), " +
     "dbnd AS (SELECT doc_id, band, bh FROM cbands WHERE doc_id % 10 <> 0), " +
     incScreenTailSql("dhs", "dbnd")
+
+  /** Compaction-reconcile oracle: the tombstone screen (the SAME
+    * dhs/dbnd filter as [[indexDeleteOracleSql]], t-prefixed tail) and
+    * the compacted screen (an l-prefixed chain rebuilt from the LIVE
+    * corpus — the DF cap recomputed on surviving counts, literally the
+    * Spark-side [[buildMinhashIndex]] on the filtered docs, k-prefixed
+    * tail) composed in ONE WITH, joined per batch doc. Lockstep group:
+    * the %10 takedown rule and the 250 split move with
+    * dedup_index_delete / dedup_incremental_minhash. */
+  private def indexCompactOracleSql: String =
+    s"WITH ${shingleCteFor(3, "c", "WHERE doc_id < 250")}, ${bandsSqlFor("c")}, " +
+    s"${shingleCteFor(3, "b", "WHERE doc_id >= 250")}, ${bandsSqlFor("b")}, " +
+    "dhs AS (SELECT doc_id, h FROM chs WHERE doc_id % 10 <> 0), " +
+    "dbnd AS (SELECT doc_id, band, bh FROM cbands WHERE doc_id % 10 <> 0), " +
+    s"${shingleCteFor(3, "l", "WHERE doc_id < 250 AND doc_id % 10 <> 0")}, " +
+    s"${bandsSqlFor("l")}, " +
+    incScreenCtesFor("t", "dhs", "dbnd") + ", " +
+    incScreenCtesFor("k", "lhs", "lbands") + " " +
+    "SELECT d.doc_id, " +
+    "CAST(coalesce(tm.n_corpus_matches, 0) AS BIGINT) AS n_tomb, " +
+    "CAST(coalesce(tm.n_corpus_matches, 0) = 0 AS INTEGER) AS keep_tomb, " +
+    "CAST(coalesce(km.n_corpus_matches, 0) AS BIGINT) AS n_comp, " +
+    "CAST(coalesce(km.n_corpus_matches, 0) = 0 AS INTEGER) AS keep_comp, " +
+    "CAST(coalesce(tm.n_corpus_matches, 0) <> coalesce(km.n_corpus_matches, 0) " +
+    "AS INTEGER) AS drift " +
+    "FROM documents d LEFT JOIN tm ON tm.doc_id = d.doc_id " +
+    "LEFT JOIN km ON km.doc_id = d.doc_id WHERE d.doc_id >= 250"
 
   /** SimHash fingerprint chain as a CTE ending in `shh(doc_id, simhash)`
     * — same two folds, same 60 sign-bit sums as the Spark side; shared
@@ -2060,6 +2151,7 @@ object Dedup {
     // the disk-index screen computes the identical result — same oracle
     "dedup_index_persist" -> incMinhashOracleSql,
     "dedup_index_delete" -> indexDeleteOracleSql,
+    "dedup_index_compact" -> indexCompactOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "dedup_clusters" ->

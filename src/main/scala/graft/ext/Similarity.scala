@@ -1614,12 +1614,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
     // frozen quantizer: trained on the FULL base snapshot — training
-    // history includes members later taken down (it doesn't un-happen)
-    val corpus = emb.filter(col("vec_id") < split)
-    val seeds = corpus.filter(col("vec_id") < ivfCells(split))
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
-              col("nrm").as("cnrm"))
-    val cents = centsOf(lloydStep(fanOut(corpus), seeds))
+    // history includes members later taken down (it doesn't un-happen).
+    // Shared seam with ivfIncrementalAssign and VecStream: a recipe
+    // change moves all three consumers of the incAssignCteSql chain.
+    val cents = frozenBaseCentroids(spark, dir)
     val live = emb.filter(
       (col("vec_id") < split && col("vec_id") % 10 =!= 0) ||
         col("vec_id") >= split)

@@ -1282,6 +1282,60 @@ object TextOps {
       .orderBy("decile")
   }
 
+  /** CALIBRATION-DRIVEN keep gate (text_quality_gate_calibrated) — the
+    * apply half of [[qualityCalibration]]'s reliability diagram: pick
+    * the probability threshold from the OBSERVED label rates (τ = the
+    * smallest per-token score that opens a decile whose gopher-label
+    * rate reaches 50% — the balanced-prior probability point the NB
+    * sign cut only approximates) and report, per gate, how the
+    * calibrated keep set differs from the production score cut
+    * (score_micro > 0 ≡ [[qualityScoreTrained]].keep — QualityRocSpec's
+    * cut=0 pin). The five rows are the funnel delta a curation owner
+    * reads before switching gates: both / calib_only / score_only are
+    * the agreement quadrants, each with its observed precision against
+    * the gopher teacher. τ falls back to the 1e9 sentinel (keep
+    * nothing) when NO decile reaches 50% — a scorer that can't reach
+    * calibrated confidence anywhere must fail closed, not open
+    * (CalibrationSpec drives that branch on a crafted frame). Literals
+    * (rate ≥ 500000, sentinel 1e9) are mirrored in the oracle —
+    * lockstep. Scale: the decile table is ≤10 rows, τ a one-row
+    * broadcast; the corpus pass is the SAME scored frame the
+    * calibration chain already built, one groupBy(gate) over a 5-row
+    * broadcast grid. spt = score_micro div n_tok is SIGNED → oracle
+    * mirrors with the sign-split `//` form. */
+  def qualityGateCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val calib = qualityCalibration(spark, dir)
+    val tau = calib.filter(col("rate_micro") >= 500000L)
+      .agg(coalesce(min("spt_min_micro"), lit(1000000000L)).as("tau_micro"))
+    val scored = qualityScoreTrained(spark, dir)
+      .select(col("doc_id"), col("n_tok"), col("score_micro"))
+    val lab = gopherGates(spark, dir)
+      .select(col("doc_id"), col("gopher_ok").as("y"))
+    val f = scored.join(lab, Seq("doc_id")).crossJoin(broadcast(tau))
+      .select(col("y").cast("long").as("y"), col("tau_micro"),
+        (col("score_micro") > 0).cast("long").as("ks"),
+        (expr("score_micro div n_tok") >= col("tau_micro"))
+          .cast("long").as("kc"))
+    val gates = Seq("both", "calib_only", "calibrated", "score_cut",
+                    "score_only").toDF("gate")
+    f.crossJoin(broadcast(gates))
+      .select(col("gate"), col("y"), col("tau_micro"),
+        when(col("gate") === "score_cut", col("ks"))
+          .when(col("gate") === "calibrated", col("kc"))
+          .when(col("gate") === "both", col("ks") * col("kc"))
+          .when(col("gate") === "calib_only", col("kc") * (lit(1L) - col("ks")))
+          .otherwise(col("ks") * (lit(1L) - col("kc"))).as("flag"))
+      .groupBy("gate")
+      .agg(max("tau_micro").as("tau_micro"), sum("flag").as("n_keep"),
+           sum(col("flag") * col("y")).as("n_pos_kept"))
+      .select(col("gate"), col("tau_micro"), col("n_keep"), col("n_pos_kept"),
+        expr("CASE WHEN n_keep = 0 THEN CAST(1000000 AS BIGINT) " +
+             "ELSE (n_pos_kept * CAST(1000000 AS BIGINT)) div n_keep END")
+          .as("precision_micro"))
+      .orderBy("gate")
+  }
+
   /** Cross-document duplicated-span fraction — the scalable proxy for
     * exact-substring dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"): per doc, the fraction of its
@@ -2441,6 +2495,7 @@ object TextOps {
     "text_quality_score_trained" -> qualityScoreTrained _,
     "text_quality_roc" -> qualityRoc _,
     "text_quality_calibration" -> qualityCalibration _,
+    "text_quality_gate_calibrated" -> qualityGateCalibrated _,
     "text_dup_span_frac" -> dupSpanFrac _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_temperature_sample" -> ((s, d) => temperatureSample(s, d)),
@@ -3314,6 +3369,56 @@ object TextOps {
        "CAST(max(spt_micro) AS BIGINT) AS spt_max_micro, " +
        "(CAST(sum(p_g) AS BIGINT) * 1000000) // CAST(sum(n_g) AS BIGINT) " +
        "AS rate_micro FROM qcd GROUP BY decile ORDER BY decile"),
+    // qg-prefixed tail composing the FULL qc calibration chain (qcs..qcd
+    // names claimed above — the decile table, τ rule and gate flags move
+    // with text_quality_calibration or not at all); τ literals (rate ≥
+    // 500000, sentinel 1e9) mirror qualityGateCalibrated; spt is SIGNED
+    // → sign-split //; flag/count sums non-negative ⇒ // ≡ div
+    "text_quality_gate_calibrated" ->
+      (s"WITH $qualityTrainCteSql, " +
+       "qcs AS (SELECT doc_id, count(*) AS n_tok, " +
+       "CAST(sum(w_micro) AS BIGINT) AS score_micro " +
+       "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id), " +
+       "qcj AS (SELECT (CASE WHEN s.score_micro < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(s.score_micro) // s.n_tok) AS spt_micro, l.y " +
+       "FROM qcs s JOIN qlab l USING (doc_id)), " +
+       "qcg AS (SELECT spt_micro, CAST(count(*) AS BIGINT) AS n_g, " +
+       "CAST(sum(y) AS BIGINT) AS p_g FROM qcj GROUP BY spt_micro), " +
+       "qcn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM qcg), " +
+       "qcc AS (SELECT spt_micro, n_g, p_g, " +
+       "CAST(coalesce(sum(n_g) OVER (ORDER BY spt_micro " +
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+       "AS cum FROM qcg), " +
+       "qcd AS (SELECT least(CAST(9 AS BIGINT), (cum * 10) // n) AS decile, " +
+       "n_g, p_g, spt_micro FROM qcc CROSS JOIN qcn), " +
+       "qgd AS (SELECT decile, CAST(min(spt_micro) AS BIGINT) AS spt_min_micro, " +
+       "(CAST(sum(p_g) AS BIGINT) * 1000000) // CAST(sum(n_g) AS BIGINT) " +
+       "AS rate_micro FROM qcd GROUP BY decile), " +
+       "qgt AS (SELECT coalesce(min(spt_min_micro), " +
+       "CAST(1000000000 AS BIGINT)) AS tau_micro FROM qgd " +
+       "WHERE rate_micro >= 500000), " +
+       "qgf AS (SELECT CAST(l.y AS BIGINT) AS y, t.tau_micro, " +
+       "CAST(CASE WHEN s.score_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS ks, " +
+       "CAST(CASE WHEN (CASE WHEN s.score_micro < 0 THEN -1 ELSE 1 END) * " +
+       "(abs(s.score_micro) // s.n_tok) >= t.tau_micro " +
+       "THEN 1 ELSE 0 END AS BIGINT) AS kc " +
+       "FROM qcs s JOIN qlab l USING (doc_id) CROSS JOIN qgt t), " +
+       "qgl AS (SELECT UNNEST(['both', 'calib_only', 'calibrated', " +
+       "'score_cut', 'score_only']) AS gate), " +
+       "qgx AS (SELECT g.gate, f.y, f.tau_micro, " +
+       "CASE g.gate WHEN 'score_cut' THEN f.ks " +
+       "WHEN 'calibrated' THEN f.kc " +
+       "WHEN 'both' THEN f.ks * f.kc " +
+       "WHEN 'calib_only' THEN f.kc * (1 - f.ks) " +
+       "ELSE f.ks * (1 - f.kc) END AS flag " +
+       "FROM qgf f CROSS JOIN qgl g) " +
+       "SELECT gate, CAST(max(tau_micro) AS BIGINT) AS tau_micro, " +
+       "CAST(sum(flag) AS BIGINT) AS n_keep, " +
+       "CAST(sum(flag * y) AS BIGINT) AS n_pos_kept, " +
+       "CASE WHEN sum(flag) = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (CAST(sum(flag * y) AS BIGINT) * 1000000) // " +
+       "CAST(sum(flag) AS BIGINT) END AS precision_micro " +
+       "FROM qgx GROUP BY gate ORDER BY gate"),
     // same segmentations as text_tokens; all sums non-negative so //
     // matches Spark's div
     "text_fertility_by_source" ->

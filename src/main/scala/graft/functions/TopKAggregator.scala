@@ -88,9 +88,16 @@ class TopKPairsAggregator(k: Int)
     extends Aggregator[(Double, Long), mutable.ArrayBuffer[(Double, Long)],
                        Seq[(Double, Long)]] {
 
-  // sort-key view: (key desc, id asc) with −0.0 ≡ +0.0 on the key
-  private def rankKey(p: (Double, Long)): (Double, Long) =
-    (-(p._1 + 0.0), p._2)
+  // sort-key view: (key desc, id asc) with −0.0 ≡ +0.0 on the key.
+  // NaN class first: Spark SQL's `ORDER BY key DESC` ranks NaN above
+  // +Infinity (NaN is greatest in SQL float ordering, and all NaNs
+  // compare equal — ties fall to id asc), while a naive negated Double
+  // key would send NaN LAST under Scala's TotalOrdering (−NaN = NaN =
+  // greatest ascending). A zero-norm embedding yields csim = 0/0 = NaN,
+  // so the class must reproduce the window's NaN placement, not just
+  // the finite one (ADVICE r14).
+  private def rankKey(p: (Double, Long)): (Int, Double, Long) =
+    if (p._1.isNaN) (0, 0.0, p._2) else (1, -(p._1 + 0.0), p._2)
 
   private def prune(b: mutable.ArrayBuffer[(Double, Long)]): mutable.ArrayBuffer[(Double, Long)] = {
     if (b.length > k) {

@@ -182,15 +182,17 @@ object AlgebraProps extends Properties("graft.algebra") {
         s"self=$self cross=$cross truth=${math.round(truth * 1e6)}"
     }
 
-  // keys/ids for the top-k aggregator ≡ window property; ±0.0 and exact
-  // duplicates generated deliberately (the tie cases that bit round 14's
-  // window→aggregate conversion design)
+  // keys/ids for the top-k aggregator ≡ window property; ±0.0, exact
+  // duplicates, AND NaN generated deliberately (the tie cases that bit
+  // round 14's window→aggregate conversion design, plus the zero-norm
+  // csim = 0/0 = NaN case from the r14 ADVICE — SQL ranks NaN greatest)
   private val rankRows = Gen.listOfN(60, Gen.zip(
     Gen.chooseNum(0L, 6L),
-    Gen.oneOf(Gen.chooseNum(-3.0, 3.0), Gen.oneOf(0.0, -0.0, 1.5, -1.5)),
+    Gen.oneOf(Gen.chooseNum(-3.0, 3.0),
+              Gen.oneOf(0.0, -0.0, 1.5, -1.5, Double.NaN)),
     Gen.chooseNum(0L, 30L)))
 
-  property("bounded top-k aggregate ≡ row_number window (±0.0 ties incl.)") =
+  property("bounded top-k aggregate ≡ row_number window (±0.0/NaN incl.)") =
     forAll(rankRows) { xs =>
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -199,12 +201,16 @@ object AlgebraProps extends Properties("graft.algebra") {
       val rows = xs.groupBy(x => (x._1, x._3)).values.map(_.head).toSeq
       val df = rows.toDF("g", "key", "id")
       val w = Window.partitionBy("g").orderBy($"key".desc, $"id".asc)
+      // key compared via canonical bits: a raw NaN in a tuple is never
+      // == itself (Scala unboxes numeric equality), so the Set compare
+      // would fail on rows the engines actually agree on
+      def keyBits(v: Double): Long = java.lang.Double.doubleToLongBits(v + 0.0)
       val viaWindow = df
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 2)
         .select($"g", $"id", $"key", $"rn")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)
-                               + 0.0, r.getInt(3))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+                             keyBits(r.getDouble(2)), r.getInt(3))).toSet
       val topk = udaf(new graft.functions.TopKPairsAggregator(2),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
       val viaAgg = df.groupBy("g")
@@ -212,8 +218,8 @@ object AlgebraProps extends Properties("graft.algebra") {
         .select($"g", posexplode($"tk"))
         .select($"g", $"col._2".as("id"), $"col._1".as("key"),
                 ($"pos" + 1).cast("int").as("rn"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)
-                               + 0.0, r.getInt(3))).toSet
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+                             keyBits(r.getDouble(2)), r.getInt(3))).toSet
       Prop(viaAgg == viaWindow) :| s"agg=$viaAgg window=$viaWindow"
     }
 }
