@@ -241,9 +241,14 @@ object Sources {
     * consume the same files. Dedup the output on a key downstream (or
     * accept at-least-once) exactly as Glue pipelines do; the completed
     * three-run query below never crashes mid-run, which is why its
-    * oracle equality holds. */
+    * oracle equality holds. [[bookmarkIngestAtomicOnce]] CLOSES this
+    * window (data + ledger staged together, published by one rename);
+    * this two-write form is kept as the Glue-parity shape, and
+    * BookmarkSpec's crash injection (`crashBetweenWrites`) demonstrates
+    * the double-count the atomic variant is immune to. */
   def bookmarkIngestOnce(spark: SparkSession, in: String, out: String,
-                         ledger: String): Int = {
+                         ledger: String,
+                         crashBetweenWrites: Boolean = false): Int = {
     val avail = spark.read.option("recursiveFileLookup", "true")
       .parquet(in).inputFiles.toSet
     val ledgerPath = new org.apache.hadoop.fs.Path(ledger)
@@ -255,9 +260,69 @@ object Sources {
     val fresh = (avail -- done).toSeq.sorted
     if (fresh.nonEmpty) {
       spark.read.parquet(fresh: _*).write.mode("append").parquet(out)
+      // test-only crash injection: stop INSIDE the at-least-once window
+      // (data landed, ledger not) — the next run re-consumes `fresh`
+      if (crashBetweenWrites) return fresh.size
       import spark.implicits._
       fresh.toDF("file_path").write.mode("append").parquet(ledger)
     }
+    fresh.size
+  }
+
+  /** EXACTLY-ONCE bookmark run (single-runner case) — closes
+    * [[bookmarkIngestOnce]]'s documented crash window by making the run
+    * directory the unit of publication: the run's data files AND its
+    * ledger rows are staged together under `<table>/.staging/<run>` and
+    * published by ONE `fs.rename` to `<table>/run_NNNNNN`. A crash at
+    * ANY point before the rename leaves nothing visible (the
+    * dot-prefixed staging dir is hidden from Spark's file listing, and
+    * the next run deletes stale staging before it starts), and after
+    * the rename both the data and the ledger entry are visible together
+    * — there is no state where rows are published but unbookmarked.
+    * Readers scan the table with `recursiveFileLookup` (run dirs are
+    * plain nesting, not partitions); the per-run `_ledger` subdir is
+    * underscore-hidden from the data scan and read back explicitly per
+    * run dir. Atomicity rests on same-filesystem directory rename
+    * (HDFS/POSIX semantics; an object store without atomic rename needs
+    * its committer instead) and the SAME single-runner assumption as
+    * the two-write form — concurrency needs a lock or a log, not this.
+    * BookmarkSpec crash-injects both variants: the two-write form
+    * double-counts, this one re-runs to the exact source multiset. */
+  def bookmarkIngestAtomicOnce(spark: SparkSession, in: String,
+                               table: String,
+                               crashBeforePublish: Boolean = false): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tablePath = new org.apache.hadoop.fs.Path(table)
+    val fs = tablePath.getFileSystem(conf)
+    val avail = spark.read.option("recursiveFileLookup", "true")
+      .parquet(in).inputFiles.toSet
+    val runDirs: Seq[String] =
+      if (fs.exists(tablePath))
+        fs.listStatus(tablePath).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("run_")).sorted
+      else Seq.empty
+    val done: Set[String] =
+      if (runDirs.nonEmpty)
+        spark.read.parquet(runDirs.map(r => s"$table/$r/_ledger"): _*)
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    val fresh = (avail -- done).toSeq.sorted
+    if (fresh.isEmpty) return 0
+    // stale staging can only be a crashed prior run's (single-runner
+    // contract) — reap it so orphans never accumulate
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/.staging"), true)
+    val runId = f"run_${runDirs.size}%06d"
+    val staging = s"$table/.staging/$runId"
+    spark.read.parquet(fresh: _*).write.mode("overwrite").parquet(staging)
+    import spark.implicits._
+    fresh.toDF("file_path").write.mode("overwrite")
+      .parquet(s"$staging/_ledger")
+    if (crashBeforePublish) return fresh.size // nothing published
+    val ok = fs.rename(new org.apache.hadoop.fs.Path(staging),
+                       new org.apache.hadoop.fs.Path(s"$table/$runId"))
+    require(ok, s"atomic publish rename failed for $runId")
+    // the rename moved the run out — drop the now-empty staging shell
+    fs.delete(new org.apache.hadoop.fs.Path(s"$table/.staging"), true)
     fresh.size
   }
 
@@ -311,6 +376,45 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** ATOMIC-bookmark ingest (src_bookmark_atomic) — the exactly-once
+    * twin of [[bookmarkIngest]], and its composition deliberately
+    * CRASHES MID-RUN: run 1 publishes batches 0–1, run 2 stages the
+    * late batch 2 and dies before the publish rename
+    * (`crashBeforePublish`), run 3 recovers — reaping the stale staging
+    * and re-consuming batch 2 exactly once — and run 4 is a no-op. The
+    * oracle is the same plain restatement over `orders`: equality
+    * proves exactly-once THROUGH the crash (the two-write form
+    * double-counts batch 2 under this schedule — BookmarkSpec pins that
+    * regression on [[bookmarkIngestOnce]]'s injected crash). */
+  def bookmarkAtomic(spark: SparkSession, dir: String): DataFrame = {
+    val in = Tables.scratch("bma_arrivals")
+    val table = Tables.scratch("bma_table")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rm(p: String): Unit = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(conf)
+      fs.delete(path, true); ()
+    }
+    Seq(in, table).foreach(rm) // fresh state: the op is re-runnable
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+    def land(b: Int): Unit =
+      base.filter(pmod(col("o_orderkey"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$in/b$b")
+    land(0); land(1)
+    bookmarkIngestAtomicOnce(spark, in, table) // run 1: batches 0-1
+    land(2)
+    bookmarkIngestAtomicOnce(spark, in, table, // run 2: staged, then CRASH
+                             crashBeforePublish = true)
+    bookmarkIngestAtomicOnce(spark, in, table) // run 3: recovery
+    bookmarkIngestAtomicOnce(spark, in, table) // run 4: no-op
+    spark.read.option("recursiveFileLookup", "true").parquet(table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), Num.rnd(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Tables.scratch("part_orders")
     Tables.orders(spark, dir)
@@ -347,6 +451,7 @@ object Sources {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_bookmark_ingest" -> bookmarkIngest _,
+    "src_bookmark_atomic" -> bookmarkAtomic _,
     "src_compaction" -> compaction _,
     "src_dynamic_overwrite" -> dynamicOverwrite _,
     "src_partitioned_roundtrip" -> partitionedRoundtrip _,
@@ -366,6 +471,14 @@ object Sources {
     // (a re-processed bookmark would double-count, a skipped late file
     // would under-count)
     "src_bookmark_ingest" ->
+      ("SELECT o_orderpriority, count(*) AS n, " +
+       "round((sum(o_totalprice)) * 1e2) / 1e2 AS total " +
+       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // same restatement — here the equality additionally proves
+    // exactly-once through the injected mid-schedule crash (a
+    // re-consumed batch would double-count, an unrecovered one would
+    // under-count)
+    "src_bookmark_atomic" ->
       ("SELECT o_orderpriority, count(*) AS n, " +
        "round((sum(o_totalprice)) * 1e2) / 1e2 AS total " +
        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),

@@ -61,4 +61,66 @@ class BookmarkSpec extends SparkSpec {
     // the ledger is one row per input file — metadata cardinality
     assert(ledgerAfter2 === parquetFilesUnder(in).toLong)
   }
+
+  private def freshDirs(names: String*): Seq[String] = names.map { n =>
+    val p = Tables.scratch(n)
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(path, true)
+    p
+  }
+
+  test("two-write form double-counts after a crash between its writes") {
+    val Seq(in, out, ledger) = freshDirs("bmc_in", "bmc_out", "bmc_ledger")
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    base.write.mode("overwrite").parquet(s"$in/b0")
+    // crash INSIDE the at-least-once window: data appended, ledger not
+    ops.Sources.bookmarkIngestOnce(spark, in, out, ledger,
+                                   crashBetweenWrites = true)
+    // restart: the ledger never saw the files, so they are re-consumed
+    ops.Sources.bookmarkIngestOnce(spark, in, out, ledger)
+    val got = spark.read.parquet(out).count()
+    assert(got === 2 * base.count(),
+      s"expected the documented double-count, got $got rows " +
+      s"(base ${base.count()}) — is the crash window still there?")
+  }
+
+  test("atomic form recovers from the same crash with exactly-once output") {
+    val Seq(in, table) = freshDirs("bma_in", "bma_table_spec")
+    val base = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    def land(b: Int): Unit =
+      base.filter(pmod(col("o_orderkey"), lit(3)) === b)
+        .write.mode("overwrite").parquet(s"$in/b$b")
+    def published(): Long =
+      try spark.read.option("recursiveFileLookup", "true")
+            .parquet(table).count()
+      catch { case _: Throwable => 0L } // no run published yet
+    land(0); land(1)
+    val run1 = ops.Sources.bookmarkIngestAtomicOnce(spark, in, table)
+    assert(run1 > 0)
+    val afterRun1 = published()
+    land(2)
+    // crash AFTER both staged writes, BEFORE the publish rename: the
+    // reader must see NOTHING from the crashed run
+    ops.Sources.bookmarkIngestAtomicOnce(spark, in, table,
+                                         crashBeforePublish = true)
+    assert(published() === afterRun1,
+      "crashed run leaked staged rows into the readable table")
+    // recovery: stale staging reaped, batch 2 consumed exactly once
+    val b2Files = parquetFilesUnder(s"$in/b2")
+    val run3 = ops.Sources.bookmarkIngestAtomicOnce(spark, in, table)
+    assert(run3 === b2Files,
+      s"recovery must consume only the late batch's $b2Files files, got $run3")
+    assert(ops.Sources.bookmarkIngestAtomicOnce(spark, in, table) === 0,
+      "post-recovery run saw new files")
+    val got = spark.read.option("recursiveFileLookup", "true").parquet(table)
+    assert(got.count() === base.count())
+    assert(got.exceptAll(base).isEmpty && base.exceptAll(got).isEmpty,
+      "atomic ingest lost or duplicated rows through the crash")
+    // no staging residue survives recovery
+    assert(!new java.io.File(s"$table/.staging").exists(),
+      "stale staging dir not reaped")
+  }
 }
