@@ -1608,20 +1608,16 @@ object Similarity {
     * Probes = the eval-family fixed sample ∩ live. */
   def ivfUpsertSearch(spark: SparkSession, dir: String,
                       probeN: Long = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val split = embCount(spark, dir) / 2
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
     // frozen quantizer: trained on the FULL base snapshot — training
     // history includes members later taken down (it doesn't un-happen).
     // Shared seam with ivfIncrementalAssign and VecStream: a recipe
     // change moves all three consumers of the incAssignCteSql chain.
     val cents = frozenBaseCentroids(spark, dir)
-    val live = emb.filter(
+    val live = embWithNrm(spark, dir).filter(
       (col("vec_id") < split && col("vec_id") % 10 =!= 0) ||
         col("vec_id") >= split)
-    val ranked = explodeRanked(
+    val homeCells = explodeRanked(
       fanOut(live).crossJoin(broadcast(cents))
         .select(col("vec_id"),
                 Num.rnd(dotCols(col("embedding"), col("cv")) /
@@ -1629,10 +1625,41 @@ object Similarity {
                 col("cell"))
         .groupBy("vec_id")
         .agg(topNProbe(col("csim"), col("cell")).as("tk")))
-    val probes = live.filter(col("vec_id") < probeN)
-      .join(ranked.select("vec_id", "cell"), Seq("vec_id"))
-    val indexed = live.join(ranked.filter(col("rn") === 1)
-                              .select("vec_id", "cell"), Seq("vec_id"))
+      .filter(col("rn") === 1).select("vec_id", "cell")
+    upsertServeFrom(live, homeCells, cents, probeN)
+  }
+
+  /** Embeddings with their L2 norm — the (vec_id, embedding, nrm) shape
+    * every serve path starts from. */
+  private[graft] def embWithNrm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+
+  /** The upsert SERVE tail over an arbitrary (live members, home-cell
+    * index) pair: probes re-rank their NProbe cells against the frozen
+    * centroids at query time (an IVF index stores home cells only —
+    * probe lists are query-time work), candidates come from the capped
+    * home-cell buckets, top-3 per probe. Shared by the batch
+    * [[ivfUpsertSearch]] and [[graft.streaming.VecStream]]'s maintained
+    * index — stream ≡ batch because both feed per-vector frozen-model
+    * assignments through this ONE path (StreamingSpec pins it). */
+  private[graft] def upsertServeFrom(live: DataFrame, homeCells: DataFrame,
+                                     cents: DataFrame,
+                                     probeN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeSide = live.filter(col("vec_id") < probeN)
+    val probeRanked = explodeRanked(
+      fanOut(probeSide).crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+                Num.rnd(dotCols(col("embedding"), col("cv")) /
+                          (col("nrm") * col("cnrm")), 6).as("csim"),
+                col("cell"))
+        .groupBy("vec_id")
+        .agg(topNProbe(col("csim"), col("cell")).as("tk")))
+    val probes = probeSide
+      .join(probeRanked.select("vec_id", "cell"), Seq("vec_id"))
+    val indexed = live.join(homeCells, Seq("vec_id"))
     val wr = Window.partitionBy("a_id")
       .orderBy(col("sim").desc, col("b_id").asc)
     pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)

@@ -74,6 +74,63 @@ object VecStream {
       .foreach(_.unpersist(false))
   }
 
+  /** STREAMING upsert lifecycle — the two index-maintenance halves
+    * composed in the stream path, then served combined: (1) arriving
+    * vectors are assigned to their frozen home cell per micro-batch
+    * (the [[incrementalAssignToParquet]] seam — one `batch_id=N` dir
+    * each), (2) a tombstone feed of taken-down base members is applied
+    * as a filter on the base index, and (3) at stream end the search
+    * serves over the COMBINED live index (tombstone-filtered base ∪
+    * streamed arrivals) through the SHARED
+    * `Similarity.upsertServeFrom` tail. Stream ≡ batch
+    * `sim_ivf_upsert_search` at ANY arrival split, because every piece
+    * is either a per-vector frozen-model computation (assignment, probe
+    * ranking) or a filter (tombstones) — no ranking state crosses a
+    * micro-batch boundary; StreamingSpec pins equality on a two-batch
+    * split. At 100 TB: maintenance cost is O(|batch| × cells) per drop
+    * plus a metadata-sized tombstone set; the serve is the batch search
+    * over the maintained index, never a corpus re-rank. */
+  def upsertServeToParquet(spark: SparkSession, dir: String,
+                           arrivalStream: DataFrame,
+                           tombstoneIds: DataFrame,
+                           assignOut: String, checkpointDir: String,
+                           searchOut: String, probeN: Long = 100): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cents = graft.ext.Similarity.frozenBaseCentroids(spark, dir)
+      .localCheckpoint() // one build; micro-batches re-read the frame
+    val q = arrivalStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Similarity.assignToCentroids(batch, cents)
+            .write.mode("overwrite").parquet(s"$assignOut/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val split = graft.ext.CountMemo.get(spark, dir, "embeddings")(
+      graft.Tables.embeddings(spark, dir).count()) / 2
+    val emb = graft.ext.Similarity.embWithNrm(spark, dir)
+    val baseLive = emb.filter(col("vec_id") < split)
+      .join(tombstoneIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    // the base index's home cells: in production these already sit in
+    // the persisted index; the harness re-derives them through the same
+    // frozen-model seam the stream used for arrivals
+    val baseHome = graft.ext.Similarity.assignToCentroids(baseLive, cents)
+      .select("vec_id", "cell")
+    val arrHome = spark.read.parquet(s"$assignOut/batch_id=*")
+      .select("vec_id", "cell")
+    val live = baseLive.unionByName(emb.filter(col("vec_id") >= split))
+    graft.ext.Similarity
+      .upsertServeFrom(live, baseHome.unionByName(arrHome), cents, probeN)
+      .write.mode("overwrite").parquet(searchOut)
+    org.apache.spark.sql.GraftSql.checkpointRdd(cents)
+      .foreach(_.unpersist(false))
+  }
+
   /** Serve each arriving probe micro-batch against the static filtered
     * index; one `batch_id=N` parquet dir per micro-batch. */
   def filteredSearchToParquet(spark: SparkSession, dir: String,

@@ -619,6 +619,53 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming upsert lifecycle (arrivals + tombstones) serves the " +
+       "batch upsert search on a two-batch arrival split") {
+    import graft.streaming.VecStream
+    val split = Tables.embeddings(spark, sf0001).count() / 2
+    val arrivals = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") >= split)
+      .select("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("graft-ups-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ups-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeOne(arrivals.filter(col("vec_id") % 2 === 0), "vecs-000.parquet")
+    writeOne(arrivals.filter(col("vec_id") % 2 =!= 0), "vecs-001.parquet")
+    val assignOut = Files.createTempDirectory("graft-ups-assign").toString
+    val ckpt = Files.createTempDirectory("graft-ups-ckpt").toString
+    val searchOut = Files.createTempDirectory("graft-ups-search").toString
+    val stream = spark.readStream.schema(VecStream.vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    // the tombstone feed: the %10 takedown rule on the base half —
+    // sim_ivf_upsert_search's lockstep literal
+    val tombstones = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < split && col("vec_id") % 10 === 0)
+      .select("vec_id")
+    VecStream.upsertServeToParquet(spark, sf0001, stream, tombstones,
+                                   assignOut, ckpt, searchOut)
+    // micro-batching actually happened on the maintenance half
+    assert(new java.io.File(assignOut).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id=")) >= 2)
+    val streamed = spark.read.parquet(searchOut)
+      .select("a_id", "b_id", "sim", "rn")
+    val batch = ext.Similarity.queries("sim_ivf_upsert_search")(spark, sf0001)
+      .select("a_id", "b_id", "sim", "rn")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    // no tombstoned member survives into the served neighbors
+    val servedB = spark.read.parquet(searchOut).select("b_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dead = tombstones.collect().map(_.getLong(0)).toSet
+    assert(servedB.intersect(dead).isEmpty,
+      "a taken-down base member was served as a neighbor")
+  }
+
   test("streaming incremental IVF assignment equals the batch assign " +
        "on a two-batch arrival split") {
     import graft.streaming.VecStream
