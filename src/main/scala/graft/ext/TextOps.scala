@@ -2210,6 +2210,22 @@ object TextOps {
     * segmentation is the trained tokenizer's model table —
     * [[bpeApply]] consumes it; [[bpeMerges]] reports the merges. */
   private[graft] def bpeTrainOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (m, s, _) = bpeTrainRounds(docs, BpeRounds)
+    (m, s)
+  }
+
+  /** The unrolled trainer at an ARBITRARY round count — ONE recipe
+    * shared by the production tokenizer (BpeRounds, via [[bpeTrainOf]])
+    * and the sizing sweep (BpeSweepRounds): returns the merge rows, the
+    * final segmentation, and the per-round GLOBAL symbol-count curve
+    * (rounds 0..n; round 0 = the character baseline, so its count IS
+    * n_chars). Snapshot r's lineage replays rounds 1..r over the
+    * model-sized vocab frame — O(n²) window passes on |vocab|·wordlen
+    * rows, still corpus-independent. Assumes the corpus admits n merges
+    * (an exhausted pair supply would empty the relational rewrite on
+    * BOTH engines identically — out of regime for any real corpus). */
+  private[graft] def bpeTrainRounds(docs: DataFrame, nRounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wc = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -2218,8 +2234,12 @@ object TextOps {
               posexplode(expr("regexp_extract_all(w, '.', 0)")))
       .select(col("w"), col("c"), col("pos"), col("col").as("sym"))
     val byWord = Window.partitionBy("w").orderBy("pos")
+    def snap(r: Int, s: DataFrame): DataFrame =
+      s.agg(sum("c").cast("long").as("n_syms"))
+        .select(lit(r).as("rounds"), col("n_syms"))
+    var curve = snap(0, syms)
     var out: DataFrame = null
-    for (r <- 1 to BpeRounds) {
+    for (r <- 1 to nRounds) {
       val adj = syms.withColumn("nxt", lead("sym", 1).over(byWord))
       val top = adj
         .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
@@ -2238,8 +2258,41 @@ object TextOps {
         .select(col("w"), col("c"), col("pos"),
           when(col("sym") === col("ma") && col("nxt") === col("mb"),
                concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+      curve = curve.unionByName(snap(r, syms))
     }
-    (out.orderBy("round"), syms)
+    (out.orderBy("round"), syms, curve)
+  }
+
+  /** Tokenizer-SIZING sweep (text_bpe_sweep) — the fertility-vs-rounds
+    * curve a data pipeline reads to pick its merge budget: for every
+    * prefix r ∈ 0..[[BpeSweepRounds]] of ONE unrolled training chain
+    * (round 0 = the character baseline), the global symbol count, the
+    * fertility (symbols per word) and the compression the merges bought
+    * vs characters. Prefixes of one chain, NOT independent re-trains —
+    * greedy BPE's round r is the same regardless of the total budget,
+    * so the curve is exact for every budget at once (the
+    * dedup_band_sweep discipline: one folded stream, many read-outs);
+    * the r = BpeRounds row is BY CONSTRUCTION the production
+    * tokenizer's global pricing (BpeSpec ties it to Σ bpeApply
+    * n_bpe_tok). A merge only ever reduces the symbol count ⇒ n_syms
+    * is monotone nonincreasing in r (savings nondecreasing — BpeSpec
+    * pins both); all quantities non-negative ⇒ div ≡ `//`. */
+  private[graft] val BpeSweepRounds = 6
+  def bpeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val curve = bpeTrainRounds(docs, BpeSweepRounds)._3
+    val totals = curve.filter(col("rounds") === 0)
+      .select(col("n_syms").as("n_chars"))
+      .crossJoin(
+        docs.select(explode(split(col("text"), " ")).as("w"))
+          .agg(count(lit(1)).as("n_words")))
+    curve.crossJoin(broadcast(totals))
+      .select(col("rounds"), col("n_words"), col("n_syms"), col("n_chars"),
+        expr("(n_syms * CAST(1000000 AS BIGINT)) div n_words")
+          .as("fertility_micro"),
+        expr("((n_chars - n_syms) * CAST(1000000 AS BIGINT)) div n_chars")
+          .as("savings_micro"))
+      .orderBy("rounds")
   }
 
   /** Tokenizer APPLY — the serving half of the BPE train→apply closure
@@ -2320,8 +2373,13 @@ object TextOps {
     * count or tie-break change moves them together. CTE names wc, s0,
     * and the per-round a/t/s families belong to this chain (namespace
     * rule). */
-  private def bpeChainCteSql: String = {
-    val rounds = (1 to BpeRounds).map { r =>
+  private def bpeChainCteSql: String = bpeChainCteSqlFor(BpeRounds)
+
+  /** The chain at an arbitrary round count — the sweep oracle composes
+    * a longer unroll of the SAME generator, so a recipe change moves
+    * every BPE oracle together. */
+  private def bpeChainCteSqlFor(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map { r =>
       s"a$r AS (SELECT w, c, pos, sym, " +
       "lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt, " +
       s"lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv FROM s${r - 1}), " +
@@ -2377,6 +2435,27 @@ object TextOps {
     "((CAST(sum(len(w)) AS BIGINT) - CAST(sum(n_sym) AS BIGINT)) * 1000000) " +
     "// CAST(sum(len(w)) AS BIGINT) AS savings_micro " +
     "FROM bfd JOIN bfw USING (w) GROUP BY source ORDER BY source"
+
+  /** [[bpeSweep]] oracle — the SAME chain generator unrolled to
+    * [[BpeSweepRounds]] (bs-prefixed read-out CTEs; the chain's own
+    * wc/s0/a·t·s names are claimed by the generator), one global
+    * symbol-count read per prefix, n_chars = the round-0 count. */
+  private def bpeSweepOracleSql: String = {
+    val snaps = (0 to BpeSweepRounds).map { r =>
+      s"bs$r AS (SELECT CAST(sum(c) AS BIGINT) AS n_syms FROM s$r)"
+    }.mkString(", ")
+    val rows = (0 to BpeSweepRounds).map { r =>
+      s"SELECT CAST($r AS INTEGER) AS rounds, bsw.n_words, bs$r.n_syms, " +
+      "bsc.n_chars, " +
+      s"(bs$r.n_syms * 1000000) // bsw.n_words AS fertility_micro, " +
+      s"((bsc.n_chars - bs$r.n_syms) * 1000000) // bsc.n_chars " +
+      s"AS savings_micro FROM bs$r CROSS JOIN bsw CROSS JOIN bsc"
+    }.mkString(" UNION ALL ")
+    "WITH " + bpeChainCteSqlFor(BpeSweepRounds) + ", " +
+    "bsw AS (SELECT CAST(sum(c) AS BIGINT) AS n_words FROM wc), " +
+    "bsc AS (SELECT CAST(sum(c) AS BIGINT) AS n_chars FROM s0), " +
+    snaps + " " + rows + " ORDER BY rounds"
+  }
 
   // ---- winnowing fingerprints (MOSS; Schleimer/Wilkerson/Aiken 2003) ----
 
@@ -2474,6 +2553,7 @@ object TextOps {
     "text_bpe_merges"    -> bpeMerges _,
     "text_bpe_apply"     -> bpeApply _,
     "text_bpe_fertility" -> bpeFertility _,
+    "text_bpe_sweep"     -> bpeSweep _,
     "text_boilerplate"   -> boilerplate _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
@@ -2695,6 +2775,7 @@ object TextOps {
     "text_bpe_merges" -> bpeOracleSql,
     "text_bpe_apply" -> bpeApplyOracleSql,
     "text_bpe_fertility" -> bpeFertilityOracleSql,
+    "text_bpe_sweep" -> bpeSweepOracleSql,
     // exact-integer KS: cross-multiplied CDF compare, divide only the
     // final micro ratio (all quantities non-negative: // == div)
     "text_ks_drift" ->

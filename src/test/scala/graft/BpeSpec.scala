@@ -159,4 +159,31 @@ class BpeSpec extends SparkSpec {
       assert(sm > 0L, s"$source: learned merges saved nothing — vacuous")
     }
   }
+
+  test("rounds sweep: monotone compression, baseline row, production tie") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.queries("text_bpe_sweep")(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq === (0 to TextOps.BpeSweepRounds))
+    val nChars = rows.head._4
+    assert(rows.forall(_._4 === nChars), "n_chars not constant across rows")
+    // round 0 IS the character baseline: zero savings, n_syms = n_chars
+    assert(rows.head._3 === nChars && rows.head._6 === 0L)
+    // a merge only ever reduces the symbol count → n_syms nonincreasing,
+    // savings nondecreasing, fertility nonincreasing — and every round
+    // actually merged something on the real corpus (strict decrease)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 < lo._3, s"round ${hi._1} merged nothing: $lo -> $hi")
+      assert(hi._6 >= lo._6 && hi._5 <= lo._5)
+      case _ => ()
+    }
+    // the r = BpeRounds row is the production tokenizer's global pricing
+    val prod = TextOps.queries("text_bpe_apply")(spark, sf0001)
+      .agg(sum("n_bpe_tok")).collect().head.getLong(0)
+    val atProd = rows.find(_._1 === TextOps.BpeRounds).get
+    assert(atProd._3 === prod,
+      "sweep row at BpeRounds diverges from the production apply total")
+  }
 }
