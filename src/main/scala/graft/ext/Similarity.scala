@@ -157,7 +157,13 @@ object Similarity {
     * firing means a bucket is ~128× over the ~8-vector target — raise
     * numPlanes (or re-shard the bucket) rather than rely on the cap;
     * it is a guardrail against quadratic blowup, not a sampler. */
-  private val MaxBucketCandidates = 1024
+  // SPARK_GRAFT_BUCKET_CAP is a SCALE-MEASUREMENT override only (the
+  // round-15 post-cap flat-line observation forces the cap at sf6
+  // instead of generating 4.2 M vectors): results CHANGE when the cap
+  // binds (documented sampling behavior), so Verify/Bench gate runs and
+  // production must never set it — the default is the contract.
+  private val MaxBucketCandidates =
+    sys.env.get("SPARK_GRAFT_BUCKET_CAP").map(_.toInt).getOrElse(1024)
 
   /** Salted deterministic order for cap truncation: a Knuth
     * multiplicative scramble of the id, so an oversized bucket degrades
@@ -392,6 +398,68 @@ object Similarity {
                              .select("vec_id", "cell"), Seq("vec_id"))
     pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
       .filter(col("a_id") =!= col("b_id"))
+  }
+
+  /** Occupancy threshold for [[cellSplit]] — at sf0.01 (500 vectors /
+    * 16 cells, mean occupancy 31) it sits AT the mean so both branches
+    * occur naturally; mirrored literally in the oracle (lockstep). */
+  private[graft] val SplitOccupancy = 32L
+
+  /** Occupancy-triggered cell SPLIT (sim_cell_split) — the re-shard
+    * maintenance job the bucket cap's own guidance prescribes
+    * ([[pairCandidates]] scaladoc: "raise numPlanes or re-shard the
+    * bucket rather than rely on the cap"): every home cell past
+    * [[SplitOccupancy]] members is split in two — sub-seeds = the
+    * cell's two lowest member vec_ids (the ivfAssignRanked seed
+    * discipline), members re-assigned to their nearer sub-seed — and
+    * the report shows what the split bought per cell (n_before vs the
+    * largest child). This is the knob that keeps the in-cell pair
+    * families out of the occupancy² regime the round-15 cap-knee
+    * measurement quantifies: splitting hot cells halves their pair
+    * candidates at the source instead of sampling them at the cap.
+    * Scale shape: occupancy is one |cells|-row agg; seed selection is
+    * the bounded top-2 aggregate (key = −vec_id — NO member sort, the
+    * round-14 ranking architecture); re-assignment is |hot members| ×
+    * 2 sub-seeds; the pick window runs over exactly 2 rows per member
+    * (probe-bounded — legitimately window-based). Ties in the pick
+    * break sub-ascending on both engines. */
+  def cellSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val home = ivfAssignRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val emb = embWithNrm(spark, dir)
+    val members = emb.join(home, Seq("vec_id"))
+    val occ = home.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val hot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
+    val seedIds = members.join(hot, Seq("cell"))
+      .groupBy("cell")
+      .agg(topNProbe((-col("vec_id")).cast("double"), col("vec_id")).as("tk"))
+      .select(col("cell"), posexplode(col("tk")))
+      .select(col("cell"), col("pos").cast("int").as("sub"),
+              col("col._2").as("svid"))
+    val seeds = seedIds
+      .join(emb.select(col("vec_id").as("svid"), col("embedding").as("sv"),
+                       col("nrm").as("snrm")), Seq("svid"))
+      .select("cell", "sub", "sv", "snrm")
+    val wPick = Window.partitionBy("vec_id")
+      .orderBy(col("ssim").desc, col("sub").asc)
+    val assigned = members.join(broadcast(seeds), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("sub"),
+        Num.rnd(dotCols(col("embedding"), col("sv")) /
+                  (col("nrm") * col("snrm")), 6).as("ssim"))
+      .withColumn("prn", row_number().over(wPick))
+      .filter(col("prn") === 1)
+    val childSizes = assigned.groupBy("cell")
+      .agg(sum(when(col("sub") === 0, 1L).otherwise(0L)).as("c0"),
+           sum(when(col("sub") === 1, 1L).otherwise(0L)).as("c1"))
+    occ.join(childSizes, Seq("cell"), "left")
+      .select(col("cell"), col("n_before"),
+        col("c0").isNotNull.cast("int").as("split"),
+        coalesce(col("c0"), lit(0L)).as("n_child0"),
+        coalesce(col("c1"), lit(0L)).as("n_child1"),
+        coalesce(greatest(col("c0"), col("c1")), col("n_before"))
+          .as("n_max_after"))
+      .orderBy("cell")
   }
 
   /** Per-cell LABEL PURITY over the IVF home-cell partition — the
@@ -2998,6 +3066,7 @@ object Similarity {
     "sim_ann_topk"     -> annTopK _,
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
+    "sim_cell_split"   -> cellSplit _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -3780,6 +3849,39 @@ object Similarity {
        "CAST(sum(s_micro) AS BIGINT) // count(*) AS mean_s_micro, " +
        "min(s_micro) AS min_s_micro " +
        "FROM silv GROUP BY cell ORDER BY cell"),
+    // occupancy-triggered cell split over the chain's `home` CTE
+    // (composing the full chain is free — unreferenced CTEs are not
+    // executed; the emb_cell_purity precedent); cs-prefixed names;
+    // threshold literal = SplitOccupancy, seed rule = 2 lowest member
+    // ids, pick ties sub-ascending — all mirrored in cellSplit
+    "sim_cell_split" ->
+      (ivfTopKCteSql + ", " +
+       "cso AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
+       "FROM home GROUP BY cell), " +
+       "csh AS (SELECT cell FROM cso WHERE n_before > 32), " +
+       "csm AS (SELECT h.cell, h.vec_id, e.embedding FROM home h " +
+       "JOIN csh USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
+       "css AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
+       "FROM (SELECT cell, embedding, row_number() OVER (" +
+       "PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM csm) q " +
+       "WHERE srn <= 2), " +
+       "csa AS (SELECT m.cell, m.vec_id, s.sub, " +
+       "round((list_cosine_similarity(m.embedding::DOUBLE[], " +
+       "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
+       "FROM csm m JOIN css s ON s.cell = m.cell), " +
+       "csp AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
+       "row_number() OVER (PARTITION BY vec_id " +
+       "ORDER BY ssim DESC, sub ASC) AS prn FROM csa) q WHERE prn = 1), " +
+       "csc AS (SELECT cell, " +
+       "CAST(sum(CASE WHEN sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+       "CAST(sum(CASE WHEN sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
+       "FROM csp GROUP BY cell) " +
+       "SELECT o.cell, o.n_before, " +
+       "CAST(c.cell IS NOT NULL AS INTEGER) AS split, " +
+       "coalesce(c.c0, CAST(0 AS BIGINT)) AS n_child0, " +
+       "coalesce(c.c1, CAST(0 AS BIGINT)) AS n_child1, " +
+       "coalesce(greatest(c.c0, c.c1), o.n_before) AS n_max_after " +
+       "FROM cso o LEFT JOIN csc c USING (cell) ORDER BY o.cell"),
     // radius query over the SAME chain through `p` (lockstep with
     // sim_ivf_topk); threshold literal CAST to DOUBLE (decimal rule)
     "sim_range_search" ->
