@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
   * events/nation/region are copied byte-identical (events.parquet is
   * TIMESTAMP(NANOS) — rewriting would change its physical type).
   *
-  * Usage: runMain graft.tools.ScaleGen <srcDir> <dstDir> <k>
+  * Usage: runMain graft.tools.ScaleGen <srcDir> <dstDir> <k> [tables]
+  * The optional comma-separated [tables] restricts replication (e.g.
+  * `embeddings` for the very-large ANN scaling dirs, where replicating
+  * a 384× lineitem would cost gigabytes the measurement never reads);
+  * events/nation/region are still byte-copied so session warmup works.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (src, dst, k) = (args(0), args(1), args(2).toInt)
+    val only: String => Boolean =
+      if (args.length > 3) args(3).split(',').toSet else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,7 +49,8 @@ object ScaleGen {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1
     def replicate(name: String, out: DataFrame => DataFrame): Unit =
-      out(tbl(name)).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      if (only(name))
+        out(tbl(name)).write.mode("overwrite").parquet(s"$dst/$name.parquet")
     // replica index column i = 0..k-1 (i = 0 keeps the original rows)
     def fan(df: DataFrame): DataFrame =
       df.withColumn("i", explode(sequence(lit(0L), lit(k - 1L))))
