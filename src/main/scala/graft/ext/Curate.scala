@@ -127,6 +127,41 @@ object Curate {
       .orderBy("shard")
   }
 
+  /** Quality-phased CURRICULUM order (corpus_curriculum) — the training
+    * SCHEDULE a curated corpus ships with: every doc gets a phase (its
+    * trained per-token quality quartile, phase 0 = the highest-quality
+    * quartile trained first) and a deterministic within-phase order key
+    * (the Knuth scramble — a reproducible shuffle, no RNG state), plus
+    * the corpus_shard_plan shard. The LOADER contract is "sort by
+    * (phase, shard, order_key)": assignment here is embarrassingly
+    * parallel — the spt histogram collapses the corpus to its score
+    * RANGE before the one model-sized banding window (the calibration
+    * discipline; never a doc-grain window), bands come back as a
+    * broadcast, and every per-doc column is a projection. spt =
+    * score_micro div n_tok is SIGNED → sign-split `//` in the oracle;
+    * quartile rule = the exclusive-prefix rank least(3, (cum·4) div n),
+    * equal scores share a phase. Lockstep: the q-chain (trainer), the
+    * banding discipline (text_quality_calibration), the scramble
+    * (corpus_shard_plan's % 32). */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spt = TextOps.qualityScoreTrained(spark, dir)
+      .select(col("doc_id"), expr("score_micro div n_tok").as("spt"))
+    val g = spt.groupBy("spt").agg(count(lit(1)).as("n_g"))
+    val n = g.agg(sum("n_g").as("n"))
+    val wCum = Window.orderBy("spt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bands = g
+      .withColumn("cum", coalesce(sum("n_g").over(wCum), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("spt"), least(lit(3L), expr("(cum * 4) div n")).as("qband"))
+    spt.join(broadcast(bands), Seq("spt"))
+      .select(col("doc_id"), (lit(3L) - col("qband")).as("phase"),
+              Similarity.saltOrd(col("doc_id")).as("order_key"),
+              (Similarity.saltOrd(col("doc_id")) % 32L).cast("int").as("shard"))
+      .orderBy("doc_id")
+  }
+
   /** Per-SOURCE curation dashboard — the other report a curation run
     * publishes: where the funnel says what each gate cost globally,
     * this says which ingest sources are healthy (doc/token volume,
@@ -165,6 +200,7 @@ object Curate {
     "corpus_curate_funnel" -> funnel _,
     "corpus_gate_report"   -> gateReport _,
     "corpus_train_manifest" -> trainManifest _,
+    "corpus_curriculum" -> curriculum _,
     "corpus_report"        -> report _)
 
   /** Funnel oracle: composes the shared stage chains — the langid
@@ -229,6 +265,28 @@ object Curate {
       "FROM tmk k JOIN tmt t USING (doc_id) GROUP BY t.shard) " +
       "SELECT shard, n_docs, n_tokens, (n_tokens + 255) // 256 AS n_seqs " +
       "FROM tma ORDER BY shard"),
+    // cur-prefixed tail over the q-trainer chain: spt sign-split //,
+    // quartile = the calibration banding rule at 4 bands, scramble =
+    // the shard plan's — all three lockstep groups compose here
+    "corpus_curriculum" -> (
+      s"WITH ${TextOps.qualityTrainCteSql}, " +
+      "curs AS (SELECT doc_id, count(*) AS n_tok, " +
+      "CAST(sum(w_micro) AS BIGINT) AS score_micro " +
+      "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id), " +
+      "curj AS (SELECT doc_id, (CASE WHEN score_micro < 0 THEN -1 ELSE 1 END) * " +
+      "(abs(score_micro) // n_tok) AS spt FROM curs), " +
+      "curg AS (SELECT spt, CAST(count(*) AS BIGINT) AS n_g " +
+      "FROM curj GROUP BY spt), " +
+      "curn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM curg), " +
+      "curc AS (SELECT spt, CAST(coalesce(sum(n_g) OVER (ORDER BY spt " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS cum FROM curg), " +
+      "curb AS (SELECT spt, least(CAST(3 AS BIGINT), (cum * 4) // n) " +
+      "AS qband FROM curc CROSS JOIN curn) " +
+      "SELECT j.doc_id, CAST(3 - b.qband AS BIGINT) AS phase, " +
+      s"CAST(${Similarity.saltOrdSql("j.doc_id")} AS BIGINT) AS order_key, " +
+      s"CAST(${Similarity.saltOrdSql("j.doc_id")} % 32 AS INTEGER) AS shard " +
+      "FROM curj j JOIN curb b USING (spt) ORDER BY j.doc_id"),
     "corpus_curate_funnel" -> (
       gateFlagsCteSql + " " +
       "SELECT 0 AS stage_ord, 'ingest' AS stage, " +

@@ -123,4 +123,36 @@ class CurateSpec extends SparkSpec {
       assert(q === (t + 255L) / 256L && q * 256L >= t && (q - 1) * 256L < t)
     }
   }
+
+  test("curriculum: quartile phases are score-monotone, keys deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = ext.Curate.queries("corpus_curriculum")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong === nDocs, "curriculum does not cover the corpus")
+    assert(rows.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // phase 0 = the HIGHEST-quality quartile: per-token scores across
+    // phases must be monotone non-increasing in phase number
+    val spt = ext.TextOps.queries("text_quality_score_trained")(spark, sf0001)
+      .select(col("doc_id"), expr("score_micro div n_tok").as("spt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byPhase = rows.groupBy(_._2).view
+      .mapValues(_.map(r => spt(r._1))).toMap
+    for (p <- 0L to 2L if byPhase.contains(p) && byPhase.contains(p + 1)) {
+      assert(byPhase(p).min >= byPhase(p + 1).max,
+        s"phase $p scores overlap phase ${p + 1} — banding broken")
+    }
+    // quartiles are balanced up to score ties (each phase within ±25%
+    // of n/4 on this corpus)
+    byPhase.foreach { case (p, xs) =>
+      assert(math.abs(xs.size - nDocs / 4.0) <= nDocs / 4.0 * 0.25 + 1,
+        s"phase $p size ${xs.size} far from quartile")
+    }
+    // order_key/shard are the shared Knuth scramble — tie to shard_plan's
+    rows.foreach { case (id, _, key, shard) =>
+      val k = ((id % 2147483648L) * 2654435761L) % 2147483648L
+      assert(key === k && shard === (k % 32L).toInt)
+    }
+  }
 }
