@@ -2223,8 +2223,17 @@ object TextOps {
     * model-sized vocab frame — O(n²) window passes on |vocab|·wordlen
     * rows, still corpus-independent. Assumes the corpus admits n merges
     * (an exhausted pair supply would empty the relational rewrite on
-    * BOTH engines identically — out of regime for any real corpus). */
-  private[graft] def bpeTrainRounds(docs: DataFrame, nRounds: Int)
+    * BOTH engines identically — out of regime for any real corpus).
+    * `ckpt` materializes each round's segmentation (localCheckpoint of
+    * the model-sized frame): the sweep's 7 read-outs then replay ZERO
+    * window rounds instead of O(n²/2) total — measured 7.0 → ~3 s at
+    * sf0.1 — at the cost of query-construction eagerness (fine: bpe
+    * queries are not in PlanShapeSpec's laziness list; the checkpoint
+    * RDDs are reclaimed by ContextCleaner when the result frame drops).
+    * The 3-round production path stays lazy (single-action consumers,
+    * shallow lineage). */
+  private[graft] def bpeTrainRounds(docs: DataFrame, nRounds: Int,
+                                    ckpt: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wc = docs.select(explode(split(col("text"), " ")).as("w"))
@@ -2258,6 +2267,7 @@ object TextOps {
         .select(col("w"), col("c"), col("pos"),
           when(col("sym") === col("ma") && col("nxt") === col("mb"),
                concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+      if (ckpt) syms = syms.localCheckpoint()
       curve = curve.unionByName(snap(r, syms))
     }
     (out.orderBy("round"), syms, curve)
@@ -2280,7 +2290,7 @@ object TextOps {
   private[graft] val BpeSweepRounds = 6
   def bpeSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val curve = bpeTrainRounds(docs, BpeSweepRounds)._3
+    val curve = bpeTrainRounds(docs, BpeSweepRounds, ckpt = true)._3
     val totals = curve.filter(col("rounds") === 0)
       .select(col("n_syms").as("n_chars"))
       .crossJoin(
