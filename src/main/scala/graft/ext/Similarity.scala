@@ -60,6 +60,28 @@ object Similarity {
     new graft.functions.TopKPairsAggregator(NProbe),
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
 
+  /** Bounded top-3 SERVE ranking over a corpus-probe candidate frame
+    * (a_id, b_id, sim, …) — selection EXACTLY `row_number over
+    * (sim desc, b_id asc) <= 3` (the TopKPairsAggregator contract,
+    * −0.0/NaN discipline included). The round-14 ranking-architecture
+    * rule extended to the serve tail: when EVERY vector is a probe
+    * (ivfTopK, annTopK, the trained serve, the NN-descent re-rank), the
+    * rerank window exchange-and-sorts all n×occupancy candidate rows —
+    * measured 14.4 GB spill at 768 k vectors (BASELINE round 15) —
+    * while the aggregate map-side-combines to 3 pairs per probe.
+    * Probe-bounded reranks (100-row eval probes, delete/filtered/upsert
+    * serves) legitimately stay window-based. Oracles unchanged. */
+  private lazy val topServe = udaf(
+    new graft.functions.TopKPairsAggregator(3),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+
+  private def serveTop3(cand: DataFrame): DataFrame =
+    cand.groupBy("a_id")
+      .agg(topServe(col("sim"), col("b_id")).as("tk"))
+      .select(col("a_id"), posexplode(col("tk")))
+      .select(col("a_id"), col("col._2").as("b_id"),
+              (col("pos") + 1).cast("int").as("rn"), col("col._1").as("sim"))
+
   /** Expand a [[topNProbe]] result column `tk` back to the ranked long
     * form (vec_id, cell, csim, rn) every consumer expects. */
   private def explodeRanked(df: DataFrame): DataFrame =
@@ -295,18 +317,14 @@ object Similarity {
     * The bucketed join is the 100 TB path: shuffle by bucket, no cross
     * product. */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // norms are precomputed once per vector (not per pair): the pairwise
     // stage then does ONE 64-dim fold per candidate instead of three.
     val withB = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               bucketCol(numPlanes(embCount(spark, dir))),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    pairCandidates(withB, "bucket")
-      .filter(col("a_id") =!= col("b_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    serveTop3(pairCandidates(withB, "bucket")
+      .filter(col("a_id") =!= col("b_id")))
       .select("a_id", "b_id", "rn", "sim")
   }
 
@@ -376,14 +394,9 @@ object Similarity {
     * HOME cell matches a probed cell (shuffle by cell, b-side capped),
     * exact cosine re-rank. A pair appears at most once (the b side has
     * one home cell), so no dedup stage is needed. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    ivfCandidates(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    serveTop3(ivfCandidates(spark, dir))
       .select("a_id", "b_id", "rn", "sim")
-  }
 
   /** The multi-probe candidate stage (a_id, b_id, 6-dp sim) shared by
     * [[ivfTopK]] and [[rangeSearch]] — its oracle mirror is
@@ -641,11 +654,8 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
               Num.rnd(dotCols(col("av"), col("bv")) /
                         (col("an") * col("bn")), 6).as("sim"))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    ivfTopK(spark, dir).select("a_id", "b_id", "sim")
-      .unionByName(scored).distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    serveTop3(ivfTopK(spark, dir).select("a_id", "b_id", "sim")
+      .unionByName(scored).distinct())
       .select("a_id", "b_id", "rn", "sim")
   }
 
@@ -1608,18 +1618,14 @@ object Similarity {
     * durable parquet), so the two serve paths can never diverge. */
   private def trainedServeFrom(spark: SparkSession, dir: String,
                                ranked: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
     val probes = emb.join(ranked.select("vec_id", "cell"), Seq("vec_id"))
     val indexed = emb.join(ranked.filter(col("rn") === 1)
                              .select("vec_id", "cell"), Seq("vec_id"))
-    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
-      .filter(col("a_id") =!= col("b_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    serveTop3(pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
+      .filter(col("a_id") =!= col("b_id")))
       .select("a_id", "b_id", "rn", "sim")
   }
 
