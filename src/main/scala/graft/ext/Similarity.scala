@@ -437,31 +437,7 @@ object Similarity {
     * (probe-bounded — legitimately window-based). Ties in the pick
     * break sub-ascending on both engines. */
   def cellSplit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val home = ivfAssignRanked(spark, dir).filter(col("rn") === 1)
-      .select("vec_id", "cell")
-    val emb = embWithNrm(spark, dir)
-    val members = emb.join(home, Seq("vec_id"))
-    val occ = home.groupBy("cell").agg(count(lit(1)).as("n_before"))
-    val hot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
-    val seedIds = members.join(hot, Seq("cell"))
-      .groupBy("cell")
-      .agg(topNProbe((-col("vec_id")).cast("double"), col("vec_id")).as("tk"))
-      .select(col("cell"), posexplode(col("tk")))
-      .select(col("cell"), col("pos").cast("int").as("sub"),
-              col("col._2").as("svid"))
-    val seeds = seedIds
-      .join(emb.select(col("vec_id").as("svid"), col("embedding").as("sv"),
-                       col("nrm").as("snrm")), Seq("svid"))
-      .select("cell", "sub", "sv", "snrm")
-    val wPick = Window.partitionBy("vec_id")
-      .orderBy(col("ssim").desc, col("sub").asc)
-    val assigned = members.join(broadcast(seeds), Seq("cell"))
-      .select(col("cell"), col("vec_id"), col("sub"),
-        Num.rnd(dotCols(col("embedding"), col("sv")) /
-                  (col("nrm") * col("snrm")), 6).as("ssim"))
-      .withColumn("prn", row_number().over(wPick))
-      .filter(col("prn") === 1)
+    val (occ, _, _, _, assigned) = cellSplitParts(spark, dir)
     val childSizes = assigned.groupBy("cell")
       .agg(sum(when(col("sub") === 0, 1L).otherwise(0L)).as("c0"),
            sum(when(col("sub") === 1, 1L).otherwise(0L)).as("c1"))
@@ -473,6 +449,113 @@ object Similarity {
         coalesce(greatest(col("c0"), col("c1")), col("n_before"))
           .as("n_max_after"))
       .orderBy("cell")
+  }
+
+  /** The split's working frames — (per-cell occupancy, hot cells,
+    * home-cell members with embeddings, sub-seed table, hot-cell
+    * member→child assignment (cell, vec_id, sub)) — shared by the
+    * [[cellSplit]] report and the [[splitTopK]] serve so the applied
+    * index can never drift from the audited one. */
+  private def cellSplitParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val home = ivfAssignRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val emb = embWithNrm(spark, dir)
+    val members = emb.join(home, Seq("vec_id"))
+    val occ = home.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val hot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
+    val seeds = splitSeeds(spark, dir, members, hot)
+    val wPick = Window.partitionBy("vec_id")
+      .orderBy(col("ssim").desc, col("sub").asc)
+    val assigned = members.join(broadcast(seeds), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("sub"),
+        Num.rnd(dotCols(col("embedding"), col("sv")) /
+                  (col("nrm") * col("snrm")), 6).as("ssim"))
+      .withColumn("prn", row_number().over(wPick))
+      .filter(col("prn") === 1)
+    (occ, hot, members, seeds, assigned)
+  }
+
+  /** Search over the SPLIT index (sim_split_topk) — the APPLY half of
+    * [[cellSplit]]: hot-cell members are re-homed to their child cell
+    * (ncell = cell·2 + sub; cool cells keep cell·2 — bijective, so
+    * cool-cell results are bit-identical to [[ivfTopK]]'s slices), and
+    * each probe narrows a probed HOT cell to its nearer sub-seed at
+    * query time (a 2-row pick per probed hot cell — query-time work,
+    * exactly like probe lists). What the split buys: candidates in a
+    * split cell drop to ~occupancy/2 per probe — the at-the-source
+    * remedy for the occupancy² regime the round-15 knee measured,
+    * instead of the cap's sampling. What it costs: a true neighbor in
+    * the hot cell's OTHER child is no longer seen —
+    * [[splitRecallEval]] (frontier leg `split`) puts the number on
+    * that loss vs the shared truth. Corpus-probe serve ⇒ bounded
+    * [[serveTop3]], never a window. */
+  def splitTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
+    val emb = embWithNrm(spark, dir)
+    val idx = assigned
+      .select(col("vec_id"), (col("cell") * 2 + col("sub")).as("ncell"))
+      .unionByName(members.join(hot, Seq("cell"), "left_anti")
+        .select(col("vec_id"), (col("cell") * 2).as("ncell")))
+    val indexed = emb.join(idx, Seq("vec_id"))
+    val probed = ivfAssignRanked(spark, dir).select("vec_id", "cell")
+    val wPick = Window.partitionBy("vec_id", "cell")
+      .orderBy(col("ssim").desc, col("sub").asc)
+    val probeHot = probed.join(emb, Seq("vec_id"))
+      .join(broadcast(seeds), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        Num.rnd(dotCols(col("embedding"), col("sv")) /
+                  (col("nrm") * col("snrm")), 6).as("ssim"))
+      .withColumn("prn", row_number().over(wPick))
+      .filter(col("prn") === 1)
+      .select(col("vec_id"), (col("cell") * 2 + col("sub")).as("ncell"))
+    val probeCool = probed.join(hot, Seq("cell"), "left_anti")
+      .select(col("vec_id"), (col("cell") * 2).as("ncell"))
+    val probes = emb.join(probeHot.unionByName(probeCool), Seq("vec_id"))
+    serveTop3(pairCandidatesAB(probes, indexed, "ncell", MaxBucketCandidates)
+      .filter(col("a_id") =!= col("b_id")))
+      .select("a_id", "b_id", "rn", "sim")
+  }
+
+  /** Recall of the split-index serve vs the SHARED exact truth — the
+    * single number that prices [[splitTopK]]'s candidate halving;
+    * joins the frontier as the `split` leg (shared-truth contract,
+    * GraphSearchSpec's n_truth assert covers it). */
+  def splitRecallEval(spark: SparkSession, dir: String,
+                      probeN: Long = 100): DataFrame = {
+    val exact = exactTruthTop3(spark, dir, probeN)
+    val screen = splitTopK(spark, dir)
+      .filter(col("a_id") < probeN)
+      .select("a_id", "b_id")
+    val hit = exact.join(screen, Seq("a_id", "b_id"))
+    exact.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(screen.agg(count(lit(1)).as("n_screen")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_screen"), col("n_hit"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+          .as("recall_micro"),
+        expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
+          .as("precision_micro"))
+  }
+
+  /** Sub-seed table for the hot cells: the two lowest member vec_ids,
+    * with embeddings and norms — (cell, sub, sv, snrm). */
+  private def splitSeeds(spark: SparkSession, dir: String,
+                         members: DataFrame, hot: DataFrame): DataFrame = {
+    val emb = embWithNrm(spark, dir)
+    members.join(hot, Seq("cell"))
+      .groupBy("cell")
+      .agg(topNProbe((-col("vec_id")).cast("double"), col("vec_id")).as("tk"))
+      .select(col("cell"), posexplode(col("tk")))
+      .select(col("cell"), col("pos").cast("int").as("sub"),
+              col("col._2").as("svid"))
+      .join(emb.select(col("vec_id").as("svid"), col("embedding").as("sv"),
+                       col("nrm").as("snrm")), Seq("svid"))
+      .select("cell", "sub", "sv", "snrm")
   }
 
   /** Per-cell LABEL PURITY over the IVF home-cell partition — the
@@ -1391,10 +1474,10 @@ object Similarity {
   }
 
   /** The recall-vs-method FRONTIER — the one-table summary an ANN
-    * deployment decision actually reads: all eight single-number recall
+    * deployment decision actually reads: all nine single-number recall
     * evals (IVF index, sign-bit binary, int8, JL projection,
-    * Matryoshka prefix, graph walk, NN-descent, RRF fusion) side by
-    * side under the SAME fixed
+    * Matryoshka prefix, graph walk, NN-descent, RRF fusion, split
+    * index) side by side under the SAME fixed
     * probe set and truth definition. Pure composition: each leg IS the
     * registered eval query (Spark functions and oracle SQL both —
     * lockstep by construction), so the frontier can never disagree
@@ -1412,7 +1495,8 @@ object Similarity {
         .select(col("n_truth"), col("n_hit_ref").as("n_hit"),
                 col("recall_ref_micro").as("recall_micro")),
       "rrf"        -> rrfRecallEval(spark, dir),
-      "sign"       -> signRecallEval(spark, dir))
+      "sign"       -> signRecallEval(spark, dir),
+      "split"      -> splitRecallEval(spark, dir))
     legs.map { case (m, df) =>
       df.select(lit(m).as("method"), col("n_truth"), col("n_hit"),
                 col("recall_micro"))
@@ -3073,6 +3157,8 @@ object Similarity {
     "dedup_embedding"  -> embeddingNearDup _,
     "sim_ivf_assign"   -> ivfAssign _,
     "sim_cell_split"   -> cellSplit _,
+    "sim_split_topk"   -> splitTopK _,
+    "sim_split_recall_eval" -> ((s, d) => splitRecallEval(s, d)),
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -3861,23 +3947,7 @@ object Similarity {
     // threshold literal = SplitOccupancy, seed rule = 2 lowest member
     // ids, pick ties sub-ascending — all mirrored in cellSplit
     "sim_cell_split" ->
-      (ivfTopKCteSql + ", " +
-       "cso AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
-       "FROM home GROUP BY cell), " +
-       "csh AS (SELECT cell FROM cso WHERE n_before > 32), " +
-       "csm AS (SELECT h.cell, h.vec_id, e.embedding FROM home h " +
-       "JOIN csh USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
-       "css AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
-       "FROM (SELECT cell, embedding, row_number() OVER (" +
-       "PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM csm) q " +
-       "WHERE srn <= 2), " +
-       "csa AS (SELECT m.cell, m.vec_id, s.sub, " +
-       "round((list_cosine_similarity(m.embedding::DOUBLE[], " +
-       "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
-       "FROM csm m JOIN css s ON s.cell = m.cell), " +
-       "csp AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
-       "row_number() OVER (PARTITION BY vec_id " +
-       "ORDER BY ssim DESC, sub ASC) AS prn FROM csa) q WHERE prn = 1), " +
+      (ivfTopKCteSql + ", " + cellSplitCteSql + ", " +
        "csc AS (SELECT cell, " +
        "CAST(sum(CASE WHEN sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
        "CAST(sum(CASE WHEN sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
@@ -3888,6 +3958,35 @@ object Similarity {
        "coalesce(c.c1, CAST(0 AS BIGINT)) AS n_child1, " +
        "coalesce(greatest(c.c0, c.c1), o.n_before) AS n_max_after " +
        "FROM cso o LEFT JOIN csc c USING (cell) ORDER BY o.cell"),
+    // split-index serve over the shared cs-chain + st-serve chain —
+    // the APPLY half of sim_cell_split (audited ≡ applied split)
+    "sim_split_topk" ->
+      (splitServeCteSql + " SELECT a_id, b_id, rn, sim FROM str WHERE rn <= 3"),
+    // recall of the split serve vs the SHARED truth (frontier leg
+    // `split`) — the eval-family probe literal and metric forms
+    "sim_split_recall_eval" ->
+      (splitServeCteSql + ", " +
+       "stex AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+       "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+       "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+       "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+       "WHERE x.vec_id < 100), " +
+       "stxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+       "AS rn FROM stex) e WHERE rn <= 3), " +
+       "stsc AS (SELECT a_id, b_id FROM str WHERE rn <= 3 AND a_id < 100), " +
+       "stht AS (SELECT a_id, b_id FROM stxr JOIN stsc USING (a_id, b_id)), " +
+       "stcm AS (SELECT (SELECT count(*) FROM stxr) AS n_truth, " +
+       "(SELECT count(*) FROM stsc) AS n_screen, " +
+       "(SELECT count(*) FROM stht) AS n_hit) " +
+       "SELECT CAST(n_truth AS BIGINT) AS n_truth, " +
+       "CAST(n_screen AS BIGINT) AS n_screen, " +
+       "CAST(n_hit AS BIGINT) AS n_hit, " +
+       "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+       "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END " +
+       "AS precision_micro FROM stcm"),
     // radius query over the SAME chain through `p` (lockstep with
     // sim_ivf_topk); threshold literal CAST to DOUBLE (decimal rule)
     "sim_range_search" ->
@@ -4388,6 +4487,69 @@ object Similarity {
   /** The sim_ivf_topk oracle's full CTE chain through `r` (ranked
     * multi-probe candidates) — shared by the top-k and mutual-kNN
     * oracles so the two can never drift. */
+  /** The cell-split chain through `csp` (hot-cell member→child picks) —
+    * cs-prefixed names cso/csh/csm/css/csa/csp claimed; composed over
+    * [[ivfTopKCteSql]]'s `home` by the sim_cell_split report AND the
+    * sim_split_topk / sim_split_recall_eval serve chain (the audited
+    * split and the applied split can never drift). Threshold literal =
+    * [[SplitOccupancy]]; seed rule = 2 lowest member ids; pick ties
+    * sub-ascending. */
+  private def cellSplitCteSql: String =
+    "cso AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
+    "FROM home GROUP BY cell), " +
+    "csh AS (SELECT cell FROM cso WHERE n_before > 32), " +
+    "csm AS (SELECT h.cell, h.vec_id, e.embedding FROM home h " +
+    "JOIN csh USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
+    "css AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
+    "FROM (SELECT cell, embedding, row_number() OVER (" +
+    "PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM csm) q " +
+    "WHERE srn <= 2), " +
+    "csa AS (SELECT m.cell, m.vec_id, s.sub, " +
+    "round((list_cosine_similarity(m.embedding::DOUBLE[], " +
+    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
+    "FROM csm m JOIN css s ON s.cell = m.cell), " +
+    "csp AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
+    "row_number() OVER (PARTITION BY vec_id " +
+    "ORDER BY ssim DESC, sub ASC) AS prn FROM csa) q WHERE prn = 1)"
+
+  /** The split-serve chain through `str` (st-prefixed names sti/stph/
+    * stp/stb/stm/stq/str claimed) — composes [[ivfTopKCteSql]] +
+    * [[cellSplitCteSql]]; shared by sim_split_topk and its recall eval.
+    * ncell = cell·2 + sub for hot members / cell·2 for cool (bijective);
+    * probes narrow a probed hot cell to the nearer sub-seed (ties sub
+    * asc); same saltOrd 1024 cap and (sim desc, b_id asc) rerank as the
+    * unsplit serve. */
+  private def splitServeCteSql: String =
+    ivfTopKCteSql + ", " + cellSplitCteSql + ", " +
+    "sti AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell FROM csp " +
+    "UNION ALL SELECT h.vec_id, CAST(h.cell * 2 AS BIGINT) AS ncell " +
+    "FROM home h LEFT JOIN csh ON csh.cell = h.cell WHERE csh.cell IS NULL), " +
+    "stph AS (SELECT pb.vec_id, pb.cell, s.sub, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
+    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
+    "FROM probes pb JOIN csh ch ON ch.cell = pb.cell " +
+    "JOIN css s ON s.cell = pb.cell " +
+    "JOIN embeddings e ON e.vec_id = pb.vec_id), " +
+    "stp AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell " +
+    "FROM (SELECT vec_id, cell, sub, row_number() OVER (" +
+    "PARTITION BY vec_id, cell ORDER BY ssim DESC, sub ASC) AS prn " +
+    "FROM stph) q WHERE prn = 1 " +
+    "UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS ncell " +
+    "FROM probes pb LEFT JOIN csh ON csh.cell = pb.cell " +
+    "WHERE csh.cell IS NULL), " +
+    "stb AS (SELECT e.vec_id, e.embedding, i.ncell FROM embeddings e " +
+    "JOIN sti i ON e.vec_id = i.vec_id " +
+    s"QUALIFY row_number() OVER (PARTITION BY i.ncell " +
+    s"ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+    "stm AS (SELECT e.vec_id, e.embedding, p.ncell FROM embeddings e " +
+    "JOIN stp p ON e.vec_id = p.vec_id), " +
+    "stq AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM stm x JOIN stb y ON x.ncell = y.ncell AND x.vec_id <> y.vec_id), " +
+    "str AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM stq)"
+
   private def ivfTopKCteSql: String =
     "WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
     "s AS (SELECT e.vec_id, c.cell, " +
@@ -4465,7 +4627,8 @@ object Similarity {
             "jl" -> "sim_jl_recall",
             "matryoshka" -> "emb_matryoshka_recall",
             "rrf" -> "sim_rrf_recall",
-            "sign" -> "emb_sign_recall")
+            "sign" -> "emb_sign_recall",
+            "split" -> "sim_split_recall_eval")
           .map { case (m, q) => frontierLegSql(m, q) } :+
          // descent's refined columns renamed to the frontier contract
          ("SELECT 'nn_descent' AS method, n_truth, n_hit_ref AS n_hit, " +

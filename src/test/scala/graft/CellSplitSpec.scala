@@ -69,4 +69,45 @@ class CellSplitSpec extends SparkSpec {
     assert(got._4 === expect0.toLong,
       s"cell $hot child-0 size ${got._4} != recomputed $expect0")
   }
+
+  test("split serve: probes touching only cool cells get the identical " +
+       "top-3 as the unsplit serve") {
+    // the ncell mapping is bijective and cool cells keep their members,
+    // so a probe whose NProbe probed cells are ALL cool sees the exact
+    // same candidate set in both indexes (caps never bind at sf0.01
+    // occupancy) — its served top-3 must be bit-identical
+    val hotCells = rows.filter(_._3 === 1).map(_._1).toSet
+    // driver brute of each probe's NProbe=2 probed cells (500×16 at
+    // sf0.01) — the ranking the serve starts from
+    val emb = Tables.embeddings(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val raw = dot / (math.sqrt(a.map(x => x * x).sum) *
+                       math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(raw * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    }
+    val cells = (0L until 16L).toSeq
+    val probedCells = emb.keys.map { v =>
+      v -> cells.map(c => (c, cos(emb(v), emb(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+    }.toMap
+    val coolProbes = probedCells.collect {
+      case (v, pc) if pc.intersect(hotCells).isEmpty => v
+    }.toSet
+    assert(coolProbes.nonEmpty, "no all-cool probe — vacuous fixture")
+    assert(probedCells.exists(_._2.intersect(hotCells).nonEmpty),
+      "no probe touches a hot cell — vacuous fixture")
+    def served(q: String) =
+      ext.Similarity.queries(q)(spark, sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .filter(t => coolProbes.contains(t._1)).toSet
+    assert(served("sim_split_topk") === served("sim_ivf_topk"),
+      "an all-cool probe's top-3 drifted between the split and unsplit serves")
+  }
 }
