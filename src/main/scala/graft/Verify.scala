@@ -12,6 +12,12 @@ object Verify {
       if (args.length > 2) { val ps = args(2).split(',').toSeq
                              n => ps.exists(n.startsWith) }
       else _ => true
+    // the bucket-cap env is a scale-measurement-only override; the 1024
+    // default is the oracle contract — a gate run with it set would
+    // silently diverge every capped-family oracle (ADVICE r15)
+    require(!graft.ext.Similarity.bucketCapOverridden,
+      "SPARK_GRAFT_BUCKET_CAP is set — unset it for Verify gate runs " +
+      "(the default cap is the oracle contract)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -185,7 +185,18 @@ object Similarity {
   // binds (documented sampling behavior), so Verify/Bench gate runs and
   // production must never set it — the default is the contract.
   private val MaxBucketCandidates =
-    sys.env.get("SPARK_GRAFT_BUCKET_CAP").map(_.toInt).getOrElse(1024)
+    sys.env.get("SPARK_GRAFT_BUCKET_CAP") match {
+      case None => 1024
+      case Some(raw) => raw.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BUCKET_CAP must be a positive int, got '$raw'"))
+    }
+
+  /** True when the scale-measurement cap override is active — gate
+    * entry points (Verify) use this to fail fast, since the 1024
+    * default is the oracle contract (ADVICE r15). */
+  private[graft] def bucketCapOverridden: Boolean =
+    sys.env.contains("SPARK_GRAFT_BUCKET_CAP")
 
   /** Salted deterministic order for cap truncation: a Knuth
     * multiplicative scramble of the id, so an oversized bucket degrades
@@ -418,6 +429,15 @@ object Similarity {
     * occur naturally; mirrored literally in the oracle (lockstep). */
   private[graft] val SplitOccupancy = 32L
 
+  /** Sub-seeds per split cell — tied to the oracle's `srn <= 2` literal
+    * and the ncell = cell·2 + sub bijection (sub ∈ {0,1}); deliberately
+    * its OWN constant + aggregator instance so a future [[NProbe]]
+    * change can never silently widen the seed count (ADVICE r15). */
+  private[graft] val SplitSubSeeds = 2
+  private lazy val topSubSeeds = udaf(
+    new graft.functions.TopKPairsAggregator(SplitSubSeeds),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+
   /** Occupancy-triggered cell SPLIT (sim_cell_split) — the re-shard
     * maintenance job the bucket cap's own guidance prescribes
     * ([[pairCandidates]] scaladoc: "raise numPlanes or re-shard the
@@ -549,7 +569,7 @@ object Similarity {
     val emb = embWithNrm(spark, dir)
     members.join(hot, Seq("cell"))
       .groupBy("cell")
-      .agg(topNProbe((-col("vec_id")).cast("double"), col("vec_id")).as("tk"))
+      .agg(topSubSeeds((-col("vec_id")).cast("double"), col("vec_id")).as("tk"))
       .select(col("cell"), posexplode(col("tk")))
       .select(col("cell"), col("pos").cast("int").as("sub"),
               col("col._2").as("svid"))

@@ -121,8 +121,17 @@ object VecStream {
     // frozen-model seam the stream used for arrivals
     val baseHome = graft.ext.Similarity.assignToCentroids(baseLive, cents)
       .select("vec_id", "cell")
-    val arrHome = spark.read.parquet(s"$assignOut/batch_id=*")
-      .select("vec_id", "cell")
+    // a stream that delivered zero non-empty micro-batches wrote no
+    // batch_id dirs — degrade like the batch path's empty arrival half
+    // instead of throwing on an unmatched glob (ADVICE r15)
+    val batchDirs = Option(new java.io.File(assignOut).listFiles())
+      .getOrElse(Array.empty).exists(f =>
+        f.isDirectory && f.getName.startsWith("batch_id="))
+    val arrHome =
+      if (batchDirs) spark.read.parquet(s"$assignOut/batch_id=*")
+        .select("vec_id", "cell")
+      else spark.range(0)
+        .select(col("id").as("vec_id"), col("id").as("cell"))
     val live = baseLive.unionByName(emb.filter(col("vec_id") >= split))
     graft.ext.Similarity
       .upsertServeFrom(live, baseHome.unionByName(arrHome), cents, probeN)

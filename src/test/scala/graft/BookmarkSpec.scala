@@ -93,10 +93,17 @@ class BookmarkSpec extends SparkSpec {
     def land(b: Int): Unit =
       base.filter(pmod(col("o_orderkey"), lit(3)) === b)
         .write.mode("overwrite").parquet(s"$in/b$b")
-    def published(): Long =
-      try spark.read.option("recursiveFileLookup", "true")
-            .parquet(table).count()
-      catch { case _: Throwable => 0L } // no run published yet
+    // 0 rows ONLY for the expected nothing-published-yet state (no
+    // run_* dirs); any other read failure must surface, or the
+    // leaked-rows assertion could pass vacuously (ADVICE r15)
+    def published(): Long = {
+      val runs = Option(new java.io.File(table).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("run_"))
+      if (runs.isEmpty) 0L
+      else spark.read.option("recursiveFileLookup", "true")
+        .parquet(runs.map(_.getPath).toIndexedSeq: _*).count()
+    }
     land(0); land(1)
     val run1 = ops.Sources.bookmarkIngestAtomicOnce(spark, in, table)
     assert(run1 > 0)
