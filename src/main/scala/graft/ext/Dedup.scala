@@ -457,7 +457,10 @@ object Dedup {
     * instead). */
   private def hashedShingles(spark: SparkSession, dir: String,
                              n: Int): DataFrame =
-    Tables.documents(spark, dir)
+    hashedShinglesOf(Tables.documents(spark, dir), n)
+
+  private[graft] def hashedShinglesOf(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
@@ -1020,6 +1023,71 @@ object Dedup {
         (col("n_tomb") =!= col("n_comp")).cast("int").as("drift"))
   }
 
+  /** Tombstone-fraction threshold for [[compactPolicy]] — compact when
+    * ≥ 20% of the corpus index is tombstoned; mirrored literally in the
+    * oracle (lockstep). The natural sf0.01 takedown (%10) sits at 10%,
+    * so the production row reads DEFER on this signal. */
+  private[graft] val TombFracCompact = 200000L
+
+  /** Compaction TRIGGER policy (dedup_compact_policy) — the decision
+    * half [[indexCompactReconcile]] was missing: WHEN is the rebuild
+    * worth paying? The reconcile audits drift by paying BOTH index
+    * builds; this operator decides from two signals that are
+    * observable WITHOUT a rebuild: (1) the tombstone fraction — pure
+    * index metadata (n_deleted/n_corpus) — against
+    * [[TombFracCompact]], and (2) `n_heal` — the number of distinct
+    * shingles whose full-corpus DF sits over [[MaxShingleDf]] but
+    * whose LIVE (tombstone-filtered) DF is back under it. Those
+    * shingles are EXACTLY the ones a rebuild re-admits into the index
+    * (the drift mechanism the reconcile's docstring names), and
+    * counting them is one DF-aggregation over the uncapped shingle
+    * frame — a corpus scan, not a re-sign + batch screen. Decision:
+    * compact when either signal fires (any healable shingle means the
+    * tombstone index is serving degraded candidates — the reconcile's
+    * drift is then ≥ possible, so schedule the rebuild). All
+    * quantities non-negative ⇒ div ≡ `//`; the n_corpus = 0 degenerate
+    * is gated identically on both engines (defer — nothing to
+    * compact). The %10 takedown rule and the n/2 split are the
+    * dedup_index_delete lockstep group. CompactSpec drives BOTH
+    * decisions: the natural corpus (10% tomb, no over-cap shingle)
+    * defers; the planted 101-doc hot shingle fixture compacts. */
+  def compactPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val split =
+      incSplit(CountMemo.get(spark, dir, "documents")(
+        Tables.documents(spark, dir).count()))
+    compactPolicyOf(
+      Tables.documents(spark, dir).filter(col("doc_id") < split))
+  }
+
+  /** The policy seam over an ARBITRARY corpus frame (takedown rule
+    * stays doc_id % 10 = 0 — the production contract); CompactSpec
+    * drives the planted fixture through it. */
+  private[graft] def compactPolicyOf(corpusDocs: DataFrame): DataFrame = {
+    val dfAgg = hashedShinglesOf(corpusDocs, 3)
+      .groupBy("h1", "h2")
+      .agg(count(lit(1)).as("df"),
+           sum((col("doc_id") % 10 =!= 0).cast("long")).as("df_live"))
+    val shingleStats = dfAgg.agg(
+      coalesce(sum((col("df") > MaxShingleDf.toLong).cast("long")), lit(0L))
+        .as("n_over_cap"),
+      coalesce(sum((col("df") > MaxShingleDf.toLong &&
+                    col("df_live") <= MaxShingleDf.toLong).cast("long")),
+               lit(0L)).as("n_heal"))
+    val docStats = corpusDocs.agg(
+      count(lit(1)).as("n_corpus"),
+      coalesce(sum((col("doc_id") % 10 === 0).cast("long")), lit(0L))
+        .as("n_deleted"))
+    docStats.crossJoin(broadcast(shingleStats))
+      .withColumn("tomb_frac_micro",
+        when(col("n_corpus") === 0L, lit(0L))
+          .otherwise(expr("(n_deleted * CAST(1000000 AS BIGINT)) div n_corpus")))
+      .select(col("n_corpus"), col("n_deleted"), col("tomb_frac_micro"),
+        col("n_over_cap"), col("n_heal"),
+        lit(TombFracCompact).as("tomb_threshold_micro"),
+        (col("tomb_frac_micro") >= TombFracCompact ||
+         col("n_heal") >= 1L).cast("int").as("compact"))
+  }
+
   private val SimBits = 60 // 30 bits from each modulus (P1, P2 < 2^30)
 
   /** 60-bit SimHash per document: two portable token polyhashes supply 30
@@ -1526,6 +1594,7 @@ object Dedup {
     "dedup_index_persist" -> indexPersistScreen _,
     "dedup_index_delete" -> indexDeleteScreen _,
     "dedup_index_compact" -> indexCompactReconcile _,
+    "dedup_compact_policy" -> compactPolicy _,
     "dedup_fuzzy"         -> fuzzy _,
     "dedup_keep"          -> keepList _,
     "dedup_keep_best"     -> keepBest _,
@@ -1847,6 +1916,36 @@ object Dedup {
     "FROM documents d LEFT JOIN tm ON tm.doc_id = d.doc_id " +
     "LEFT JOIN km ON km.doc_id = d.doc_id WHERE d.doc_id >= 250"
 
+  /** [[compactPolicy]] oracle (cp-prefixed): the UNCAPPED corpus-half
+    * shingle frame is `cpsh0` from the shared [[shingleCteFor]]
+    * generator (its capped cprare/cpsh tail goes unreferenced — free in
+    * DuckDB); signals and the decision mirror the Spark side literally
+    * (cap 100, tomb threshold 200000, %10 rule, 250 split — all
+    * lockstep). DuckDB sums of INTEGER are HUGEINT → every sum is cast
+    * BIGINT. */
+  private def compactPolicyOracleSql: String =
+    s"WITH ${shingleCteFor(3, "cp", "WHERE doc_id < 250")}, " +
+    "cpdf AS (SELECT h1, h2, CAST(count(*) AS BIGINT) AS df, " +
+    "CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+    "AS df_live FROM cpsh0 GROUP BY h1, h2), " +
+    "cpss AS (SELECT " +
+    s"CAST(coalesce(sum(CASE WHEN df > $MaxShingleDf THEN 1 ELSE 0 END), 0) " +
+    "AS BIGINT) AS n_over_cap, " +
+    s"CAST(coalesce(sum(CASE WHEN df > $MaxShingleDf AND " +
+    s"df_live <= $MaxShingleDf THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_heal " +
+    "FROM cpdf), " +
+    "cpds AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus, " +
+    "CAST(coalesce(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END), 0) " +
+    "AS BIGINT) AS n_deleted FROM documents WHERE doc_id < 250), " +
+    "cppre AS (SELECT n_corpus, n_deleted, " +
+    "CASE WHEN n_corpus = 0 THEN CAST(0 AS BIGINT) " +
+    "ELSE (n_deleted * 1000000) // n_corpus END AS tomb_frac_micro, " +
+    "n_over_cap, n_heal FROM cpds CROSS JOIN cpss) " +
+    "SELECT n_corpus, n_deleted, tomb_frac_micro, n_over_cap, n_heal, " +
+    s"CAST($TombFracCompact AS BIGINT) AS tomb_threshold_micro, " +
+    s"CAST(CASE WHEN tomb_frac_micro >= $TombFracCompact OR n_heal >= 1 " +
+    "THEN 1 ELSE 0 END AS INTEGER) AS compact FROM cppre"
+
   /** SimHash fingerprint chain as a CTE ending in `shh(doc_id, simhash)`
     * — same two folds, same 60 sign-bit sums as the Spark side; shared
     * by the fingerprint query and the hamming-band pair oracle. */
@@ -2152,6 +2251,7 @@ object Dedup {
     "dedup_index_persist" -> incMinhashOracleSql,
     "dedup_index_delete" -> indexDeleteOracleSql,
     "dedup_index_compact" -> indexCompactOracleSql,
+    "dedup_compact_policy" -> compactPolicyOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_simhash_pairs" -> simhashPairsOracleSql,
     "dedup_clusters" ->

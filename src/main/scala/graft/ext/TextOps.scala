@@ -2305,6 +2305,37 @@ object TextOps {
       .orderBy("rounds")
   }
 
+  /** Fertility target for [[bpePick]] — 4.0 symbols per word, sitting
+    * inside the sf0.01 sweep's range (round 4 = 4.040 > target ≥ round
+    * 5 = 3.941) so the chooser picks a nontrivial interior row;
+    * mirrored literally in the oracle (lockstep). */
+  private[graft] val BpeFertilityTarget = 4000000L
+
+  /** Merge-budget CHOOSER (text_bpe_pick) — the decision half of
+    * [[bpeSweep]]'s curve (the tokenizer-sizing analog of
+    * text_quality_gate_calibrated's threshold pick): the smallest round
+    * count whose fertility meets [[BpeFertilityTarget]], read straight
+    * off the sweep's `bscurve` so the chosen row IS its sweep row
+    * (BpeSpec ties them cell-for-cell). FAIL-CLOSED when no prefix
+    * qualifies: qualified = 0, chosen_rounds = −1, fertility sentinel
+    * 1e9 — a loader must not silently train an unsized tokenizer.
+    * One |curve|-row frame (≤ 7 rows) — constant cost at any corpus
+    * scale beyond the sweep itself. */
+  def bpePick(spark: SparkSession, dir: String,
+              target: Long = BpeFertilityTarget): DataFrame = {
+    val sweep = bpeSweep(spark, dir)
+    val chosen = sweep.filter(col("fertility_micro") <= target)
+      .agg(min("rounds").as("cr"))
+    chosen.join(sweep, chosen("cr") === sweep("rounds"), "left")
+      .select(lit(target).as("target_micro"),
+        col("cr").isNotNull.cast("int").as("qualified"),
+        coalesce(col("cr"), lit(-1)).as("chosen_rounds"),
+        coalesce(col("n_syms"), lit(0L)).as("n_syms"),
+        coalesce(col("fertility_micro"), lit(1000000000L))
+          .as("fertility_micro"),
+        coalesce(col("savings_micro"), lit(0L)).as("savings_micro"))
+  }
+
   /** Tokenizer APPLY — the serving half of the BPE train→apply closure
     * (the discipline of sim_ivf_topk_trained / emb_pca_project): the
     * learned segmentation is a model table of |vocab| rows (w → number
@@ -2446,11 +2477,14 @@ object TextOps {
     "// CAST(sum(len(w)) AS BIGINT) AS savings_micro " +
     "FROM bfd JOIN bfw USING (w) GROUP BY source ORDER BY source"
 
-  /** [[bpeSweep]] oracle — the SAME chain generator unrolled to
-    * [[BpeSweepRounds]] (bs-prefixed read-out CTEs; the chain's own
-    * wc/s0/a·t·s names are claimed by the generator), one global
-    * symbol-count read per prefix, n_chars = the round-0 count. */
-  private def bpeSweepOracleSql: String = {
+  /** The sweep CURVE as a composable CTE chain ending in `bscurve`
+    * (bs-prefixed read-out CTEs over the [[bpeChainCteSqlFor]] unroll;
+    * the chain's own wc/s0/a·t·s names are claimed by the generator),
+    * one global symbol-count read per prefix, n_chars = the round-0
+    * count. Shared by [[bpeSweepOracleSql]] and the [[bpePick]] oracle
+    * — the curve the chooser reads can never drift from the reported
+    * one. */
+  private def bpeSweepCtesSql: String = {
     val snaps = (0 to BpeSweepRounds).map { r =>
       s"bs$r AS (SELECT CAST(sum(c) AS BIGINT) AS n_syms FROM s$r)"
     }.mkString(", ")
@@ -2461,11 +2495,33 @@ object TextOps {
       s"((bsc.n_chars - bs$r.n_syms) * 1000000) // bsc.n_chars " +
       s"AS savings_micro FROM bs$r CROSS JOIN bsw CROSS JOIN bsc"
     }.mkString(" UNION ALL ")
-    "WITH " + bpeChainCteSqlFor(BpeSweepRounds) + ", " +
+    bpeChainCteSqlFor(BpeSweepRounds) + ", " +
     "bsw AS (SELECT CAST(sum(c) AS BIGINT) AS n_words FROM wc), " +
     "bsc AS (SELECT CAST(sum(c) AS BIGINT) AS n_chars FROM s0), " +
-    snaps + " " + rows + " ORDER BY rounds"
+    snaps + ", bscurve AS (" + rows + ")"
   }
+
+  private def bpeSweepOracleSql: String =
+    "WITH " + bpeSweepCtesSql + " " +
+    "SELECT rounds, n_words, n_syms, n_chars, fertility_micro, " +
+    "savings_micro FROM bscurve ORDER BY rounds"
+
+  /** [[bpePick]] oracle — a bp-prefixed chooser tail over the SAME
+    * `bscurve` chain; target literal = [[BpeFertilityTarget]],
+    * sentinels mirrored (fail-closed fertility 1e9, rounds −1). */
+  private def bpePickOracleSql: String =
+    "WITH " + bpeSweepCtesSql + ", " +
+    "bpq AS (SELECT min(rounds) AS cr FROM bscurve " +
+    s"WHERE fertility_micro <= $BpeFertilityTarget), " +
+    "bpj AS (SELECT q.cr, c.n_syms, c.fertility_micro, c.savings_micro " +
+    "FROM bpq q LEFT JOIN bscurve c ON q.cr = c.rounds) " +
+    s"SELECT CAST($BpeFertilityTarget AS BIGINT) AS target_micro, " +
+    "CAST(CASE WHEN cr IS NULL THEN 0 ELSE 1 END AS INTEGER) AS qualified, " +
+    "COALESCE(cr, CAST(-1 AS INTEGER)) AS chosen_rounds, " +
+    "COALESCE(n_syms, CAST(0 AS BIGINT)) AS n_syms, " +
+    "COALESCE(fertility_micro, CAST(1000000000 AS BIGINT)) " +
+    "AS fertility_micro, " +
+    "COALESCE(savings_micro, CAST(0 AS BIGINT)) AS savings_micro FROM bpj"
 
   // ---- winnowing fingerprints (MOSS; Schleimer/Wilkerson/Aiken 2003) ----
 
@@ -2564,6 +2620,7 @@ object TextOps {
     "text_bpe_apply"     -> bpeApply _,
     "text_bpe_fertility" -> bpeFertility _,
     "text_bpe_sweep"     -> bpeSweep _,
+    "text_bpe_pick"      -> ((s: SparkSession, d: String) => bpePick(s, d)),
     "text_boilerplate"   -> boilerplate _,
     "text_bigram_logprob" -> bigramLogprob _,
     "corpus_quantile_select" -> quantileSelect _,
@@ -2786,6 +2843,7 @@ object TextOps {
     "text_bpe_apply" -> bpeApplyOracleSql,
     "text_bpe_fertility" -> bpeFertilityOracleSql,
     "text_bpe_sweep" -> bpeSweepOracleSql,
+    "text_bpe_pick" -> bpePickOracleSql,
     // exact-integer KS: cross-multiplied CDF compare, divide only the
     // final micro ratio (all quantities non-negative: // == div)
     "text_ks_drift" ->

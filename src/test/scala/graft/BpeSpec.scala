@@ -186,4 +186,25 @@ class BpeSpec extends SparkSpec {
     assert(atProd._3 === prod,
       "sweep row at BpeRounds diverges from the production apply total")
   }
+
+  test("pick: chosen row is the minimal qualifying sweep row; fail-closed sentinel") {
+    val sweep = TextOps.queries("text_bpe_sweep")(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1) // (rounds, n_syms, fertility, savings)
+    // target between the extremes so an interior row qualifies
+    val target = (sweep.head._3 + sweep.last._3) / 2
+    val expect = sweep.filter(_._3 <= target).minBy(_._1)
+    val got = TextOps.bpePick(spark, sf0001, target).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === target && r.getInt(1) === 1)
+    assert((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)) === expect,
+      "chosen row != its sweep row")
+    // fail-closed: an unreachable target yields the sentinel row
+    val closed = TextOps.bpePick(spark, sf0001, 1L).collect().head
+    assert(closed.getInt(1) === 0 && closed.getInt(2) === -1 &&
+      closed.getLong(4) === 1000000000L,
+      "fail-closed sentinel not emitted for an unreachable target")
+  }
 }

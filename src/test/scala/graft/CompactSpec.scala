@@ -55,4 +55,43 @@ class CompactSpec extends SparkSpec {
       s"compacted rebuild missed the re-signed hot shingle: $r")
     assert(r.getInt(5) === 1, s"drift not flagged: $r")
   }
+
+  test("policy: natural corpus defers (low tomb fraction, nothing to heal)") {
+    val rows = ext.Dedup.queries("dedup_compact_policy")(spark, sf0001)
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    // sf0.001 corpus half = docs 0..249 -> 25 tombstones (0, 10, …, 240)
+    assert(r.getLong(0) === 250L && r.getLong(1) === 25L)
+    assert(r.getLong(2) === 100000L, s"tomb fraction: $r")
+    assert(r.getLong(4) === 0L, s"natural corpus has a healable shingle: $r")
+    assert(r.getInt(6) === 0, s"policy compacted a healthy index: $r")
+  }
+
+  test("policy: a healable cap-boundary shingle triggers compaction") {
+    import spark.implicits._
+    val cap = ext.Dedup.MaxShingleDf
+    // same planted shape as the drift test: full DF = 101 > cap, live
+    // DF (takedown %10: ids 0,10,...,100 -> 11 deleted) = 90 <= cap
+    val corpus = (0L to cap.toLong).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val r = ext.Dedup.compactPolicyOf(corpus).collect().head
+    assert(r.getLong(0) === cap.toLong + 1 && r.getLong(1) === 11L)
+    assert(r.getLong(2) < ext.Dedup.TombFracCompact,
+      s"fixture tomb fraction unexpectedly past the threshold: $r")
+    assert(r.getLong(3) === 1L && r.getLong(4) === 1L,
+      s"the planted hot shingle is not seen as healable: $r")
+    assert(r.getInt(6) === 1, s"policy deferred a driftable index: $r")
+  }
+
+  test("policy: tombstone fraction alone triggers compaction") {
+    import spark.implicits._
+    // 5 of 6 docs are takedown targets (%10 = 0) -> 833333µ >= 200000µ;
+    // texts unique so no shingle is shared, n_heal = 0
+    val corpus = Seq(0L, 10L, 20L, 30L, 40L, 1L).zipWithIndex
+      .map { case (id, i) => (id, s"a$i b$i c$i") }.toDF("doc_id", "text")
+    val r = ext.Dedup.compactPolicyOf(corpus).collect().head
+    assert(r.getLong(1) === 5L && r.getLong(2) === 833333L)
+    assert(r.getLong(4) === 0L)
+    assert(r.getInt(6) === 1, s"policy ignored the tombstone fraction: $r")
+  }
 }
