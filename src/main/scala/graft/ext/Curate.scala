@@ -162,6 +162,33 @@ object Curate {
       .orderBy("doc_id")
   }
 
+  /** Phased training SCHEDULE (corpus_train_schedule) — the ONE table a
+    * loader wants where [[trainManifest]] and [[curriculum]] were two:
+    * the fully-curated survivor set (ALL six gates), grouped by
+    * (curriculum phase, shard-plan shard), with per-group doc/token
+    * counts and the 256-token packed-sequence count. Three lockstep
+    * groups compose here — the gate-flags chain, the q-trainer banding,
+    * and the Knuth-scramble shard — exactly the parents' rules, so
+    * CurateSpec ties this table to BOTH: summed over phases it is the
+    * manifest's per-shard docs/tokens; restricted per phase it is the
+    * curriculum's kept-member phase census. ≤ 4·32 rows out at any
+    * corpus scale; all quantities non-negative ⇒ div ≡ `//`. */
+  def trainSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val kept = gateFlags(spark, dir)
+      .filter((1 to 6).map(j => col(s"g$j") === 1).reduce(_ && _))
+      .select("doc_id")
+    val cur = curriculum(spark, dir).select("doc_id", "phase", "shard")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+    kept.join(cur, Seq("doc_id")).join(toks, Seq("doc_id"))
+      .groupBy("phase", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("n_seqs", expr("(n_tokens + 255) div 256"))
+      .select("phase", "shard", "n_docs", "n_tokens", "n_seqs")
+      .orderBy("phase", "shard")
+  }
+
   /** Per-SOURCE curation dashboard — the other report a curation run
     * publishes: where the funnel says what each gate cost globally,
     * this says which ingest sources are healthy (doc/token volume,
@@ -201,6 +228,7 @@ object Curate {
     "corpus_gate_report"   -> gateReport _,
     "corpus_train_manifest" -> trainManifest _,
     "corpus_curriculum" -> curriculum _,
+    "corpus_train_schedule" -> trainSchedule _,
     "corpus_report"        -> report _)
 
   /** Funnel oracle: composes the shared stage chains — the langid
@@ -238,6 +266,26 @@ object Curate {
     "LEFT JOIN ctm c ON c.doc_id = d.doc_id " +
     "LEFT JOIN kl k ON k.doc_id = d.doc_id)"
 
+  /** The curriculum's cur-prefixed phase chain (q-chain scores → spt →
+    * value-grouped quartile bands), ending in `curj(doc_id, spt)` +
+    * `curb(spt, qband)` — single-sourced so corpus_curriculum and
+    * corpus_train_schedule read ONE banding (lockstep). Composes after
+    * [[TextOps.qualityTrainCteSql]] in the same WITH. */
+  private def curPhaseCtesSql: String =
+    "curs AS (SELECT doc_id, count(*) AS n_tok, " +
+    "CAST(sum(w_micro) AS BIGINT) AS score_micro " +
+    "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id), " +
+    "curj AS (SELECT doc_id, (CASE WHEN score_micro < 0 THEN -1 ELSE 1 END) * " +
+    "(abs(score_micro) // n_tok) AS spt FROM curs), " +
+    "curg AS (SELECT spt, CAST(count(*) AS BIGINT) AS n_g " +
+    "FROM curj GROUP BY spt), " +
+    "curn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM curg), " +
+    "curc AS (SELECT spt, CAST(coalesce(sum(n_g) OVER (ORDER BY spt " +
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+    "AS cum FROM curg), " +
+    "curb AS (SELECT spt, least(CAST(3 AS BIGINT), (cum * 4) // n) " +
+    "AS qband FROM curc CROSS JOIN curn)"
+
   val oracle: Map[String, String] = Map(
     // first-fail attribution follows funnel order (a doc dropped at
     // langid never reaches quality) — stage names lockstep with funnel
@@ -269,24 +317,28 @@ object Curate {
     // quartile = the calibration banding rule at 4 bands, scramble =
     // the shard plan's — all three lockstep groups compose here
     "corpus_curriculum" -> (
-      s"WITH ${TextOps.qualityTrainCteSql}, " +
-      "curs AS (SELECT doc_id, count(*) AS n_tok, " +
-      "CAST(sum(w_micro) AS BIGINT) AS score_micro " +
-      "FROM qtb JOIN qw ON qtb.b = qw.bucket GROUP BY doc_id), " +
-      "curj AS (SELECT doc_id, (CASE WHEN score_micro < 0 THEN -1 ELSE 1 END) * " +
-      "(abs(score_micro) // n_tok) AS spt FROM curs), " +
-      "curg AS (SELECT spt, CAST(count(*) AS BIGINT) AS n_g " +
-      "FROM curj GROUP BY spt), " +
-      "curn AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM curg), " +
-      "curc AS (SELECT spt, CAST(coalesce(sum(n_g) OVER (ORDER BY spt " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
-      "AS cum FROM curg), " +
-      "curb AS (SELECT spt, least(CAST(3 AS BIGINT), (cum * 4) // n) " +
-      "AS qband FROM curc CROSS JOIN curn) " +
+      s"WITH ${TextOps.qualityTrainCteSql}, $curPhaseCtesSql " +
       "SELECT j.doc_id, CAST(3 - b.qband AS BIGINT) AS phase, " +
       s"CAST(${Similarity.saltOrdSql("j.doc_id")} AS BIGINT) AS order_key, " +
       s"CAST(${Similarity.saltOrdSql("j.doc_id")} % 32 AS INTEGER) AS shard " +
       "FROM curj j JOIN curb b USING (spt) ORDER BY j.doc_id"),
+    // sch-prefixed tail composing THREE chains in one WITH: the
+    // gate-flags keep set, the q-trainer phase banding (the shared
+    // curPhase chain — the applied schedule can never drift from the
+    // published curriculum), and the scramble shard; pack literal 256
+    "corpus_train_schedule" -> (
+      gateFlagsCteSql + s", ${TextOps.qualityTrainCteSql}, $curPhaseCtesSql, " +
+      "schk AS (SELECT doc_id FROM flags WHERE g1 = 1 AND g2 = 1 AND g3 = 1 " +
+      "AND g4 = 1 AND g5 = 1 AND g6 = 1), " +
+      "scht AS (SELECT doc_id, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "scha AS (SELECT CAST(3 - b.qband AS BIGINT) AS phase, " +
+      s"CAST(${Similarity.saltOrdSql("j.doc_id")} % 32 AS INTEGER) AS shard, " +
+      "count(*) AS n_docs, CAST(sum(t.n_tok) AS BIGINT) AS n_tokens " +
+      "FROM schk k JOIN curj j USING (doc_id) JOIN curb b USING (spt) " +
+      "JOIN scht t ON t.doc_id = k.doc_id GROUP BY 1, 2) " +
+      "SELECT phase, shard, n_docs, n_tokens, (n_tokens + 255) // 256 " +
+      "AS n_seqs FROM scha ORDER BY phase, shard"),
     "corpus_curate_funnel" -> (
       gateFlagsCteSql + " " +
       "SELECT 0 AS stage_ord, 'ingest' AS stage, " +

@@ -155,4 +155,34 @@ class CurateSpec extends SparkSpec {
       assert(key === k && shard === (k % 32L).toInt)
     }
   }
+
+  test("train schedule ties to BOTH parents: manifest per shard, curriculum per phase") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val sched = Curate.trainSchedule(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    // summed over phases, the schedule IS the manifest's per-shard
+    // docs/tokens (n_seqs re-ceils per group, deliberately not additive)
+    val byShard = sched.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    val manifest = Curate.trainManifest(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byShard === manifest,
+      "schedule summed over phases diverges from the manifest")
+    // restricted per phase, it is the curriculum's kept-member census
+    val passIds = Curate.gateReport(spark, sf0001).collect()
+      .filter(_.getString(8) == "pass").map(_.getLong(0)).toSet
+    val cur = Curate.curriculum(spark, sf0001).collect()
+      .filter(r => passIds(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = cur.groupBy(r => (r._2, r._3)).map { case ((p, s), rs) =>
+      val t = rs.map(r => toks(r._1)).sum
+      (p, s, rs.length.toLong, t, (t + 255L) / 256L)
+    }.toSet
+    assert(sched.toSet === expect,
+      "schedule diverges from the curriculum's kept-member phase census")
+  }
 }
