@@ -140,6 +140,78 @@ object VecStream {
       .foreach(_.unpersist(false))
   }
 
+  /** STREAM-SIDE hot-cell detection — the streaming half of the
+    * round-15 split-maintenance loop: arrivals are assigned to their
+    * frozen home cell per micro-batch (the [[incrementalAssignToParquet]]
+    * seam, reused verbatim), and the per-cell occupancy is folded
+    * ACROSS batches into the signal `sim_cell_split` acts on — which
+    * cells crossed [[graft.ext.Similarity.SplitOccupancy]], and at
+    * which micro-batch they first crossed (the moment a maintenance
+    * scheduler would enqueue the split). The fold is relational over
+    * the per-batch assignment dirs (a |cells|×|batches| frame — the
+    * one window is model-sized, never per-vector), seeded with the
+    * base index occupancy through the SAME frozen model, so the final
+    * occupancy is stream ≡ batch at ANY arrival split (occupancy is an
+    * order-invariant sum; StreamingSpec pins equality against the
+    * batch occ frame). Output per cell: n_base, n_arrived, n_occ,
+    * split_needed, first_hot_batch (−1 = the base index alone was
+    * already past the threshold, −2 = never crossed). */
+  def hotCellSignalToParquet(spark: SparkSession, dir: String,
+                             stream: DataFrame, assignOut: String,
+                             checkpointDir: String,
+                             signalOut: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    incrementalAssignToParquet(spark, dir, stream, assignOut, checkpointDir)
+    val cents = graft.ext.Similarity.frozenBaseCentroids(spark, dir)
+      .localCheckpoint()
+    val split = graft.ext.CountMemo.get(spark, dir, "embeddings")(
+      graft.Tables.embeddings(spark, dir).count()) / 2
+    val base = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < split)
+    val baseOcc = graft.ext.Similarity.assignToCentroids(base, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val thr = graft.ext.Similarity.SplitOccupancy
+    val hasBatches = Option(new java.io.File(assignOut).listFiles())
+      .getOrElse(Array.empty).exists(f =>
+        f.isDirectory && f.getName.startsWith("batch_id="))
+    val signal =
+      if (!hasBatches)
+        baseOcc.select(col("cell"), col("n_base"),
+          lit(0L).as("n_arrived"), col("n_base").as("n_occ"),
+          (col("n_base") > thr).cast("int").as("split_needed"),
+          when(col("n_base") > thr, lit(-1L)).otherwise(lit(-2L))
+            .as("first_hot_batch"))
+      else {
+        // partition-dir inference types batch_id as INT — cast back
+        // (the postings-reload rule)
+        val arr = spark.read.parquet(assignOut)
+          .select(col("cell"), col("batch_id").cast("long").as("batch_id"))
+        val pb = arr.groupBy("cell", "batch_id").agg(count(lit(1)).as("n_b"))
+        val wc = Window.partitionBy("cell").orderBy("batch_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val firstHot = pb
+          .withColumn("cum_arr", sum("n_b").over(wc))
+          .join(baseOcc, Seq("cell"), "left")
+          .filter(coalesce(col("n_base"), lit(0L)) + col("cum_arr") > thr)
+          .groupBy("cell").agg(min("batch_id").as("fh"))
+        baseOcc
+          .join(arr.groupBy("cell").agg(count(lit(1)).as("n_arrived")),
+                Seq("cell"), "full_outer")
+          .join(firstHot, Seq("cell"), "left")
+          .withColumn("n_base", coalesce(col("n_base"), lit(0L)))
+          .withColumn("n_arrived", coalesce(col("n_arrived"), lit(0L)))
+          .withColumn("n_occ", col("n_base") + col("n_arrived"))
+          .select(col("cell"), col("n_base"), col("n_arrived"), col("n_occ"),
+            (col("n_occ") > thr).cast("int").as("split_needed"),
+            when(col("n_base") > thr, lit(-1L))
+              .otherwise(coalesce(col("fh"), lit(-2L))).as("first_hot_batch"))
+      }
+    signal.write.mode("overwrite").parquet(signalOut)
+    org.apache.spark.sql.GraftSql.checkpointRdd(cents)
+      .foreach(_.unpersist(false))
+  }
+
   /** Serve each arriving probe micro-batch against the static filtered
     * index; one `batch_id=N` parquet dir per micro-batch. */
   def filteredSearchToParquet(spark: SparkSession, dir: String,

@@ -698,4 +698,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("stream-side hot-cell signal: occupancy equals the batch occ frame " +
+       "on a two-batch arrival split, crossings attributed to the right batch") {
+    import graft.streaming.VecStream
+    val split = Tables.embeddings(spark, sf0001).count() / 2
+    val arrivals = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") >= split)
+      .select("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("graft-hot-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-hot-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    writeOne(arrivals.filter(col("vec_id") % 2 === 0), "vecs-000.parquet")
+    writeOne(arrivals.filter(col("vec_id") % 2 =!= 0), "vecs-001.parquet")
+    val assignOut = Files.createTempDirectory("graft-hot-assign").toString
+    val ckpt = Files.createTempDirectory("graft-hot-ckpt").toString
+    val signalOut = Files.createTempDirectory("graft-hot-signal").toString
+    val stream = spark.readStream.schema(VecStream.vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    VecStream.hotCellSignalToParquet(spark, sf0001, stream, assignOut,
+                                     ckpt, signalOut)
+    val signal = spark.read.parquet(signalOut).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                 r.getInt(4), r.getLong(5))).toMap
+    // the batch occ frame: base home cells + incremental assignment,
+    // both through the SAME frozen model
+    val inc = ext.Similarity.queries("sim_ivf_incremental_assign")(
+      spark, sf0001).select("vec_id", "cell")
+    val baseCells = ext.Similarity.assignToCentroids(
+      Tables.embeddings(spark, sf0001).filter(col("vec_id") < split),
+      ext.Similarity.frozenBaseCentroids(spark, sf0001))
+    val occ = baseCells.select("cell")
+      .unionByName(inc.select("cell"))
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(signal.view.mapValues(_._3).toMap === occ,
+      "stream-folded occupancy diverges from the batch occ frame")
+    val thr = 32L // SplitOccupancy — the oracle-mirrored literal
+    signal.foreach { case (cell, (nb, na, no, sn, fh)) =>
+      assert(no === nb + na)
+      assert(sn === (if (no > thr) 1 else 0), s"cell $cell signal wrong")
+      if (sn === 0) assert(fh === -2L, s"cell $cell: never-hot sentinel")
+      else assert(fh >= -1L, s"cell $cell: crossing batch missing")
+      if (nb > thr) assert(fh === -1L, s"cell $cell: base-preload crossing")
+    }
+    // crossing attribution: re-fold per-batch counts driver-side
+    val perBatch = spark.read.parquet(assignOut)
+      .select(col("cell"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val batchIds = perBatch.keys.map(_._2).toSeq.distinct.sorted
+    assert(batchIds.size >= 2, "micro-batching did not happen")
+    signal.foreach { case (cell, (nb, _, _, sn, fh)) =>
+      if (sn === 1 && nb <= thr) {
+        var cum = nb
+        val expect = batchIds.find { b =>
+          cum += perBatch.getOrElse((cell, b), 0L); cum > thr
+        }.get
+        assert(fh === expect, s"cell $cell crossed at $expect, signal says $fh")
+      }
+    }
+  }
 }
