@@ -55,6 +55,9 @@ object Bench {
       "dedup_index_delete", "sim_ivf_assign",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
       "sim_ivf_topk", "sim_knn_mutual", "sim_pq_codes", "sim_ivfpq_topk",
+      // splitseeds/splitasg memo owner (report, serve, recall eval,
+      // persist and the deep chain's round 1 all consume them)
+      "sim_cell_split",
       "graph_pagerank", "graph_components", "emb_pca_power",
       "text_contamination", "sim_eval_frontier", "dedup_para_neardup")
     val allOrdered = owners.filter(SparkEntry.queries.contains) ++

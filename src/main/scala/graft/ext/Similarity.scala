@@ -475,26 +475,92 @@ object Similarity {
     * home-cell members with embeddings, sub-seed table, hot-cell
     * member→child assignment (cell, vec_id, sub)) — shared by the
     * [[cellSplit]] report and the [[splitTopK]] serve so the applied
-    * index can never drift from the audited one. */
+    * index can never drift from the audited one. The seed table and
+    * the child picks are memoized once per (session, dir) — memo keys
+    * "splitseeds"/"splitasg", owner in Bench's list: sim_cell_split —
+    * because FOUR queries consume them (report, split serve, recall
+    * eval, persisted serve) plus the deep chain's round 1. */
   private def cellSplitParts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val home = ivfAssignRanked(spark, dir).filter(col("rn") === 1)
       .select("vec_id", "cell")
     val emb = embWithNrm(spark, dir)
     val members = emb.join(home, Seq("vec_id"))
     val occ = home.groupBy("cell").agg(count(lit(1)).as("n_before"))
     val hot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
-    val seeds = splitSeeds(spark, dir, members, hot)
+    val seeds = CkptMemo.getOrElseUpdate((spark, dir, "splitseeds"),
+      splitSeeds(spark, dir, members, hot).localCheckpoint())
+    val assigned = CkptMemo.getOrElseUpdate((spark, dir, "splitasg"),
+      assignToSubSeeds(members, seeds).localCheckpoint())
+    (occ, hot, members, seeds, assigned)
+  }
+
+  /** Nearest-sub-seed child pick for hot-cell members — (cell, vec_id,
+    * sub), ties sub-ascending. The pick window runs over exactly
+    * [[SplitSubSeeds]] rows per member (probe-bounded — legitimately
+    * window-based per the ranking-architecture rule). */
+  private def assignToSubSeeds(members: DataFrame, seeds: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wPick = Window.partitionBy("vec_id")
       .orderBy(col("ssim").desc, col("sub").asc)
-    val assigned = members.join(broadcast(seeds), Seq("cell"))
+    members.join(broadcast(seeds), Seq("cell"))
       .select(col("cell"), col("vec_id"), col("sub"),
         Num.rnd(dotCols(col("embedding"), col("sv")) /
                   (col("nrm") * col("snrm")), 6).as("ssim"))
       .withColumn("prn", row_number().over(wPick))
       .filter(col("prn") === 1)
-    (occ, hot, members, seeds, assigned)
+      .select("cell", "vec_id", "sub")
+  }
+
+  /** One split round over an arbitrary (vec_id, cell) assignment —
+    * (occupancy of the SOURCE, hot cells, sub-seed table, child picks).
+    * Rounds ≥ 2 of [[cellSplitRounds]] run this directly (hot sets
+    * shrink geometrically, so later rounds are cheap); round 1 reuses
+    * the memoized depth-1 frames via [[cellSplitParts]]. */
+  private def splitRoundParts(spark: SparkSession, dir: String,
+                              asg: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val emb = embWithNrm(spark, dir)
+    val members = emb.join(asg, Seq("vec_id"))
+    val occ = asg.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val hot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
+    val seeds = splitSeeds(spark, dir, members, hot)
+    (occ, hot, seeds, assignToSubSeeds(members, seeds))
+  }
+
+  /** The post-round full assignment: hot members re-homed to
+    * cell·2 + sub, cool members to cell·2 — the bijective encoding at
+    * every depth (distinct sources stay distinct; a source is either
+    * split or not, never both). */
+  private def nextSplitAsg(asg: DataFrame, hot: DataFrame,
+                           assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"),
+        (col("cell") * 2 + col("sub")).cast("long").as("cell"))
+      .unionByName(asg.join(hot, Seq("cell"), "left_anti")
+        .select(col("vec_id"), (col("cell") * 2).cast("long").as("cell")))
+
+  /** The deep-split round states for k = 1..depth: (occupancy of the
+    * round's source = the snapshot after k−1 rounds, hot cells,
+    * sub-seed table, full assignment AFTER the round). Round 1 IS the
+    * audited depth-1 split ([[cellSplitParts]]' memoized frames);
+    * every later round applies the identical rule to the previous
+    * round's assignment — the bpeTrainRounds prefix discipline on the
+    * index side. */
+  private def cellSplitRounds(spark: SparkSession, dir: String, depth: Int)
+      : Seq[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
+    require(depth >= 1, s"split depth must be >= 1, got $depth")
+    var asg = ivfAssignRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    (1 to depth).map { k =>
+      val (occ, hot, seeds, assigned) =
+        if (k == 1) {
+          val (o, h, _, s, a) = cellSplitParts(spark, dir)
+          (o, h, s, a)
+        } else splitRoundParts(spark, dir, asg)
+      asg = nextSplitAsg(asg, hot, assigned)
+      (occ, hot, seeds, asg)
+    }
   }
 
   /** Search over the SPLIT index (sim_split_topk) — the APPLY half of
@@ -512,29 +578,156 @@ object Similarity {
     * that loss vs the shared truth. Corpus-probe serve ⇒ bounded
     * [[serveTop3]], never a window. */
   def splitTopK(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
-    val emb = embWithNrm(spark, dir)
-    val idx = assigned
+    splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds)
+  }
+
+  /** The split index's postings — (vec_id, ncell) with ncell =
+    * cell·2 + sub for hot-cell members, cell·2 for cool (bijective) —
+    * shared by [[splitTopK]] (served in-session) and
+    * [[splitIndexPersistSearch]] (written to durable parquet). */
+  private def splitPostings(hot: DataFrame, members: DataFrame,
+                            assigned: DataFrame): DataFrame =
+    assigned
       .select(col("vec_id"), (col("cell") * 2 + col("sub")).as("ncell"))
       .unionByName(members.join(hot, Seq("cell"), "left_anti")
         .select(col("vec_id"), (col("cell") * 2).as("ncell")))
-    val indexed = emb.join(idx, Seq("vec_id"))
-    val probed = ivfAssignRanked(spark, dir).select("vec_id", "cell")
+
+  /** One probe-side descent step: a probed HOT cell narrows to its
+    * nearer sub-seed (ties sub-ascending — a 2-row pick per probed hot
+    * cell, query-time work exactly like probe lists), a cool cell maps
+    * to cell·2. Shared by the serve paths and [[splitDeepTopK]]'s
+    * per-round fold. `probe` is (vec_id, cell), possibly [[NProbe]]
+    * rows per vector — the pick partitions by BOTH so each probed cell
+    * descends independently. */
+  private def probeDescend(emb: DataFrame, probe: DataFrame,
+                           hot: DataFrame, seeds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wPick = Window.partitionBy("vec_id", "cell")
       .orderBy(col("ssim").desc, col("sub").asc)
-    val probeHot = probed.join(emb, Seq("vec_id"))
+    val hotPick = probe.join(emb, Seq("vec_id"))
       .join(broadcast(seeds), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("sub"),
         Num.rnd(dotCols(col("embedding"), col("sv")) /
                   (col("nrm") * col("snrm")), 6).as("ssim"))
       .withColumn("prn", row_number().over(wPick))
       .filter(col("prn") === 1)
-      .select(col("vec_id"), (col("cell") * 2 + col("sub")).as("ncell"))
-    val probeCool = probed.join(hot, Seq("cell"), "left_anti")
-      .select(col("vec_id"), (col("cell") * 2).as("ncell"))
-    val probes = emb.join(probeHot.unionByName(probeCool), Seq("vec_id"))
+      .select(col("vec_id"),
+              (col("cell") * 2 + col("sub")).cast("long").as("cell"))
+    val cool = probe.join(hot, Seq("cell"), "left_anti")
+      .select(col("vec_id"), (col("cell") * 2).cast("long").as("cell"))
+    hotPick.unionByName(cool)
+  }
+
+  /** The split-index serve over a GIVEN (vec_id, ncell) postings frame
+    * and sub-seed table — the probe side descends its probed cells to
+    * the nearer sub-seed at QUERY time (the durable index stores
+    * postings; the seed table is the model, hot cells = its distinct
+    * cells). Shared by [[splitTopK]] (in-session frames) and
+    * [[splitIndexPersistSearch]] (the same frames reloaded from
+    * parquet) — the trainedServeFrom discipline, so the audited serve
+    * and the reloaded serve can never diverge. */
+  private def splitServeFrom(spark: SparkSession, dir: String,
+                             postings: DataFrame,
+                             seeds: DataFrame): DataFrame = {
+    val emb = embWithNrm(spark, dir)
+    val hot = seeds.select("cell").distinct()
+    val indexed = emb.join(postings, Seq("vec_id"))
+    val probed = ivfAssignRanked(spark, dir).select("vec_id", "cell")
+    val probes = emb.join(
+      probeDescend(emb, probed, hot, seeds).withColumnRenamed("cell", "ncell"),
+      Seq("vec_id"))
     serveTop3(pairCandidatesAB(probes, indexed, "ncell", MaxBucketCandidates)
+      .filter(col("a_id") =!= col("b_id")))
+      .select("a_id", "b_id", "rn", "sim")
+  }
+
+  /** Persisted split-index round trip (sim_split_persist) — the
+    * [[ivfIndexPersistSearch]] shape for the SPLIT index (round-15
+    * verdict gap #3: the maintenance job's output was session-only):
+    * postings (vec_id, ncell) PARTITIONED BY ncell — a hot child can
+    * be audited or re-split from its own files, pruning the rest at
+    * the listing — plus the sub-seed table (cell, sub, sv, snrm;
+    * model-sized: 2 rows per split cell), both written to durable
+    * parquet and served from the RELOAD through the SAME
+    * [[splitServeFrom]] tail as [[splitTopK]]. The oracle is
+    * sim_split_topk's VERBATIM (the shared [[splitTopKOracleSql]] val
+    * — only the index's home moved; the dedup_index_persist /
+    * sim_index_persist rule). Partition-column round-trip: ncell comes
+    * back as the directory's inferred INT — cast back to LONG so the
+    * serve joins stay type-identical. Eager writes at query
+    * construction (the eager-persist family). */
+  def splitIndexPersistSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
+    val postingsPath = Tables.scratch("split_index_postings")
+    splitPostings(hot, members, assigned)
+      .write.mode("overwrite").partitionBy("ncell").parquet(postingsPath)
+    val seedsPath = Tables.scratch("split_index_seeds")
+    seeds.write.mode("overwrite").parquet(seedsPath)
+    val reloaded = spark.read.parquet(postingsPath)
+      .withColumn("ncell", col("ncell").cast("long"))
+    splitServeFrom(spark, dir, reloaded, spark.read.parquet(seedsPath))
+  }
+
+  /** Default depth for the RECURSIVE split queries — 2 rounds. Round 2
+    * fires NATURALLY at sf0.01 (skewed hot cells split unevenly, so
+    * two round-1 children stay past [[SplitOccupancy]] — CellSplitSpec
+    * pins it), and the crafted-fixture spec drives a deeper hot chain.
+    * Mirrored literally in the cs<k>-prefixed oracle chains
+    * (lockstep). */
+  private[graft] val SplitDepth = 2
+
+  /** Recursive split REPORT (sim_cell_split_deep) — the occupancy
+    * trajectory of iterating [[cellSplit]] until depth [[SplitDepth]]:
+    * row k = the cell snapshot AFTER k rounds (n_cells, n_hot = cells
+    * still past [[SplitOccupancy]], max_occ). Row 0 is the unsplit
+    * home assignment; n_hot at the last row > 0 means more rounds are
+    * needed — the number that drives the maintenance loop's
+    * stop-or-continue decision (round-15 verdict gap #2: one split
+    * left occupancy-188 cells at ~94). Each round is one |cells|-row
+    * agg + a bounded top-2 seed fold over the shrinking hot set —
+    * never a member sort. */
+  def cellSplitDeep(spark: SparkSession, dir: String,
+                    depth: Int = SplitDepth): DataFrame = {
+    val rounds = cellSplitRounds(spark, dir, depth)
+    def snap(k: Int, occ: DataFrame): DataFrame =
+      occ.agg(count(lit(1)).as("n_cells"),
+           sum(when(col("n_before") > SplitOccupancy, 1L).otherwise(0L))
+             .as("n_hot"),
+           max("n_before").as("max_occ"))
+        .select(lit(k.toLong).as("round"), col("n_cells"), col("n_hot"),
+                col("max_occ"))
+    val snaps = rounds.zipWithIndex.map { case ((occ, _, _, _), i) =>
+      snap(i, occ)
+    } :+ snap(depth,
+      rounds.last._4.groupBy("cell").agg(count(lit(1)).as("n_before")))
+    snaps.reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** Search over the RECURSIVELY split index (sim_split_deep_topk) —
+    * the depth-[[SplitDepth]] generalization of [[splitTopK]]: the
+    * index applies [[nextSplitAsg]] per round (ncell = cell·2^depth +
+    * path, bijective at every depth — an unsplit source keeps path bit
+    * 0), and each probe folds [[probeDescend]] once per round (≤ depth
+    * 2-row picks per probed cell, query-time). Depth 1 is EXACTLY
+    * [[splitTopK]] (CellSplitSpec pins row equality), and a probe
+    * whose descent never touches a hot cell gets [[ivfTopK]]'s
+    * identical top-3 at ANY depth (the bijection keeps cool members
+    * together; CellSplitSpec pins it at depth 2 on sf0.01 and on the
+    * recursive fixture). */
+  def splitDeepTopK(spark: SparkSession, dir: String,
+                    depth: Int = SplitDepth): DataFrame = {
+    val rounds = cellSplitRounds(spark, dir, depth)
+    val emb = embWithNrm(spark, dir)
+    val probe0 = ivfAssignRanked(spark, dir).select("vec_id", "cell")
+    val probeMap = rounds.foldLeft(probe0) { case (p, (_, hot, seeds, _)) =>
+      probeDescend(emb, p, hot, seeds)
+    }
+    val idx = rounds.last._4
+    serveTop3(pairCandidatesAB(
+        emb.join(probeMap.withColumnRenamed("cell", "ncell"), Seq("vec_id")),
+        emb.join(idx.withColumnRenamed("cell", "ncell"), Seq("vec_id")),
+        "ncell", MaxBucketCandidates)
       .filter(col("a_id") =!= col("b_id")))
       .select("a_id", "b_id", "rn", "sim")
   }
@@ -3179,6 +3372,9 @@ object Similarity {
     "sim_cell_split"   -> cellSplit _,
     "sim_split_topk"   -> splitTopK _,
     "sim_split_recall_eval" -> ((s, d) => splitRecallEval(s, d)),
+    "sim_split_persist" -> splitIndexPersistSearch _,
+    "sim_cell_split_deep" -> ((s, d) => cellSplitDeep(s, d)),
+    "sim_split_deep_topk" -> ((s, d) => splitDeepTopK(s, d)),
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -3980,8 +4176,20 @@ object Similarity {
        "FROM cso o LEFT JOIN csc c USING (cell) ORDER BY o.cell"),
     // split-index serve over the shared cs-chain + st-serve chain —
     // the APPLY half of sim_cell_split (audited ≡ applied split)
-    "sim_split_topk" ->
-      (splitServeCteSql + " SELECT a_id, b_id, rn, sim FROM str WHERE rn <= 3"),
+    "sim_split_topk" -> splitTopKOracleSql,
+    // the persisted split index serves THROUGH splitServeFrom from
+    // reloaded parquet — result ≡ sim_split_topk by construction, so
+    // the oracle is registered VERBATIM (only the storage moved; the
+    // sim_index_persist rule)
+    "sim_split_persist" -> splitTopKOracleSql,
+    // the recursive split's occupancy trajectory: snapshot k = the
+    // occupancy agg feeding round k+1; SplitDepth/SplitOccupancy
+    // literals mirrored (lockstep)
+    "sim_cell_split_deep" -> splitDeepReportOracleSql,
+    // the depth-SplitDepth serve: round 1 of the chain is the audited
+    // depth-1 CTEs byte-for-byte (the generator's ("cs","home")
+    // instance), the dz tail mirrors the st tail
+    "sim_split_deep_topk" -> splitDeepTopKOracleSql,
     // recall of the split serve vs the SHARED truth (frontier leg
     // `split`) — the eval-family probe literal and metric forms
     "sim_split_recall_eval" ->
@@ -4514,23 +4722,121 @@ object Similarity {
     * split and the applied split can never drift). Threshold literal =
     * [[SplitOccupancy]]; seed rule = 2 lowest member ids; pick ties
     * sub-ascending. */
-  private def cellSplitCteSql: String =
-    "cso AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
-    "FROM home GROUP BY cell), " +
-    "csh AS (SELECT cell FROM cso WHERE n_before > 32), " +
-    "csm AS (SELECT h.cell, h.vec_id, e.embedding FROM home h " +
-    "JOIN csh USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
-    "css AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
+  private def cellSplitCteSql: String = cellSplitRoundCtesFor("cs", "home")
+
+  /** ONE split round's CTEs, generated per (prefix, source assignment
+    * relation) — the bpeChainCteSqlFor discipline applied to the split:
+    * the ("cs", "home") instance IS the audited depth-1 chain
+    * byte-for-byte (CellSplitSpec pins the literal), and the deep
+    * chain's rounds k ≥ 2 are the SAME generator over the previous
+    * round's map — the audited rule and the recursed rule can never
+    * drift. Emits `<pfx>o/h/m/s/a/p`. */
+  private[graft] def cellSplitRoundCtesFor(pfx: String, src: String): String =
+    s"${pfx}o AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
+    s"FROM $src GROUP BY cell), " +
+    s"${pfx}h AS (SELECT cell FROM ${pfx}o WHERE n_before > 32), " +
+    s"${pfx}m AS (SELECT h.cell, h.vec_id, e.embedding FROM $src h " +
+    s"JOIN ${pfx}h USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
+    s"${pfx}s AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
     "FROM (SELECT cell, embedding, row_number() OVER (" +
-    "PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM csm) q " +
+    s"PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM ${pfx}m) q " +
     "WHERE srn <= 2), " +
-    "csa AS (SELECT m.cell, m.vec_id, s.sub, " +
+    s"${pfx}a AS (SELECT m.cell, m.vec_id, s.sub, " +
     "round((list_cosine_similarity(m.embedding::DOUBLE[], " +
     "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
-    "FROM csm m JOIN css s ON s.cell = m.cell), " +
-    "csp AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
+    s"FROM ${pfx}m m JOIN ${pfx}s s ON s.cell = m.cell), " +
+    s"${pfx}p AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
     "row_number() OVER (PARTITION BY vec_id " +
-    "ORDER BY ssim DESC, sub ASC) AS prn FROM csa) q WHERE prn = 1)"
+    s"ORDER BY ssim DESC, sub ASC) AS prn FROM ${pfx}a) q WHERE prn = 1)"
+
+  /** The post-round full assignment map `<pfx>i` (vec_id, cell) —
+    * [[nextSplitAsg]]'s mirror: hot members to cell·2 + sub, cool
+    * sources to cell·2. */
+  private def splitMapCteFor(pfx: String, src: String): String =
+    s"${pfx}i AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS cell " +
+    s"FROM ${pfx}p " +
+    s"UNION ALL SELECT h.vec_id, CAST(h.cell * 2 AS BIGINT) AS cell " +
+    s"FROM $src h LEFT JOIN ${pfx}h ON ${pfx}h.cell = h.cell " +
+    s"WHERE ${pfx}h.cell IS NULL)"
+
+  /** The probe-side descent `<pfx>z`/`<pfx>q` over probe source `psrc`
+    * — [[probeDescend]]'s mirror: a probed hot cell narrows to its
+    * nearer sub-seed (ties sub asc, partitioned by vec_id AND cell so
+    * each probed cell descends independently), a cool one maps to
+    * cell·2. */
+  private def probeDescendCteFor(pfx: String, psrc: String): String =
+    s"${pfx}z AS (SELECT pb.vec_id, pb.cell, s.sub, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
+    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
+    s"FROM $psrc pb JOIN ${pfx}s s ON s.cell = pb.cell " +
+    "JOIN embeddings e ON e.vec_id = pb.vec_id), " +
+    s"${pfx}q AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS cell " +
+    "FROM (SELECT vec_id, cell, sub, row_number() OVER (" +
+    "PARTITION BY vec_id, cell ORDER BY ssim DESC, sub ASC) AS prn " +
+    s"FROM ${pfx}z) y WHERE prn = 1 " +
+    s"UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS cell " +
+    s"FROM $psrc pb LEFT JOIN ${pfx}h ON ${pfx}h.cell = pb.cell " +
+    s"WHERE ${pfx}h.cell IS NULL)"
+
+  /** Round-k prefix of the deep chain: round 1 is "cs" (the audited
+    * depth-1 names), round k ≥ 2 is "cs<k>" — cs<k>-prefixed names
+    * cs2o/h/m/s/a/p/i/z/q claimed per depth. */
+  private def splitRoundPfx(k: Int): String = if (k == 1) "cs" else s"cs$k"
+
+  /** The full depth-d chain: per round, the index-side split CTEs +
+    * the assignment map + the probe descent; round 1 sources `home` /
+    * `probes` (ivfTopKCteSql's names), round k the previous round's
+    * `<pfx>i` / `<pfx>q`. Consumed by sim_cell_split_deep (index side
+    * only — unreferenced probe CTEs are free in DuckDB) and
+    * sim_split_deep_topk (both sides). */
+  private def splitDeepChainSql(depth: Int): String =
+    (1 to depth).map { k =>
+      val pfx = splitRoundPfx(k)
+      val src = if (k == 1) "home" else s"${splitRoundPfx(k - 1)}i"
+      val psrc = if (k == 1) "probes" else s"${splitRoundPfx(k - 1)}q"
+      cellSplitRoundCtesFor(pfx, src) + ", " +
+        splitMapCteFor(pfx, src) + ", " + probeDescendCteFor(pfx, psrc)
+    }.mkString(", ")
+
+  /** sim_cell_split_deep's oracle: snapshot k = the occupancy agg of
+    * round k+1's source (`<pfx>o`), snapshot depth = a fresh agg over
+    * the final map. */
+  private def splitDeepReportOracleSql: String = {
+    def snapSelect(k: Int, from: String): String =
+      s"SELECT CAST($k AS BIGINT) AS round, " +
+      "CAST(count(*) AS BIGINT) AS n_cells, " +
+      s"CAST(sum(CASE WHEN n_before > $SplitOccupancy THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_hot, " +
+      s"CAST(max(n_before) AS BIGINT) AS max_occ FROM $from"
+    val snaps = (0 until SplitDepth).map { k =>
+      snapSelect(k, s"${splitRoundPfx(k + 1)}o")
+    } :+ snapSelect(SplitDepth,
+      "(SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
+      s"FROM ${splitRoundPfx(SplitDepth)}i GROUP BY cell) fz")
+    ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + " " +
+      snaps.mkString(" UNION ALL ") + " ORDER BY round"
+  }
+
+  /** sim_split_deep_topk's oracle: the dz-prefixed serve tail (same
+    * saltOrd cap + (sim desc, b_id asc) rerank as the depth-1 serve)
+    * over the final index map and the final probe map. */
+  private def splitDeepTopKOracleSql: String =
+    ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + ", " +
+    s"dzb AS (SELECT e.vec_id, e.embedding, i.cell AS ncell " +
+    s"FROM embeddings e JOIN ${splitRoundPfx(SplitDepth)}i i " +
+    "ON e.vec_id = i.vec_id " +
+    "QUALIFY row_number() OVER (PARTITION BY i.cell " +
+    s"ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+    s"dzm AS (SELECT e.vec_id, e.embedding, p.cell AS ncell " +
+    s"FROM embeddings e JOIN ${splitRoundPfx(SplitDepth)}q p " +
+    "ON e.vec_id = p.vec_id), " +
+    "dzq AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM dzm x JOIN dzb y ON x.ncell = y.ncell AND x.vec_id <> y.vec_id), " +
+    "dzr AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM dzq) " +
+    "SELECT a_id, b_id, rn, sim FROM dzr WHERE rn <= 3"
 
   /** The split-serve chain through `str` (st-prefixed names sti/stph/
     * stp/stb/stm/stq/str claimed) — composes [[ivfTopKCteSql]] +
@@ -4539,6 +4845,13 @@ object Similarity {
     * probes narrow a probed hot cell to the nearer sub-seed (ties sub
     * asc); same saltOrd 1024 cap and (sim desc, b_id asc) rerank as the
     * unsplit serve. */
+  /** The COMPLETE split-serve oracle — shared VERBATIM by
+    * sim_split_topk and sim_split_persist (the persisted index serves
+    * through the same [[splitServeFrom]] tail; only the storage
+    * moved). */
+  private lazy val splitTopKOracleSql: String =
+    splitServeCteSql + " SELECT a_id, b_id, rn, sim FROM str WHERE rn <= 3"
+
   private def splitServeCteSql: String =
     ivfTopKCteSql + ", " + cellSplitCteSql + ", " +
     "sti AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell FROM csp " +

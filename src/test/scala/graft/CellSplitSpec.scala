@@ -110,4 +110,123 @@ class CellSplitSpec extends SparkSpec {
     assert(served("sim_split_topk") === served("sim_ivf_topk"),
       "an all-cool probe's top-3 drifted between the split and unsplit serves")
   }
+
+  private def servedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+
+  test("round generator: the (cs, home) instance reproduces the audited " +
+       "depth-1 chain byte-for-byte") {
+    // the frozen round-15 literal — the deep chain's round 1 and the
+    // audited sim_cell_split oracle must stay THIS string exactly
+    val frozen =
+      "cso AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
+      "FROM home GROUP BY cell), " +
+      "csh AS (SELECT cell FROM cso WHERE n_before > 32), " +
+      "csm AS (SELECT h.cell, h.vec_id, e.embedding FROM home h " +
+      "JOIN csh USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
+      "css AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
+      "FROM (SELECT cell, embedding, row_number() OVER (" +
+      "PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM csm) q " +
+      "WHERE srn <= 2), " +
+      "csa AS (SELECT m.cell, m.vec_id, s.sub, " +
+      "round((list_cosine_similarity(m.embedding::DOUBLE[], " +
+      "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
+      "FROM csm m JOIN css s ON s.cell = m.cell), " +
+      "csp AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
+      "row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY ssim DESC, sub ASC) AS prn FROM csa) q WHERE prn = 1)"
+    assert(ext.Similarity.cellSplitRoundCtesFor("cs", "home") === frozen)
+  }
+
+  test("deep serve at depth 1 ≡ the hand-written split serve") {
+    assert(servedRows(ext.Similarity.splitDeepTopK(spark, sf001, 1)) ===
+           servedRows(ext.Similarity.queries("sim_split_topk")(spark, sf001)))
+  }
+
+  test("sf0.01 deep report: snapshot 0 ties to the depth-1 report, " +
+       "round 2 fires naturally, occupancy shrinks") {
+    val rep = ext.Similarity.queries("sim_cell_split_deep")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rep.length === 3)
+    // snapshot 0 ties to the depth-1 report
+    assert(rep(0)._2 === rows.length.toLong)
+    assert(rep(0)._3 === rows.count(_._3 === 1).toLong)
+    assert(rep(0)._4 === rows.map(_._2).max)
+    // some round-1 children stay past SplitOccupancy at sf0.01 (skewed
+    // hot cells split unevenly) — the natural corpus drives a REAL
+    // second round, and the stop-signal column reads continue
+    assert(rep(1)._3 >= 1L,
+      "sf0.01 round 2 found no hot cell — testdata changed? re-derive")
+    // each round strictly shrinks the worst shard and never grows it
+    assert(rep(1)._4 < rep(0)._4 && rep(2)._4 <= rep(1)._4)
+    assert(rep(2)._4 < rep(0)._4)
+    // cells only ever subdivide: the snapshot cell count is monotone
+    assert(rep(0)._2 <= rep(1)._2 && rep(1)._2 <= rep(2)._2)
+  }
+
+  test("persisted split index: reloaded serve ≡ in-session serve, " +
+       "postings laid out by ncell") {
+    assert(servedRows(ext.Similarity.queries("sim_split_persist")(spark, sf001)) ===
+           servedRows(ext.Similarity.queries("sim_split_topk")(spark, sf001)))
+    val postings = new java.io.File(Tables.scratch("split_index_postings"))
+    val parts = postings.listFiles().filter(_.getName.startsWith("ncell="))
+    assert(parts.nonEmpty, "postings are not partitioned by ncell")
+    val seeds = spark.read.parquet(Tables.scratch("split_index_seeds"))
+    assert(seeds.columns.toSet === Set("cell", "sub", "sv", "snrm"))
+    // 2 sub-seeds per split cell — the model table is model-sized
+    assert(seeds.count() === 2L * rows.count(_._3 === 1))
+  }
+
+  test("recursive fixture: a child still hot after round 1 splits again, " +
+       "occupancy shrinks, and all-cool probes ≡ ivfTopK at depth 2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-split-fx").toString
+    def e(thetaDeg: Double): Seq[Float] = {
+      val t = math.toRadians(thetaDeg)
+      Seq(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    }
+    // 16 centroids fanned 20° apart; 65 members packed within 6.5° of
+    // centroid 0 → cell 0 holds 66 (> 32), its bigger child holds 65
+    // (> 32) — round 2 must fire on the child
+    val fixture =
+      (0L until 16L).map(c => (c, e(c * 20.0), 0)) ++
+      (16L until 81L).map(v => (v, e((v - 15L) * 0.1), 0))
+    fixture.toDF("vec_id", "embedding", "label").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rep = ext.Similarity.queries("sim_cell_split_deep")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rep(0) === ((0L, 16L, 1L, 66L)))
+    assert(rep(1)._3 >= 1L, "round 2 found no hot cell — recursion never fired")
+    assert(rep(1)._4 < rep(0)._4 && rep(2)._4 < rep(1)._4,
+      s"max occupancy did not shrink per round: $rep")
+    // all-cool probes: only cell 0's descendants ever split here, so a
+    // probe that never probes cell 0 must be untouched at any depth
+    val emb = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val raw = a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(raw * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    }
+    val cells = (0L until 16L).toSeq
+    val coolProbes = emb.keys.filter { v =>
+      !cells.map(c => (c, cos(emb(v), emb(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).contains(0L)
+    }.toSet
+    assert(coolProbes.nonEmpty, "no all-cool probe — vacuous fixture")
+    def servedCool(df: org.apache.spark.sql.DataFrame) =
+      servedRows(df).filter(t => coolProbes.contains(t._1))
+    assert(servedCool(ext.Similarity.splitDeepTopK(spark, dir, 2)) ===
+           servedCool(ext.Similarity.queries("sim_ivf_topk")(spark, dir)),
+      "an all-cool probe's top-3 drifted under the recursive split")
+  }
 }
