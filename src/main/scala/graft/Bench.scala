@@ -62,13 +62,20 @@ object Bench {
       "text_contamination", "sim_eval_frontier", "dedup_para_neardup")
     val allOrdered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
-    // optional prefix filter (local scaling runs, e.g. the sf1 heavy-
-    // family measurement); unset = all queries (the driver contract)
-    val ordered = sys.env.get("SPARK_GRAFT_ONLY") match {
-      case Some(ps) =>
+    // optional filters (local scaling runs, e.g. the sf1 heavy-family
+    // measurement); unset = all queries (the driver contract).
+    // SPARK_GRAFT_ONLY_EXACT takes exact names — prefix selection can't
+    // exclude extensions (sim_ivf_topk drags sim_ivf_topk_trained's
+    // Lloyd training into a serve-arm measurement, round-16 knee runs)
+    val ordered = (sys.env.get("SPARK_GRAFT_ONLY_EXACT"),
+                   sys.env.get("SPARK_GRAFT_ONLY")) match {
+      case (Some(xs), _) =>
+        val names = xs.split(',').toSet
+        allOrdered.filter(names.contains)
+      case (None, Some(ps)) =>
         val pfx = ps.split(',').toSeq
         allOrdered.filter(n => pfx.exists(n.startsWith))
-      case None => allOrdered
+      case _ => allOrdered
     }
     // per-query executor task metrics (shuffle bytes / spill / peak mem /
     // GC): wall time alone cannot decompose a cross-harness gap — round 4

@@ -412,7 +412,7 @@ object Similarity {
   /** The multi-probe candidate stage (a_id, b_id, 6-dp sim) shared by
     * [[ivfTopK]] and [[rangeSearch]] — its oracle mirror is
     * ivfTopKCteSql's chain through `p` (lockstep). */
-  private def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[ext] def ivfCandidates(spark: SparkSession, dir: String): DataFrame = {
     val ranked = ivfAssignRanked(spark, dir)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -429,33 +429,37 @@ object Similarity {
     * occur naturally; mirrored literally in the oracle (lockstep). */
   private[graft] val SplitOccupancy = 32L
 
-  /** Sub-seeds per split cell — tied to the oracle's `srn <= 2` literal
-    * and the ncell = cell·2 + sub bijection (sub ∈ {0,1}); deliberately
-    * its OWN constant + aggregator instance so a future [[NProbe]]
-    * change can never silently widen the seed count (ADVICE r15). */
+  /** Children per split cell — tied to the ncell = cell·2 + sub
+    * bijection (sub ∈ {0,1}); deliberately its OWN constant so a
+    * future [[NProbe]] change can never silently widen it
+    * (ADVICE r15). */
   private[graft] val SplitSubSeeds = 2
-  private lazy val topSubSeeds = udaf(
-    new graft.functions.TopKPairsAggregator(SplitSubSeeds),
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
 
   /** Occupancy-triggered cell SPLIT (sim_cell_split) — the re-shard
     * maintenance job the bucket cap's own guidance prescribes
     * ([[pairCandidates]] scaladoc: "raise numPlanes or re-shard the
     * bucket rather than rely on the cap"): every home cell past
-    * [[SplitOccupancy]] members is split in two — sub-seeds = the
-    * cell's two lowest member vec_ids (the ivfAssignRanked seed
-    * discipline), members re-assigned to their nearer sub-seed — and
-    * the report shows what the split bought per cell (n_before vs the
-    * largest child). This is the knob that keeps the in-cell pair
-    * families out of the occupancy² regime the round-15 cap-knee
-    * measurement quantifies: splitting hot cells halves their pair
-    * candidates at the source instead of sampling them at the cap.
-    * Scale shape: occupancy is one |cells|-row agg; seed selection is
-    * the bounded top-2 aggregate (key = −vec_id — NO member sort, the
-    * round-14 ranking architecture); re-assignment is |hot members| ×
-    * 2 sub-seeds; the pick window runs over exactly 2 rows per member
-    * (probe-bounded — legitimately window-based). Ties in the pick
-    * break sub-ascending on both engines. */
+    * [[SplitOccupancy]] members is split by MEDIAN-THRESHOLD BISECTION
+    * — the model per hot cell is (seed direction = the lowest member
+    * vec_id's embedding, τ = the cell's lower-median 6-dp cosine to it,
+    * rank (n+1) div 2 under (s0sim desc, vec_id asc) — the agg_median
+    * exact-selection discipline); members with s0sim ≥ τ form child 0,
+    * the rest child 1, and a probe routes by the SAME compare at query
+    * time. SPLIT-RULE HISTORY (BASELINE round 16): the round-15 rule
+    * ("two lowest member ids", nearest-of-two) measured DEGENERATE at
+    * 768 k — the biggest child kept 96 % of members and candidate
+    * volume fell only 6 %; a farthest-seed (2-means++-style) variant
+    * measured IDENTICALLY degenerate, because in 64 dims nearly every
+    * member is closer to the cell center than to any single extreme
+    * point, so ANY nearest-of-two-points cut shaves a thin cap. The
+    * median threshold is balanced BY CONSTRUCTION (up to tie mass at
+    * τ — an identical-vector clump keeps child 0 and reads in the
+    * report as an unsplittable cell, which is the honest answer).
+    * Scale shape: occupancy is one |cells|-row agg; the model is one
+    * min(vec_id) agg + one exact rank selection per cell (a window
+    * over hot MEMBERS — one row each, never an n×cells expansion; the
+    * qv/md positional-selection family); re-assignment and probe
+    * routing are a single threshold compare — NO pick window at all. */
   def cellSplit(spark: SparkSession, dir: String): DataFrame = {
     val (occ, _, _, _, assigned) = cellSplitParts(spark, dir)
     val childSizes = assigned.groupBy("cell")
@@ -472,7 +476,7 @@ object Similarity {
   }
 
   /** The split's working frames — (per-cell occupancy, hot cells,
-    * home-cell members with embeddings, sub-seed table, hot-cell
+    * home-cell members with embeddings, split model, hot-cell
     * member→child assignment (cell, vec_id, sub)) — shared by the
     * [[cellSplit]] report and the [[splitTopK]] serve so the applied
     * index can never drift from the audited one. The seed table and
@@ -480,7 +484,7 @@ object Similarity {
     * "splitseeds"/"splitasg", owner in Bench's list: sim_cell_split —
     * because FOUR queries consume them (report, split serve, recall
     * eval, persisted serve) plus the deep chain's round 1. */
-  private def cellSplitParts(spark: SparkSession, dir: String)
+  private[ext] def cellSplitParts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val home = ivfAssignRanked(spark, dir).filter(col("rn") === 1)
       .select("vec_id", "cell")
@@ -495,26 +499,20 @@ object Similarity {
     (occ, hot, members, seeds, assigned)
   }
 
-  /** Nearest-sub-seed child pick for hot-cell members — (cell, vec_id,
-    * sub), ties sub-ascending. The pick window runs over exactly
-    * [[SplitSubSeeds]] rows per member (probe-bounded — legitimately
-    * window-based per the ranking-architecture rule). */
+  /** Median-threshold child pick for hot-cell members — (cell, vec_id,
+    * sub): sub 0 iff the member's 6-dp cosine to the cell's seed
+    * direction clears the model's τ — ONE broadcast join + compare,
+    * no window. */
   private def assignToSubSeeds(members: DataFrame, seeds: DataFrame)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wPick = Window.partitionBy("vec_id")
-      .orderBy(col("ssim").desc, col("sub").asc)
+      : DataFrame =
     members.join(broadcast(seeds), Seq("cell"))
-      .select(col("cell"), col("vec_id"), col("sub"),
-        Num.rnd(dotCols(col("embedding"), col("sv")) /
-                  (col("nrm") * col("snrm")), 6).as("ssim"))
-      .withColumn("prn", row_number().over(wPick))
-      .filter(col("prn") === 1)
-      .select("cell", "vec_id", "sub")
-  }
+      .select(col("cell"), col("vec_id"),
+        when(Num.rnd(dotCols(col("embedding"), col("sv")) /
+                       (col("nrm") * col("snrm")), 6) >= col("tau"),
+             lit(0)).otherwise(lit(1)).as("sub"))
 
   /** One split round over an arbitrary (vec_id, cell) assignment —
-    * (occupancy of the SOURCE, hot cells, sub-seed table, child picks).
+    * (occupancy of the SOURCE, hot cells, split model, child picks).
     * Rounds ≥ 2 of [[cellSplitRounds]] run this directly (hot sets
     * shrink geometrically, so later rounds are cheap); round 1 reuses
     * the memoized depth-1 frames via [[cellSplitParts]]. */
@@ -542,7 +540,7 @@ object Similarity {
 
   /** The deep-split round states for k = 1..depth: (occupancy of the
     * round's source = the snapshot after k−1 rounds, hot cells,
-    * sub-seed table, full assignment AFTER the round). Round 1 IS the
+    * split model, full assignment AFTER the round). Round 1 IS the
     * audited depth-1 split ([[cellSplitParts]]' memoized frames);
     * every later round applies the identical rule to the previous
     * round's assignment — the bpeTrainRounds prefix discipline on the
@@ -567,9 +565,9 @@ object Similarity {
     * [[cellSplit]]: hot-cell members are re-homed to their child cell
     * (ncell = cell·2 + sub; cool cells keep cell·2 — bijective, so
     * cool-cell results are bit-identical to [[ivfTopK]]'s slices), and
-    * each probe narrows a probed HOT cell to its nearer sub-seed at
-    * query time (a 2-row pick per probed hot cell — query-time work,
-    * exactly like probe lists). What the split buys: candidates in a
+    * each probe routes a probed HOT cell by its own s0sim ≥ τ compare
+    * at query time (one compare per probed hot cell — query-time
+    * work, exactly like probe lists). What the split buys: candidates in a
     * split cell drop to ~occupancy/2 per probe — the at-the-source
     * remedy for the occupancy² regime the round-15 knee measured,
     * instead of the cap's sampling. What it costs: a true neighbor in
@@ -586,42 +584,36 @@ object Similarity {
     * cell·2 + sub for hot-cell members, cell·2 for cool (bijective) —
     * shared by [[splitTopK]] (served in-session) and
     * [[splitIndexPersistSearch]] (written to durable parquet). */
-  private def splitPostings(hot: DataFrame, members: DataFrame,
+  private[ext] def splitPostings(hot: DataFrame, members: DataFrame,
                             assigned: DataFrame): DataFrame =
     assigned
       .select(col("vec_id"), (col("cell") * 2 + col("sub")).as("ncell"))
       .unionByName(members.join(hot, Seq("cell"), "left_anti")
         .select(col("vec_id"), (col("cell") * 2).as("ncell")))
 
-  /** One probe-side descent step: a probed HOT cell narrows to its
-    * nearer sub-seed (ties sub-ascending — a 2-row pick per probed hot
-    * cell, query-time work exactly like probe lists), a cool cell maps
-    * to cell·2. Shared by the serve paths and [[splitDeepTopK]]'s
-    * per-round fold. `probe` is (vec_id, cell), possibly [[NProbe]]
-    * rows per vector — the pick partitions by BOTH so each probed cell
-    * descends independently. */
-  private def probeDescend(emb: DataFrame, probe: DataFrame,
+  /** One probe-side descent step: a probed HOT cell routes to the
+    * child its own `s0sim ≥ τ` compare selects (the exact rule that
+    * placed the members — query-time work, one compare per probed hot
+    * cell), a cool cell maps to cell·2. Shared by the serve paths and
+    * [[splitDeepTopK]]'s per-round fold. `probe` is (vec_id, cell),
+    * possibly [[NProbe]] rows per vector — each probed cell descends
+    * independently. */
+  private[ext] def probeDescend(emb: DataFrame, probe: DataFrame,
                            hot: DataFrame, seeds: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wPick = Window.partitionBy("vec_id", "cell")
-      .orderBy(col("ssim").desc, col("sub").asc)
     val hotPick = probe.join(emb, Seq("vec_id"))
       .join(broadcast(seeds), Seq("cell"))
-      .select(col("vec_id"), col("cell"), col("sub"),
-        Num.rnd(dotCols(col("embedding"), col("sv")) /
-                  (col("nrm") * col("snrm")), 6).as("ssim"))
-      .withColumn("prn", row_number().over(wPick))
-      .filter(col("prn") === 1)
-      .select(col("vec_id"),
-              (col("cell") * 2 + col("sub")).cast("long").as("cell"))
+      .select(col("vec_id"), (col("cell") * 2 +
+        when(Num.rnd(dotCols(col("embedding"), col("sv")) /
+                       (col("nrm") * col("snrm")), 6) >= col("tau"),
+             lit(0)).otherwise(lit(1))).cast("long").as("cell"))
     val cool = probe.join(hot, Seq("cell"), "left_anti")
       .select(col("vec_id"), (col("cell") * 2).cast("long").as("cell"))
     hotPick.unionByName(cool)
   }
 
   /** The split-index serve over a GIVEN (vec_id, ncell) postings frame
-    * and sub-seed table — the probe side descends its probed cells to
-    * the nearer sub-seed at QUERY time (the durable index stores
+    * and split model — the probe side routes its probed cells by the
+    * model's s0sim ≥ τ compare at QUERY time (the durable index stores
     * postings; the seed table is the model, hot cells = its distinct
     * cells). Shared by [[splitTopK]] (in-session frames) and
     * [[splitIndexPersistSearch]] (the same frames reloaded from
@@ -647,8 +639,8 @@ object Similarity {
     * verdict gap #3: the maintenance job's output was session-only):
     * postings (vec_id, ncell) PARTITIONED BY ncell — a hot child can
     * be audited or re-split from its own files, pruning the rest at
-    * the listing — plus the sub-seed table (cell, sub, sv, snrm;
-    * model-sized: 2 rows per split cell), both written to durable
+    * the listing — plus the split model (cell, sv, snrm, tau;
+    * model-sized: one row per split cell), both written to durable
     * parquet and served from the RELOAD through the SAME
     * [[splitServeFrom]] tail as [[splitTopK]]. The oracle is
     * sim_split_topk's VERBATIM (the shared [[splitTopKOracleSql]] val
@@ -669,11 +661,14 @@ object Similarity {
     splitServeFrom(spark, dir, reloaded, spark.read.parquet(seedsPath))
   }
 
-  /** Default depth for the RECURSIVE split queries — 2 rounds. Round 2
-    * fires NATURALLY at sf0.01 (skewed hot cells split unevenly, so
-    * two round-1 children stay past [[SplitOccupancy]] — CellSplitSpec
-    * pins it), and the crafted-fixture spec drives a deeper hot chain.
-    * Mirrored literally in the cs<k>-prefixed oracle chains
+  /** Default depth for the RECURSIVE split queries — 2 rounds. The
+    * median-τ cut halves every sf0.01 hot cell under the threshold in
+    * one round, so round 2 is a provable no-op there (a bijective
+    * ncell relabel — CellSplitSpec pins deep serve ≡ depth-1 serve);
+    * the crafted-fixture spec drives a genuinely recursive chain
+    * (packed cell whose 33-member children stay hot) AND the
+    * fail-closed plan branch (an identical-vector clump no rule can
+    * split). Mirrored literally in the cs<k>-prefixed oracle chains
     * (lockstep). */
   private[graft] val SplitDepth = 2
 
@@ -709,7 +704,7 @@ object Similarity {
     * index applies [[nextSplitAsg]] per round (ncell = cell·2^depth +
     * path, bijective at every depth — an unsplit source keeps path bit
     * 0), and each probe folds [[probeDescend]] once per round (≤ depth
-    * 2-row picks per probed cell, query-time). Depth 1 is EXACTLY
+    * threshold compares per probed cell, query-time). Depth 1 is EXACTLY
     * [[splitTopK]] (CellSplitSpec pins row equality), and a probe
     * whose descent never touches a hot cell gets [[ivfTopK]]'s
     * identical top-3 at ANY depth (the bijection keeps cool members
@@ -737,9 +732,26 @@ object Similarity {
     * joins the frontier as the `split` leg (shared-truth contract,
     * GraphSearchSpec's n_truth assert covers it). */
   def splitRecallEval(spark: SparkSession, dir: String,
-                      probeN: Long = 100): DataFrame = {
+                      probeN: Long = 100): DataFrame =
+    recallVsSharedTruth(spark, dir, splitTopK(spark, dir), probeN)
+
+  /** Recall of the RECURSIVE split serve ([[splitDeepTopK]], depth
+    * [[SplitDepth]]) vs the SHARED exact truth — prices the extra
+    * candidate halving the second round buys; joins the frontier as
+    * the `deepsplit` leg (shared-truth contract, GraphSearchSpec's
+    * n_truth assert covers it). */
+  def splitDeepRecallEval(spark: SparkSession, dir: String,
+                          probeN: Long = 100): DataFrame =
+    recallVsSharedTruth(spark, dir, splitDeepTopK(spark, dir), probeN)
+
+  /** The shared-truth recall fold: screen hits vs the memoized exact
+    * top-3 per probe — one metric row (the eval-family shape), shared
+    * by the two split legs so their metric forms can never drift. */
+  private def recallVsSharedTruth(spark: SparkSession, dir: String,
+                                  served: DataFrame,
+                                  probeN: Long): DataFrame = {
     val exact = exactTruthTop3(spark, dir, probeN)
-    val screen = splitTopK(spark, dir)
+    val screen = served
       .filter(col("a_id") < probeN)
       .select("a_id", "b_id")
     val hit = exact.join(screen, Seq("a_id", "b_id"))
@@ -755,20 +767,59 @@ object Similarity {
           .as("precision_micro"))
   }
 
-  /** Sub-seed table for the hot cells: the two lowest member vec_ids,
-    * with embeddings and norms — (cell, sub, sv, snrm). */
+  /** Split-depth CHOOSER (sim_split_plan) — the decision operator over
+    * the [[cellSplitDeep]] trajectory, the bpePick /
+    * qualityGateCalibrated fail-closed pattern applied to index
+    * maintenance: chosen_depth = the smallest round whose snapshot has
+    * NO hot cell left (the depth the maintenance job should run);
+    * when no snapshot within [[SplitDepth]] qualifies the plan fails
+    * CLOSED — sentinel depth 1e9, converged 0 — telling the operator
+    * to raise the depth (or the threshold) DELIBERATELY rather than
+    * silently serving an over-occupied index. Context columns carry
+    * the final snapshot's n_hot / max_occ so the report is actionable
+    * on its own. */
+  def splitPlan(spark: SparkSession, dir: String): DataFrame = {
+    val rep = cellSplitDeep(spark, dir)
+    rep.agg(
+        min(when(col("n_hot") === 0L, col("round"))).as("conv"),
+        max(when(col("round") === SplitDepth.toLong, col("n_hot")))
+          .as("n_hot_final"),
+        max(when(col("round") === SplitDepth.toLong, col("max_occ")))
+          .as("max_occ_final"))
+      .select(
+        coalesce(col("conv"), lit(1000000000L)).as("chosen_depth"),
+        col("conv").isNotNull.cast("int").as("converged"),
+        col("n_hot_final"), col("max_occ_final"))
+  }
+
+  /** Split MODEL for the hot cells — (cell, sv, snrm, tau): sv = the
+    * lowest member vec_id's embedding (the deterministic seed
+    * direction), τ = the cell's lower-median member cosine to it —
+    * exact positional SELECTION of a stored 6-dp value (rank
+    * (n+1) div 2 under (s0sim desc, vec_id asc); never interpolation —
+    * the agg_median cross-engine rule), so `s0sim ≥ τ` cuts the cell
+    * in half by construction and routes probes identically. */
   private def splitSeeds(spark: SparkSession, dir: String,
                          members: DataFrame, hot: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val emb = embWithNrm(spark, dir)
-    members.join(hot, Seq("cell"))
-      .groupBy("cell")
-      .agg(topSubSeeds((-col("vec_id")).cast("double"), col("vec_id")).as("tk"))
-      .select(col("cell"), posexplode(col("tk")))
-      .select(col("cell"), col("pos").cast("int").as("sub"),
-              col("col._2").as("svid"))
-      .join(emb.select(col("vec_id").as("svid"), col("embedding").as("sv"),
-                       col("nrm").as("snrm")), Seq("svid"))
-      .select("cell", "sub", "sv", "snrm")
+    val m = members.join(hot, Seq("cell"))
+    val s0 = m.groupBy("cell").agg(min("vec_id").as("svid0"))
+      .join(emb.select(col("vec_id").as("svid0"), col("embedding").as("sv"),
+                       col("nrm").as("snrm")), Seq("svid0"))
+    val sims = m.join(broadcast(s0), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        Num.rnd(dotCols(col("embedding"), col("sv")) /
+                  (col("nrm") * col("snrm")), 6).as("s0sim"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("s0sim").desc, col("vec_id").asc)
+    val wc = Window.partitionBy("cell")
+    val tau = sims
+      .withColumn("srn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("srn") === expr("(n + 1) div 2"))
+      .select(col("cell"), col("s0sim").as("tau"))
+    s0.join(tau, Seq("cell")).select("cell", "sv", "snrm", "tau")
   }
 
   /** Per-cell LABEL PURITY over the IVF home-cell partition — the
@@ -1687,16 +1738,17 @@ object Similarity {
   }
 
   /** The recall-vs-method FRONTIER — the one-table summary an ANN
-    * deployment decision actually reads: all nine single-number recall
+    * deployment decision actually reads: all ten single-number recall
     * evals (IVF index, sign-bit binary, int8, JL projection,
     * Matryoshka prefix, graph walk, NN-descent, RRF fusion, split
-    * index) side by side under the SAME fixed
+    * index, recursive split index) side by side under the SAME fixed
     * probe set and truth definition. Pure composition: each leg IS the
     * registered eval query (Spark functions and oracle SQL both —
     * lockstep by construction), so the frontier can never disagree
     * with its legs. */
   def evalFrontier(spark: SparkSession, dir: String): DataFrame = {
     val legs = Seq(
+      "deepsplit"  -> splitDeepRecallEval(spark, dir),
       "graph"      -> graphSearchEval(spark, dir),
       "int8"       -> int8RecallEval(spark, dir),
       "ivf"        -> ivfRecallEval(spark, dir),
@@ -3375,6 +3427,8 @@ object Similarity {
     "sim_split_persist" -> splitIndexPersistSearch _,
     "sim_cell_split_deep" -> ((s, d) => cellSplitDeep(s, d)),
     "sim_split_deep_topk" -> ((s, d) => splitDeepTopK(s, d)),
+    "sim_split_deep_recall_eval" -> ((s, d) => splitDeepRecallEval(s, d)),
+    "sim_split_plan" -> splitPlan _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -4190,6 +4244,11 @@ object Similarity {
     // depth-1 CTEs byte-for-byte (the generator's ("cs","home")
     // instance), the dz tail mirrors the st tail
     "sim_split_deep_topk" -> splitDeepTopKOracleSql,
+    // recall of the deep serve vs the SHARED truth (frontier leg
+    // `deepsplit`) — the eval-family probe literal and metric forms
+    "sim_split_deep_recall_eval" -> splitDeepRecallOracleSql,
+    // the fail-closed depth chooser over the SAME snapshot union
+    "sim_split_plan" -> splitPlanOracleSql,
     // recall of the split serve vs the SHARED truth (frontier leg
     // `split`) — the eval-family probe literal and metric forms
     "sim_split_recall_eval" ->
@@ -4730,24 +4789,34 @@ object Similarity {
     * byte-for-byte (CellSplitSpec pins the literal), and the deep
     * chain's rounds k ≥ 2 are the SAME generator over the previous
     * round's map — the audited rule and the recursed rule can never
-    * drift. Emits `<pfx>o/h/m/s/a/p`. */
+    * drift. Emits `<pfx>o/h/m/g/d/t/s/p`: g = the seed direction
+    * (lowest member id), d = member→seed 6-dp sims, t = τ (the exact
+    * lower-median selection, rank (n+1) div 2 under (s0sim desc,
+    * vec_id asc)), s = the per-cell model (seed embedding + τ), p =
+    * the threshold child picks. */
   private[graft] def cellSplitRoundCtesFor(pfx: String, src: String): String =
     s"${pfx}o AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
     s"FROM $src GROUP BY cell), " +
     s"${pfx}h AS (SELECT cell FROM ${pfx}o WHERE n_before > 32), " +
     s"${pfx}m AS (SELECT h.cell, h.vec_id, e.embedding FROM $src h " +
     s"JOIN ${pfx}h USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
-    s"${pfx}s AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
-    "FROM (SELECT cell, embedding, row_number() OVER (" +
-    s"PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM ${pfx}m) q " +
-    "WHERE srn <= 2), " +
-    s"${pfx}a AS (SELECT m.cell, m.vec_id, s.sub, " +
+    s"${pfx}g AS (SELECT cell, min(vec_id) AS v0 FROM ${pfx}m GROUP BY cell), " +
+    s"${pfx}d AS (SELECT m.cell, m.vec_id, " +
     "round((list_cosine_similarity(m.embedding::DOUBLE[], " +
-    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
-    s"FROM ${pfx}m m JOIN ${pfx}s s ON s.cell = m.cell), " +
-    s"${pfx}p AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
-    "row_number() OVER (PARTITION BY vec_id " +
-    s"ORDER BY ssim DESC, sub ASC) AS prn FROM ${pfx}a) q WHERE prn = 1)"
+    "e.embedding::DOUBLE[])) * 1e6) / 1e6 AS s0sim " +
+    s"FROM ${pfx}m m JOIN ${pfx}g g ON g.cell = m.cell " +
+    "JOIN embeddings e ON e.vec_id = g.v0), " +
+    s"${pfx}t AS (SELECT cell, s0sim AS tau FROM (SELECT cell, s0sim, " +
+    "row_number() OVER (PARTITION BY cell " +
+    "ORDER BY s0sim DESC, vec_id ASC) AS srn, " +
+    s"count(*) OVER (PARTITION BY cell) AS n FROM ${pfx}d) q " +
+    "WHERE srn = (n + 1) // 2), " +
+    s"${pfx}s AS (SELECT g.cell, e.embedding, t.tau FROM ${pfx}g g " +
+    "JOIN embeddings e ON e.vec_id = g.v0 " +
+    s"JOIN ${pfx}t t ON t.cell = g.cell), " +
+    s"${pfx}p AS (SELECT d.cell, d.vec_id, " +
+    "CAST(CASE WHEN d.s0sim >= t.tau THEN 0 ELSE 1 END AS INTEGER) AS sub " +
+    s"FROM ${pfx}d d JOIN ${pfx}t t ON t.cell = d.cell)"
 
   /** The post-round full assignment map `<pfx>i` (vec_id, cell) —
     * [[nextSplitAsg]]'s mirror: hot members to cell·2 + sub, cool
@@ -4760,20 +4829,18 @@ object Similarity {
     s"WHERE ${pfx}h.cell IS NULL)"
 
   /** The probe-side descent `<pfx>z`/`<pfx>q` over probe source `psrc`
-    * — [[probeDescend]]'s mirror: a probed hot cell narrows to its
-    * nearer sub-seed (ties sub asc, partitioned by vec_id AND cell so
-    * each probed cell descends independently), a cool one maps to
+    * — [[probeDescend]]'s mirror: a probed hot cell routes by its own
+    * `s0sim ≥ τ` compare (the exact member rule), a cool one maps to
     * cell·2. */
   private def probeDescendCteFor(pfx: String, psrc: String): String =
-    s"${pfx}z AS (SELECT pb.vec_id, pb.cell, s.sub, " +
+    s"${pfx}z AS (SELECT pb.vec_id, pb.cell, s.tau, " +
     "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
-    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
+    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS s0sim " +
     s"FROM $psrc pb JOIN ${pfx}s s ON s.cell = pb.cell " +
     "JOIN embeddings e ON e.vec_id = pb.vec_id), " +
-    s"${pfx}q AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS cell " +
-    "FROM (SELECT vec_id, cell, sub, row_number() OVER (" +
-    "PARTITION BY vec_id, cell ORDER BY ssim DESC, sub ASC) AS prn " +
-    s"FROM ${pfx}z) y WHERE prn = 1 " +
+    s"${pfx}q AS (SELECT vec_id, CAST(cell * 2 + " +
+    "CASE WHEN s0sim >= tau THEN 0 ELSE 1 END AS BIGINT) AS cell " +
+    s"FROM ${pfx}z " +
     s"UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS cell " +
     s"FROM $psrc pb LEFT JOIN ${pfx}h ON ${pfx}h.cell = pb.cell " +
     s"WHERE ${pfx}h.cell IS NULL)"
@@ -4798,10 +4865,11 @@ object Similarity {
         splitMapCteFor(pfx, src) + ", " + probeDescendCteFor(pfx, psrc)
     }.mkString(", ")
 
-  /** sim_cell_split_deep's oracle: snapshot k = the occupancy agg of
-    * round k+1's source (`<pfx>o`), snapshot depth = a fresh agg over
-    * the final map. */
-  private def splitDeepReportOracleSql: String = {
+  /** The deep report's snapshot UNION (no ORDER BY): snapshot k = the
+    * occupancy agg of round k+1's source (`<pfx>o`), snapshot depth =
+    * a fresh agg over the final map. Shared by sim_cell_split_deep and
+    * the sim_split_plan chooser (measure → decide lockstep). */
+  private def splitDeepSnapshotsSql: String = {
     def snapSelect(k: Int, from: String): String =
       s"SELECT CAST($k AS BIGINT) AS round, " +
       "CAST(count(*) AS BIGINT) AS n_cells, " +
@@ -4813,14 +4881,33 @@ object Similarity {
     } :+ snapSelect(SplitDepth,
       "(SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
       s"FROM ${splitRoundPfx(SplitDepth)}i GROUP BY cell) fz")
-    ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + " " +
-      snaps.mkString(" UNION ALL ") + " ORDER BY round"
+    snaps.mkString(" UNION ALL ")
   }
 
-  /** sim_split_deep_topk's oracle: the dz-prefixed serve tail (same
-    * saltOrd cap + (sim desc, b_id asc) rerank as the depth-1 serve)
-    * over the final index map and the final probe map. */
-  private def splitDeepTopKOracleSql: String =
+  /** sim_cell_split_deep's oracle. */
+  private def splitDeepReportOracleSql: String =
+    ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + " " +
+      splitDeepSnapshotsSql + " ORDER BY round"
+
+  /** sim_split_plan's oracle — the chooser over the SAME snapshot
+    * union (spl CTE): smallest all-cool round, fail-closed sentinel
+    * 1e9 / converged 0 when none qualifies, final-snapshot context. */
+  private def splitPlanOracleSql: String =
+    ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + ", " +
+    s"spl AS ($splitDeepSnapshotsSql) " +
+    "SELECT coalesce(min(CASE WHEN n_hot = 0 THEN round END), " +
+    "CAST(1000000000 AS BIGINT)) AS chosen_depth, " +
+    "CAST(min(CASE WHEN n_hot = 0 THEN round END) IS NOT NULL " +
+    "AS INTEGER) AS converged, " +
+    s"max(CASE WHEN round = $SplitDepth THEN n_hot END) AS n_hot_final, " +
+    s"max(CASE WHEN round = $SplitDepth THEN max_occ END) AS max_occ_final " +
+    "FROM spl"
+
+  /** The deep-serve CTE chain through `dzr` (dz-prefixed serve tail —
+    * same saltOrd cap + (sim desc, b_id asc) rerank as the depth-1
+    * serve — over the final index map and final probe map); shared by
+    * sim_split_deep_topk and its recall eval. */
+  private def splitDeepServeCteSql: String =
     ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + ", " +
     s"dzb AS (SELECT e.vec_id, e.embedding, i.cell AS ncell " +
     s"FROM embeddings e JOIN ${splitRoundPfx(SplitDepth)}i i " +
@@ -4835,16 +4922,45 @@ object Similarity {
     "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
     "FROM dzm x JOIN dzb y ON x.ncell = y.ncell AND x.vec_id <> y.vec_id), " +
     "dzr AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
-    "ORDER BY sim DESC, b_id ASC) AS rn FROM dzq) " +
-    "SELECT a_id, b_id, rn, sim FROM dzr WHERE rn <= 3"
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM dzq)"
+
+  private def splitDeepTopKOracleSql: String =
+    splitDeepServeCteSql + " SELECT a_id, b_id, rn, sim FROM dzr WHERE rn <= 3"
+
+  /** sim_split_deep_recall_eval's oracle — the st-eval tail with dz
+    * names (probe literal 100, brute top-3 truth, integer micro
+    * metric forms). */
+  private def splitDeepRecallOracleSql: String =
+    splitDeepServeCteSql + ", " +
+    "dzex AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+    "WHERE x.vec_id < 100), " +
+    "dzxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+    "AS rn FROM dzex) e WHERE rn <= 3), " +
+    "dzsc AS (SELECT a_id, b_id FROM dzr WHERE rn <= 3 AND a_id < 100), " +
+    "dzht AS (SELECT a_id, b_id FROM dzxr JOIN dzsc USING (a_id, b_id)), " +
+    "dzcm AS (SELECT (SELECT count(*) FROM dzxr) AS n_truth, " +
+    "(SELECT count(*) FROM dzsc) AS n_screen, " +
+    "(SELECT count(*) FROM dzht) AS n_hit) " +
+    "SELECT CAST(n_truth AS BIGINT) AS n_truth, " +
+    "CAST(n_screen AS BIGINT) AS n_screen, " +
+    "CAST(n_hit AS BIGINT) AS n_hit, " +
+    "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+    "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END " +
+    "AS precision_micro FROM dzcm"
 
   /** The split-serve chain through `str` (st-prefixed names sti/stph/
     * stp/stb/stm/stq/str claimed) — composes [[ivfTopKCteSql]] +
     * [[cellSplitCteSql]]; shared by sim_split_topk and its recall eval.
     * ncell = cell·2 + sub for hot members / cell·2 for cool (bijective);
-    * probes narrow a probed hot cell to the nearer sub-seed (ties sub
-    * asc); same saltOrd 1024 cap and (sim desc, b_id asc) rerank as the
-    * unsplit serve. */
+    * probes route a probed hot cell by the model's s0sim ≥ τ compare
+    * (ties to child 0); same saltOrd 1024 cap and (sim desc, b_id asc)
+    * rerank as the unsplit serve. */
   /** The COMPLETE split-serve oracle — shared VERBATIM by
     * sim_split_topk and sim_split_persist (the persisted index serves
     * through the same [[splitServeFrom]] tail; only the storage
@@ -4857,16 +4973,14 @@ object Similarity {
     "sti AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell FROM csp " +
     "UNION ALL SELECT h.vec_id, CAST(h.cell * 2 AS BIGINT) AS ncell " +
     "FROM home h LEFT JOIN csh ON csh.cell = h.cell WHERE csh.cell IS NULL), " +
-    "stph AS (SELECT pb.vec_id, pb.cell, s.sub, " +
+    "stph AS (SELECT pb.vec_id, pb.cell, s.tau, " +
     "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
-    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
-    "FROM probes pb JOIN csh ch ON ch.cell = pb.cell " +
-    "JOIN css s ON s.cell = pb.cell " +
+    "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS s0sim " +
+    "FROM probes pb JOIN css s ON s.cell = pb.cell " +
     "JOIN embeddings e ON e.vec_id = pb.vec_id), " +
-    "stp AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell " +
-    "FROM (SELECT vec_id, cell, sub, row_number() OVER (" +
-    "PARTITION BY vec_id, cell ORDER BY ssim DESC, sub ASC) AS prn " +
-    "FROM stph) q WHERE prn = 1 " +
+    "stp AS (SELECT vec_id, CAST(cell * 2 + " +
+    "CASE WHEN s0sim >= tau THEN 0 ELSE 1 END AS BIGINT) AS ncell " +
+    "FROM stph " +
     "UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS ncell " +
     "FROM probes pb LEFT JOIN csh ON csh.cell = pb.cell " +
     "WHERE csh.cell IS NULL), " +
@@ -4944,9 +5058,9 @@ object Similarity {
     "rfr AS (SELECT a_id, b_id, rrf_micro, row_number() OVER (" +
     "PARTITION BY a_id ORDER BY rrf_micro DESC, b_id ASC) AS rn FROM rff)"
 
-  /** The frontier oracle wraps the seven REGISTERED leg oracles
+  /** The frontier oracle wraps the nine REGISTERED leg oracles
     * verbatim as parenthesized subqueries (CTE names stay scoped per
-    * leg) plus the inline nn_descent column rename — eight legs total,
+    * leg) plus the inline nn_descent column rename — ten legs total,
     * so frontier and legs move together by construction. */
   private def frontierLegSql(m: String, q: String): String =
     s"SELECT '$m' AS method, n_truth, n_hit, recall_micro " +
@@ -4954,7 +5068,8 @@ object Similarity {
 
   val oracle: Map[String, String] = oracleBase +
     ("sim_eval_frontier" ->
-      ((Seq("graph" -> "sim_graph_search_eval",
+      ((Seq("deepsplit" -> "sim_split_deep_recall_eval",
+            "graph" -> "sim_graph_search_eval",
             "int8" -> "emb_int8_recall",
             "ivf" -> "sim_ivf_recall_eval",
             "jl" -> "sim_jl_recall",

@@ -41,9 +41,10 @@ class CellSplitSpec extends SparkSpec {
     }
   }
 
-  test("split assignment is the nearest-sub-seed rule, recomputed") {
-    // driver recompute of one split cell: members go to the nearer of
-    // the two lowest-id members (ties to sub 0), 6-dp cosine
+  test("split assignment is the median-threshold rule, recomputed") {
+    // driver recompute of one split cell: seed = the lowest member
+    // id's embedding, τ = the lower-median 6-dp cosine to it (rank
+    // (n+1) div 2 under (s0sim desc, vec_id asc)); sub 0 iff s0sim ≥ τ
     val hot = rows.filter(_._3 === 1).map(_._1).min
     val home = ext.Similarity.queries("sim_ivf_assign")(spark, sf001)
       .filter(col("cell") === hot).select("vec_id")
@@ -61,10 +62,11 @@ class CellSplitSpec extends SparkSpec {
       BigDecimal(raw * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
     }
-    val Seq(s0, s1) = home.take(2).toSeq
-    val expect0 = home.count { v =>
-      cos(emb(v), emb(s0)) >= cos(emb(v), emb(s1))
-    }
+    val s0 = home.head
+    val sims = home.map(v => (v, cos(emb(v), emb(s0))))
+    val ranked = sims.sortBy { case (v, s) => (-s, v) }
+    val tau = ranked((home.length + 1) / 2 - 1)._2
+    val expect0 = sims.count(_._2 >= tau)
     val got = rows.find(_._1 === hot).get
     assert(got._4 === expect0.toLong,
       s"cell $hot child-0 size ${got._4} != recomputed $expect0")
@@ -118,25 +120,32 @@ class CellSplitSpec extends SparkSpec {
 
   test("round generator: the (cs, home) instance reproduces the audited " +
        "depth-1 chain byte-for-byte") {
-    // the frozen round-15 literal — the deep chain's round 1 and the
-    // audited sim_cell_split oracle must stay THIS string exactly
+    // the frozen round-16 literal (median-threshold bisection) — the
+    // deep chain's round 1 and the audited sim_cell_split oracle must
+    // stay THIS string exactly
     val frozen =
       "cso AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
       "FROM home GROUP BY cell), " +
       "csh AS (SELECT cell FROM cso WHERE n_before > 32), " +
       "csm AS (SELECT h.cell, h.vec_id, e.embedding FROM home h " +
       "JOIN csh USING (cell) JOIN embeddings e ON e.vec_id = h.vec_id), " +
-      "css AS (SELECT cell, CAST(srn - 1 AS INTEGER) AS sub, embedding " +
-      "FROM (SELECT cell, embedding, row_number() OVER (" +
-      "PARTITION BY cell ORDER BY vec_id ASC) AS srn FROM csm) q " +
-      "WHERE srn <= 2), " +
-      "csa AS (SELECT m.cell, m.vec_id, s.sub, " +
+      "csg AS (SELECT cell, min(vec_id) AS v0 FROM csm GROUP BY cell), " +
+      "csd AS (SELECT m.cell, m.vec_id, " +
       "round((list_cosine_similarity(m.embedding::DOUBLE[], " +
-      "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS ssim " +
-      "FROM csm m JOIN css s ON s.cell = m.cell), " +
-      "csp AS (SELECT cell, vec_id, sub FROM (SELECT cell, vec_id, sub, " +
-      "row_number() OVER (PARTITION BY vec_id " +
-      "ORDER BY ssim DESC, sub ASC) AS prn FROM csa) q WHERE prn = 1)"
+      "e.embedding::DOUBLE[])) * 1e6) / 1e6 AS s0sim " +
+      "FROM csm m JOIN csg g ON g.cell = m.cell " +
+      "JOIN embeddings e ON e.vec_id = g.v0), " +
+      "cst AS (SELECT cell, s0sim AS tau FROM (SELECT cell, s0sim, " +
+      "row_number() OVER (PARTITION BY cell " +
+      "ORDER BY s0sim DESC, vec_id ASC) AS srn, " +
+      "count(*) OVER (PARTITION BY cell) AS n FROM csd) q " +
+      "WHERE srn = (n + 1) // 2), " +
+      "css AS (SELECT g.cell, e.embedding, t.tau FROM csg g " +
+      "JOIN embeddings e ON e.vec_id = g.v0 " +
+      "JOIN cst t ON t.cell = g.cell), " +
+      "csp AS (SELECT d.cell, d.vec_id, " +
+      "CAST(CASE WHEN d.s0sim >= t.tau THEN 0 ELSE 1 END AS INTEGER) AS sub " +
+      "FROM csd d JOIN cst t ON t.cell = d.cell)"
     assert(ext.Similarity.cellSplitRoundCtesFor("cs", "home") === frozen)
   }
 
@@ -146,7 +155,7 @@ class CellSplitSpec extends SparkSpec {
   }
 
   test("sf0.01 deep report: snapshot 0 ties to the depth-1 report, " +
-       "round 2 fires naturally, occupancy shrinks") {
+       "the median cut converges in one round, round 2 is a no-op") {
     val rep = ext.Similarity.queries("sim_cell_split_deep")(spark, sf001)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -156,16 +165,48 @@ class CellSplitSpec extends SparkSpec {
     assert(rep(0)._2 === rows.length.toLong)
     assert(rep(0)._3 === rows.count(_._3 === 1).toLong)
     assert(rep(0)._4 === rows.map(_._2).max)
-    // some round-1 children stay past SplitOccupancy at sf0.01 (skewed
-    // hot cells split unevenly) — the natural corpus drives a REAL
-    // second round, and the stop-signal column reads continue
-    assert(rep(1)._3 >= 1L,
-      "sf0.01 round 2 found no hot cell — testdata changed? re-derive")
-    // each round strictly shrinks the worst shard and never grows it
-    assert(rep(1)._4 < rep(0)._4 && rep(2)._4 <= rep(1)._4)
-    assert(rep(2)._4 < rep(0)._4)
-    // cells only ever subdivide: the snapshot cell count is monotone
-    assert(rep(0)._2 <= rep(1)._2 && rep(1)._2 <= rep(2)._2)
+    // the median-τ cut halves every sf0.01 hot cell under the
+    // threshold in ONE round (occupancies ≤ 2·SplitOccupancy there) —
+    // round 2 is a provable no-op...
+    assert(rep(1)._3 === 0L,
+      "sf0.01 round-1 children crossed SplitOccupancy — re-derive")
+    assert(rep(1)._4 < rep(0)._4)
+    // ...that relabels ncells bijectively: occupancies carry over and
+    // the deep serve returns the depth-1 serve's rows EXACTLY
+    assert(rep(2)._2 === rep(1)._2 && rep(2)._4 === rep(1)._4)
+    assert(servedRows(ext.Similarity.queries("sim_split_deep_topk")(spark, sf001)) ===
+           servedRows(ext.Similarity.queries("sim_split_topk")(spark, sf001)))
+  }
+
+  test("split plan: the chooser row derives from the deep report exactly") {
+    val rep = ext.Similarity.queries("sim_cell_split_deep")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val plan = ext.Similarity.queries("sim_split_plan")(spark, sf001)
+      .collect()
+    assert(plan.length === 1)
+    val p = plan.head
+    val conv = rep.filter(_._3 === 0L).map(_._1).sorted.headOption
+    assert(p.getLong(0) === conv.getOrElse(1000000000L),
+      "chosen_depth is not the smallest all-cool round")
+    assert((p.getInt(1) === 1) === conv.nonEmpty)
+    val fin = rep.find(_._1 === ext.Similarity.SplitDepth.toLong).get
+    assert(p.getLong(2) === fin._3 && p.getLong(3) === fin._4,
+      "final-snapshot context drifted from the report")
+  }
+
+  test("deep recall eval: the deepsplit leg reads the shared truth and " +
+       "its screen is the deep serve's probe slice") {
+    val r = ext.Similarity.queries("sim_split_deep_recall_eval")(spark, sf001)
+      .collect().head
+    val truthN = ext.Similarity
+      .queries("sim_ivf_recall_eval")(spark, sf001).collect().head.getLong(0)
+    assert(r.getLong(0) === truthN, "deepsplit leg is not on the shared truth")
+    val screen = ext.Similarity.queries("sim_split_deep_topk")(spark, sf001)
+      .filter(col("a_id") < 100).count()
+    assert(r.getLong(1) === screen)
+    assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(0))
   }
 
   test("persisted split index: reloaded serve ≡ in-session serve, " +
@@ -176,9 +217,9 @@ class CellSplitSpec extends SparkSpec {
     val parts = postings.listFiles().filter(_.getName.startsWith("ncell="))
     assert(parts.nonEmpty, "postings are not partitioned by ncell")
     val seeds = spark.read.parquet(Tables.scratch("split_index_seeds"))
-    assert(seeds.columns.toSet === Set("cell", "sub", "sv", "snrm"))
-    // 2 sub-seeds per split cell — the model table is model-sized
-    assert(seeds.count() === 2L * rows.count(_._3 === 1))
+    assert(seeds.columns.toSet === Set("cell", "sv", "snrm", "tau"))
+    // one (seed direction, τ) row per split cell — model-sized
+    assert(seeds.count() === rows.count(_._3 === 1).toLong)
   }
 
   test("recursive fixture: a child still hot after round 1 splits again, " +
@@ -190,23 +231,29 @@ class CellSplitSpec extends SparkSpec {
       Seq(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
     }
     // 16 centroids fanned 20° apart; 65 members packed within 6.5° of
-    // centroid 0 → cell 0 holds 66 (> 32), its bigger child holds 65
-    // (> 32) — round 2 must fire on the child
+    // centroid 0 → cell 0 holds 66 (> 32) and the median-τ cut lands
+    // mid-pack (33/33), so BOTH children stay hot and round 2
+    // fires on each; 40 IDENTICAL copies of centroid 8's vector make
+    // cell 8 a 41-member clump NO seed rule can split (every pick ties
+    // to sub 0) — the fail-closed branch of sim_split_plan
     val fixture =
       (0L until 16L).map(c => (c, e(c * 20.0), 0)) ++
-      (16L until 81L).map(v => (v, e((v - 15L) * 0.1), 0))
+      (16L until 81L).map(v => (v, e((v - 15L) * 0.1), 0)) ++
+      (81L until 121L).map(v => (v, e(160.0), 0))
     fixture.toDF("vec_id", "embedding", "label").repartition(1)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val rep = ext.Similarity.queries("sim_cell_split_deep")(spark, dir)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
-    assert(rep(0) === ((0L, 16L, 1L, 66L)))
+    assert(rep(0) === ((0L, 16L, 2L, 66L)))
     assert(rep(1)._3 >= 1L, "round 2 found no hot cell — recursion never fired")
-    assert(rep(1)._4 < rep(0)._4 && rep(2)._4 < rep(1)._4,
-      s"max occupancy did not shrink per round: $rep")
-    // all-cool probes: only cell 0's descendants ever split here, so a
-    // probe that never probes cell 0 must be untouched at any depth
+    assert(rep(1)._4 < rep(0)._4 && rep(2)._4 <= rep(1)._4,
+      s"max occupancy grew: $rep")
+    assert(rep(2)._4 < rep(0)._4, s"two rounds bought nothing: $rep")
+    // all-cool probes: only cells 0 and 8 ever split here, so a probe
+    // that probes neither must be untouched at any depth
+    val hotRoots = Set(0L, 8L)
     val emb = Tables.embeddings(spark, dir).collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
@@ -219,8 +266,9 @@ class CellSplitSpec extends SparkSpec {
     }
     val cells = (0L until 16L).toSeq
     val coolProbes = emb.keys.filter { v =>
-      !cells.map(c => (c, cos(emb(v), emb(c))))
-        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).contains(0L)
+      cells.map(c => (c, cos(emb(v), emb(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1)
+        .forall(c => !hotRoots.contains(c))
     }.toSet
     assert(coolProbes.nonEmpty, "no all-cool probe — vacuous fixture")
     def servedCool(df: org.apache.spark.sql.DataFrame) =
@@ -228,5 +276,12 @@ class CellSplitSpec extends SparkSpec {
     assert(servedCool(ext.Similarity.splitDeepTopK(spark, dir, 2)) ===
            servedCool(ext.Similarity.queries("sim_ivf_topk")(spark, dir)),
       "an all-cool probe's top-3 drifted under the recursive split")
+    // the identical-vector clump can never shed members (every pick
+    // ties to child 0), so no snapshot is ever all-cool — the plan
+    // fails CLOSED instead of pretending a depth suffices
+    val fp = ext.Similarity.queries("sim_split_plan")(spark, dir)
+      .collect().head
+    assert(fp.getLong(0) === 1000000000L && fp.getInt(1) === 0,
+      "plan did not fail closed on the unsplittable clump")
   }
 }
