@@ -58,6 +58,9 @@ object Bench {
       // splitseeds/splitasg memo owner (report, serve, recall eval,
       // persist and the deep chain's round 1 all consume them)
       "sim_cell_split",
+      // knnmutualsplit memo owner (single consumer, pinned anyway so
+      // the build cost can't migrate if one ever joins)
+      "sim_knn_mutual_split",
       "graph_pagerank", "graph_components", "emb_pca_power",
       "text_contamination", "sim_eval_frontier", "dedup_para_neardup")
     val allOrdered = owners.filter(SparkEntry.queries.contains) ++

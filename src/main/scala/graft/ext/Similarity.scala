@@ -964,6 +964,36 @@ object Similarity {
         .localCheckpoint()
     })
 
+  /** Mutual-kNN graph over the SPLIT index's serve
+    * (sim_knn_mutual_split) — the pair-family consumer the split was
+    * built for: a graph build's dominant cost at scale IS its serve's
+    * in-cell candidate stage (the knee table, BASELINE rounds 15/16),
+    * so serving the edge build from [[splitTopK]] inherits the
+    * measured candidate halving. Same mutual rule as [[knnMutual]];
+    * deliberately NOT a replacement for the `knnmutual` memo — the
+    * graph_* family stays on the audited unsplit edges, and this is
+    * the migration-path query that prices the split for graph builds
+    * (its recall side is the frontier's `split` leg). Memo
+    * "knnmutualsplit", owner sim_knn_mutual_split in Bench's list. */
+  def knnMutualSplit(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "knnmutualsplit"), {
+      // materialize the serve ONCE before the self-join: the mutual
+      // rule references it on both sides, and the serve's probe
+      // descent + candidate stages sit behind no reusable exchange —
+      // without this barrier the join re-runs them twice (measured
+      // 531 vs 348 s task CPU at 768 k, BASELINE round 16)
+      val t = splitTopK(spark, dir).select("a_id", "b_id", "sim")
+        .localCheckpoint()
+      val rev = t.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+      val mu = t.join(rev, Seq("a_id", "b_id"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("sim"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.checkpointRdd(t)
+        .foreach(_.unpersist(false))
+      mu
+    })
+
   /** One NN-DESCENT refinement round (Dong et al., "Efficient K-Nearest
     * Neighbor Graph Construction for Generic Similarity Measures",
     * WWW 2011) — the missing ANN-graph-CONSTRUCTION shape: a neighbor
@@ -3429,6 +3459,7 @@ object Similarity {
     "sim_split_deep_topk" -> ((s, d) => splitDeepTopK(s, d)),
     "sim_split_deep_recall_eval" -> ((s, d) => splitDeepRecallEval(s, d)),
     "sim_split_plan" -> splitPlan _,
+    "sim_knn_mutual_split" -> knnMutualSplit _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -4249,6 +4280,14 @@ object Similarity {
     "sim_split_deep_recall_eval" -> splitDeepRecallOracleSql,
     // the fail-closed depth chooser over the SAME snapshot union
     "sim_split_plan" -> splitPlanOracleSql,
+    // mutual edges over the split serve — the knnMutualCteSql mutual
+    // rule (sm-prefixed) over splitServeCteSql's `str`
+    "sim_knn_mutual_split" ->
+      (splitServeCteSql + ", " +
+       "smt AS (SELECT a_id, b_id, sim FROM str WHERE rn <= 3), " +
+       "smu AS (SELECT t.a_id, t.b_id, t.sim FROM smt t JOIN smt u " +
+       "ON t.a_id = u.b_id AND t.b_id = u.a_id WHERE t.a_id < t.b_id) " +
+       "SELECT a_id, b_id, sim FROM smu"),
     // recall of the split serve vs the SHARED truth (frontier leg
     // `split`) — the eval-family probe literal and metric forms
     "sim_split_recall_eval" ->

@@ -209,6 +209,21 @@ class CellSplitSpec extends SparkSpec {
     assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(0))
   }
 
+  test("split mutual graph ≡ the mutual rule over the split serve") {
+    val served = servedRows(
+      ext.Similarity.queries("sim_split_topk")(spark, sf001))
+    val pairs = served.map(t => (t._1, t._2))
+    val expected = served
+      .filter(t => pairs.contains((t._2, t._1)) && t._1 < t._2)
+      .map(t => (t._1, t._2, t._4))
+    val got = ext.Similarity.queries("sim_knn_mutual_split")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === expected, "split mutual edges drifted from the serve")
+    assert(got.nonEmpty, "no mutual edge — vacuous")
+  }
+
   test("persisted split index: reloaded serve ≡ in-session serve, " +
        "postings laid out by ncell") {
     assert(servedRows(ext.Similarity.queries("sim_split_persist")(spark, sf001)) ===
