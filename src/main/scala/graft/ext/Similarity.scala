@@ -713,18 +713,62 @@ object Similarity {
   def splitDeepTopK(spark: SparkSession, dir: String,
                     depth: Int = SplitDepth): DataFrame = {
     val rounds = cellSplitRounds(spark, dir, depth)
+    splitDeepServeFrom(spark, dir,
+      rounds.last._4.withColumnRenamed("cell", "ncell"),
+      rounds.map(_._3))
+  }
+
+  /** The deep-split serve over a GIVEN (vec_id, ncell) postings frame
+    * and the per-round model list — probes fold one τ-compare descent
+    * per round (each round's hot set IS its model's distinct cells).
+    * Shared by [[splitDeepTopK]] (in-session frames) and
+    * [[splitDeepIndexPersistSearch]] (the same frames reloaded from
+    * durable parquet) — the splitServeFrom discipline at depth d. */
+  private def splitDeepServeFrom(spark: SparkSession, dir: String,
+                                 postings: DataFrame,
+                                 modelsByRound: Seq[DataFrame]): DataFrame = {
     val emb = embWithNrm(spark, dir)
     val probe0 = ivfAssignRanked(spark, dir).select("vec_id", "cell")
-    val probeMap = rounds.foldLeft(probe0) { case (p, (_, hot, seeds, _)) =>
-      probeDescend(emb, p, hot, seeds)
+    val probeMap = modelsByRound.foldLeft(probe0) { (p, seeds) =>
+      probeDescend(emb, p, seeds.select("cell").distinct(), seeds)
     }
-    val idx = rounds.last._4
     serveTop3(pairCandidatesAB(
         emb.join(probeMap.withColumnRenamed("cell", "ncell"), Seq("vec_id")),
-        emb.join(idx.withColumnRenamed("cell", "ncell"), Seq("vec_id")),
+        emb.join(postings, Seq("vec_id")),
         "ncell", MaxBucketCandidates)
       .filter(col("a_id") =!= col("b_id")))
       .select("a_id", "b_id", "rn", "sim")
+  }
+
+  /** Persisted RECURSIVE split index (sim_split_deep_persist) — the
+    * [[splitIndexPersistSearch]] shape at depth [[SplitDepth]], so the
+    * depth [[splitPlan]] chooses can be made durable: postings
+    * (vec_id, ncell at full depth) PARTITIONED BY ncell, plus ONE
+    * model table carrying every round's (cell, sv, snrm, tau) under a
+    * `round` column (round k's cells live in round k−1's ncell space —
+    * the probe descent consumes them in order). A converged round's
+    * model slice is legitimately EMPTY (sf0.01 round 2 — the reload
+    * path must and does serve through it unchanged). Serve runs from
+    * the RELOAD through the same [[splitDeepServeFrom]] tail as the
+    * in-session deep serve; the oracle is sim_split_deep_topk's
+    * VERBATIM (only the storage moved). */
+  def splitDeepIndexPersistSearch(spark: SparkSession, dir: String,
+                                  depth: Int = SplitDepth): DataFrame = {
+    val rounds = cellSplitRounds(spark, dir, depth)
+    val postingsPath = Tables.scratch("split_deep_postings")
+    rounds.last._4.withColumnRenamed("cell", "ncell")
+      .write.mode("overwrite").partitionBy("ncell").parquet(postingsPath)
+    val modelsPath = Tables.scratch("split_deep_models")
+    rounds.zipWithIndex
+      .map { case ((_, _, seeds, _), i) =>
+        seeds.withColumn("round", lit(i + 1)) }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(modelsPath)
+    val reloadedIdx = spark.read.parquet(postingsPath)
+      .withColumn("ncell", col("ncell").cast("long"))
+    val models = spark.read.parquet(modelsPath)
+    splitDeepServeFrom(spark, dir, reloadedIdx,
+      (1 to depth).map(k => models.filter(col("round") === k).drop("round")))
   }
 
   /** Recall of the split-index serve vs the SHARED exact truth — the
@@ -3460,6 +3504,7 @@ object Similarity {
     "sim_split_deep_recall_eval" -> ((s, d) => splitDeepRecallEval(s, d)),
     "sim_split_plan" -> splitPlan _,
     "sim_knn_mutual_split" -> knnMutualSplit _,
+    "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -4275,6 +4320,9 @@ object Similarity {
     // depth-1 CTEs byte-for-byte (the generator's ("cs","home")
     // instance), the dz tail mirrors the st tail
     "sim_split_deep_topk" -> splitDeepTopKOracleSql,
+    // the persisted deep index serves THROUGH splitDeepServeFrom from
+    // reloaded parquet — oracle VERBATIM (only the storage moved)
+    "sim_split_deep_persist" -> splitDeepTopKOracleSql,
     // recall of the deep serve vs the SHARED truth (frontier leg
     // `deepsplit`) — the eval-family probe literal and metric forms
     "sim_split_deep_recall_eval" -> splitDeepRecallOracleSql,

@@ -209,6 +209,23 @@ class CellSplitSpec extends SparkSpec {
     assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(0))
   }
 
+  test("persisted deep index: reloaded serve ≡ in-session deep serve " +
+       "through an empty converged-round model slice") {
+    assert(servedRows(
+        ext.Similarity.queries("sim_split_deep_persist")(spark, sf001)) ===
+      servedRows(
+        ext.Similarity.queries("sim_split_deep_topk")(spark, sf001)))
+    val models = spark.read.parquet(Tables.scratch("split_deep_models"))
+    // sf0.01 converges in one round — round 2's model slice is EMPTY
+    // and the reload path must serve through it unchanged
+    assert(models.filter(col("round") === 2).count() === 0L)
+    assert(models.filter(col("round") === 1).count() ===
+           rows.count(_._3 === 1).toLong)
+    val parts = new java.io.File(Tables.scratch("split_deep_postings"))
+      .listFiles().filter(_.getName.startsWith("ncell="))
+    assert(parts.nonEmpty, "deep postings are not partitioned by ncell")
+  }
+
   test("split mutual graph ≡ the mutual rule over the split serve") {
     val served = servedRows(
       ext.Similarity.queries("sim_split_topk")(spark, sf001))
@@ -298,5 +315,13 @@ class CellSplitSpec extends SparkSpec {
       .collect().head
     assert(fp.getLong(0) === 1000000000L && fp.getInt(1) === 0,
       "plan did not fail closed on the unsplittable clump")
+    // and the persisted deep index round-trips HERE too — on this
+    // fixture round 2's model slice is NON-empty (the sf0.01 pin
+    // covers the empty-slice side)
+    assert(servedRows(
+        ext.Similarity.queries("sim_split_deep_persist")(spark, dir)) ===
+      servedRows(ext.Similarity.splitDeepTopK(spark, dir, 2)))
+    val fxModels = spark.read.parquet(Tables.scratch("split_deep_models"))
+    assert(fxModels.filter(col("round") === 2).count() >= 1L)
   }
 }
