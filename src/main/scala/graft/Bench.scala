@@ -58,8 +58,13 @@ object Bench {
       // splitseeds/splitasg memo owner (report, serve, recall eval,
       // persist and the deep chain's round 1 all consume them)
       "sim_cell_split",
-      // knnmutualsplit memo owner (single consumer, pinned anyway so
-      // the build cost can't migrate if one ever joins)
+      // splitserve memo owner (its recall eval and the mutual edge
+      // build re-rank from the one materialized serve)
+      "sim_split_topk",
+      // splitdeep memo owner (the deepsplit frontier leg and the deep
+      // recall eval read it)
+      "sim_split_deep_topk",
+      // knnmutualsplit memo owner
       "sim_knn_mutual_split",
       "graph_pagerank", "graph_components", "emb_pca_power",
       "text_contamination", "sim_eval_frontier", "dedup_para_neardup")

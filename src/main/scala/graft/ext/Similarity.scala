@@ -575,10 +575,16 @@ object Similarity {
     * [[splitRecallEval]] (frontier leg `split`) puts the number on
     * that loss vs the shared truth. Corpus-probe serve ⇒ bounded
     * [[serveTop3]], never a window. */
-  def splitTopK(spark: SparkSession, dir: String): DataFrame = {
-    val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
-    splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds)
-  }
+  def splitTopK(spark: SparkSession, dir: String): DataFrame =
+    // memoized once per (session, dir): THREE consumers re-rank from
+    // this serve (the query itself, sim_split_recall_eval's screen,
+    // sim_knn_mutual_split's edge build) — the knnmutual precedent;
+    // owner in Bench's list: sim_split_topk
+    CkptMemo.getOrElseUpdate((spark, dir, "splitserve"), {
+      val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
+      splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds)
+        .localCheckpoint()
+    })
 
   /** The split index's postings — (vec_id, ncell) with ncell =
     * cell·2 + sub for hot-cell members, cell·2 for cool (bijective) —
@@ -712,10 +718,20 @@ object Similarity {
     * recursive fixture). */
   def splitDeepTopK(spark: SparkSession, dir: String,
                     depth: Int = SplitDepth): DataFrame = {
-    val rounds = cellSplitRounds(spark, dir, depth)
-    splitDeepServeFrom(spark, dir,
-      rounds.last._4.withColumnRenamed("cell", "ncell"),
-      rounds.map(_._3))
+    def build() = {
+      val rounds = cellSplitRounds(spark, dir, depth)
+      splitDeepServeFrom(spark, dir,
+        rounds.last._4.withColumnRenamed("cell", "ncell"),
+        rounds.map(_._3))
+    }
+    // the default-depth serve is memoized (consumers: the query, the
+    // deepsplit frontier leg, sim_split_deep_recall_eval; owner in
+    // Bench's list: sim_split_deep_topk); explicit non-default depths
+    // (spec probes) stay un-memoized
+    if (depth == SplitDepth)
+      CkptMemo.getOrElseUpdate((spark, dir, "splitdeep"),
+        build().localCheckpoint())
+    else build()
   }
 
   /** The deep-split serve over a GIVEN (vec_id, ncell) postings frame
@@ -1021,21 +1037,17 @@ object Similarity {
     * "knnmutualsplit", owner sim_knn_mutual_split in Bench's list. */
   def knnMutualSplit(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "knnmutualsplit"), {
-      // materialize the serve ONCE before the self-join: the mutual
-      // rule references it on both sides, and the serve's probe
-      // descent + candidate stages sit behind no reusable exchange —
-      // without this barrier the join re-runs them twice (measured
-      // 531 vs 348 s task CPU at 768 k, BASELINE round 16)
+      // [[splitTopK]] is the memoized splitserve frame — already a
+      // materialization barrier, so the mutual self-join reads it on
+      // both sides instead of re-running the descent+candidate stages
+      // twice (measured 531 vs 425 s task CPU at 768 k when the serve
+      // was un-memoized and un-barriered, BASELINE round 16)
       val t = splitTopK(spark, dir).select("a_id", "b_id", "sim")
-        .localCheckpoint()
       val rev = t.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
-      val mu = t.join(rev, Seq("a_id", "b_id"))
+      t.join(rev, Seq("a_id", "b_id"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("sim"))
         .localCheckpoint()
-      org.apache.spark.sql.GraftSql.checkpointRdd(t)
-        .foreach(_.unpersist(false))
-      mu
     })
 
   /** One NN-DESCENT refinement round (Dong et al., "Efficient K-Nearest
