@@ -462,6 +462,15 @@ object Similarity {
     * routing are a single threshold compare — NO pick window at all. */
   def cellSplit(spark: SparkSession, dir: String): DataFrame = {
     val (occ, _, _, _, assigned) = cellSplitParts(spark, dir)
+    cellSplitReportOf(occ, assigned)
+  }
+
+  /** The per-cell split report over an (occupancy, child-picks) pair —
+    * shared by [[cellSplit]] (stub-quantizer home cells) and
+    * [[cellSplitTrained]] (Lloyd-trained home cells) so the two
+    * reports carry ONE shape. */
+  private def cellSplitReportOf(occ: DataFrame,
+                                assigned: DataFrame): DataFrame = {
     val childSizes = assigned.groupBy("cell")
       .agg(sum(when(col("sub") === 0, 1L).otherwise(0L)).as("c0"),
            sum(when(col("sub") === 1, 1L).otherwise(0L)).as("c1"))
@@ -473,6 +482,22 @@ object Similarity {
         coalesce(greatest(col("c0"), col("c1")), col("n_before"))
           .as("n_max_after"))
       .orderBy("cell")
+  }
+
+  /** Occupancy split over the TRAINED quantizer's home cells
+    * (sim_cell_split_trained) — production indexes serve Lloyd-trained
+    * cells ([[ivfTopKTrained]] / sim_index_persist), so the
+    * maintenance loop must read occupancy THERE: the identical
+    * median-τ rule ([[splitRoundParts]] takes any (vec_id, cell)
+    * assignment) applied to [[ivfTrainedRanked]]'s rn = 1 home cells,
+    * same report shape as [[cellSplit]]. Composes the memoized trained
+    * ranking — the split adds one occupancy agg, one τ selection over
+    * hot members, and one threshold compare. */
+  def cellSplitTrained(spark: SparkSession, dir: String): DataFrame = {
+    val home = ivfTrainedRanked(spark, dir).filter(col("rn") === 1)
+      .select("vec_id", "cell")
+    val (occ, _, _, assigned) = splitRoundParts(spark, dir, home)
+    cellSplitReportOf(occ, assigned)
   }
 
   /** The split's working frames — (per-cell occupancy, hot cells,
@@ -3517,6 +3542,7 @@ object Similarity {
     "sim_split_plan" -> splitPlan _,
     "sim_knn_mutual_split" -> knnMutualSplit _,
     "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
+    "sim_cell_split_trained" -> cellSplitTrained _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -3621,7 +3647,11 @@ object Similarity {
     * the probe/home/cap/rerank composition) — registered VERBATIM for
     * BOTH sim_ivf_topk_trained and sim_index_persist: the persisted
     * round trip changes where the index lives, never what it serves. */
-  private lazy val trainedTopKOracleSql: String =
+  /** The trained chain through `home` (trained centroids → full
+    * ranking → probes/home) — the prefix [[trainedTopKOracleSql]]
+    * splices its serve tail onto, and the source relation
+    * sim_cell_split_trained's split round runs over. */
+  private lazy val trainedChainToHomeSql: String =
     s"WITH $ivfTrainCte, " +
     "tc AS (SELECT cell, list(m ORDER BY pos1) AS cv FROM tr GROUP BY cell), " +
     "s2 AS (SELECT e.vec_id, t.cell, " +
@@ -3630,7 +3660,10 @@ object Similarity {
     "pr2 AS (SELECT vec_id, cell, row_number() OVER (" +
     "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s2), " +
     s"probes AS (SELECT vec_id, cell FROM pr2 WHERE rn <= $NProbe), " +
-    "home AS (SELECT vec_id, cell FROM pr2 WHERE rn = 1), " +
+    "home AS (SELECT vec_id, cell FROM pr2 WHERE rn = 1)"
+
+  private lazy val trainedTopKOracleSql: String =
+    trainedChainToHomeSql + ", " +
     "m2 AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
     "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
     s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
@@ -4340,6 +4373,22 @@ object Similarity {
     "sim_split_deep_recall_eval" -> splitDeepRecallOracleSql,
     // the fail-closed depth chooser over the SAME snapshot union
     "sim_split_plan" -> splitPlanOracleSql,
+    // the median-τ split round applied to the TRAINED quantizer's home
+    // cells — the SAME generator over trainedChainToHomeSql's `home`
+    // (tcs-prefixed; probes/tc unreferenced CTEs are free)
+    "sim_cell_split_trained" ->
+      (trainedChainToHomeSql + ", " +
+       cellSplitRoundCtesFor("tcs", "home") + ", " +
+       "tcsc AS (SELECT cell, " +
+       "CAST(sum(CASE WHEN sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+       "CAST(sum(CASE WHEN sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
+       "FROM tcsp GROUP BY cell) " +
+       "SELECT o.cell, o.n_before, " +
+       "CAST(c.cell IS NOT NULL AS INTEGER) AS split, " +
+       "coalesce(c.c0, CAST(0 AS BIGINT)) AS n_child0, " +
+       "coalesce(c.c1, CAST(0 AS BIGINT)) AS n_child1, " +
+       "coalesce(greatest(c.c0, c.c1), o.n_before) AS n_max_after " +
+       "FROM tcso o LEFT JOIN tcsc c USING (cell) ORDER BY o.cell"),
     // mutual edges over the split serve — the knnMutualCteSql mutual
     // rule (sm-prefixed) over splitServeCteSql's `str`
     "sim_knn_mutual_split" ->

@@ -226,6 +226,32 @@ class CellSplitSpec extends SparkSpec {
     assert(parts.nonEmpty, "deep postings are not partitioned by ncell")
   }
 
+  test("trained-cell split: same report contract over the Lloyd-trained " +
+       "home assignment") {
+    val trained = ext.Similarity
+      .queries("sim_cell_split_trained")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5)))
+    // totals tie to the TRAINED home assignment
+    val n = ext.Similarity.queries("sim_ivf_assign_trained")(spark, sf001)
+      .count()
+    assert(trained.map(_._2).sum === n,
+      "trained occupancies do not partition the corpus")
+    assert(trained.exists(_._3 === 1) && trained.exists(_._3 === 0),
+      "both branches must occur on the trained cells at sf0.01")
+    trained.foreach { case (cell, before, split, c0, c1, maxAfter) =>
+      if (split === 1) {
+        assert(before > ext.Similarity.SplitOccupancy)
+        assert(c0 + c1 === before)
+        assert(maxAfter === math.max(c0, c1) && maxAfter < before)
+      } else {
+        assert(before <= ext.Similarity.SplitOccupancy)
+        assert((c0, c1, maxAfter) === ((0L, 0L, before)))
+      }
+    }
+  }
+
   test("split mutual graph ≡ the mutual rule over the split serve") {
     val served = servedRows(
       ext.Similarity.queries("sim_split_topk")(spark, sf001))
