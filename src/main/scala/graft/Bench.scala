@@ -61,6 +61,8 @@ object Bench {
       // splitserve memo owner (its recall eval and the mutual edge
       // build re-rank from the one materialized serve)
       "sim_split_topk",
+      // splitband memo owner (the band recall leg re-ranks from it)
+      "sim_split_band_topk",
       // splitdeep memo owner (the deepsplit frontier leg and the deep
       // recall eval read it)
       "sim_split_deep_topk",
@@ -79,6 +81,13 @@ object Bench {
                    sys.env.get("SPARK_GRAFT_ONLY")) match {
       case (Some(xs), _) =>
         val names = xs.split(',').toSet
+        // a typo'd exact name would silently yield a zero-query "bench"
+        // that looks plausible in bench.json — the --add-opens trap
+        // class (ADVICE r16); make the miss loud
+        val unknown = names.diff(allOrdered.toSet)
+        if (unknown.nonEmpty)
+          System.err.println("BENCH WARNING: SPARK_GRAFT_ONLY_EXACT names " +
+            s"match no registered query: ${unknown.toSeq.sorted.mkString(",")}")
         allOrdered.filter(names.contains)
       case (None, Some(ps)) =>
         val pfx = ps.split(',').toSeq

@@ -429,12 +429,6 @@ object Similarity {
     * occur naturally; mirrored literally in the oracle (lockstep). */
   private[graft] val SplitOccupancy = 32L
 
-  /** Children per split cell — tied to the ncell = cell·2 + sub
-    * bijection (sub ∈ {0,1}); deliberately its OWN constant so a
-    * future [[NProbe]] change can never silently widen it
-    * (ADVICE r15). */
-  private[graft] val SplitSubSeeds = 2
-
   /** Occupancy-triggered cell SPLIT (sim_cell_split) — the re-shard
     * maintenance job the bucket cap's own guidance prescribes
     * ([[pairCandidates]] scaladoc: "raise numPlanes or re-shard the
@@ -711,8 +705,9 @@ object Similarity {
     * needed — the number that drives the maintenance loop's
     * stop-or-continue decision (round-15 verdict gap #2: one split
     * left occupancy-188 cells at ~94). Each round is one |cells|-row
-    * agg + a bounded top-2 seed fold over the shrinking hot set —
-    * never a member sort. */
+    * agg + one median-τ model selection (a per-cell positional rank
+    * over the shrinking hot set's members) — never a member sort over
+    * the whole corpus. */
   def cellSplitDeep(spark: SparkSession, dir: String,
                     depth: Int = SplitDepth): DataFrame = {
     val rounds = cellSplitRounds(spark, dir, depth)
@@ -850,6 +845,161 @@ object Similarity {
         expr("CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_screen END")
           .as("precision_micro"))
+  }
+
+  /** Margin (µ-cosine) for the BOUNDARY DUAL-PROBE band
+    * ([[splitBandTopK]]): a probe whose |s0sim − τ| to a probed hot
+    * cell's split model lands INSIDE the band probes BOTH children
+    * (the true neighbor it would otherwise lose sits across the cut
+    * almost surely near the cut); outside the band it descends to one
+    * child as [[splitTopK]] does. Both engines compare EXACT integer
+    * micro-cosines (round(s0sim·1e6) − round(τ·1e6) as BIGINT — s0sim
+    * and τ are already 6-dp-grained so the micronization is
+    * integer-exact), so the band membership can never drift at the
+    * ulp level. Default 50000 µ chosen from the [[splitBandSweep]]
+    * grid at sf0.01 (recall 356666 → 370000 µ of the unsplit 396666 µ
+    * for 27605 vs 24959 candidates — the middle of the
+    * candidates-vs-recall curve); mirrored literally in the oracle
+    * (lockstep). */
+  private[graft] val SplitBandMargin = 50000L
+
+  /** The [[splitBandSweep]] margin grid — 0 IS the plain split serve
+    * (an empty band: the margin-0 row must equal sim_split_recall_eval
+    * cell-for-cell) and the [[SplitBandMargin]] row must equal
+    * sim_split_band_recall_eval (CellSplitSpec pins both); mirrored
+    * literally in the sweep oracle's arm list (lockstep). */
+  private[graft] val SplitBandSweepMargins =
+    Seq(0L, 20000L, 50000L, 100000L, 150000L)
+
+  /** Band-aware probe descent — [[probeDescend]] plus the boundary
+    * dual-probe: every probed hot cell emits its compare-selected
+    * child, and ADDITIONALLY the other child when the probe's
+    * |s0sim − τ| is inside `marginMicro` (exact integer µ compare).
+    * Emitted (vec_id, cell) rows stay DISTINCT — the two children of
+    * one probed cell are distinct ncells and distinct probed cells
+    * have disjoint children — so the serve keeps the
+    * pair-appears-at-most-once invariant with no dedup stage. */
+  private[ext] def probeDescendBand(emb: DataFrame, probe: DataFrame,
+                                    hot: DataFrame, seeds: DataFrame,
+                                    marginMicro: Long): DataFrame = {
+    val hotRows = probe.join(emb, Seq("vec_id"))
+      .join(broadcast(seeds), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("tau"),
+        Num.rnd(dotCols(col("embedding"), col("sv")) /
+                  (col("nrm") * col("snrm")), 6).as("s0sim"))
+    val pick = when(col("s0sim") >= col("tau"), lit(0)).otherwise(lit(1))
+    val other = when(col("s0sim") >= col("tau"), lit(1)).otherwise(lit(0))
+    val primary = hotRows
+      .select(col("vec_id"), (col("cell") * 2 + pick).cast("long").as("cell"))
+    val secondary = hotRows
+      .filter(abs(round(col("s0sim") * lit(1e6), 0).cast("long") -
+                  round(col("tau") * lit(1e6), 0).cast("long"))
+                < lit(marginMicro))
+      .select(col("vec_id"), (col("cell") * 2 + other).cast("long").as("cell"))
+    val cool = probe.join(hot, Seq("cell"), "left_anti")
+      .select(col("vec_id"), (col("cell") * 2).cast("long").as("cell"))
+    primary.unionByName(secondary).unionByName(cool)
+  }
+
+  /** The band serve over a GIVEN postings/model pair at a GIVEN margin
+    * — [[splitServeFrom]] with [[probeDescendBand]] on the probe side;
+    * the indexed side is UNCHANGED (the band is query-time work only —
+    * the durable index and its model never move when the margin is
+    * tuned). */
+  private def splitBandServeFrom(spark: SparkSession, dir: String,
+                                 postings: DataFrame, seeds: DataFrame,
+                                 marginMicro: Long): DataFrame = {
+    val emb = embWithNrm(spark, dir)
+    val hot = seeds.select("cell").distinct()
+    val indexed = emb.join(postings, Seq("vec_id"))
+    val probed = ivfAssignRanked(spark, dir).select("vec_id", "cell")
+    val probes = emb.join(
+      probeDescendBand(emb, probed, hot, seeds, marginMicro)
+        .withColumnRenamed("cell", "ncell"),
+      Seq("vec_id"))
+    serveTop3(pairCandidatesAB(probes, indexed, "ncell", MaxBucketCandidates)
+      .filter(col("a_id") =!= col("b_id")))
+      .select("a_id", "b_id", "rn", "sim")
+  }
+
+  /** Boundary dual-probe split serve (sim_split_band_topk) — the
+    * round-16 verdict's highest-leverage item: [[splitTopK]]'s
+    * candidate halving costs ~4 recall points because a true neighbor
+    * in a probed hot cell's OTHER child is unseen, and those losses
+    * concentrate near the cut; paying double candidates for ONLY the
+    * in-band probes ([[SplitBandMargin]]) recovers a third of the gap
+    * at sf0.01 for ~11% extra candidates (the [[splitBandSweep]] grid
+    * is the measured curve). Out-of-band probes and all-cool probes
+    * are BIT-IDENTICAL to [[splitTopK]] / [[ivfTopK]] (same descent,
+    * same bijection — CellSplitSpec pins both). Memoized once per
+    * (session, dir) — memo key "splitband", owner in Bench's list:
+    * sim_split_band_topk — because the recall leg re-ranks from it. */
+  def splitBandTopK(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "splitband"), {
+      val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
+      splitBandServeFrom(spark, dir, splitPostings(hot, members, assigned),
+        seeds, SplitBandMargin).localCheckpoint()
+    })
+
+  /** Spec probe: the band serve at an EXPLICIT margin, unmemoized —
+    * CellSplitSpec drives margin 0 (must equal [[splitTopK]] exactly:
+    * an empty band never fires the dual probe) and the monotone
+    * candidate-superset property. Production serves go through the
+    * memoized [[splitBandTopK]] at [[SplitBandMargin]]. */
+  private[graft] def splitBandTopKAt(spark: SparkSession, dir: String,
+                                     marginMicro: Long): DataFrame = {
+    val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
+    splitBandServeFrom(spark, dir, splitPostings(hot, members, assigned),
+      seeds, marginMicro)
+  }
+
+  /** Recall of the band serve vs the SHARED exact truth — the number
+    * that prices the dual-probe's recall recovery; joins the frontier
+    * as the `band` leg (shared-truth contract, GraphSearchSpec's
+    * n_truth assert covers it). */
+  def splitBandRecallEval(spark: SparkSession, dir: String,
+                          probeN: Long = 100): DataFrame =
+    recallVsSharedTruth(spark, dir, splitBandTopK(spark, dir), probeN)
+
+  /** Band-margin SWEEP (sim_split_band_sweep) — the measure half
+    * behind [[SplitBandMargin]]'s default: one row per grid margin
+    * with the candidate count (the cost axis) and recall vs the
+    * shared truth (the benefit axis), over the eval-family 100-probe
+    * sample (the nprobe_sweep precedent — per-probe serving is
+    * batch-local because the indexed side is complete, so the sample
+    * serve IS the full serve's probe slice; CellSplitSpec pins the
+    * margin-0 row to sim_split_recall_eval and the default-margin row
+    * to sim_split_band_recall_eval cell-for-cell). */
+  def splitBandSweep(spark: SparkSession, dir: String,
+                     probeN: Long = 100): DataFrame = {
+    val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
+    val postings = splitPostings(hot, members, assigned)
+    val emb = embWithNrm(spark, dir)
+    val hotCells = seeds.select("cell").distinct()
+    val indexed = emb.join(postings, Seq("vec_id"))
+    val probed = ivfAssignRanked(spark, dir).select("vec_id", "cell")
+      .filter(col("vec_id") < probeN)
+    val truth = exactTruthTop3(spark, dir, probeN)
+    SplitBandSweepMargins.map { m =>
+      val probes = emb.join(
+        probeDescendBand(emb, probed, hotCells, seeds, m)
+          .withColumnRenamed("cell", "ncell"),
+        Seq("vec_id"))
+      val cand = pairCandidatesAB(probes, indexed, "ncell",
+          MaxBucketCandidates)
+        .filter(col("a_id") =!= col("b_id"))
+      val screen = serveTop3(cand).select("a_id", "b_id")
+      val hit = truth.join(screen, Seq("a_id", "b_id"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(screen.agg(count(lit(1)).as("n_screen")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(m).as("margin_micro"), col("n_cand"), col("n_truth"),
+          col("n_screen"), col("n_hit"),
+          expr("CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+            "ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth END")
+            .as("recall_micro"))
+    }.reduce(_ unionByName _).orderBy("margin_micro")
   }
 
   /** Split-depth CHOOSER (sim_split_plan) — the decision operator over
@@ -1859,6 +2009,7 @@ object Similarity {
     * with its legs. */
   def evalFrontier(spark: SparkSession, dir: String): DataFrame = {
     val legs = Seq(
+      "band"       -> splitBandRecallEval(spark, dir),
       "deepsplit"  -> splitDeepRecallEval(spark, dir),
       "graph"      -> graphSearchEval(spark, dir),
       "int8"       -> int8RecallEval(spark, dir),
@@ -3543,6 +3694,9 @@ object Similarity {
     "sim_knn_mutual_split" -> knnMutualSplit _,
     "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
     "sim_cell_split_trained" -> cellSplitTrained _,
+    "sim_split_band_topk" -> splitBandTopK _,
+    "sim_split_band_recall_eval" -> ((s, d) => splitBandRecallEval(s, d)),
+    "sim_split_band_sweep" -> ((s, d) => splitBandSweep(s, d)),
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -4335,8 +4489,9 @@ object Similarity {
     // occupancy-triggered cell split over the chain's `home` CTE
     // (composing the full chain is free — unreferenced CTEs are not
     // executed; the emb_cell_purity precedent); cs-prefixed names;
-    // threshold literal = SplitOccupancy, seed rule = 2 lowest member
-    // ids, pick ties sub-ascending — all mirrored in cellSplit
+    // threshold literal = SplitOccupancy, median-τ model (seed
+    // direction = lowest member id, τ = lower-median rank (n+1) div 2,
+    // sub 0 iff s0sim ≥ τ) — all mirrored in cellSplit
     "sim_cell_split" ->
       (ivfTopKCteSql + ", " + cellSplitCteSql + ", " +
        "csc AS (SELECT cell, " +
@@ -4389,6 +4544,16 @@ object Similarity {
        "coalesce(c.c1, CAST(0 AS BIGINT)) AS n_child1, " +
        "coalesce(greatest(c.c0, c.c1), o.n_before) AS n_max_after " +
        "FROM tcso o LEFT JOIN tcsc c USING (cell) ORDER BY o.cell"),
+    // boundary dual-probe serve: the sb band chain over the UNCHANGED
+    // split index (margin literal = SplitBandMargin, lockstep)
+    "sim_split_band_topk" -> bandTopKOracleSql,
+    // recall of the band serve vs the SHARED truth (frontier leg
+    // `band`) — the eval-family probe literal and metric forms
+    "sim_split_band_recall_eval" -> bandRecallOracleSql,
+    // the margin grid (arms generated from SplitBandSweepMargins —
+    // lockstep by construction); margin-0 row ≡ sim_split_recall_eval,
+    // default-margin row ≡ sim_split_band_recall_eval
+    "sim_split_band_sweep" -> bandSweepOracleSql,
     // mutual edges over the split serve — the knnMutualCteSql mutual
     // rule (sm-prefixed) over splitServeCteSql's `str`
     "sim_knn_mutual_split" ->
@@ -4927,8 +5092,10 @@ object Similarity {
     * [[ivfTopKCteSql]]'s `home` by the sim_cell_split report AND the
     * sim_split_topk / sim_split_recall_eval serve chain (the audited
     * split and the applied split can never drift). Threshold literal =
-    * [[SplitOccupancy]]; seed rule = 2 lowest member ids; pick ties
-    * sub-ascending. */
+    * [[SplitOccupancy]]; model = median-τ bisection (seed direction =
+    * the lowest member id's embedding, τ = the lower-median 6-dp
+    * member cosine to it, rank (n+1) div 2 under (s0sim desc, vec_id
+    * asc)); sub 0 iff s0sim ≥ τ. */
   private def cellSplitCteSql: String = cellSplitRoundCtesFor("cs", "home")
 
   /** ONE split round's CTEs, generated per (prefix, source assignment
@@ -5145,6 +5312,123 @@ object Similarity {
     "str AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
     "ORDER BY sim DESC, b_id ASC) AS rn FROM stq)"
 
+  /** One band probe-map CTE `<pfx>p` over [[splitServeCteSql]]'s
+    * `stph` (probed-hot-cell s0sim/τ rows) and `probes`/`csh` (cool
+    * branch) — [[probeDescendBand]]'s mirror: compare-selected child,
+    * PLUS the other child when the exact integer µ distance
+    * |round(s0sim·1e6) − round(τ·1e6)| is inside the margin, plus
+    * cool cells at cell·2. `probeWhere` restricts the probe sample
+    * (the sweep's vec_id < 100 arms); empty = all probes. */
+  private def bandProbeMapSqlFor(pfx: String, marginMicro: Long,
+                                 probeWhere: String): String = {
+    val w1 = if (probeWhere.isEmpty) "" else s" WHERE $probeWhere"
+    val w2 = if (probeWhere.isEmpty) "" else s" AND $probeWhere"
+    s"${pfx}p AS (SELECT vec_id, CAST(cell * 2 + " +
+    "CASE WHEN s0sim >= tau THEN 0 ELSE 1 END AS BIGINT) AS ncell " +
+    s"FROM stph$w1 " +
+    "UNION ALL SELECT vec_id, CAST(cell * 2 + " +
+    "CASE WHEN s0sim >= tau THEN 1 ELSE 0 END AS BIGINT) AS ncell " +
+    "FROM stph WHERE abs(CAST(round(s0sim * 1e6) AS BIGINT) - " +
+    s"CAST(round(tau * 1e6) AS BIGINT)) < $marginMicro$w2 " +
+    "UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS ncell " +
+    "FROM probes pb LEFT JOIN csh ON csh.cell = pb.cell " +
+    s"WHERE csh.cell IS NULL${if (probeWhere.isEmpty) ""
+      else s" AND pb.$probeWhere"})"
+  }
+
+  /** The band serve tail `<pfx>m/<pfx>q/<pfx>r` from a band probe map
+    * against the UNCHANGED split index side `stb` (the band is
+    * query-time work only). */
+  private def bandServeTailSqlFor(pfx: String): String =
+    s"${pfx}m AS (SELECT e.vec_id, e.embedding, p.ncell " +
+    s"FROM embeddings e JOIN ${pfx}p p ON e.vec_id = p.vec_id), " +
+    s"${pfx}q AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    s"FROM ${pfx}m x JOIN stb y ON x.ncell = y.ncell " +
+    "AND x.vec_id <> y.vec_id), " +
+    s"${pfx}r AS (SELECT a_id, b_id, sim, row_number() OVER (" +
+    s"PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn FROM ${pfx}q)"
+
+  /** The band-serve chain through `sbr` — composes [[splitServeCteSql]]
+    * (sti/stb/stph and the split model come from there; its st-tail
+    * probe CTEs stay unreferenced — free in DuckDB) with the sb-
+    * prefixed band probe map + serve tail at the [[SplitBandMargin]]
+    * literal; shared by sim_split_band_topk and its recall eval. */
+  private def bandServeCteSql: String =
+    splitServeCteSql + ", " +
+    bandProbeMapSqlFor("sb", SplitBandMargin, "") + ", " +
+    bandServeTailSqlFor("sb")
+
+  private def bandTopKOracleSql: String =
+    bandServeCteSql + " SELECT a_id, b_id, rn, sim FROM sbr WHERE rn <= 3"
+
+  /** sim_split_band_recall_eval's oracle — the eval-family tail with
+    * sb names (probe literal 100, brute top-3 truth, integer micro
+    * metric forms). */
+  private def bandRecallOracleSql: String =
+    bandServeCteSql + ", " +
+    "sbex AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+    "WHERE x.vec_id < 100), " +
+    "sbxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+    "AS rn FROM sbex) e WHERE rn <= 3), " +
+    "sbsc AS (SELECT a_id, b_id FROM sbr WHERE rn <= 3 AND a_id < 100), " +
+    "sbht AS (SELECT a_id, b_id FROM sbxr JOIN sbsc USING (a_id, b_id)), " +
+    "sbcm AS (SELECT (SELECT count(*) FROM sbxr) AS n_truth, " +
+    "(SELECT count(*) FROM sbsc) AS n_screen, " +
+    "(SELECT count(*) FROM sbht) AS n_hit) " +
+    "SELECT CAST(n_truth AS BIGINT) AS n_truth, " +
+    "CAST(n_screen AS BIGINT) AS n_screen, " +
+    "CAST(n_hit AS BIGINT) AS n_hit, " +
+    "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+    "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END " +
+    "AS precision_micro FROM sbcm"
+
+  /** sim_split_band_sweep's oracle — one bw<i>-prefixed arm per
+    * [[SplitBandSweepMargins]] entry (generated from the SAME grid the
+    * Spark side folds — lockstep by construction), each restricted to
+    * the 100-probe sample, sharing one brute truth (bwx/bwxr). */
+  private def bandSweepOracleSql: String = {
+    val arms = SplitBandSweepMargins.zipWithIndex.map { case (m, i) =>
+      val pfx = s"bw$i"
+      bandProbeMapSqlFor(pfx, m, "vec_id < 100") + ", " +
+      bandServeTailSqlFor(pfx) + ", " +
+      s"${pfx}s AS (SELECT a_id, b_id FROM ${pfx}r WHERE rn <= 3), " +
+      s"${pfx}c AS (SELECT (SELECT count(*) FROM ${pfx}q) AS n_cand, " +
+      "(SELECT count(*) FROM bwxr) AS n_truth, " +
+      s"(SELECT count(*) FROM ${pfx}s) AS n_screen, " +
+      s"(SELECT count(*) FROM bwxr JOIN ${pfx}s USING (a_id, b_id)) " +
+      "AS n_hit)"
+    }
+    val selects = SplitBandSweepMargins.zipWithIndex.map { case (m, i) =>
+      s"SELECT CAST($m AS BIGINT) AS margin_micro, " +
+      "CAST(n_cand AS BIGINT) AS n_cand, " +
+      "CAST(n_truth AS BIGINT) AS n_truth, " +
+      "CAST(n_screen AS BIGINT) AS n_screen, " +
+      "CAST(n_hit AS BIGINT) AS n_hit, " +
+      "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+      "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END " +
+      s"AS recall_micro FROM bw${i}c"
+    }
+    splitServeCteSql + ", " +
+    "bwx AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+    "WHERE x.vec_id < 100), " +
+    "bwxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+    "AS rn FROM bwx) e WHERE rn <= 3), " +
+    arms.mkString(", ") + " " +
+    selects.mkString(" UNION ALL ") + " ORDER BY margin_micro"
+  }
+
   private def ivfTopKCteSql: String =
     "WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
     "s AS (SELECT e.vec_id, c.cell, " +
@@ -5206,17 +5490,18 @@ object Similarity {
     "rfr AS (SELECT a_id, b_id, rrf_micro, row_number() OVER (" +
     "PARTITION BY a_id ORDER BY rrf_micro DESC, b_id ASC) AS rn FROM rff)"
 
-  /** The frontier oracle wraps the nine REGISTERED leg oracles
+  /** The frontier oracle wraps the ten REGISTERED leg oracles
     * verbatim as parenthesized subqueries (CTE names stay scoped per
-    * leg) plus the inline nn_descent column rename — ten legs total,
-    * so frontier and legs move together by construction. */
+    * leg) plus the inline nn_descent column rename — eleven legs
+    * total, so frontier and legs move together by construction. */
   private def frontierLegSql(m: String, q: String): String =
     s"SELECT '$m' AS method, n_truth, n_hit, recall_micro " +
     s"FROM (${oracleBase(q)}) f_$m"
 
   val oracle: Map[String, String] = oracleBase +
     ("sim_eval_frontier" ->
-      ((Seq("deepsplit" -> "sim_split_deep_recall_eval",
+      ((Seq("band" -> "sim_split_band_recall_eval",
+            "deepsplit" -> "sim_split_deep_recall_eval",
             "graph" -> "sim_graph_search_eval",
             "int8" -> "emb_int8_recall",
             "ivf" -> "sim_ivf_recall_eval",

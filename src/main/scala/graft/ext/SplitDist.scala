@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-off diagnostic: child-size balance of the depth-1 split at a
-  * given dir — how even is the 2-lowest-member-id sub-seed rule?
-  * Measurement-only. */
+  * given dir — how even is whatever split rule [[Similarity.cellSplit]]
+  * CURRENTLY implements (median-threshold bisection since round 16;
+  * this tool's 96%-max-child readings falsified the historical
+  * 2-lowest-member-id rule — BASELINE round 16). Measurement-only. */
 object SplitDist {
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -111,6 +111,69 @@ class CellSplitSpec extends SparkSpec {
         .filter(t => coolProbes.contains(t._1)).toSet
     assert(served("sim_split_topk") === served("sim_ivf_topk"),
       "an all-cool probe's top-3 drifted between the split and unsplit serves")
+    // the band is hot-cell-only work: an all-cool probe can never be
+    // in any band, so the band serve is untouched there too
+    assert(served("sim_split_band_topk") === served("sim_ivf_topk"),
+      "an all-cool probe's top-3 drifted under the band serve")
+  }
+
+  test("band serve: margin 0 ≡ the split serve; the default margin is " +
+       "a candidate superset that never degrades a served rank") {
+    val split = servedRows(ext.Similarity.queries("sim_split_topk")(spark, sf001))
+    assert(servedRows(ext.Similarity.splitBandTopKAt(spark, sf001, 0L)) ===
+           split, "an empty band must serve exactly the split index")
+    val band = servedRows(
+      ext.Similarity.queries("sim_split_band_topk")(spark, sf001))
+    assert(band !== split,
+      "the default band never fired at sf0.01 — margin vacuous")
+    // dual-probing only ADDS candidates per probe, so at every (a, rn)
+    // the band serve's similarity is ≥ the split serve's (the
+    // NnDescentSpec superset-monotonicity argument)
+    val splitAt = split.map(t => (t._1, t._3) -> t._4).toMap
+    band.foreach { case (a, _, rn, sim) =>
+      splitAt.get((a, rn)).foreach { s =>
+        assert(sim >= s, s"band serve degraded probe $a rank $rn: $sim < $s")
+      }
+    }
+    // and a probe can never LOSE candidates: per-probe served depth is
+    // monotone too
+    val splitN = split.groupBy(_._1).view.mapValues(_.size).toMap
+    val bandN = band.groupBy(_._1).view.mapValues(_.size).toMap
+    splitN.foreach { case (a, n) =>
+      assert(bandN.getOrElse(a, 0) >= n, s"probe $a lost served rows")
+    }
+  }
+
+  test("band sweep: margin-0 row ≡ the split recall leg, default-margin " +
+       "row ≡ the band recall leg, and both axes are monotone") {
+    val sweep = ext.Similarity.queries("sim_split_band_sweep")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(sweep.map(_._1) ===
+           ext.Similarity.SplitBandSweepMargins.sorted.toArray)
+    def evalRow(q: String) = {
+      val r = ext.Similarity.queries(q)(spark, sf001).collect().head
+      (r.getLong(r.fieldIndex("n_truth")), r.getLong(r.fieldIndex("n_screen")),
+       r.getLong(r.fieldIndex("n_hit")), r.getLong(r.fieldIndex("recall_micro")))
+    }
+    val zero = sweep.find(_._1 === 0L).get
+    assert((zero._3, zero._4, zero._5, zero._6) ===
+           evalRow("sim_split_recall_eval"),
+      "sweep margin-0 row drifted from the split recall leg")
+    val dflt = sweep.find(_._1 === ext.Similarity.SplitBandMargin).get
+    assert((dflt._3, dflt._4, dflt._5, dflt._6) ===
+           evalRow("sim_split_band_recall_eval"),
+      "sweep default-margin row drifted from the band recall leg")
+    // widening the band only adds candidates → cost and recall are
+    // both monotone non-decreasing in the margin
+    sweep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 >= lo._2, s"n_cand fell: $lo -> $hi")
+      assert(hi._6 >= lo._6, s"recall fell: $lo -> $hi")
+    }
+    assert(sweep.last._6 > sweep.head._6,
+      "the widest band recovered nothing — sweep vacuous at sf0.01")
   }
 
   private def servedRows(df: org.apache.spark.sql.DataFrame) =

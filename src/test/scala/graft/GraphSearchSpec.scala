@@ -90,6 +90,7 @@ class GraphSearchSpec extends SparkSpec {
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     val legs = Map(
+      "band" -> ("sim_split_band_recall_eval", "n_hit", "recall_micro"),
       "deepsplit" -> ("sim_split_deep_recall_eval", "n_hit", "recall_micro"),
       "graph" -> ("sim_graph_search_eval", "n_hit", "recall_micro"),
       "int8" -> ("emb_int8_recall", "n_hit", "recall_micro"),
