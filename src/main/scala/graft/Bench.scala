@@ -63,6 +63,9 @@ object Bench {
       "sim_split_topk",
       // splitband memo owner (the band recall leg re-ranks from it)
       "sim_split_band_topk",
+      // tsplitseeds/tsplitasg memo owner (the trained split report and
+      // the trained split serve both consume them)
+      "sim_cell_split_trained",
       // splitdeep memo owner (the deepsplit frontier leg and the deep
       // recall eval read it)
       "sim_split_deep_topk",

@@ -488,10 +488,49 @@ object Similarity {
     * ranking — the split adds one occupancy agg, one τ selection over
     * hot members, and one threshold compare. */
   def cellSplitTrained(spark: SparkSession, dir: String): DataFrame = {
+    val (occ, _, _, assigned) = trainedSplitParts(spark, dir)
+    cellSplitReportOf(occ, assigned)
+  }
+
+  /** The TRAINED split's working frames — [[splitRoundParts]] over the
+    * Lloyd-trained home assignment, with the model and child picks
+    * memoized once per (session, dir) (memo keys "tsplitseeds"/
+    * "tsplitasg", owner in Bench's list: sim_cell_split_trained)
+    * because both the [[cellSplitTrained]] report and the
+    * [[splitTopKTrained]] serve consume them — the audited trained
+    * split and the applied trained split can never drift. */
+  private def trainedSplitParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val home = ivfTrainedRanked(spark, dir).filter(col("rn") === 1)
       .select("vec_id", "cell")
-    val (occ, _, _, assigned) = splitRoundParts(spark, dir, home)
-    cellSplitReportOf(occ, assigned)
+    val members = embWithNrm(spark, dir).join(home, Seq("vec_id"))
+    val occ = home.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val hot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
+    val seeds = CkptMemo.getOrElseUpdate((spark, dir, "tsplitseeds"),
+      splitSeeds(spark, dir, members, hot).localCheckpoint())
+    val assigned = CkptMemo.getOrElseUpdate((spark, dir, "tsplitasg"),
+      assignToSubSeeds(members, seeds).localCheckpoint())
+    (occ, hot, seeds, assigned)
+  }
+
+  /** Search over the TRAINED split index (sim_split_topk_trained) —
+    * the round-16 verdict's apply gap: production serves the
+    * Lloyd-trained cells ([[ivfTopKTrained]] / sim_index_persist), so
+    * the occupancy-split maintenance loop's APPLY half must exist
+    * THERE, not only on the stub quantizer. Same composition as
+    * [[splitTopK]] — postings re-home hot trained cells' members to
+    * ncell = cell·2 + sub, probes descend by the model's s0sim ≥ τ
+    * compare — through the SHARED [[splitServeFrom]] tail over the
+    * TRAINED probe ranking, so an all-cool probe (its [[NProbe]]
+    * trained cells all under [[SplitOccupancy]]) is bit-identical to
+    * [[ivfTopKTrained]] (CellSplitSpec pins it). */
+  def splitTopKTrained(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = ivfTrainedRanked(spark, dir)
+    val home = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+    val members = embWithNrm(spark, dir).join(home, Seq("vec_id"))
+    val (_, hot, seeds, assigned) = trainedSplitParts(spark, dir)
+    splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds,
+      ranked.select("vec_id", "cell"))
   }
 
   /** The split's working frames — (per-cell occupancy, hot cells,
@@ -601,7 +640,8 @@ object Similarity {
     // owner in Bench's list: sim_split_topk
     CkptMemo.getOrElseUpdate((spark, dir, "splitserve"), {
       val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
-      splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds)
+      splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds,
+          ivfAssignRanked(spark, dir).select("vec_id", "cell"))
         .localCheckpoint()
     })
 
@@ -636,21 +676,25 @@ object Similarity {
     hotPick.unionByName(cool)
   }
 
-  /** The split-index serve over a GIVEN (vec_id, ncell) postings frame
-    * and split model — the probe side routes its probed cells by the
-    * model's s0sim ≥ τ compare at QUERY time (the durable index stores
-    * postings; the seed table is the model, hot cells = its distinct
-    * cells). Shared by [[splitTopK]] (in-session frames) and
-    * [[splitIndexPersistSearch]] (the same frames reloaded from
-    * parquet) — the trainedServeFrom discipline, so the audited serve
-    * and the reloaded serve can never diverge. */
-  private def splitServeFrom(spark: SparkSession, dir: String,
+  /** The split-index serve over a GIVEN (vec_id, ncell) postings frame,
+    * split model, and (vec_id, cell) probe rows (whatever quantizer
+    * ranked them — stub or Lloyd-trained) — the probe side routes its
+    * probed cells by the model's s0sim ≥ τ compare at QUERY time (the
+    * durable index stores postings; the seed table is the model, hot
+    * cells = its distinct cells). Shared by [[splitTopK]] /
+    * [[splitIndexPersistSearch]] (stub probes, in-session vs reloaded
+    * frames), [[splitTopKTrained]] (trained probes), and
+    * [[graft.streaming.VecStream]]'s probe stream (arrived probes only
+    * — per-probe ranking is batch-local because the index side is
+    * complete) — the trainedServeFrom discipline, so no serve path can
+    * diverge from the audited one. */
+  private[ext] def splitServeFrom(spark: SparkSession, dir: String,
                              postings: DataFrame,
-                             seeds: DataFrame): DataFrame = {
+                             seeds: DataFrame,
+                             probed: DataFrame): DataFrame = {
     val emb = embWithNrm(spark, dir)
     val hot = seeds.select("cell").distinct()
     val indexed = emb.join(postings, Seq("vec_id"))
-    val probed = ivfAssignRanked(spark, dir).select("vec_id", "cell")
     val probes = emb.join(
       probeDescend(emb, probed, hot, seeds).withColumnRenamed("cell", "ncell"),
       Seq("vec_id"))
@@ -683,7 +727,8 @@ object Similarity {
     seeds.write.mode("overwrite").parquet(seedsPath)
     val reloaded = spark.read.parquet(postingsPath)
       .withColumn("ncell", col("ncell").cast("long"))
-    splitServeFrom(spark, dir, reloaded, spark.read.parquet(seedsPath))
+    splitServeFrom(spark, dir, reloaded, spark.read.parquet(seedsPath),
+      ivfAssignRanked(spark, dir).select("vec_id", "cell"))
   }
 
   /** Default depth for the RECURSIVE split queries — 2 rounds. The
@@ -941,6 +986,22 @@ object Similarity {
         seeds, SplitBandMargin).localCheckpoint()
     })
 
+  /** The split serve restricted to a GIVEN probe-ID frame — the seam
+    * [[splitTopK]]'s full-corpus serve and
+    * [[graft.streaming.VecStream.splitSearchToParquet]]'s arriving
+    * probe micro-batches share (the filteredTopKFor discipline):
+    * per-probe ranking is complete within one call because the index
+    * side — the memoized split postings + model — is the full static
+    * corpus, so stream ≡ batch at ANY arrival split (StreamingSpec
+    * pins it row-for-row against sim_split_topk). */
+  private[graft] def splitTopKForProbes(spark: SparkSession, dir: String,
+                                        probeIds: DataFrame): DataFrame = {
+    val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
+    splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds,
+      ivfAssignRanked(spark, dir).select("vec_id", "cell")
+        .join(probeIds.select("vec_id"), Seq("vec_id"), "left_semi"))
+  }
+
   /** Spec probe: the band serve at an EXPLICIT margin, unmemoized —
     * CellSplitSpec drives margin 0 (must equal [[splitTopK]] exactly:
     * an empty band never fires the dual probe) and the monotone
@@ -1025,6 +1086,42 @@ object Similarity {
         coalesce(col("conv"), lit(1000000000L)).as("chosen_depth"),
         col("conv").isNotNull.cast("int").as("converged"),
         col("n_hot_final"), col("max_occ_final"))
+  }
+
+  /** PLAN-DRIVEN split serve (sim_split_serve_planned) — closes the
+    * measure → decide → APPLY loop on split depth (round-16 verdict
+    * item 5: [[splitPlan]] chose a depth but nothing consumed the
+    * choice): serve the index at exactly the depth the plan chose,
+    * with a `depth_used` column so the decision is auditable in the
+    * output. Fail-closed branches: sentinel (no depth within
+    * [[SplitDepth]] de-hots every cell — the unsplittable-clump
+    * fixture) serves the UNSPLIT index and WARN-logs rather than
+    * pretending a depth suffices; converged-at-0 (nothing hot) also
+    * serves unsplit. The chosen depth is read driver-side as a ONE-ROW
+    * decision scalar (the CountMemo adaptive-knob precedent — plan
+    * metadata, never data rows); arms mirror [[SplitDepth]] = 2
+    * (depth 1 = [[splitTopK]], depth 2 = [[splitDeepTopK]]) and the
+    * oracle composes [[splitPlanOracleSql]]'s chooser with the SAME
+    * serve chains, each arm filtered by the chosen depth — measure,
+    * decision, and serve move in lockstep. */
+  def splitServePlanned(spark: SparkSession, dir: String): DataFrame = {
+    val p = splitPlan(spark, dir).collect().head
+    val chosen = p.getLong(0)
+    val depthUsed =
+      if (chosen == 1000000000L) {
+        org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+          s"split plan failed closed at $dir (n_hot_final=${p.getLong(2)}, " +
+          s"max_occ_final=${p.getLong(3)}): serving the UNSPLIT index — " +
+          "raise SplitDepth or SplitOccupancy deliberately")
+        0L
+      } else chosen
+    val served = depthUsed match {
+      case 0L => ivfTopK(spark, dir)
+      case 1L => splitTopK(spark, dir)
+      case d  => splitDeepTopK(spark, dir, d.toInt)
+    }
+    served.select(col("a_id"), col("b_id"), col("rn"), col("sim"),
+      lit(depthUsed).as("depth_used"))
   }
 
   /** Split MODEL for the hot cells — (cell, sv, snrm, tau): sv = the
@@ -2151,7 +2248,7 @@ object Similarity {
     * dir)). Trained centroids are a tiny broadcast (cells×64 rounded
     * doubles); norms precomputed once per vector / per centroid (the
     * file-wide invariant) so the scan does ONE 64-dim fold per pair. */
-  private def ivfTrainedRanked(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfTrainedRanked(spark: SparkSession, dir: String): DataFrame =
     CkptMemo.getOrElseUpdate((spark, dir, "ivftrainedranked"), {
       val cents = ivfTrain(spark, dir)
         .groupBy("cell")
@@ -3691,9 +3788,11 @@ object Similarity {
     "sim_split_deep_topk" -> ((s, d) => splitDeepTopK(s, d)),
     "sim_split_deep_recall_eval" -> ((s, d) => splitDeepRecallEval(s, d)),
     "sim_split_plan" -> splitPlan _,
+    "sim_split_serve_planned" -> splitServePlanned _,
     "sim_knn_mutual_split" -> knnMutualSplit _,
     "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
     "sim_cell_split_trained" -> cellSplitTrained _,
+    "sim_split_topk_trained" -> splitTopKTrained _,
     "sim_split_band_topk" -> splitBandTopK _,
     "sim_split_band_recall_eval" -> ((s, d) => splitBandRecallEval(s, d)),
     "sim_split_band_sweep" -> ((s, d) => splitBandSweep(s, d)),
@@ -4528,6 +4627,8 @@ object Similarity {
     "sim_split_deep_recall_eval" -> splitDeepRecallOracleSql,
     // the fail-closed depth chooser over the SAME snapshot union
     "sim_split_plan" -> splitPlanOracleSql,
+    // the plan's APPLY half: arms over the SAME chooser + serve chains
+    "sim_split_serve_planned" -> plannedServeOracleSql,
     // the median-τ split round applied to the TRAINED quantizer's home
     // cells — the SAME generator over trainedChainToHomeSql's `home`
     // (tcs-prefixed; probes/tc unreferenced CTEs are free)
@@ -4544,6 +4645,10 @@ object Similarity {
        "coalesce(c.c1, CAST(0 AS BIGINT)) AS n_child1, " +
        "coalesce(greatest(c.c0, c.c1), o.n_before) AS n_max_after " +
        "FROM tcso o LEFT JOIN tcsc c USING (cell) ORDER BY o.cell"),
+    // the trained split's APPLY half: the shared serve-tail generator
+    // ("tst", "tcs") over the trained chain's home/probes — report ≡
+    // applied split on the trained quantizer too
+    "sim_split_topk_trained" -> trainedSplitTopKOracleSql,
     // boundary dual-probe serve: the sb band chain over the UNCHANGED
     // split index (margin literal = SplitBandMargin, lockstep)
     "sim_split_band_topk" -> bandTopKOracleSql,
@@ -5199,6 +5304,28 @@ object Similarity {
     snaps.mkString(" UNION ALL ")
   }
 
+  /** sim_split_serve_planned's oracle — ONE WITH composing the deep
+    * chain (round 1 = the audited cs split), the st depth-1 serve
+    * tail, the dz depth-2 serve tail, and the [[splitPlanOracleSql]]
+    * chooser (spl/plc); the final union has one arm per possible
+    * depth, each filtered by the chosen value (sentinel 1e9 and
+    * converged 0 both route to the UNSPLIT `r` arm with depth_used 0 —
+    * the fail-closed contract). Arms mirror [[SplitDepth]] = 2. */
+  private def plannedServeOracleSql: String =
+    ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + ", " +
+    splitServeTailFor("st", "cs") + ", " +
+    splitDeepServeTailSql + ", " +
+    s"spl AS ($splitDeepSnapshotsSql), " +
+    "plc AS (SELECT coalesce(min(CASE WHEN n_hot = 0 THEN round END), " +
+    "CAST(1000000000 AS BIGINT)) AS chosen FROM spl) " +
+    "SELECT a_id, b_id, rn, sim, CAST(0 AS BIGINT) AS depth_used " +
+    "FROM r, plc WHERE rn <= 3 " +
+    "AND (plc.chosen = 0 OR plc.chosen = 1000000000) " +
+    "UNION ALL SELECT a_id, b_id, rn, sim, CAST(1 AS BIGINT) AS depth_used " +
+    "FROM str, plc WHERE rn <= 3 AND plc.chosen = 1 " +
+    "UNION ALL SELECT a_id, b_id, rn, sim, CAST(2 AS BIGINT) AS depth_used " +
+    "FROM dzr, plc WHERE rn <= 3 AND plc.chosen = 2"
+
   /** sim_cell_split_deep's oracle. */
   private def splitDeepReportOracleSql: String =
     ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + " " +
@@ -5224,6 +5351,12 @@ object Similarity {
     * sim_split_deep_topk and its recall eval. */
   private def splitDeepServeCteSql: String =
     ivfTopKCteSql + ", " + splitDeepChainSql(SplitDepth) + ", " +
+    splitDeepServeTailSql
+
+  /** The deep-serve dz tail alone — composed by [[splitDeepServeCteSql]]
+    * and re-used (with the st tail and the plan chooser) by the
+    * plan-driven serve's arm union. */
+  private def splitDeepServeTailSql: String =
     s"dzb AS (SELECT e.vec_id, e.embedding, i.cell AS ncell " +
     s"FROM embeddings e JOIN ${splitRoundPfx(SplitDepth)}i i " +
     "ON e.vec_id = i.vec_id " +
@@ -5285,32 +5418,60 @@ object Similarity {
 
   private def splitServeCteSql: String =
     ivfTopKCteSql + ", " + cellSplitCteSql + ", " +
-    "sti AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell FROM csp " +
+    splitServeTailFor("st", "cs")
+
+  /** The split-serve tail, generated per (serve prefix, split-round
+    * prefix) — emits `<s>i/<s>ph/<s>p/<s>b/<s>m/<s>q/<s>r` over a
+    * round's `<c>p/<c>h/<c>s` picks/hot-set/model plus the chain's
+    * `home`/`probes` relations (whatever quantizer produced them).
+    * The ("st", "cs") instance IS [[splitServeCteSql]]'s audited tail
+    * byte-for-byte (CellSplitSpec pins the literal — the
+    * cellSplitRoundCtesFor discipline applied to the serve), and the
+    * ("tst", "tcs") instance serves the TRAINED split
+    * (sim_split_topk_trained) over [[trainedChainToHomeSql]]'s
+    * `home`/`probes` — the stub serve and the trained serve can never
+    * drift. */
+  private[graft] def splitServeTailFor(spfx: String, cspfx: String): String =
+    s"${spfx}i AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell " +
+    s"FROM ${cspfx}p " +
     "UNION ALL SELECT h.vec_id, CAST(h.cell * 2 AS BIGINT) AS ncell " +
-    "FROM home h LEFT JOIN csh ON csh.cell = h.cell WHERE csh.cell IS NULL), " +
-    "stph AS (SELECT pb.vec_id, pb.cell, s.tau, " +
+    s"FROM home h LEFT JOIN ${cspfx}h ON ${cspfx}h.cell = h.cell " +
+    s"WHERE ${cspfx}h.cell IS NULL), " +
+    s"${spfx}ph AS (SELECT pb.vec_id, pb.cell, s.tau, " +
     "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
     "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS s0sim " +
-    "FROM probes pb JOIN css s ON s.cell = pb.cell " +
+    s"FROM probes pb JOIN ${cspfx}s s ON s.cell = pb.cell " +
     "JOIN embeddings e ON e.vec_id = pb.vec_id), " +
-    "stp AS (SELECT vec_id, CAST(cell * 2 + " +
+    s"${spfx}p AS (SELECT vec_id, CAST(cell * 2 + " +
     "CASE WHEN s0sim >= tau THEN 0 ELSE 1 END AS BIGINT) AS ncell " +
-    "FROM stph " +
+    s"FROM ${spfx}ph " +
     "UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS ncell " +
-    "FROM probes pb LEFT JOIN csh ON csh.cell = pb.cell " +
-    "WHERE csh.cell IS NULL), " +
-    "stb AS (SELECT e.vec_id, e.embedding, i.ncell FROM embeddings e " +
-    "JOIN sti i ON e.vec_id = i.vec_id " +
+    s"FROM probes pb LEFT JOIN ${cspfx}h ON ${cspfx}h.cell = pb.cell " +
+    s"WHERE ${cspfx}h.cell IS NULL), " +
+    s"${spfx}b AS (SELECT e.vec_id, e.embedding, i.ncell FROM embeddings e " +
+    s"JOIN ${spfx}i i ON e.vec_id = i.vec_id " +
     s"QUALIFY row_number() OVER (PARTITION BY i.ncell " +
     s"ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
-    "stm AS (SELECT e.vec_id, e.embedding, p.ncell FROM embeddings e " +
-    "JOIN stp p ON e.vec_id = p.vec_id), " +
-    "stq AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    s"${spfx}m AS (SELECT e.vec_id, e.embedding, p.ncell FROM embeddings e " +
+    s"JOIN ${spfx}p p ON e.vec_id = p.vec_id), " +
+    s"${spfx}q AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
     "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
     "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-    "FROM stm x JOIN stb y ON x.ncell = y.ncell AND x.vec_id <> y.vec_id), " +
-    "str AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
-    "ORDER BY sim DESC, b_id ASC) AS rn FROM stq)"
+    s"FROM ${spfx}m x JOIN ${spfx}b y ON x.ncell = y.ncell " +
+    "AND x.vec_id <> y.vec_id), " +
+    s"${spfx}r AS (SELECT a_id, b_id, sim, row_number() OVER (" +
+    s"PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn FROM ${spfx}q)"
+
+  /** The COMPLETE trained-split-serve oracle (sim_split_topk_trained) —
+    * the SAME serve-tail generator over [[trainedChainToHomeSql]]'s
+    * Lloyd-trained `home`/`probes` and the "tcs" split round the
+    * sim_cell_split_trained report audits (report ≡ applied split, the
+    * sim_split_topk rule lifted to the trained quantizer). */
+  private def trainedSplitTopKOracleSql: String =
+    trainedChainToHomeSql + ", " +
+    cellSplitRoundCtesFor("tcs", "home") + ", " +
+    splitServeTailFor("tst", "tcs") +
+    " SELECT a_id, b_id, rn, sim FROM tstr WHERE rn <= 3"
 
   /** One band probe-map CTE `<pfx>p` over [[splitServeCteSql]]'s
     * `stph` (probed-hot-cell s0sim/τ rows) and `probes`/`csh` (cool

@@ -231,4 +231,33 @@ object VecStream {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Streaming face of the SPLIT-index serve (round-16 verdict item
+    * 4): arriving probes answered against the static occupancy-split
+    * index through the SHARED
+    * [[graft.ext.Similarity.splitTopKForProbes]] seam — the
+    * [[filteredSearchToParquet]] pattern. Stream ≡ batch at ANY
+    * arrival split because per-probe descent + top-3 ranking is
+    * batch-local (the split postings and model are the complete static
+    * index side); StreamingSpec pins the two-batch union row-for-row
+    * against sim_split_topk. Per-micro-batch cost is
+    * O(|batch| × probed-child slice) — the split's candidate halving
+    * applies to the online path for free. */
+  def splitSearchToParquet(spark: SparkSession, dir: String,
+                           stream: DataFrame, outDir: String,
+                           checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ext.Similarity.splitTopKForProbes(spark, dir, batch)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -212,6 +212,69 @@ class CellSplitSpec extends SparkSpec {
     assert(ext.Similarity.cellSplitRoundCtesFor("cs", "home") === frozen)
   }
 
+  test("serve-tail generator: the (st, cs) instance reproduces the " +
+       "audited split-serve tail byte-for-byte") {
+    // the frozen round-17 literal — sim_split_topk's oracle tail (and
+    // through it sim_split_persist / sim_knn_mutual_split /
+    // sim_split_recall_eval and the band chains) must stay THIS string
+    // exactly; the ("tst", "tcs") trained instance is the same
+    // generator, so pinning one pins the rule
+    val frozen =
+      "sti AS (SELECT vec_id, CAST(cell * 2 + sub AS BIGINT) AS ncell " +
+      "FROM csp UNION ALL SELECT h.vec_id, CAST(h.cell * 2 AS BIGINT) " +
+      "AS ncell FROM home h LEFT JOIN csh ON csh.cell = h.cell WHERE " +
+      "csh.cell IS NULL), stph AS (SELECT pb.vec_id, pb.cell, s.tau, " +
+      "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
+      "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS s0sim FROM probes pb " +
+      "JOIN css s ON s.cell = pb.cell JOIN embeddings e ON e.vec_id = " +
+      "pb.vec_id), stp AS (SELECT vec_id, CAST(cell * 2 + CASE WHEN " +
+      "s0sim >= tau THEN 0 ELSE 1 END AS BIGINT) AS ncell FROM stph " +
+      "UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS " +
+      "ncell FROM probes pb LEFT JOIN csh ON csh.cell = pb.cell WHERE " +
+      "csh.cell IS NULL), stb AS (SELECT e.vec_id, e.embedding, " +
+      "i.ncell FROM embeddings e JOIN sti i ON e.vec_id = i.vec_id " +
+      "QUALIFY row_number() OVER (PARTITION BY i.ncell ORDER BY " +
+      "((((e.vec_id) % 2147483648) * 2654435761) % 2147483648), " +
+      "e.vec_id) <= 1024), stm AS (SELECT e.vec_id, e.embedding, " +
+      "p.ncell FROM embeddings e JOIN stp p ON e.vec_id = p.vec_id), " +
+      "stq AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+      "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+      "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim FROM stm x JOIN " +
+      "stb y ON x.ncell = y.ncell AND x.vec_id <> y.vec_id), str AS " +
+      "(SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+      "ORDER BY sim DESC, b_id ASC) AS rn FROM stq)"
+    assert(ext.Similarity.splitServeTailFor("st", "cs") === frozen)
+  }
+
+  test("trained split serve: all-cool trained probes ≡ the trained " +
+       "unsplit serve; hot probes actually move") {
+    val trained = ext.Similarity
+      .queries("sim_cell_split_trained")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    val hotCells = trained.filter(_._2 === 1).map(_._1).toSet
+    assert(hotCells.nonEmpty, "no trained cell split — vacuous")
+    val probedCells = ext.Similarity.ivfTrainedRanked(spark, sf001)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val coolProbes = probedCells.collect {
+      case (v, pc) if pc.intersect(hotCells).isEmpty => v
+    }.toSet
+    assert(coolProbes.nonEmpty, "no all-cool trained probe — vacuous")
+    assert(probedCells.exists(_._2.intersect(hotCells).nonEmpty),
+      "no probe touches a hot trained cell — vacuous")
+    val splitServe = servedRows(
+      ext.Similarity.queries("sim_split_topk_trained")(spark, sf001))
+    val unsplit = servedRows(
+      ext.Similarity.queries("sim_ivf_topk_trained")(spark, sf001))
+    assert(splitServe.filter(t => coolProbes.contains(t._1)) ===
+           unsplit.filter(t => coolProbes.contains(t._1)),
+      "an all-cool probe's top-3 drifted between the trained serves")
+    assert(splitServe !== unsplit,
+      "the trained split changed nothing — hot cells vacuous")
+  }
+
   test("deep serve at depth 1 ≡ the hand-written split serve") {
     assert(servedRows(ext.Similarity.splitDeepTopK(spark, sf001, 1)) ===
            servedRows(ext.Similarity.queries("sim_split_topk")(spark, sf001)))
@@ -257,6 +320,20 @@ class CellSplitSpec extends SparkSpec {
     val fin = rep.find(_._1 === ext.Similarity.SplitDepth.toLong).get
     assert(p.getLong(2) === fin._3 && p.getLong(3) === fin._4,
       "final-snapshot context drifted from the report")
+  }
+
+  test("planned serve: sf0.01 chooses depth 1 and serves exactly the " +
+       "split index, depth stamped in every row") {
+    val planned = ext.Similarity
+      .queries("sim_split_serve_planned")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+                 r.getLong(4)))
+    assert(planned.map(_._5).toSet === Set(1L),
+      "sf0.01 planned serve did not stamp the chosen depth 1")
+    assert(planned.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+           servedRows(ext.Similarity.queries("sim_split_topk")(spark, sf001)),
+      "planned serve at chosen depth 1 drifted from the split serve")
   }
 
   test("deep recall eval: the deepsplit leg reads the shared truth and " +
@@ -404,6 +481,19 @@ class CellSplitSpec extends SparkSpec {
       .collect().head
     assert(fp.getLong(0) === 1000000000L && fp.getInt(1) === 0,
       "plan did not fail closed on the unsplittable clump")
+    // ...and the plan-driven serve honors the fail-closed branch: it
+    // serves the UNSPLIT index (depth_used 0) instead of pretending a
+    // depth suffices
+    val planned = ext.Similarity
+      .queries("sim_split_serve_planned")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+                 r.getLong(4)))
+    assert(planned.map(_._5).toSet === Set(0L),
+      "fail-closed planned serve did not stamp depth 0")
+    assert(planned.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+           servedRows(ext.Similarity.queries("sim_ivf_topk")(spark, dir)),
+      "fail-closed planned serve drifted from the unsplit serve")
     // and the persisted deep index round-trips HERE too — on this
     // fixture round 2's model slice is NON-empty (the sf0.01 pin
     // covers the empty-slice side)

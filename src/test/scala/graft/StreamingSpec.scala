@@ -619,6 +619,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming split-index search equals the batch split serve on a " +
+       "two-batch probe split") {
+    import graft.streaming.VecStream
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label")
+    val dir = Files.createTempDirectory("graft-split-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-split-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$dir/$name"))
+    }
+    // the split serve probes EVERY vector — stream the whole corpus in
+    // as probes across two micro-batches (arbitrary split point:
+    // per-probe descent + ranking is batch-local)
+    writeOne(emb.filter(col("vec_id") % 2 === 0), "vecs-000.parquet")
+    writeOne(emb.filter(col("vec_id") % 2 =!= 0), "vecs-001.parquet")
+
+    val out = Files.createTempDirectory("graft-split-out").toString
+    val ckpt = Files.createTempDirectory("graft-split-ckpt").toString
+    val probeStream = spark.readStream.schema(VecStream.vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    VecStream.splitSearchToParquet(spark, sf0001, probeStream, out, ckpt)
+
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(batchDirs.length >= 2, "the probe stream never micro-batched")
+
+    val streamed = spark.read.parquet(s"$out/batch_id=*")
+      .select("a_id", "b_id", "sim", "rn")
+    val batch = ext.Similarity.queries("sim_split_topk")(spark, sf0001)
+      .select("a_id", "b_id", "sim", "rn")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming upsert lifecycle (arrivals + tombstones) serves the " +
        "batch upsert search on a two-batch arrival split") {
     import graft.streaming.VecStream
