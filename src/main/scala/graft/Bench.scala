@@ -72,7 +72,10 @@ object Bench {
       // knnmutualsplit memo owner
       "sim_knn_mutual_split",
       "graph_pagerank", "graph_components", "emb_pca_power",
-      "text_contamination", "sim_eval_frontier", "dedup_para_neardup")
+      "text_contamination", "sim_eval_frontier", "dedup_para_neardup",
+      // qscored memo owner (roc/calibration/calibrated-gate/keep_best/
+      // curriculum/train_schedule all re-read the one scored frame)
+      "text_quality_score_trained")
     val allOrdered = owners.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.filterNot(owners.contains).sorted
     // optional filters (local scaling runs, e.g. the sf1 heavy-family

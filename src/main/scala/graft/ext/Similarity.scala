@@ -731,6 +731,72 @@ object Similarity {
       ivfAssignRanked(spark, dir).select("vec_id", "cell"))
   }
 
+  /** INCREMENTAL split maintenance from the persisted index
+    * (sim_split_incremental) — proves [[splitIndexPersistSearch]]'s
+    * scaladoc claim end-to-end ("a hot child can be audited or
+    * re-split from its own files"): the frozen-quantizer base corpus
+    * (vec_id < n/2 — the [[ivfIncrementalAssign]] split contract)
+    * is depth-1-split and PERSISTED (ncell-partitioned postings +
+    * model); an arrival batch (vec_id ≥ n/2) is assigned to the frozen
+    * cells and descends the persisted model per vector; then ONE split
+    * round runs on ONLY the cells the arrivals pushed past
+    * [[SplitOccupancy]], with the round's member scan reading the
+    * persisted postings PRUNED to the new-hot ncells at the file
+    * listing (PartitionFilters — CellSplitSpec asserts the scan). The
+    * new-hot work list is collected driver-side as model-sized
+    * maintenance METADATA (≤ |cells| rows — the bookmark-ledger /
+    * CountMemo precedent, never data rows). Output = the
+    * [[cellSplitReportOf]] shape over the COMBINED occupancy;
+    * correctness argument: per-vector assignment and the median-τ rule
+    * only read a hot cell's own members, so incremental-descend +
+    * pruned-member-split ≡ a from-scratch split round of the combined
+    * corpus — the oracle rebuilds from scratch and hash equality is
+    * the proof. At sf0.01 the 250-vector base has NO hot cell (max
+    * occupancy 19), so the persisted model is legitimately EMPTY and
+    * arrivals descend through it unchanged — the spec fixture drives
+    * the non-empty-model path (a hot base cell whose children the
+    * arrivals re-heat). */
+  def splitIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val split = embCount(spark, dir) / 2
+    val cents = frozenBaseCentroids(spark, dir)
+    val emb = embWithNrm(spark, dir)
+    val baseHome = assignToCentroids(emb.filter(col("vec_id") < split), cents)
+      .select("vec_id", "cell")
+    val (_, hot0, seeds0, assigned0) = splitRoundParts(spark, dir, baseHome)
+    val postingsPath = Tables.scratch("split_inc_postings")
+    splitPostings(hot0, emb.join(baseHome, Seq("vec_id")), assigned0)
+      .write.mode("overwrite").partitionBy("ncell").parquet(postingsPath)
+    val modelPath = Tables.scratch("split_inc_model")
+    seeds0.write.mode("overwrite").parquet(modelPath)
+    // explicit schema: a no-hot-cell base writes an EMPTY model table
+    // (sf0.01 does) and the reload must serve through it unchanged
+    val model = spark.read.schema(seeds0.schema).parquet(modelPath)
+    val arrHome = assignToCentroids(emb.filter(col("vec_id") >= split), cents)
+      .select("vec_id", "cell")
+    val arrN = probeDescend(emb, arrHome, model.select("cell").distinct(),
+      model)
+    val reloaded = spark.read.parquet(postingsPath)
+      .withColumn("ncell", col("ncell").cast("long"))
+    val comb = reloaded.select(col("vec_id"), col("ncell").as("cell"))
+      .unionByName(arrN)
+    val occ = comb.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val newHot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
+    // the maintenance work list (driver-side metadata, model-sized)
+    val hotList = newHot.collect().map(_.getLong(0))
+    // member scan: persisted postings pruned to the new-hot ncells at
+    // the listing (filter BEFORE the long cast so the partition filter
+    // lands on the directory-inferred INT column), plus the arrivals
+    // that descended into those cells
+    val prunedBase = spark.read.parquet(postingsPath)
+      .filter(col("ncell").isin(hotList.map(_.toInt): _*))
+      .select(col("vec_id"), col("ncell").cast("long").as("cell"))
+    val hotAsg = prunedBase.unionByName(
+      arrN.join(newHot, Seq("cell"), "left_semi"))
+    val membersH = emb.join(hotAsg, Seq("vec_id"))
+    val seeds1 = splitSeeds(spark, dir, membersH, newHot)
+    cellSplitReportOf(occ, assignToSubSeeds(membersH, seeds1))
+  }
+
   /** Default depth for the RECURSIVE split queries — 2 rounds. The
     * median-τ cut halves every sf0.01 hot cell under the threshold in
     * one round, so round 2 is a provable no-op there (a bijective
@@ -3789,6 +3855,7 @@ object Similarity {
     "sim_split_deep_recall_eval" -> ((s, d) => splitDeepRecallEval(s, d)),
     "sim_split_plan" -> splitPlan _,
     "sim_split_serve_planned" -> splitServePlanned _,
+    "sim_split_incremental" -> splitIncremental _,
     "sim_knn_mutual_split" -> knnMutualSplit _,
     "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
     "sim_cell_split_trained" -> cellSplitTrained _,
@@ -4629,6 +4696,9 @@ object Similarity {
     "sim_split_plan" -> splitPlanOracleSql,
     // the plan's APPLY half: arms over the SAME chooser + serve chains
     "sim_split_serve_planned" -> plannedServeOracleSql,
+    // incremental split from the persisted index: the oracle rebuilds
+    // the combined round from scratch — equality IS the proof
+    "sim_split_incremental" -> splitIncrementalOracleSql,
     // the median-τ split round applied to the TRAINED quantizer's home
     // cells — the SAME generator over trainedChainToHomeSql's `home`
     // (tcs-prefixed; probes/tc unreferenced CTEs are free)
@@ -5302,6 +5372,46 @@ object Similarity {
       "(SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
       s"FROM ${splitRoundPfx(SplitDepth)}i GROUP BY cell) fz")
     snaps.mkString(" UNION ALL ")
+  }
+
+  /** sim_split_incremental's oracle — a FROM-SCRATCH rebuild of the
+    * combined-corpus split round (hash equality proves the
+    * pruned-postings incremental path ≡ rebuild): the shared
+    * [[incAssignCteSql]] frozen-quantizer chain, base home (ibs/ibh)
+    * and arrival home (ias/iah) against the frozen `iicl` centroids,
+    * the base depth-1 split round (ics-prefixed, the SAME round
+    * generator) + its map (icsi) + the arrival descent (icsz/icsq),
+    * the combined map (icb), and the incremental round (jcs-prefixed)
+    * with the sim_cell_split report tail. Split literal 250 = the
+    * CountMemo n/2 at sf0.01 (lockstep with the runtime knob). */
+  private def splitIncrementalOracleSql: String = {
+    def homeCte(pfx: String, where: String): String =
+      s"${pfx}s AS (SELECT e.vec_id, t.cell, " +
+      "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) " +
+      "/ 1e6 AS csim " +
+      s"FROM embeddings e CROSS JOIN iicl t WHERE $where), " +
+      s"${pfx}h AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+      "row_number() OVER (PARTITION BY vec_id " +
+      s"ORDER BY csim DESC, cell ASC) AS rn FROM ${pfx}s) WHERE rn = 1)"
+    s"WITH $incAssignCteSql, " +
+    homeCte("ib", "e.vec_id < 250") + ", " +
+    cellSplitRoundCtesFor("ics", "ibh") + ", " +
+    splitMapCteFor("ics", "ibh") + ", " +
+    homeCte("ia", "e.vec_id >= 250") + ", " +
+    probeDescendCteFor("ics", "iah") + ", " +
+    "icb AS (SELECT vec_id, cell FROM icsi " +
+    "UNION ALL SELECT vec_id, cell FROM icsq), " +
+    cellSplitRoundCtesFor("jcs", "icb") + ", " +
+    "jcsc AS (SELECT cell, " +
+    "CAST(sum(CASE WHEN sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
+    "CAST(sum(CASE WHEN sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
+    "FROM jcsp GROUP BY cell) " +
+    "SELECT o.cell, o.n_before, " +
+    "CAST(c.cell IS NOT NULL AS INTEGER) AS split, " +
+    "coalesce(c.c0, CAST(0 AS BIGINT)) AS n_child0, " +
+    "coalesce(c.c1, CAST(0 AS BIGINT)) AS n_child1, " +
+    "coalesce(greatest(c.c0, c.c1), o.n_before) AS n_max_after " +
+    "FROM jcso o LEFT JOIN jcsc c USING (cell) ORDER BY o.cell"
   }
 
   /** sim_split_serve_planned's oracle — ONE WITH composing the deep

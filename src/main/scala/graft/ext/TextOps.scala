@@ -1170,20 +1170,30 @@ object TextOps {
     * micro-nat score; keep = score > 0 (log-odds vs the balanced
     * prior). No division anywhere (a negative score through `div`
     * would need the sign-split form — avoided entirely). */
-  def qualityScoreTrained(spark: SparkSession, dir: String): DataFrame = {
-    val P1 = 1000000007L
-    val w = qualityTrain(spark, dir).select(col("bucket"), col("w_micro"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        (graft.functions.PolyHashMod.col(col("tok"), 31L, P1) % 64).as("bucket"))
-      .join(broadcast(w), Seq("bucket"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), sum("w_micro").as("score_micro"))
-      .select(col("doc_id"), col("n_tok"), col("score_micro"),
-              (col("score_micro") > 0).cast("int").as("keep"))
-      .orderBy("doc_id")
-  }
+  def qualityScoreTrained(spark: SparkSession, dir: String): DataFrame =
+    // memoized once per (session, dir): SEVEN consumers re-read the
+    // scored frame (the query itself, roc, calibration, the calibrated
+    // gate, dedup_keep_best, corpus_curriculum, corpus_train_schedule)
+    // and each un-memoized instantiation re-ran BOTH trainer corpus
+    // passes plus the (tp, tn) scalar broadcast — the round-16 plan
+    // audit counted four of those one-row BNLs inside
+    // corpus_train_schedule alone (VERDICT r16 item 7). Owner in
+    // Bench's list: text_quality_score_trained.
+    CkptMemo.getOrElseUpdate((spark, dir, "qscored"), {
+      val P1 = 1000000007L
+      val w = qualityTrain(spark, dir).select(col("bucket"), col("w_micro"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"),
+          (graft.functions.PolyHashMod.col(col("tok"), 31L, P1) % 64).as("bucket"))
+        .join(broadcast(w), Seq("bucket"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("w_micro").as("score_micro"))
+        .select(col("doc_id"), col("n_tok"), col("score_micro"),
+                (col("score_micro") > 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    })
 
   /** Cut grid for [[qualityRoc]] — per-token log-odds thresholds in
     * micro-nats (0 = the production gate's own cut, the balanced-prior

@@ -322,6 +322,67 @@ class CellSplitSpec extends SparkSpec {
       "final-snapshot context drifted from the report")
   }
 
+  test("incremental split: the round's member scan is partition-pruned " +
+       "to the new-hot ncells; combined occupancy partitions the corpus") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val rep = ext.Similarity.queries("sim_split_incremental")(spark, sf001)
+    val rows = rep.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5)))
+    // the combined ncell occupancies partition the whole corpus
+    assert(rows.map(_._2).sum ===
+           Tables.embeddings(spark, sf001).count())
+    // non-vacuous: arrivals pushed cells past the threshold, and some
+    // cells stayed cool
+    assert(rows.exists(_._3 === 1), "no new-hot cell — incremental vacuous")
+    assert(rows.exists(_._3 === 0), "every cell hot — threshold vacuous")
+    rows.filter(_._3 === 1).foreach { case (c, before, _, c0, c1, mx) =>
+      assert(c0 + c1 === before, s"cell $c: children $c0+$c1 != $before")
+      assert(mx === math.max(c0, c1) && mx < before,
+        s"cell $c: incremental split bought nothing")
+    }
+    // sf0.01's 250-vector base has NO hot cell — the persisted model is
+    // legitimately EMPTY and the descent served through it
+    import org.apache.spark.sql.types._
+    val mSchema = StructType(Seq(
+      StructField("cell", LongType), StructField("sv", ArrayType(FloatType)),
+      StructField("snrm", DoubleType), StructField("tau", DoubleType)))
+    assert(spark.read.schema(mSchema)
+      .parquet(Tables.scratch("split_inc_model")).count() === 0L)
+    // the member scan reads the persisted postings PRUNED at the file
+    // listing: among the postings scans in the executed plan, one
+    // carries a partition filter and reads strictly fewer partitions
+    // than the unpruned occupancy scan
+    def postingsScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("split_inc_postings")) => Seq(f)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(postingsScans)
+    }
+    val scans = postingsScans(rep.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no postings scan found in the plan")
+    val counts = scans.map(f =>
+      (f.partitionFilters.nonEmpty, f.selectedPartitions.partitionCount))
+    val unprunedParts = counts.collect { case (false, n) => n }.max
+    val prunedParts = counts.collect { case (true, n) => n }
+    assert(prunedParts.nonEmpty, s"no partition-filtered postings scan: $counts")
+    assert(prunedParts.head === rows.count(_._3 === 1),
+      s"pruned scan reads ${prunedParts.head} partitions, " +
+      s"expected the ${rows.count(_._3 === 1)} new-hot ncells")
+    assert(prunedParts.head < unprunedParts,
+      s"pruning bought nothing: $counts")
+  }
+
   test("planned serve: sf0.01 chooses depth 1 and serves exactly the " +
        "split index, depth stamped in every row") {
     val planned = ext.Similarity
@@ -502,5 +563,28 @@ class CellSplitSpec extends SparkSpec {
       servedRows(ext.Similarity.splitDeepTopK(spark, dir, 2)))
     val fxModels = spark.read.parquet(Tables.scratch("split_deep_models"))
     assert(fxModels.filter(col("round") === 2).count() >= 1L)
+    // incremental maintenance HERE drives the non-empty-model path the
+    // quiet sf0.01 base can't: the base half (vec_id < 60) packs 44
+    // members into cell 0, so the persisted base index carries a real
+    // split and arrivals descend through its tau compare before the
+    // incremental round fires on the re-heated cells
+    val inc = ext.Similarity.queries("sim_split_incremental")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(inc.map(_._2).sum === 121L,
+      "combined occupancy does not partition the fixture corpus")
+    assert(spark.read.parquet(Tables.scratch("split_inc_model")).count() >= 1L,
+      "the fixture base produced no split model — non-empty path vacuous")
+    assert(inc.exists(_._3 === 1),
+      "arrivals re-heated no cell — incremental round vacuous on fixture")
+    inc.filter(_._3 === 1).foreach { case (c, before, _, c0, c1, _) =>
+      assert(c0 + c1 === before, s"fixture cell $c: $c0+$c1 != $before")
+    }
+    // the identical-vector clump arrives whole (ids 81..120 ≥ 60 mix
+    // base and arrivals — its cell re-heats and stays unsplittable:
+    // every pick ties to child 0)
+    assert(inc.exists(t => t._3 === 1 && t._5 === 0L),
+      "no unsplittable re-heated cell — the tie-mass branch went untested")
   }
 }
