@@ -66,6 +66,9 @@ object Bench {
       // tsplitseeds/tsplitasg memo owner (the trained split report and
       // the trained split serve both consume them)
       "sim_cell_split_trained",
+      // tsplitserve memo owner (the trainedsplit frontier leg re-ranks
+      // from the one materialized trained-split serve)
+      "sim_split_topk_trained",
       // splitdeep memo owner (the deepsplit frontier leg and the deep
       // recall eval read it)
       "sim_split_deep_topk",

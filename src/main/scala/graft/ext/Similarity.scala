@@ -524,14 +524,36 @@ object Similarity {
     * TRAINED probe ranking, so an all-cool probe (its [[NProbe]]
     * trained cells all under [[SplitOccupancy]]) is bit-identical to
     * [[ivfTopKTrained]] (CellSplitSpec pins it). */
-  def splitTopKTrained(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = ivfTrainedRanked(spark, dir)
-    val home = ranked.filter(col("rn") === 1).select("vec_id", "cell")
-    val members = embWithNrm(spark, dir).join(home, Seq("vec_id"))
-    val (_, hot, seeds, assigned) = trainedSplitParts(spark, dir)
-    splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds,
-      ranked.select("vec_id", "cell"))
-  }
+  def splitTopKTrained(spark: SparkSession, dir: String): DataFrame =
+    // memoized once per (session, dir): the query and the trainedsplit
+    // frontier leg both read it (the splitband precedent); owner in
+    // Bench's list: sim_split_topk_trained
+    CkptMemo.getOrElseUpdate((spark, dir, "tsplitserve"), {
+      val ranked = ivfTrainedRanked(spark, dir)
+      val home = ranked.filter(col("rn") === 1).select("vec_id", "cell")
+      val members = embWithNrm(spark, dir).join(home, Seq("vec_id"))
+      val (_, hot, seeds, assigned) = trainedSplitParts(spark, dir)
+      splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds,
+        ranked.select("vec_id", "cell")).localCheckpoint()
+    })
+
+  /** Recall of the TRAINED unsplit serve vs the SHARED exact truth —
+    * prices what Lloyd training buys (or costs) in recall beside the
+    * stub `ivf` leg, the one quantizer-quality number the frontier was
+    * missing; joins as the `trained` leg (shared-truth contract). */
+  def trainedRecallEval(spark: SparkSession, dir: String,
+                        probeN: Long = 100): DataFrame =
+    recallVsSharedTruth(spark, dir, ivfTopKTrained(spark, dir), probeN)
+
+  /** Recall of the TRAINED split serve vs the SHARED exact truth —
+    * the `trainedsplit` frontier leg. Pointwise ≤ the `trained` leg:
+    * a probed hot cell's candidates shrink to one child, and a global
+    * top-3 item always survives any candidate subset containing it
+    * (nothing scores above it), so hits are monotone in the candidate
+    * set (CellSplitSpec pins the inequality). */
+  def trainedSplitRecallEval(spark: SparkSession, dir: String,
+                             probeN: Long = 100): DataFrame =
+    recallVsSharedTruth(spark, dir, splitTopKTrained(spark, dir), probeN)
 
   /** The split's working frames — (per-cell occupancy, hot cells,
     * home-cell members with embeddings, split model, hot-cell
@@ -2186,7 +2208,9 @@ object Similarity {
                 col("recall_ref_micro").as("recall_micro")),
       "rrf"        -> rrfRecallEval(spark, dir),
       "sign"       -> signRecallEval(spark, dir),
-      "split"      -> splitRecallEval(spark, dir))
+      "split"      -> splitRecallEval(spark, dir),
+      "trained"    -> trainedRecallEval(spark, dir),
+      "trainedsplit" -> trainedSplitRecallEval(spark, dir))
     legs.map { case (m, df) =>
       df.select(lit(m).as("method"), col("n_truth"), col("n_hit"),
                 col("recall_micro"))
@@ -3860,6 +3884,9 @@ object Similarity {
     "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
     "sim_cell_split_trained" -> cellSplitTrained _,
     "sim_split_topk_trained" -> splitTopKTrained _,
+    "sim_trained_recall_eval" -> ((s, d) => trainedRecallEval(s, d)),
+    "sim_split_trained_recall_eval" ->
+      ((s, d) => trainedSplitRecallEval(s, d)),
     "sim_split_band_topk" -> splitBandTopK _,
     "sim_split_band_recall_eval" -> ((s, d) => splitBandRecallEval(s, d)),
     "sim_split_band_sweep" -> ((s, d) => splitBandSweep(s, d)),
@@ -3982,7 +4009,10 @@ object Similarity {
     s"probes AS (SELECT vec_id, cell FROM pr2 WHERE rn <= $NProbe), " +
     "home AS (SELECT vec_id, cell FROM pr2 WHERE rn = 1)"
 
-  private lazy val trainedTopKOracleSql: String =
+  /** The trained serve chain through `r` — the prefix the trained
+    * top-k select AND the `trained` recall leg's eval tail both
+    * compose (serve and eval can never drift). */
+  private lazy val trainedServeChainSql: String =
     trainedChainToHomeSql + ", " +
     "m2 AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
     "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
@@ -3991,8 +4021,51 @@ object Similarity {
     "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
     "FROM m2 x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
     "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
-    "ORDER BY sim DESC, b_id ASC) AS rn FROM p) " +
-    "SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM p)"
+
+  private lazy val trainedTopKOracleSql: String =
+    trainedServeChainSql + " SELECT a_id, b_id, rn, sim FROM r WHERE rn <= 3"
+
+  /** The shared-truth recall-eval ORACLE tail over a ranked serve
+    * relation (a_id, b_id, rn ordered) — `<pfx>ex/xr/sc/ht/cm` names
+    * claimed; probe literal 100 + the integer micro metric forms (the
+    * eval-family contract, [[recallVsSharedTruth]]'s mirror).
+    * Generator for NEW eval oracles only — the st/dz/sb tails predate
+    * it and stay hand-written (byte-frozen by their chains). */
+  private def recallEvalTailSqlFor(pfx: String, rel: String): String =
+    s"${pfx}ex AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+    "WHERE x.vec_id < 100), " +
+    s"${pfx}xr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+    s"AS rn FROM ${pfx}ex) e WHERE rn <= 3), " +
+    s"${pfx}sc AS (SELECT a_id, b_id FROM $rel " +
+    "WHERE rn <= 3 AND a_id < 100), " +
+    s"${pfx}ht AS (SELECT a_id, b_id FROM ${pfx}xr " +
+    s"JOIN ${pfx}sc USING (a_id, b_id)), " +
+    s"${pfx}cm AS (SELECT (SELECT count(*) FROM ${pfx}xr) AS n_truth, " +
+    s"(SELECT count(*) FROM ${pfx}sc) AS n_screen, " +
+    s"(SELECT count(*) FROM ${pfx}ht) AS n_hit) " +
+    "SELECT CAST(n_truth AS BIGINT) AS n_truth, " +
+    "CAST(n_screen AS BIGINT) AS n_screen, " +
+    "CAST(n_hit AS BIGINT) AS n_hit, " +
+    "CASE WHEN n_truth = 0 THEN CAST(1000000 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END AS recall_micro, " +
+    "CASE WHEN n_screen = 0 THEN CAST(0 AS BIGINT) " +
+    "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END " +
+    s"AS precision_micro FROM ${pfx}cm"
+
+  /** sim_trained_recall_eval's oracle — the eval tail over the trained
+    * serve chain's `r`. */
+  private def trainedRecallOracleSql: String =
+    trainedServeChainSql + ", " + recallEvalTailSqlFor("tre", "r")
+
+  /** sim_split_trained_recall_eval's oracle — the eval tail over the
+    * trained-split serve chain's `tstr`. */
+  private def trainedSplitRecallOracleSql: String =
+    trainedSplitServeChainSql + ", " + recallEvalTailSqlFor("tse", "tstr")
 
   /** The IVF-PQ ADC top-k oracle — registered VERBATIM for BOTH
     * sim_ivfpq_topk and sim_ivfpq_persist (the storage-moved rule). */
@@ -4719,6 +4792,12 @@ object Similarity {
     // ("tst", "tcs") over the trained chain's home/probes — report ≡
     // applied split on the trained quantizer too
     "sim_split_topk_trained" -> trainedSplitTopKOracleSql,
+    // recall of the trained serve vs the SHARED truth (frontier leg
+    // `trained`) — what Lloyd training buys in recall vs the stub
+    "sim_trained_recall_eval" -> trainedRecallOracleSql,
+    // recall of the trained split serve vs the SHARED truth (frontier
+    // leg `trainedsplit`) — pointwise ≤ the trained leg
+    "sim_split_trained_recall_eval" -> trainedSplitRecallOracleSql,
     // boundary dual-probe serve: the sb band chain over the UNCHANGED
     // split index (margin literal = SplitBandMargin, lockstep)
     "sim_split_band_topk" -> bandTopKOracleSql,
@@ -5577,10 +5656,13 @@ object Similarity {
     * Lloyd-trained `home`/`probes` and the "tcs" split round the
     * sim_cell_split_trained report audits (report ≡ applied split, the
     * sim_split_topk rule lifted to the trained quantizer). */
-  private def trainedSplitTopKOracleSql: String =
+  private def trainedSplitServeChainSql: String =
     trainedChainToHomeSql + ", " +
     cellSplitRoundCtesFor("tcs", "home") + ", " +
-    splitServeTailFor("tst", "tcs") +
+    splitServeTailFor("tst", "tcs")
+
+  private def trainedSplitTopKOracleSql: String =
+    trainedSplitServeChainSql +
     " SELECT a_id, b_id, rn, sim FROM tstr WHERE rn <= 3"
 
   /** One band probe-map CTE `<pfx>p` over [[splitServeCteSql]]'s
@@ -5761,9 +5843,9 @@ object Similarity {
     "rfr AS (SELECT a_id, b_id, rrf_micro, row_number() OVER (" +
     "PARTITION BY a_id ORDER BY rrf_micro DESC, b_id ASC) AS rn FROM rff)"
 
-  /** The frontier oracle wraps the ten REGISTERED leg oracles
+  /** The frontier oracle wraps the twelve REGISTERED leg oracles
     * verbatim as parenthesized subqueries (CTE names stay scoped per
-    * leg) plus the inline nn_descent column rename — eleven legs
+    * leg) plus the inline nn_descent column rename — thirteen legs
     * total, so frontier and legs move together by construction. */
   private def frontierLegSql(m: String, q: String): String =
     s"SELECT '$m' AS method, n_truth, n_hit, recall_micro " +
@@ -5780,7 +5862,9 @@ object Similarity {
             "matryoshka" -> "emb_matryoshka_recall",
             "rrf" -> "sim_rrf_recall",
             "sign" -> "emb_sign_recall",
-            "split" -> "sim_split_recall_eval")
+            "split" -> "sim_split_recall_eval",
+            "trained" -> "sim_trained_recall_eval",
+            "trainedsplit" -> "sim_split_trained_recall_eval")
           .map { case (m, q) => frontierLegSql(m, q) } :+
          // descent's refined columns renamed to the frontier contract
          ("SELECT 'nn_descent' AS method, n_truth, n_hit_ref AS n_hit, " +

@@ -273,6 +273,20 @@ class CellSplitSpec extends SparkSpec {
       "an all-cool probe's top-3 drifted between the trained serves")
     assert(splitServe !== unsplit,
       "the trained split changed nothing — hot cells vacuous")
+    // the split shrinks a probed hot cell's candidates to one child,
+    // and a global top-3 item survives any candidate subset containing
+    // it — so hits vs the shared truth are monotone in the candidate
+    // set: trainedsplit recall ≤ trained recall, cell-for-cell truth
+    def recallRow(q: String) = {
+      val r = ext.Similarity.queries(q)(spark, sf001).collect().head
+      (r.getLong(r.fieldIndex("n_truth")), r.getLong(r.fieldIndex("n_hit")))
+    }
+    val (tTruth, tHit) = recallRow("sim_trained_recall_eval")
+    val (sTruth, sHit) = recallRow("sim_split_trained_recall_eval")
+    assert(tTruth === sTruth, "the two trained legs read different truths")
+    assert(sHit <= tHit,
+      s"trained-split hits $sHit exceed trained hits $tHit — " +
+      "candidate-subset monotonicity broken")
   }
 
   test("deep serve at depth 1 ≡ the hand-written split serve") {

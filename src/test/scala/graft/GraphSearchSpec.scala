@@ -100,7 +100,10 @@ class GraphSearchSpec extends SparkSpec {
       "nn_descent" -> ("sim_nn_descent_eval", "n_hit_ref", "recall_ref_micro"),
       "rrf" -> ("sim_rrf_recall", "n_hit", "recall_micro"),
       "sign" -> ("emb_sign_recall", "n_hit", "recall_micro"),
-      "split" -> ("sim_split_recall_eval", "n_hit", "recall_micro"))
+      "split" -> ("sim_split_recall_eval", "n_hit", "recall_micro"),
+      "trained" -> ("sim_trained_recall_eval", "n_hit", "recall_micro"),
+      "trainedsplit" ->
+        ("sim_split_trained_recall_eval", "n_hit", "recall_micro"))
     assert(frontier.keySet === legs.keySet)
     legs.foreach { case (m, (q, hitCol, recCol)) =>
       val r = ext.Similarity.queries(q)(spark, sf0001).collect().head
