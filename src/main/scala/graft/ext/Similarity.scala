@@ -779,6 +779,22 @@ object Similarity {
     * the non-empty-model path (a hot base cell whose children the
     * arrivals re-heat). */
   def splitIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val (occ, assigned1, _, _) = splitIncrementalParts(spark, dir)
+    cellSplitReportOf(occ, assigned1)
+  }
+
+  /** The incremental chain's working frames — (combined occupancy,
+    * incremental-round child picks, FINAL depth-2 assignment, per-round
+    * model table). All four are LAZY plans (no memo: the final
+    * assignment and models have exactly ONE consumer —
+    * [[splitIncrementalServe]], whose parquet write IS their
+    * materialization; an earlier memoized variant doubled the report's
+    * cost for nothing, bench round 17). The base-index persist writes
+    * and the model-sized hot-list collect re-run per call (idempotent
+    * overwrite / bounded metadata); the report's plan keeps the LIVE
+    * pruned postings scans (CellSplitSpec inspects them). */
+  private def splitIncrementalParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val split = embCount(spark, dir) / 2
     val cents = frozenBaseCentroids(spark, dir)
     val emb = embWithNrm(spark, dir)
@@ -816,7 +832,56 @@ object Similarity {
       arrN.join(newHot, Seq("cell"), "left_semi"))
     val membersH = emb.join(hotAsg, Seq("vec_id"))
     val seeds1 = splitSeeds(spark, dir, membersH, newHot)
-    cellSplitReportOf(occ, assignToSubSeeds(membersH, seeds1))
+    val assigned1 = assignToSubSeeds(membersH, seeds1)
+    val finalA = nextSplitAsg(comb, newHot, assigned1)
+    val models = model.withColumn("round", lit(1))
+      .unionByName(seeds1.withColumn("round", lit(2)))
+    (occ, assigned1, finalA, models)
+  }
+
+  /** Rank a (vec_id, embedding, nrm) frame against a (cell, cv, cnrm)
+    * centroid table — the bounded top-[[NProbe]] aggregate every
+    * assignment path uses (no window sort). */
+  private def rankedAgainstCentroids(vecs: DataFrame,
+                                     cents: DataFrame): DataFrame =
+    explodeRanked(
+      fanOut(vecs).crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+                Num.rnd(dotCols(col("embedding"), col("cv")) /
+                          (col("nrm") * col("cnrm")), 6).as("csim"),
+                col("cell"))
+        .groupBy("vec_id")
+        .agg(topNProbe(col("csim"), col("cell")).as("tk")))
+
+  /** Serve the incrementally-maintained index
+    * (sim_split_incremental_serve) — closes [[splitIncremental]]'s
+    * maintain → PERSIST BACK → SERVE loop: the post-round assignment
+    * (depth-2 ncell space) is written as ncell-partitioned postings
+    * plus ONE model table with round 1 = the base split's model and
+    * round 2 = the incremental round's (round 1 is legitimately EMPTY
+    * at sf0.01 — the flip of the deep-persist converged case), and
+    * queries are served from the RELOAD through the SHARED
+    * [[splitDeepServeFrom]] tail: probes rank the FROZEN base
+    * quantizer's [[NProbe]] cells, then fold one τ-compare descent per
+    * persisted round. The oracle rebuilds the whole combined chain
+    * from scratch and re-derives the serve — hash equality proves
+    * maintained-index serving ≡ from-scratch serving. */
+  def splitIncrementalServe(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, finalA, models) = splitIncrementalParts(spark, dir)
+    val postPath = Tables.scratch("split_inc2_postings")
+    finalA.withColumnRenamed("cell", "ncell")
+      .write.mode("overwrite").partitionBy("ncell").parquet(postPath)
+    val modPath = Tables.scratch("split_inc2_models")
+    models.write.mode("overwrite").parquet(modPath)
+    val reloaded = spark.read.parquet(postPath)
+      .withColumn("ncell", col("ncell").cast("long"))
+    val m = spark.read.schema(models.schema).parquet(modPath)
+    val probe0 = rankedAgainstCentroids(embWithNrm(spark, dir),
+        frozenBaseCentroids(spark, dir))
+      .select("vec_id", "cell")
+    splitDeepServeFrom(spark, dir, reloaded,
+      (1 to 2).map(k => m.filter(col("round") === k).drop("round")),
+      probe0)
   }
 
   /** Default depth for the RECURSIVE split queries — 2 rounds. The
@@ -875,7 +940,8 @@ object Similarity {
       val rounds = cellSplitRounds(spark, dir, depth)
       splitDeepServeFrom(spark, dir,
         rounds.last._4.withColumnRenamed("cell", "ncell"),
-        rounds.map(_._3))
+        rounds.map(_._3),
+        ivfAssignRanked(spark, dir).select("vec_id", "cell"))
     }
     // the default-depth serve is memoized (consumers: the query, the
     // deepsplit frontier leg, sim_split_deep_recall_eval; owner in
@@ -895,10 +961,10 @@ object Similarity {
     * durable parquet) — the splitServeFrom discipline at depth d. */
   private def splitDeepServeFrom(spark: SparkSession, dir: String,
                                  postings: DataFrame,
-                                 modelsByRound: Seq[DataFrame]): DataFrame = {
+                                 modelsByRound: Seq[DataFrame],
+                                 probed: DataFrame): DataFrame = {
     val emb = embWithNrm(spark, dir)
-    val probe0 = ivfAssignRanked(spark, dir).select("vec_id", "cell")
-    val probeMap = modelsByRound.foldLeft(probe0) { (p, seeds) =>
+    val probeMap = modelsByRound.foldLeft(probed) { (p, seeds) =>
       probeDescend(emb, p, seeds.select("cell").distinct(), seeds)
     }
     serveTop3(pairCandidatesAB(
@@ -937,7 +1003,8 @@ object Similarity {
       .withColumn("ncell", col("ncell").cast("long"))
     val models = spark.read.parquet(modelsPath)
     splitDeepServeFrom(spark, dir, reloadedIdx,
-      (1 to depth).map(k => models.filter(col("round") === k).drop("round")))
+      (1 to depth).map(k => models.filter(col("round") === k).drop("round")),
+      ivfAssignRanked(spark, dir).select("vec_id", "cell"))
   }
 
   /** Recall of the split-index serve vs the SHARED exact truth — the
@@ -3880,6 +3947,7 @@ object Similarity {
     "sim_split_plan" -> splitPlan _,
     "sim_split_serve_planned" -> splitServePlanned _,
     "sim_split_incremental" -> splitIncremental _,
+    "sim_split_incremental_serve" -> splitIncrementalServe _,
     "sim_knn_mutual_split" -> knnMutualSplit _,
     "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
     "sim_cell_split_trained" -> cellSplitTrained _,
@@ -4772,6 +4840,10 @@ object Similarity {
     // incremental split from the persisted index: the oracle rebuilds
     // the combined round from scratch — equality IS the proof
     "sim_split_incremental" -> splitIncrementalOracleSql,
+    // the maintained index persisted back and SERVED from the reload —
+    // the oracle re-derives the serve from scratch (maintain → persist
+    // → serve loop closed; equality IS the proof)
+    "sim_split_incremental_serve" -> splitIncrementalServeOracleSql,
     // the median-τ split round applied to the TRAINED quantizer's home
     // cells — the SAME generator over trainedChainToHomeSql's `home`
     // (tcs-prefixed; probes/tc unreferenced CTEs are free)
@@ -5402,17 +5474,26 @@ object Similarity {
     * `s0sim ≥ τ` compare (the exact member rule), a cool one maps to
     * cell·2. */
   private def probeDescendCteFor(pfx: String, psrc: String): String =
-    s"${pfx}z AS (SELECT pb.vec_id, pb.cell, s.tau, " +
+    probeDescendCtesFor(pfx, pfx, psrc)
+
+  /** The descent with SEPARATE output and model prefixes — the
+    * incremental serve descends one probe stream through TWO rounds'
+    * models (ics then jcs), so the output names can't reuse the model
+    * prefix; the (pfx, pfx, psrc) instance is [[probeDescendCteFor]]
+    * byte-for-byte. */
+  private def probeDescendCtesFor(outPfx: String, modelPfx: String,
+                                  psrc: String): String =
+    s"${outPfx}z AS (SELECT pb.vec_id, pb.cell, s.tau, " +
     "round((list_cosine_similarity(e.embedding::DOUBLE[], " +
     "s.embedding::DOUBLE[])) * 1e6) / 1e6 AS s0sim " +
-    s"FROM $psrc pb JOIN ${pfx}s s ON s.cell = pb.cell " +
+    s"FROM $psrc pb JOIN ${modelPfx}s s ON s.cell = pb.cell " +
     "JOIN embeddings e ON e.vec_id = pb.vec_id), " +
-    s"${pfx}q AS (SELECT vec_id, CAST(cell * 2 + " +
+    s"${outPfx}q AS (SELECT vec_id, CAST(cell * 2 + " +
     "CASE WHEN s0sim >= tau THEN 0 ELSE 1 END AS BIGINT) AS cell " +
-    s"FROM ${pfx}z " +
+    s"FROM ${outPfx}z " +
     s"UNION ALL SELECT pb.vec_id, CAST(pb.cell * 2 AS BIGINT) AS cell " +
-    s"FROM $psrc pb LEFT JOIN ${pfx}h ON ${pfx}h.cell = pb.cell " +
-    s"WHERE ${pfx}h.cell IS NULL)"
+    s"FROM $psrc pb LEFT JOIN ${modelPfx}h ON ${modelPfx}h.cell = pb.cell " +
+    s"WHERE ${modelPfx}h.cell IS NULL)"
 
   /** Round-k prefix of the deep chain: round 1 is "cs" (the audited
     * depth-1 names), round k ≥ 2 is "cs<k>" — cs<k>-prefixed names
@@ -5463,24 +5544,32 @@ object Similarity {
     * the combined map (icb), and the incremental round (jcs-prefixed)
     * with the sim_cell_split report tail. Split literal 250 = the
     * CountMemo n/2 at sf0.01 (lockstep with the runtime knob). */
-  private def splitIncrementalOracleSql: String = {
-    def homeCte(pfx: String, where: String): String =
-      s"${pfx}s AS (SELECT e.vec_id, t.cell, " +
-      "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) " +
-      "/ 1e6 AS csim " +
-      s"FROM embeddings e CROSS JOIN iicl t WHERE $where), " +
-      s"${pfx}h AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
-      "row_number() OVER (PARTITION BY vec_id " +
-      s"ORDER BY csim DESC, cell ASC) AS rn FROM ${pfx}s) WHERE rn = 1)"
+  /** The frozen-quantizer home CTE pair `<pfx>s/<pfx>h` over `iicl`. */
+  private def frozenHomeCteFor(pfx: String, where: String): String =
+    s"${pfx}s AS (SELECT e.vec_id, t.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) " +
+    "/ 1e6 AS csim " +
+    s"FROM embeddings e CROSS JOIN iicl t WHERE $where), " +
+    s"${pfx}h AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+    "row_number() OVER (PARTITION BY vec_id " +
+    s"ORDER BY csim DESC, cell ASC) AS rn FROM ${pfx}s) WHERE rn = 1)"
+
+  /** The incremental chain through the jcs round CTEs — shared by the
+    * sim_split_incremental report and the sim_split_incremental_serve
+    * round trip (maintenance and serving can never drift). */
+  private def splitIncrementalChainSql: String =
     s"WITH $incAssignCteSql, " +
-    homeCte("ib", "e.vec_id < 250") + ", " +
+    frozenHomeCteFor("ib", "e.vec_id < 250") + ", " +
     cellSplitRoundCtesFor("ics", "ibh") + ", " +
     splitMapCteFor("ics", "ibh") + ", " +
-    homeCte("ia", "e.vec_id >= 250") + ", " +
+    frozenHomeCteFor("ia", "e.vec_id >= 250") + ", " +
     probeDescendCteFor("ics", "iah") + ", " +
     "icb AS (SELECT vec_id, cell FROM icsi " +
     "UNION ALL SELECT vec_id, cell FROM icsq), " +
-    cellSplitRoundCtesFor("jcs", "icb") + ", " +
+    cellSplitRoundCtesFor("jcs", "icb")
+
+  private def splitIncrementalOracleSql: String = {
+    splitIncrementalChainSql + ", " +
     "jcsc AS (SELECT cell, " +
     "CAST(sum(CASE WHEN sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, " +
     "CAST(sum(CASE WHEN sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1 " +
@@ -5492,6 +5581,40 @@ object Similarity {
     "coalesce(greatest(c.c0, c.c1), o.n_before) AS n_max_after " +
     "FROM jcso o LEFT JOIN jcsc c USING (cell) ORDER BY o.cell"
   }
+
+  /** sim_split_incremental_serve's oracle — from-scratch rebuild of
+    * the maintained-index SERVE: the shared incremental chain, the
+    * final index map (jcsi), the all-vector frozen-quantizer probe
+    * ranking (ipa/ipb, rn ≤ NProbe), the probe descent folded through
+    * BOTH rounds' models (ip1 over ics, ip2 over jcs — the
+    * two-prefix descent generator), and the capped pair + rerank tail
+    * (ivb/ivm/ivq/ivr, the dz tail's shape). Hash equality proves
+    * serving the persisted maintained index ≡ serving a from-scratch
+    * build of the combined corpus. */
+  private def splitIncrementalServeOracleSql: String =
+    splitIncrementalChainSql + ", " +
+    splitMapCteFor("jcs", "icb") + ", " +
+    "ipa AS (SELECT e.vec_id, t.cell, " +
+    "round((list_cosine_similarity(e.embedding::DOUBLE[], t.cv)) * 1e6) " +
+    "/ 1e6 AS csim FROM embeddings e CROSS JOIN iicl t), " +
+    "ipb AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, " +
+    "row_number() OVER (PARTITION BY vec_id " +
+    s"ORDER BY csim DESC, cell ASC) AS rn FROM ipa) WHERE rn <= $NProbe), " +
+    probeDescendCtesFor("ip1", "ics", "ipb") + ", " +
+    probeDescendCtesFor("ip2", "jcs", "ip1q") + ", " +
+    "ivb AS (SELECT e.vec_id, e.embedding, i.cell AS ncell " +
+    "FROM embeddings e JOIN jcsi i ON e.vec_id = i.vec_id " +
+    "QUALIFY row_number() OVER (PARTITION BY i.cell " +
+    s"ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
+    "ivm AS (SELECT e.vec_id, e.embedding, p.cell AS ncell " +
+    "FROM embeddings e JOIN ip2q p ON e.vec_id = p.vec_id), " +
+    "ivq AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM ivm x JOIN ivb y ON x.ncell = y.ncell AND x.vec_id <> y.vec_id), " +
+    "ivr AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+    "ORDER BY sim DESC, b_id ASC) AS rn FROM ivq) " +
+    "SELECT a_id, b_id, rn, sim FROM ivr WHERE rn <= 3"
 
   /** sim_split_serve_planned's oracle — ONE WITH composing the deep
     * chain (round 1 = the audited cs split), the st depth-1 serve

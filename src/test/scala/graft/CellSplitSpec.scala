@@ -395,6 +395,27 @@ class CellSplitSpec extends SparkSpec {
       s"expected the ${rows.count(_._3 === 1)} new-hot ncells")
     assert(prunedParts.head < unprunedParts,
       s"pruning bought nothing: $counts")
+    // the maintained index persists BACK and serves: the updated
+    // postings lay out by ncell, and the model table's round-1 slice
+    // is EMPTY here (no hot base cell) while round 2 carries one row
+    // per new-hot cell — the flip of the deep-persist converged case
+    val served = ext.Similarity
+      .queries("sim_split_incremental_serve")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(served.nonEmpty)
+    served.groupBy(_._1).foreach { case (a, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.size),
+        s"probe $a has non-contiguous ranks")
+      assert(rs.size <= 3)
+    }
+    val post2 = new java.io.File(Tables.scratch("split_inc2_postings"))
+    assert(post2.listFiles().exists(_.getName.startsWith("ncell=")),
+      "maintained postings are not partitioned by ncell")
+    val m2 = spark.read.parquet(Tables.scratch("split_inc2_models"))
+    assert(m2.filter(col("round") === 1).count() === 0L)
+    assert(m2.filter(col("round") === 2).count() ===
+           rows.count(_._3 === 1).toLong)
   }
 
   test("planned serve: sf0.01 chooses depth 1 and serves exactly the " +
@@ -600,5 +621,12 @@ class CellSplitSpec extends SparkSpec {
     // every pick ties to child 0)
     assert(inc.exists(t => t._3 === 1 && t._5 === 0L),
       "no unsplittable re-heated cell — the tie-mass branch went untested")
+    // the maintained-index serve runs on the fixture too, and HERE the
+    // persisted model's round-1 slice is NON-empty (the hot base cell)
+    assert(ext.Similarity
+      .queries("sim_split_incremental_serve")(spark, dir).count() > 0L)
+    val m2fx = spark.read.parquet(Tables.scratch("split_inc2_models"))
+    assert(m2fx.filter(col("round") === 1).count() >= 1L,
+      "fixture base produced no round-1 model — non-empty path vacuous")
   }
 }
