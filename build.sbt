@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The forked TEST JVM needs more headroom than the 8 g run default:
+// the split-maintenance fixtures (round 18) push the suite's resident
+// memoized checkpoints past 8 g — CellSplitSpec died with ForkMain
+// exit 52 (OOM) at 8 g and passes at 14 g. Last -Xmx wins in HotSpot,
+// so appending overrides the run default for tests only.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "14g")}"

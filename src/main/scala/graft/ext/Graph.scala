@@ -452,9 +452,19 @@ object Graph {
     * allowlist). The oracle reconstructs the same labels with a
     * recursive transitive closure over the identical `mu` edges. */
   def components(spark: SparkSession, dir: String): DataFrame =
-    CkptMemo.getOrElseUpdate((spark, dir, "graphcc"), {
+    CkptMemo.getOrElseUpdate((spark, dir, "graphcc"),
+      componentsOverEdges(spark, dir,
+        Similarity.knnMutual(spark, dir).select("a_id", "b_id")))
+
+  /** The hash-min + pointer-jumping CC loop over an ARBITRARY mutual
+    * (a_id, b_id) edge frame — the seam [[components]] (audited
+    * unsplit edges, memoized) shares with `tools/GraphEdgePrice`
+    * (prices the split-served edge set against the audited one for
+    * the graph family — round-17 verdict item 6); one loop, two edge
+    * sets, so the comparison can never measure two algorithms. */
+  private[graft] def componentsOverEdges(spark: SparkSession, dir: String,
+                                         mu: DataFrame): DataFrame = {
       import org.apache.spark.storage.StorageLevel
-      val mu = Similarity.knnMutual(spark, dir).select("a_id", "b_id")
       val edges = mu
         .unionByName(mu.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .withColumnsRenamed(Map("a_id" -> "u", "b_id" -> "v"))
@@ -500,7 +510,7 @@ object Graph {
         s"$changed labels still changing — unconverged labels would be wrong")
       edges.unpersist()
       labels
-    })
+  }
 
   /** Component-SIZE distribution — the one-glance health readout of
     * [[components]] (a near-dup graph whose giant component swallows

@@ -488,7 +488,7 @@ object Similarity {
     * ranking — the split adds one occupancy agg, one τ selection over
     * hot members, and one threshold compare. */
   def cellSplitTrained(spark: SparkSession, dir: String): DataFrame = {
-    val (occ, _, _, assigned) = trainedSplitParts(spark, dir)
+    val (occ, _, _, assigned, _, _) = trainedSplitParts(spark, dir)
     cellSplitReportOf(occ, assigned)
   }
 
@@ -498,11 +498,16 @@ object Similarity {
     * "tsplitasg", owner in Bench's list: sim_cell_split_trained)
     * because both the [[cellSplitTrained]] report and the
     * [[splitTopKTrained]] serve consume them — the audited trained
-    * split and the applied trained split can never drift. */
+    * split and the applied trained split can never drift. Also returns
+    * the trained probe ranking and the home members so the serve
+    * composes the SAME frame instances the report audited (one
+    * definition site for the trained home/member frames — ADVICE
+    * r17). */
   private def trainedSplitParts(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val home = ivfTrainedRanked(spark, dir).filter(col("rn") === 1)
-      .select("vec_id", "cell")
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
+    val ranked = ivfTrainedRanked(spark, dir)
+    val home = ranked.filter(col("rn") === 1).select("vec_id", "cell")
     val members = embWithNrm(spark, dir).join(home, Seq("vec_id"))
     val occ = home.groupBy("cell").agg(count(lit(1)).as("n_before"))
     val hot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
@@ -510,7 +515,7 @@ object Similarity {
       splitSeeds(spark, dir, members, hot).localCheckpoint())
     val assigned = CkptMemo.getOrElseUpdate((spark, dir, "tsplitasg"),
       assignToSubSeeds(members, seeds).localCheckpoint())
-    (occ, hot, seeds, assigned)
+    (occ, hot, seeds, assigned, ranked, members)
   }
 
   /** Search over the TRAINED split index (sim_split_topk_trained) —
@@ -529,10 +534,8 @@ object Similarity {
     // frontier leg both read it (the splitband precedent); owner in
     // Bench's list: sim_split_topk_trained
     CkptMemo.getOrElseUpdate((spark, dir, "tsplitserve"), {
-      val ranked = ivfTrainedRanked(spark, dir)
-      val home = ranked.filter(col("rn") === 1).select("vec_id", "cell")
-      val members = embWithNrm(spark, dir).join(home, Seq("vec_id"))
-      val (_, hot, seeds, assigned) = trainedSplitParts(spark, dir)
+      val (_, hot, seeds, assigned, ranked, members) =
+        trainedSplitParts(spark, dir)
       splitServeFrom(spark, dir, splitPostings(hot, members, assigned), seeds,
         ranked.select("vec_id", "cell")).localCheckpoint()
     })
@@ -779,7 +782,7 @@ object Similarity {
     * the non-empty-model path (a hot base cell whose children the
     * arrivals re-heat). */
   def splitIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val (occ, assigned1, _, _) = splitIncrementalParts(spark, dir)
+    val (occ, assigned1, _, _) = splitIncrementalParts(spark, dir, "report")
     cellSplitReportOf(occ, assigned1)
   }
 
@@ -792,35 +795,78 @@ object Similarity {
     * cost for nothing, bench round 17). The base-index persist writes
     * and the model-sized hot-list collect re-run per call (idempotent
     * overwrite / bounded metadata); the report's plan keeps the LIVE
-    * pruned postings scans (CellSplitSpec inspects them). */
-  private def splitIncrementalParts(spark: SparkSession, dir: String)
+    * pruned postings scans (CellSplitSpec inspects them). `tag` keys
+    * the scratch paths PER CALLER (report vs serve vs deep) — the two
+    * queries return lazy plans over these files, so a shared path
+    * would let a later caller's overwrite invalidate an earlier
+    * caller's not-yet-materialized FileIndex (ADVICE r17). */
+  private def splitIncrementalParts(spark: SparkSession, dir: String,
+                                    tag: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val split = embCount(spark, dir) / 2
     val cents = frozenBaseCentroids(spark, dir)
     val emb = embWithNrm(spark, dir)
     val baseHome = assignToCentroids(emb.filter(col("vec_id") < split), cents)
       .select("vec_id", "cell")
+    splitIncrementalPartsFrom(spark, dir, baseHome,
+      assignToCentroids(emb.filter(col("vec_id") >= split), cents)
+        .select("vec_id", "cell"),
+      tag)
+  }
+
+  /** [[splitIncrementalParts]] over an EXPLICIT (base home, arrival
+    * home) assignment pair — the seam
+    * [[graft.streaming.VecStream.maintainFromSignalToParquet]] shares
+    * with the batch chain (arrivals assigned per micro-batch through
+    * the same frozen model), so stream-detected and batch-detected
+    * maintenance are one code path. `hotParents` (the stream signal's
+    * split_needed COARSE cells, driver-side model-sized metadata)
+    * restricts the new-hot scan to those cells' children — a provable
+    * NO-OP on the result (a coarse cell's occupancy is the sum of its
+    * children's, so a hot ncell's parent is always flagged;
+    * StreamingSpec pins report equality), but it means the maintenance
+    * round plans only the work the detector enqueued. */
+  private[ext] def splitIncrementalPartsFrom(spark: SparkSession,
+                                             dir: String,
+                                             baseHome: DataFrame,
+                                             arrHome0: DataFrame,
+                                             tag: String,
+                                             hotParents: Option[Seq[Long]] =
+                                               None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val emb = embWithNrm(spark, dir)
     val (_, hot0, seeds0, assigned0) = splitRoundParts(spark, dir, baseHome)
-    val postingsPath = Tables.scratch("split_inc_postings")
+    val postingsPath = Tables.scratch(s"split_inc_postings_$tag")
     splitPostings(hot0, emb.join(baseHome, Seq("vec_id")), assigned0)
       .write.mode("overwrite").partitionBy("ncell").parquet(postingsPath)
-    val modelPath = Tables.scratch("split_inc_model")
+    val modelPath = Tables.scratch(s"split_inc_model_$tag")
     seeds0.write.mode("overwrite").parquet(modelPath)
     // explicit schema: a no-hot-cell base writes an EMPTY model table
     // (sf0.01 does) and the reload must serve through it unchanged
     val model = spark.read.schema(seeds0.schema).parquet(modelPath)
-    val arrHome = assignToCentroids(emb.filter(col("vec_id") >= split), cents)
-      .select("vec_id", "cell")
-    val arrN = probeDescend(emb, arrHome, model.select("cell").distinct(),
+    val arrN = probeDescend(emb, arrHome0, model.select("cell").distinct(),
       model)
     val reloaded = spark.read.parquet(postingsPath)
       .withColumn("ncell", col("ncell").cast("long"))
     val comb = reloaded.select(col("vec_id"), col("ncell").as("cell"))
       .unionByName(arrN)
     val occ = comb.groupBy("cell").agg(count(lit(1)).as("n_before"))
-    val newHot = occ.filter(col("n_before") > SplitOccupancy).select("cell")
+    val newHotAll = occ.filter(col("n_before") > SplitOccupancy)
+      .select("cell")
+    // ncell = cell·2 + sub at depth 1, so parent = ncell div 2
+    val newHot = hotParents.fold(newHotAll)(ps =>
+      newHotAll.filter(expr("cell div 2").isin(ps: _*)))
     // the maintenance work list (driver-side metadata, model-sized)
     val hotList = newHot.collect().map(_.getLong(0))
+    // the pruning isin below compares against the directory-inferred
+    // INT partition column — every ncell must fit INT, which the
+    // ivfCells clamp (≤ 131k cells, ncell = cell·2 + sub) guarantees
+    // today; a future depth/encoding change must not silently turn the
+    // partition filter into an empty match (VERDICT r17)
+    require(hotList.forall(n => n >= 0 && n <= Int.MaxValue),
+      s"new-hot ncell outside INT range (${hotList.take(3).mkString(",")}…)" +
+      " — the partition-pruning filter would match nothing; widen the " +
+      "partition column handling before raising the cell/depth encoding")
     // member scan: persisted postings pruned to the new-hot ncells at
     // the listing (filter BEFORE the long cast so the partition filter
     // lands on the directory-inferred INT column), plus the arrivals
@@ -837,6 +883,39 @@ object Similarity {
     val models = model.withColumn("round", lit(1))
       .unionByName(seeds1.withColumn("round", lit(2)))
     (occ, assigned1, finalA, models)
+  }
+
+  /** STREAM-TRIGGERED incremental maintenance — the repair half the
+    * hot-cell detector ([[graft.streaming.VecStream
+    * .hotCellSignalToParquet]]) was missing (round-17 verdict item 4:
+    * "a scheduler would enqueue the split" was a comment, not code):
+    * run the incremental round over STREAM-ASSIGNED arrivals with the
+    * new-hot scan restricted to the signal's split_needed cells, then
+    * PERSIST the maintained index back (ncell-partitioned postings +
+    * round-columned models — the [[splitIncrementalServe]] layout, so
+    * the repaired index serves through [[splitDeepServeFrom]]
+    * unchanged). Returns the [[cellSplitReportOf]]-shaped report;
+    * stream-detected ≡ batch-detected maintenance because every piece
+    * is the batch seam ([[splitIncrementalPartsFrom]]) — StreamingSpec
+    * pins report equality against sim_split_incremental on the same
+    * arrival split. */
+  private[graft] def splitIncrementalMaintain(spark: SparkSession,
+                                              dir: String,
+                                              arrHome: DataFrame,
+                                              flaggedCells: Seq[Long],
+                                              postingsOut: String,
+                                              modelsOut: String): DataFrame = {
+    val split = embCount(spark, dir) / 2
+    val cents = frozenBaseCentroids(spark, dir)
+    val emb = embWithNrm(spark, dir)
+    val baseHome = assignToCentroids(emb.filter(col("vec_id") < split), cents)
+      .select("vec_id", "cell")
+    val (occ, assigned1, finalA, models) = splitIncrementalPartsFrom(
+      spark, dir, baseHome, arrHome, "stream", Some(flaggedCells))
+    finalA.withColumnRenamed("cell", "ncell")
+      .write.mode("overwrite").partitionBy("ncell").parquet(postingsOut)
+    models.write.mode("overwrite").parquet(modelsOut)
+    cellSplitReportOf(occ, assigned1)
   }
 
   /** Rank a (vec_id, embedding, nrm) frame against a (cell, cv, cnrm)
@@ -867,7 +946,7 @@ object Similarity {
     * from scratch and re-derives the serve — hash equality proves
     * maintained-index serving ≡ from-scratch serving. */
   def splitIncrementalServe(spark: SparkSession, dir: String): DataFrame = {
-    val (_, _, finalA, models) = splitIncrementalParts(spark, dir)
+    val (_, _, finalA, models) = splitIncrementalParts(spark, dir, "serve")
     val postPath = Tables.scratch("split_inc2_postings")
     finalA.withColumnRenamed("cell", "ncell")
       .write.mode("overwrite").partitionBy("ncell").parquet(postPath)
@@ -882,6 +961,69 @@ object Similarity {
     splitDeepServeFrom(spark, dir, reloaded,
       (1 to 2).map(k => m.filter(col("round") === k).drop("round")),
       probe0)
+  }
+
+  /** MULTI-ROUND incremental maintenance (sim_split_incremental_deep)
+    * — the round-17 verdict's iterate-to-depth gap: a heavy arrival
+    * batch can leave a split cell's CHILDREN still hot after
+    * [[splitIncremental]]'s single round, so the maintenance loop must
+    * fold rounds until no hot cell or [[SplitDepth]] (the
+    * [[splitPlan]] fail-closed contract's bound). Output = the
+    * [[cellSplitDeep]] trajectory shape over the incremental chain:
+    * row 0 = the combined (post-arrival-descent) occupancy, row k =
+    * the occupancy after k incremental rounds. Each round ≥ 2 models
+    * the real maintain loop: the current assignment is PERSISTED BACK
+    * as ncell-partitioned postings, the round's member scan re-reads
+    * them PRUNED to that round's new-hot ncells at the file listing
+    * (the [[splitIncrementalParts]] discipline, per round), and the
+    * work list is collected as model-sized metadata. A converged round
+    * runs NO split work — the snapshot repeats the settled stats (the
+    * oracle's bijective ×2 relabel preserves n_cells/n_hot/max_occ, so
+    * skipping the no-op keeps hash equality; the honest early-stop).
+    * The oracle folds [[splitIncrementalChainSql]] through
+    * [[SplitDepth]] from-scratch rounds — hash equality proves
+    * iterated-pruned-persisted maintenance ≡ a from-scratch recursive
+    * split of the combined corpus. At sf0.01 round 1 de-hots every
+    * cell, so round 2 is the converged no-op; the CellSplitSpec
+    * fixture drives a genuinely 2-round incremental repair. */
+  def splitIncrementalDeep(spark: SparkSession, dir: String): DataFrame = {
+    val (occ0, _, finalA0, _) = splitIncrementalParts(spark, dir, "deep")
+    def occOf(asg: DataFrame): DataFrame =
+      asg.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    def snap(k: Int, occ: DataFrame): DataFrame =
+      occ.agg(count(lit(1)).as("n_cells"),
+           sum(when(col("n_before") > SplitOccupancy, 1L).otherwise(0L))
+             .as("n_hot"),
+           max("n_before").as("max_occ"))
+        .select(lit(k.toLong).as("round"), col("n_cells"), col("n_hot"),
+                col("max_occ"))
+    val emb = embWithNrm(spark, dir)
+    var asg = finalA0
+    var snaps = Seq(snap(0, occ0), snap(1, occOf(asg)))
+    for (k <- 2 to SplitDepth) {
+      val occK = occOf(asg)
+      // persist back — the round's index state on durable storage
+      val p = Tables.scratch(s"split_inc_deep_r$k")
+      asg.withColumnRenamed("cell", "ncell")
+        .write.mode("overwrite").partitionBy("ncell").parquet(p)
+      val newHot = occK.filter(col("n_before") > SplitOccupancy)
+        .select("cell")
+      // per-round maintenance work list (driver-side, model-sized)
+      val hotList = newHot.collect().map(_.getLong(0))
+      require(hotList.forall(n => n >= 0 && n <= Int.MaxValue),
+        "new-hot ncell outside INT range — the partition filter would " +
+        "match nothing (the ivfCells-clamp assumption)")
+      if (hotList.nonEmpty) {
+        val pruned = spark.read.parquet(p)
+          .filter(col("ncell").isin(hotList.map(_.toInt): _*))
+          .select(col("vec_id"), col("ncell").cast("long").as("cell"))
+        val membersH = emb.join(pruned, Seq("vec_id"))
+        val seedsK = splitSeeds(spark, dir, membersH, newHot)
+        asg = nextSplitAsg(asg, newHot, assignToSubSeeds(membersH, seedsK))
+      }
+      snaps = snaps :+ snap(k, occOf(asg))
+    }
+    snaps.reduce(_ unionByName _).orderBy("round")
   }
 
   /** Default depth for the RECURSIVE split queries — 2 rounds. The
@@ -1218,6 +1360,50 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy("margin_micro")
   }
 
+  /** Max extra candidate pairs the band planner will pay per recovered
+    * true hit ([[splitBandPlanned]]'s decision literal, mirrored in
+    * its oracle — lockstep): a grid margin qualifies iff its CUMULATIVE
+    * gain over margin 0 satisfies Δn_hit · 100 ≥ Δn_cand on the
+    * 100-probe sweep sample. At sf0.01 every step is cheap (cumulative
+    * 75–97 cand/hit — the whole grid qualifies, chosen = 150000µ,
+    * which recovers full unsplit-IVF recall for ~20 % extra
+    * candidates); on a tie-degenerate corpus (recall already 1e6, the
+    * BASELINE round-17 replica finding) the gain is 0 while the cost
+    * is huge, so ONLY margin 0 qualifies — the planner fails closed to
+    * the plain split serve instead of over-firing on tie mass. */
+  private[graft] val BandPlanCandPerHit = 100L
+
+  /** PLAN-DRIVEN band serve (sim_split_band_planned) — closes the
+    * measure → decide → APPLY loop on the band margin (round-17
+    * verdict item 2: [[splitBandSweep]] measured the
+    * candidates-vs-recall curve but nothing consumed it — the exact
+    * gap [[splitServePlanned]] closed for depth): pick the LARGEST
+    * grid margin whose cumulative recall gain is worth its candidate
+    * cost ([[BandPlanCandPerHit]]), then serve the band at exactly
+    * that margin with a `margin_used` column stamping the decision.
+    * Margin 0 qualifies trivially (0 ≥ 0) — the fail-closed floor: a
+    * corpus where the band buys nothing (tie-mass replicas) serves the
+    * plain split index. The sweep is read driver-side as a grid-sized
+    * decision frame (5 rows — the CountMemo plan-metadata precedent);
+    * the oracle composes the SAME sweep arms
+    * ([[bandSweepArmsCtesSql]]), the same decision rule, and one
+    * full-probe serve arm per grid margin filtered by the choice —
+    * measure, decision, and serve move in lockstep. */
+  def splitBandPlanned(spark: SparkSession, dir: String): DataFrame = {
+    val sweep = splitBandSweep(spark, dir).collect()
+    val base = sweep.find(_.getLong(0) == 0L).get
+    val (c0, h0) = (base.getLong(1), base.getLong(4))
+    val chosen = sweep.filter(r =>
+        (r.getLong(4) - h0) * BandPlanCandPerHit >= r.getLong(1) - c0)
+      .map(_.getLong(0)).max
+    val served =
+      if (chosen == 0L) splitTopK(spark, dir)
+      else if (chosen == SplitBandMargin) splitBandTopK(spark, dir)
+      else splitBandTopKAt(spark, dir, chosen)
+    served.select(col("a_id"), col("b_id"), col("rn"), col("sim"),
+      lit(chosen).as("margin_used"))
+  }
+
   /** Split-depth CHOOSER (sim_split_plan) — the decision operator over
     * the [[cellSplitDeep]] trajectory, the bpePick /
     * qualityGateCalibrated fail-closed pattern applied to index
@@ -1262,11 +1448,14 @@ object Similarity {
   def splitServePlanned(spark: SparkSession, dir: String): DataFrame = {
     val p = splitPlan(spark, dir).collect().head
     val chosen = p.getLong(0)
+    // context columns are diagnostics only — never let a NULL final
+    // snapshot turn the fail-closed WARN into an NPE (ADVICE r17)
+    def ctx(i: Int): String = if (p.isNullAt(i)) "?" else p.getLong(i).toString
     val depthUsed =
       if (chosen == 1000000000L) {
         org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
-          s"split plan failed closed at $dir (n_hot_final=${p.getLong(2)}, " +
-          s"max_occ_final=${p.getLong(3)}): serving the UNSPLIT index — " +
+          s"split plan failed closed at $dir (n_hot_final=${ctx(2)}, " +
+          s"max_occ_final=${ctx(3)}): serving the UNSPLIT index — " +
           "raise SplitDepth or SplitOccupancy deliberately")
         0L
       } else chosen
@@ -3948,6 +4137,7 @@ object Similarity {
     "sim_split_serve_planned" -> splitServePlanned _,
     "sim_split_incremental" -> splitIncremental _,
     "sim_split_incremental_serve" -> splitIncrementalServe _,
+    "sim_split_incremental_deep" -> splitIncrementalDeep _,
     "sim_knn_mutual_split" -> knnMutualSplit _,
     "sim_split_deep_persist" -> ((s, d) => splitDeepIndexPersistSearch(s, d)),
     "sim_cell_split_trained" -> cellSplitTrained _,
@@ -3958,6 +4148,7 @@ object Similarity {
     "sim_split_band_topk" -> splitBandTopK _,
     "sim_split_band_recall_eval" -> ((s, d) => splitBandRecallEval(s, d)),
     "sim_split_band_sweep" -> ((s, d) => splitBandSweep(s, d)),
+    "sim_split_band_planned" -> splitBandPlanned _,
     "sim_ivf_topk"     -> ivfTopK _,
     "sim_knn_mutual"   -> knnMutual _,
     "sim_nn_descent"   -> nnDescent _,
@@ -4844,6 +5035,10 @@ object Similarity {
     // the oracle re-derives the serve from scratch (maintain → persist
     // → serve loop closed; equality IS the proof)
     "sim_split_incremental_serve" -> splitIncrementalServeOracleSql,
+    // multi-round incremental maintenance: the chain folded through
+    // SplitDepth from-scratch rounds — equality proves the iterated
+    // pruned-persisted path ≡ a recursive rebuild
+    "sim_split_incremental_deep" -> splitIncrementalDeepOracleSql,
     // the median-τ split round applied to the TRAINED quantizer's home
     // cells — the SAME generator over trainedChainToHomeSql's `home`
     // (tcs-prefixed; probes/tc unreferenced CTEs are free)
@@ -4880,6 +5075,10 @@ object Similarity {
     // lockstep by construction); margin-0 row ≡ sim_split_recall_eval,
     // default-margin row ≡ sim_split_band_recall_eval
     "sim_split_band_sweep" -> bandSweepOracleSql,
+    // measure → decide → apply on the band margin: the sweep's shared
+    // arms, the cumulative-efficiency chooser, and full-probe serve
+    // arms filtered by the choice (fail-closed to margin 0)
+    "sim_split_band_planned" -> bandPlannedOracleSql,
     // mutual edges over the split serve — the knnMutualCteSql mutual
     // rule (sm-prefixed) over splitServeCteSql's `str`
     "sim_knn_mutual_split" ->
@@ -5616,6 +5815,41 @@ object Similarity {
     "ORDER BY sim DESC, b_id ASC) AS rn FROM ivq) " +
     "SELECT a_id, b_id, rn, sim FROM ivr WHERE rn <= 3"
 
+  /** Incremental-round prefix: round 1 = "jcs" (the audited
+    * [[splitIncrementalChainSql]] round), round k = the next letter —
+    * kcs, lcs, … (names claimed per depth). */
+  private def incRoundPfx(k: Int): String = s"${('i' + k).toChar}cs"
+
+  /** sim_split_incremental_deep's oracle — the incremental chain
+    * folded through [[SplitDepth]] from-scratch rounds (round k ≥ 2 =
+    * the SAME round generator over round k−1's full map), with the
+    * [[splitDeepSnapshotsSql]]-shaped trajectory union: snapshot 0 =
+    * the combined occupancy (round 1's own `jcso`), snapshot k = the
+    * occupancy after k rounds. Hash equality proves the
+    * pruned-persisted iterated maintenance ≡ this rebuild. */
+  private def splitIncrementalDeepOracleSql: String = {
+    val rounds = (1 to SplitDepth).map { k =>
+      val maps = splitMapCteFor(incRoundPfx(k),
+        if (k == 1) "icb" else s"${incRoundPfx(k - 1)}i")
+      if (k == 1) maps
+      else cellSplitRoundCtesFor(incRoundPfx(k),
+        s"${incRoundPfx(k - 1)}i") + ", " + maps
+    }.mkString(", ")
+    def snapSelect(k: Int, from: String): String =
+      s"SELECT CAST($k AS BIGINT) AS round, " +
+      "CAST(count(*) AS BIGINT) AS n_cells, " +
+      s"CAST(sum(CASE WHEN n_before > $SplitOccupancy THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_hot, " +
+      s"CAST(max(n_before) AS BIGINT) AS max_occ FROM $from"
+    val snaps = (0 until SplitDepth).map { k =>
+      snapSelect(k, s"${incRoundPfx(k + 1)}o")
+    } :+ snapSelect(SplitDepth,
+      "(SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
+      s"FROM ${incRoundPfx(SplitDepth)}i GROUP BY cell) fz")
+    splitIncrementalChainSql + ", " + rounds + " " +
+      snaps.mkString(" UNION ALL ") + " ORDER BY round"
+  }
+
   /** sim_split_serve_planned's oracle — ONE WITH composing the deep
     * chain (round 1 = the audited cs split), the st depth-1 serve
     * tail, the dz depth-2 serve tail, and the [[splitPlanOracleSql]]
@@ -5794,7 +6028,13 @@ object Similarity {
     * PLUS the other child when the exact integer µ distance
     * |round(s0sim·1e6) − round(τ·1e6)| is inside the margin, plus
     * cool cells at cell·2. `probeWhere` restricts the probe sample
-    * (the sweep's vec_id < 100 arms); empty = all probes. */
+    * (the sweep's vec_id < 100 arms); empty = all probes.
+    * CONSTRAINT: `probeWhere` must be either empty or a predicate
+    * BEGINNING with a bare column name (e.g. "vec_id < 100") — the
+    * cool arm splices it as `pb.$probeWhere`, which alias-qualifies
+    * only the FIRST column; a compound predicate ("vec_id < 100 AND
+    * label = 'x'") would leave its later columns unqualified and
+    * silently change the cool arm's filter (ADVICE r17). */
   private def bandProbeMapSqlFor(pfx: String, marginMicro: Long,
                                  probeWhere: String): String = {
     val w1 = if (probeWhere.isEmpty) "" else s" WHERE $probeWhere"
@@ -5866,11 +6106,12 @@ object Similarity {
     "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_screen END " +
     "AS precision_micro FROM sbcm"
 
-  /** sim_split_band_sweep's oracle — one bw<i>-prefixed arm per
-    * [[SplitBandSweepMargins]] entry (generated from the SAME grid the
-    * Spark side folds — lockstep by construction), each restricted to
-    * the 100-probe sample, sharing one brute truth (bwx/bwxr). */
-  private def bandSweepOracleSql: String = {
+  /** The sweep's shared brute truth (bwx/bwxr) + one bw<i>-prefixed
+    * probe-restricted arm per [[SplitBandSweepMargins]] entry
+    * (generated from the SAME grid the Spark side folds — lockstep by
+    * construction) — composed by the sweep oracle AND the planned-band
+    * oracle, so the measure and the decision read ONE chain. */
+  private def bandSweepArmsCtesSql: String = {
     val arms = SplitBandSweepMargins.zipWithIndex.map { case (m, i) =>
       val pfx = s"bw$i"
       bandProbeMapSqlFor(pfx, m, "vec_id < 100") + ", " +
@@ -5882,6 +6123,20 @@ object Similarity {
       s"(SELECT count(*) FROM bwxr JOIN ${pfx}s USING (a_id, b_id)) " +
       "AS n_hit)"
     }
+    "bwx AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
+    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
+    "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
+    "WHERE x.vec_id < 100), " +
+    "bwxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
+    "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
+    "AS rn FROM bwx) e WHERE rn <= 3), " +
+    arms.mkString(", ")
+  }
+
+  /** sim_split_band_sweep's oracle — the shared arm chain + one
+    * read-out row per grid margin. */
+  private def bandSweepOracleSql: String = {
     val selects = SplitBandSweepMargins.zipWithIndex.map { case (m, i) =>
       s"SELECT CAST($m AS BIGINT) AS margin_micro, " +
       "CAST(n_cand AS BIGINT) AS n_cand, " +
@@ -5892,17 +6147,40 @@ object Similarity {
       "ELSE (n_hit * CAST(1000000 AS BIGINT)) // n_truth END " +
       s"AS recall_micro FROM bw${i}c"
     }
-    splitServeCteSql + ", " +
-    "bwx AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
-    "round((list_cosine_similarity(x.embedding::DOUBLE[], " +
-    "y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-    "FROM embeddings x JOIN embeddings y ON y.vec_id <> x.vec_id " +
-    "WHERE x.vec_id < 100), " +
-    "bwxr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
-    "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) " +
-    "AS rn FROM bwx) e WHERE rn <= 3), " +
-    arms.mkString(", ") + " " +
+    splitServeCteSql + ", " + bandSweepArmsCtesSql + " " +
     selects.mkString(" UNION ALL ") + " ORDER BY margin_micro"
+  }
+
+  /** sim_split_band_planned's oracle — ONE WITH composing the sweep's
+    * shared arm chain (the measure), the cumulative-efficiency chooser
+    * (bps/bpb/bpc — Δn_hit · [[BandPlanCandPerHit]] ≥ Δn_cand vs the
+    * margin-0 arm, coalesced to the fail-closed 0), and one FULL-PROBE
+    * serve arm per grid margin (bp<i>-prefixed; the margin-0 arm is
+    * the split serve's own `str`), each filtered by the chosen margin
+    * — the plannedServeOracleSql pattern applied to the band knob. */
+  private def bandPlannedOracleSql: String = {
+    val serveArms = SplitBandSweepMargins.zipWithIndex.collect {
+      case (m, i) if m != 0L =>
+        bandProbeMapSqlFor(s"bp$i", m, "") + ", " +
+        bandServeTailSqlFor(s"bp$i")
+    }
+    val decision =
+      "bps AS (" + SplitBandSweepMargins.zipWithIndex.map { case (m, i) =>
+        s"SELECT CAST($m AS BIGINT) AS margin_micro, n_cand, n_hit " +
+        s"FROM bw${i}c"
+      }.mkString(" UNION ALL ") + "), " +
+      "bpb AS (SELECT n_cand AS c0, n_hit AS h0 FROM bw0c), " +
+      "bpc AS (SELECT coalesce(max(CASE WHEN (s.n_hit - b.h0) * " +
+      s"$BandPlanCandPerHit >= (s.n_cand - b.c0) THEN s.margin_micro " +
+      "END), CAST(0 AS BIGINT)) AS chosen FROM bps s, bpb b)"
+    val armSelects = SplitBandSweepMargins.zipWithIndex.map { case (m, i) =>
+      val rel = if (m == 0L) "str" else s"bp${i}r"
+      s"SELECT a_id, b_id, rn, sim, CAST($m AS BIGINT) AS margin_used " +
+      s"FROM $rel, bpc WHERE rn <= 3 AND bpc.chosen = $m"
+    }
+    splitServeCteSql + ", " + bandSweepArmsCtesSql + ", " +
+    (serveArms :+ decision).mkString(", ") + " " +
+    armSelects.mkString(" UNION ALL ")
   }
 
   private def ivfTopKCteSql: String =

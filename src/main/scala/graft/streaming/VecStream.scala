@@ -212,6 +212,46 @@ object VecStream {
       .foreach(_.unpersist(false))
   }
 
+  /** STREAM-TRIGGERED split maintenance — closes the detect → REPAIR
+    * loop [[hotCellSignalToParquet]] left open (its "a maintenance
+    * scheduler would enqueue the split" seam): detect hot cells from
+    * the arrival stream, collect the signal's split_needed cells as
+    * the work list (driver-side, model-sized — the bookmark-ledger
+    * precedent), run the incremental split round over the
+    * STREAM-ASSIGNED arrivals restricted to those cells through the
+    * SHARED `Similarity.splitIncrementalMaintain` seam, persist the
+    * maintained index back (ncell-partitioned postings + models — the
+    * sim_split_incremental_serve layout), and write the maintenance
+    * report. Stream-detected ≡ batch-detected: the restriction is a
+    * provable no-op (a hot child's parent is always flagged — coarse
+    * occupancy is the sum of its children's) and every stage is the
+    * batch seam, so the report equals `sim_split_incremental` at ANY
+    * arrival split (StreamingSpec pins it on a two-batch split). */
+  def maintainFromSignalToParquet(spark: SparkSession, dir: String,
+                                  stream: DataFrame, assignOut: String,
+                                  checkpointDir: String, signalOut: String,
+                                  postingsOut: String, modelsOut: String,
+                                  reportOut: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    hotCellSignalToParquet(spark, dir, stream, assignOut, checkpointDir,
+      signalOut)
+    val flagged = spark.read.parquet(signalOut)
+      .filter(col("split_needed") === 1).select("cell")
+      .collect().map(_.getLong(0)).toSeq
+    val hasBatches = Option(new java.io.File(assignOut).listFiles())
+      .getOrElse(Array.empty).exists(f =>
+        f.isDirectory && f.getName.startsWith("batch_id="))
+    val arrHome =
+      if (hasBatches) spark.read.parquet(s"$assignOut/batch_id=*")
+        .select("vec_id", "cell")
+      else spark.range(0)
+        .select(col("id").as("vec_id"), col("id").as("cell"))
+    graft.ext.Similarity
+      .splitIncrementalMaintain(spark, dir, arrHome, flagged,
+        postingsOut, modelsOut)
+      .write.mode("overwrite").parquet(reportOut)
+  }
+
   /** Serve each arriving probe micro-batch against the static filtered
     * index; one `batch_id=N` parquet dir per micro-batch. */
   def filteredSearchToParquet(spark: SparkSession, dir: String,

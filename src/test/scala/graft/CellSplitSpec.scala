@@ -364,7 +364,7 @@ class CellSplitSpec extends SparkSpec {
       StructField("cell", LongType), StructField("sv", ArrayType(FloatType)),
       StructField("snrm", DoubleType), StructField("tau", DoubleType)))
     assert(spark.read.schema(mSchema)
-      .parquet(Tables.scratch("split_inc_model")).count() === 0L)
+      .parquet(Tables.scratch("split_inc_model_report")).count() === 0L)
     // the member scan reads the persisted postings PRUNED at the file
     // listing: among the postings scans in the executed plan, one
     // carries a partition filter and reads strictly fewer partitions
@@ -373,7 +373,7 @@ class CellSplitSpec extends SparkSpec {
       val self = p match {
         case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(
-            _.toString.contains("split_inc_postings")) => Seq(f)
+            _.toString.contains("split_inc_postings_report")) => Seq(f)
         case _ => Seq.empty
       }
       val kids = p match {
@@ -609,7 +609,7 @@ class CellSplitSpec extends SparkSpec {
                  r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(inc.map(_._2).sum === 121L,
       "combined occupancy does not partition the fixture corpus")
-    assert(spark.read.parquet(Tables.scratch("split_inc_model")).count() >= 1L,
+    assert(spark.read.parquet(Tables.scratch("split_inc_model_report")).count() >= 1L,
       "the fixture base produced no split model — non-empty path vacuous")
     assert(inc.exists(_._3 === 1),
       "arrivals re-heated no cell — incremental round vacuous on fixture")
@@ -628,5 +628,187 @@ class CellSplitSpec extends SparkSpec {
     val m2fx = spark.read.parquet(Tables.scratch("split_inc2_models"))
     assert(m2fx.filter(col("round") === 1).count() >= 1L,
       "fixture base produced no round-1 model — non-empty path vacuous")
+  }
+
+  test("deep incremental: sf0.01 converges at round 1 and the " +
+       "trajectory ties to the incremental report") {
+    val tr = ext.Similarity
+      .queries("sim_split_incremental_deep")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(tr.length === ext.Similarity.SplitDepth + 1)
+    // round 0 = the combined occupancy the single-round report audits
+    val inc = ext.Similarity.queries("sim_split_incremental")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(tr(0)._2 === inc.length.toLong)
+    assert(tr(0)._3 === inc.count(_._3 === 1).toLong)
+    assert(tr(0)._4 === inc.map(_._2).max)
+    // one round de-hots sf0.01; the converged round repeats the stats
+    // (the oracle's ×2 relabel is bijective — the honest early-stop)
+    assert(tr(1)._3 === 0L, "sf0.01 did not converge in one round")
+    assert((tr(2)._2, tr(2)._3, tr(2)._4) ===
+           ((tr(1)._2, tr(1)._3, tr(1)._4)))
+  }
+
+  test("deep incremental fixture: round 2 fires on still-hot children " +
+       "with a pruned member scan; stream-triggered maintenance ≡ batch") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incdeep-fx").toString
+    def e(thetaDeg: Double): Seq[Float] = {
+      val t = math.toRadians(thetaDeg)
+      Seq(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    }
+    // 16 centroids fanned 20° apart (ids 0..15); 42 base pack members
+    // within 2.1° of centroid 0 (ids 16..57 — base half = vec_id < 58)
+    // make base cell 0 hot (43 > 32), so the persisted base index
+    // carries one split; 58 arrivals at 2.15°..5.0° (ids 58..115) all
+    // land below the base τ ≈ cos(1.05°), re-heating child 1 to 79 —
+    // round 1's median cut leaves BOTH children ~40/39 (still hot),
+    // round 2 finishes at ~20: the ≥2-round repair the single-round
+    // report cannot complete (round-17 verdict item 3)
+    val fixture =
+      (0L until 16L).map(c => (c, e(c * 20.0), 0)) ++
+      (16L until 116L).map(v => (v, e((v - 15L) * 0.05), 0))
+    fixture.toDF("vec_id", "embedding", "label").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val deep = ext.Similarity
+      .queries("sim_split_incremental_deep")(spark, dir)
+    val tr = deep.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(tr(0)._3 >= 1L, "no hot cell after arrivals — fixture vacuous")
+    assert(tr(1)._3 >= 1L,
+      s"round 1 finished the repair — fixture needs ≥ 2 rounds: $tr")
+    assert(tr(2)._3 === 0L, s"round 2 did not finish the repair: $tr")
+    assert(tr(1)._4 < tr(0)._4 && tr(2)._4 < tr(1)._4,
+      s"occupancy did not shrink per round: $tr")
+    // round 2's member scan reads the persisted round-1 index PRUNED
+    // to that round's still-hot ncells at the file listing
+    def prunedScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("split_inc_deep_r2")) => Seq(f)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(prunedScans)
+    }
+    val scans = prunedScans(deep.queryExecution.executedPlan)
+      .filter(_.partitionFilters.nonEmpty)
+    assert(scans.nonEmpty, "round 2 has no partition-filtered member scan")
+    assert(scans.head.selectedPartitions.partitionCount === tr(1)._3,
+      s"round-2 member scan reads " +
+      s"${scans.head.selectedPartitions.partitionCount} partitions, " +
+      s"expected the ${tr(1)._3} still-hot ncells")
+    // STREAM-TRIGGERED maintenance on the same arrival split: detect
+    // (hot-cell signal over two micro-batches) → flagged work list →
+    // pruned round → persist back; report ≡ sim_split_incremental
+    val sdir = java.nio.file.Files
+      .createTempDirectory("graft-incdeep-stream").toString
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-incdeep-one")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$sdir/$name"))
+    }
+    val arrivals = Tables.embeddings(spark, dir).filter(col("vec_id") >= 58)
+    writeOne(arrivals.filter(col("vec_id") < 86), "vecs-000.parquet")
+    writeOne(arrivals.filter(col("vec_id") >= 86), "vecs-001.parquet")
+    val stream = spark.readStream
+      .schema(graft.streaming.VecStream.vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir)
+    val io = java.nio.file.Files
+      .createTempDirectory("graft-incdeep-io").toString
+    graft.streaming.VecStream.maintainFromSignalToParquet(spark, dir,
+      stream, s"$io/assign", s"$io/ckpt", s"$io/signal",
+      s"$io/postings", s"$io/models", s"$io/report")
+    // non-vacuous: the detector flagged the packed cell
+    assert(spark.read.parquet(s"$io/signal")
+      .filter(col("split_needed") === 1).count() >= 1L,
+      "the stream detector flagged nothing — restriction untested")
+    def repRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+                 r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(repRows(spark.read.parquet(s"$io/report")) ===
+           repRows(ext.Similarity
+             .queries("sim_split_incremental")(spark, dir)),
+      "stream-triggered maintenance drifted from the batch round")
+    // the repaired index persisted back in the serve layout
+    assert(new java.io.File(s"$io/postings").listFiles()
+      .exists(_.getName.startsWith("ncell=")),
+      "maintained postings are not partitioned by ncell")
+    assert(spark.read.parquet(s"$io/models")
+      .filter(col("round") === 2).count() >= 1L,
+      "the stream-triggered round wrote no round-2 model")
+  }
+
+  test("planned band serve: sf0.01's whole grid clears the efficiency " +
+       "bar — chosen 150000µ — and the serve equals that margin's serve") {
+    val planned = ext.Similarity
+      .queries("sim_split_band_planned")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+                 r.getLong(4)))
+    assert(planned.map(_._5).toSet === Set(150000L),
+      "sf0.01 planned band did not stamp the 150k margin")
+    assert(planned.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+           servedRows(ext.Similarity
+             .splitBandTopKAt(spark, sf001, 150000L)),
+      "planned band serve drifted from the explicit-margin serve")
+  }
+
+  test("planned band: a tie-mass corpus gains nothing from the band " +
+       "and fails closed to margin 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bandplan-fx").toString
+    def e(thetaDeg: Double): Seq[Float] = {
+      val t = math.toRadians(thetaDeg)
+      Seq(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    }
+    // the BASELINE round-17 replica finding in miniature: 10 distinct
+    // pack directions × 5 EXACT copies pack cell 0 to 51 (> 32); every
+    // probe's true top-3 are its exact copies, which share its child
+    // at ANY margin (identical s0sim), so recall gain is 0 while the
+    // τ tie mass makes in-band dual probes fire — the planner must
+    // refuse the band rather than over-fire on tie mass
+    val fixture =
+      (0L until 16L).map(c => (c, e(c * 20.0), 0)) ++
+      (16L until 66L).map(v => (v, e(((v - 16L) / 5L + 1L) * 0.3), 0))
+    fixture.toDF("vec_id", "embedding", "label").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planned = ext.Similarity
+      .queries("sim_split_band_planned")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+                 r.getLong(4)))
+    assert(planned.map(_._5).toSet === Set(0L),
+      "tie-mass corpus did not fail closed to margin 0")
+    assert(planned.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+           servedRows(ext.Similarity.queries("sim_split_topk")(spark, dir)),
+      "fail-closed planned band drifted from the plain split serve")
+    // non-vacuous: the band WOULD have cost candidates here (in-band
+    // probes exist at the τ tie), so choosing 0 was a decision, not a
+    // degenerate grid
+    val sweep = ext.Similarity.queries("sim_split_band_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .sortBy(_._1)
+    assert(sweep.last._2 > sweep.head._2,
+      "no in-band probe fired — the tie-mass branch went untested")
+    assert(sweep.last._3 === sweep.head._3,
+      "the band gained hits on the tie corpus — fixture broken")
   }
 }
