@@ -728,6 +728,20 @@ object Similarity {
       .select("a_id", "b_id", "rn", "sim")
   }
 
+  /** Durable posting write, PARTITIONED BY the cell column with ONE
+    * file per cell: a bare partitionBy from k shuffle partitions
+    * writes up to k files per cell directory — k×|cells| tiny files,
+    * which the round-18 PQ knee run measured as the dominant cost of
+    * sim_ivfpq_persist at 192 k vectors / 4096 cells (571 s, ~260 k
+    * files; BASELINE round 18). The matching repartition routes each
+    * cell to exactly one task — the graphedges bucketed-table
+    * discipline applied to every durable posting write. Layout-only:
+    * reloads read the same rows. */
+  private def writePostings(df: DataFrame, byCol: String,
+                            path: String): Unit =
+    df.repartition(col(byCol))
+      .write.mode("overwrite").partitionBy(byCol).parquet(path)
+
   /** Persisted split-index round trip (sim_split_persist) — the
     * [[ivfIndexPersistSearch]] shape for the SPLIT index (round-15
     * verdict gap #3: the maintenance job's output was session-only):
@@ -746,8 +760,8 @@ object Similarity {
   def splitIndexPersistSearch(spark: SparkSession, dir: String): DataFrame = {
     val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
     val postingsPath = Tables.scratch("split_index_postings")
-    splitPostings(hot, members, assigned)
-      .write.mode("overwrite").partitionBy("ncell").parquet(postingsPath)
+    writePostings(splitPostings(hot, members, assigned), "ncell",
+      postingsPath)
     val seedsPath = Tables.scratch("split_index_seeds")
     seeds.write.mode("overwrite").parquet(seedsPath)
     val reloaded = spark.read.parquet(postingsPath)
@@ -837,8 +851,8 @@ object Similarity {
     val emb = embWithNrm(spark, dir)
     val (_, hot0, seeds0, assigned0) = splitRoundParts(spark, dir, baseHome)
     val postingsPath = Tables.scratch(s"split_inc_postings_$tag")
-    splitPostings(hot0, emb.join(baseHome, Seq("vec_id")), assigned0)
-      .write.mode("overwrite").partitionBy("ncell").parquet(postingsPath)
+    writePostings(splitPostings(hot0, emb.join(baseHome, Seq("vec_id")),
+      assigned0), "ncell", postingsPath)
     val modelPath = Tables.scratch(s"split_inc_model_$tag")
     seeds0.write.mode("overwrite").parquet(modelPath)
     // explicit schema: a no-hot-cell base writes an EMPTY model table
@@ -912,8 +926,8 @@ object Similarity {
       .select("vec_id", "cell")
     val (occ, assigned1, finalA, models) = splitIncrementalPartsFrom(
       spark, dir, baseHome, arrHome, "stream", Some(flaggedCells))
-    finalA.withColumnRenamed("cell", "ncell")
-      .write.mode("overwrite").partitionBy("ncell").parquet(postingsOut)
+    writePostings(finalA.withColumnRenamed("cell", "ncell"), "ncell",
+      postingsOut)
     models.write.mode("overwrite").parquet(modelsOut)
     cellSplitReportOf(occ, assigned1)
   }
@@ -948,8 +962,8 @@ object Similarity {
   def splitIncrementalServe(spark: SparkSession, dir: String): DataFrame = {
     val (_, _, finalA, models) = splitIncrementalParts(spark, dir, "serve")
     val postPath = Tables.scratch("split_inc2_postings")
-    finalA.withColumnRenamed("cell", "ncell")
-      .write.mode("overwrite").partitionBy("ncell").parquet(postPath)
+    writePostings(finalA.withColumnRenamed("cell", "ncell"), "ncell",
+      postPath)
     val modPath = Tables.scratch("split_inc2_models")
     models.write.mode("overwrite").parquet(modPath)
     val reloaded = spark.read.parquet(postPath)
@@ -999,30 +1013,40 @@ object Similarity {
                 col("max_occ"))
     val emb = embWithNrm(spark, dir)
     var asg = finalA0
-    var snaps = Seq(snap(0, occ0), snap(1, occOf(asg)))
+    var snaps = Seq(snap(0, occ0))
     for (k <- 2 to SplitDepth) {
-      val occK = occOf(asg)
-      // persist back — the round's index state on durable storage
+      // persist back FIRST: the reload is the round's — and the
+      // previous snapshot's — ZERO-LINEAGE source. The maintain loop
+      // reads its own durable index (the real operational shape), and
+      // it keeps the composed plan bounded: an all-lazy variant
+      // re-planned the frozen-centroid assignment subtree ~370× in
+      // one tree (round-18 plan audit) because every snapshot and
+      // round re-referenced the full chain.
       val p = Tables.scratch(s"split_inc_deep_r$k")
-      asg.withColumnRenamed("cell", "ncell")
-        .write.mode("overwrite").partitionBy("ncell").parquet(p)
-      val newHot = occK.filter(col("n_before") > SplitOccupancy)
-        .select("cell")
+      writePostings(asg.withColumnRenamed("cell", "ncell"), "ncell", p)
+      val reloaded = spark.read.parquet(p)
+        .select(col("vec_id"), col("ncell").cast("long").as("cell"))
+      snaps = snaps :+ snap(k - 1, occOf(reloaded))
+      val newHot = occOf(reloaded)
+        .filter(col("n_before") > SplitOccupancy).select("cell")
       // per-round maintenance work list (driver-side, model-sized)
       val hotList = newHot.collect().map(_.getLong(0))
       require(hotList.forall(n => n >= 0 && n <= Int.MaxValue),
         "new-hot ncell outside INT range — the partition filter would " +
         "match nothing (the ivfCells-clamp assumption)")
-      if (hotList.nonEmpty) {
-        val pruned = spark.read.parquet(p)
-          .filter(col("ncell").isin(hotList.map(_.toInt): _*))
-          .select(col("vec_id"), col("ncell").cast("long").as("cell"))
-        val membersH = emb.join(pruned, Seq("vec_id"))
-        val seedsK = splitSeeds(spark, dir, membersH, newHot)
-        asg = nextSplitAsg(asg, newHot, assignToSubSeeds(membersH, seedsK))
-      }
-      snaps = snaps :+ snap(k, occOf(asg))
+      asg =
+        if (hotList.isEmpty) reloaded
+        else {
+          val pruned = spark.read.parquet(p)
+            .filter(col("ncell").isin(hotList.map(_.toInt): _*))
+            .select(col("vec_id"), col("ncell").cast("long").as("cell"))
+          val membersH = emb.join(pruned, Seq("vec_id"))
+          val seedsK = splitSeeds(spark, dir, membersH, newHot)
+          nextSplitAsg(reloaded, newHot,
+            assignToSubSeeds(membersH, seedsK))
+        }
     }
+    snaps = snaps :+ snap(SplitDepth, occOf(asg))
     snaps.reduce(_ unionByName _).orderBy("round")
   }
 
@@ -1133,8 +1157,8 @@ object Similarity {
                                   depth: Int = SplitDepth): DataFrame = {
     val rounds = cellSplitRounds(spark, dir, depth)
     val postingsPath = Tables.scratch("split_deep_postings")
-    rounds.last._4.withColumnRenamed("cell", "ncell")
-      .write.mode("overwrite").partitionBy("ncell").parquet(postingsPath)
+    writePostings(rounds.last._4.withColumnRenamed("cell", "ncell"),
+      "ncell", postingsPath)
     val modelsPath = Tables.scratch("split_deep_models")
     rounds.zipWithIndex
       .map { case ((_, _, seeds, _), i) =>
@@ -2707,8 +2731,7 @@ object Similarity {
     val centsPath = Tables.scratch("ivf_index_centroids")
     ivfTrain(spark, dir).write.mode("overwrite").parquet(centsPath)
     val postingsPath = Tables.scratch("ivf_index_postings")
-    ivfTrainedRanked(spark, dir)
-      .write.mode("overwrite").partitionBy("cell").parquet(postingsPath)
+    writePostings(ivfTrainedRanked(spark, dir), "cell", postingsPath)
     val reloaded = spark.read.parquet(postingsPath)
       .withColumn("cell", col("cell").cast("long"))
     trainedServeFrom(spark, dir, reloaded)
@@ -3997,13 +4020,11 @@ object Similarity {
     val centsPath = Tables.scratch("ivfpq_index_centroids")
     ivfTrain(spark, dir).write.mode("overwrite").parquet(centsPath)
     val postingsPath = Tables.scratch("ivfpq_index_postings")
-    ivfTrainedRanked(spark, dir)
-      .write.mode("overwrite").partitionBy("cell").parquet(postingsPath)
+    writePostings(ivfTrainedRanked(spark, dir), "cell", postingsPath)
     val cbPath = Tables.scratch("ivfpq_index_codebook")
     ivfpqCodebook(spark, dir).write.mode("overwrite").parquet(cbPath)
     val codesPath = Tables.scratch("ivfpq_index_codes")
-    ivfpqCodes(spark, dir)
-      .write.mode("overwrite").partitionBy("cell").parquet(codesPath)
+    writePostings(ivfpqCodes(spark, dir), "cell", codesPath)
     val ranked = spark.read.parquet(postingsPath)
       .withColumn("cell", col("cell").cast("long"))
     val cents = spark.read.parquet(centsPath)
