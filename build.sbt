@@ -32,5 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // the split-maintenance fixtures (round 18) push the suite's resident
 // memoized checkpoints past 8 g — CellSplitSpec died with ForkMain
 // exit 52 (OOM) at 8 g and passes at 14 g. Last -Xmx wins in HotSpot,
-// so appending overrides the run default for tests only.
-Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "14g")}"
+// so appending overrides the run default for tests only. Keyed on its
+// OWN env var (NOT SPARK_DRIVER_MEM): a scale/bench run exporting
+// SPARK_DRIVER_MEM=8g used to silently revert the test JVM to the
+// documented exit-52 OOM configuration (ADVICE r18).
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "14g")}"

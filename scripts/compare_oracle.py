@@ -11,12 +11,25 @@ oracle SQL get a rows-only report.
 import json
 import math
 import sys
+import time
 
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Per-oracle DuckDB wall budget (seconds). The driver's t2 compare has a
+# TOTAL time budget; round 18 shipped with an EMPTY CORRECTNESS_r18.json
+# because ONE oracle (sim_split_incremental_deep, a CTE fold DuckDB
+# re-inlined exponentially) ran >17 min and blew it. Any oracle past this
+# budget is flagged loudly at gate time so the blowup is caught at commit,
+# not at the driver (VERDICT r18 item 1).
+ORACLE_BUDGET_SEC = 20.0
+
+# Above this, the compare itself goes RED: a >2-minute single oracle is an
+# unambiguous blowup (not host noise) and WOULD empty the driver artifact.
+ORACLE_HARD_CAP_SEC = 120.0
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -66,6 +79,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(p))
     n_pass = n_fail = 0
+    over_budget = []
     for name in names:
         try:
             spark_df = pd.concat(
@@ -81,11 +95,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"rows  {name}: {len(spark_df)} rows (no oracle)")
             continue
         try:
+            t0 = time.time()
             duck_df = con.execute(oracle[name]).fetchdf()
+            oracle_sec = time.time() - t0
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        if oracle_sec > ORACLE_BUDGET_SEC:
+            over_budget.append((name, oracle_sec))
+            print(f"SLOW  {name}: oracle took {oracle_sec:.1f}s "
+                  f"(budget {ORACLE_BUDGET_SEC:.0f}s) — the driver's t2 "
+                  "compare has a total budget; bound this oracle")
         s, d = canon(spark_df), canon(duck_df)
         if list(s.columns) != list(d.columns):
             print(f"FAIL  {name}: columns {list(s.columns)} vs {list(d.columns)}")
@@ -110,9 +131,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS  {name}: {len(s)} rows")
             n_pass += 1
+    if over_budget:
+        print(f"\nORACLE BUDGET WARNING: {len(over_budget)} oracle(s) over "
+              f"{ORACLE_BUDGET_SEC:.0f}s — "
+              + ", ".join(f"{n} {s:.1f}s" for n, s in over_budget))
+    blown = [(n, s) for n, s in over_budget if s > ORACLE_HARD_CAP_SEC]
+    if blown:
+        print("ORACLE HARD CAP EXCEEDED (gate red): "
+              + ", ".join(f"{n} {s:.1f}s" for n, s in blown))
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(names) - n_pass - n_fail} rows-only")
-    return 1 if n_fail else 0
+    return 1 if n_fail or blown else 0
 
 
 if __name__ == "__main__":

@@ -45,11 +45,17 @@ if grep -q "failed:" "$VLOG"; then
     | tee -a "$LOG"
   exit 1
 fi
-# compare_oracle exits 1 on any FAIL; its last line is "N pass, N fail, N rows-only"
-if ! ORACLE_LINE=$(python3 scripts/compare_oracle.py "$SF_VERIFY" "$OUT" | tail -1); then
-  echo "oracle mirror: $ORACLE_LINE" | tee -a "$LOG"
-  echo "GATE 2 RED — stopping" | tee -a "$LOG"; exit 1
+# compare_oracle exits 1 on any FAIL or a >120 s single oracle (the
+# hard cap — a blowup there WOULD empty the driver's t2 artifact, the
+# CORRECTNESS_r18 failure mode); its last line is "N pass, N fail,
+# N rows-only" and any per-oracle budget warnings land in the log
+CLOG=/tmp/gates_compare_r${ROUND}.log
+if ! python3 scripts/compare_oracle.py "$SF_VERIFY" "$OUT" > "$CLOG" 2>&1; then
+  tail -3 "$CLOG" | tee -a "$LOG"
+  echo "GATE 2 RED — stopping; see $CLOG" | tee -a "$LOG"; exit 1
 fi
+ORACLE_LINE=$(tail -1 "$CLOG")
+grep -E "^(SLOW|ORACLE BUDGET)" "$CLOG" | tee -a "$LOG" || true
 echo "oracle mirror: $ORACLE_LINE" | tee -a "$LOG"
 
 echo "== gate 3/3: builder bench sf0.1 ==" | tee -a "$LOG"

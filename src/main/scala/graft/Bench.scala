@@ -53,6 +53,13 @@ object Bench {
       // which sorts BEFORE it) — pin the owner so the tombstone screen's
       // build cost stays on the delete query
       "dedup_index_delete", "sim_ivf_assign",
+      // frozencents memo owner (the frozen base-half quantizer every
+      // incremental/upsert/stream assignment path serves against)
+      "sim_ivf_incremental_assign",
+      // incbasehome/incarrhome/incsplit0s/incsplit0a/incarrdesc memo
+      // owner (the shared frozen-base stage the report/serve/deep trio
+      // used to rebuild three times — VERDICT r18 item 2)
+      "sim_split_incremental",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
       "sim_ivf_topk", "sim_knn_mutual", "sim_pq_codes", "sim_ivfpq_topk",
       // splitseeds/splitasg memo owner (report, serve, recall eval,
@@ -156,6 +163,16 @@ object Bench {
     // sf1 measurement -> bench_sf1.json) can't clobber the driver record
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
+    // the compact driver-contract line ALSO goes to a fixed well-known
+    // path: BENCH_r17/r18 both came back "parsed": null from sbt
+    // noise/truncation around the stdout line (VERDICT r18 item 3) —
+    // a driver (or a human) can always recover the parseable record here
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_line.json"), compact)
     spark.stop()
+    // re-print as the ABSOLUTE last stdout line: Spark shutdown can log
+    // after the first print, and a tail-truncated capture then loses the
+    // JSON — two identical lines parse the same either way
+    println(compact)
   }
 }

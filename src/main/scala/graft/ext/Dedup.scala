@@ -2245,7 +2245,12 @@ object Dedup {
        "FROM documents d LEFT JOIN m USING (doc_id) WHERE d.doc_id >= 250"),
     "dedup_minhash_lsh" -> minhashOracleSql,
     "dedup_minhash_eval" -> minhashEvalOracleSql,
-    "dedup_band_sweep" -> bandSweepOracleSql,
+    // the 32-signature re-fold per (bands, rows) config references its
+    // upstream CTEs multiply — DuckDB's default inlining re-derived the
+    // chain per config (60.8 s at sf0.01; materialized 0.1 s, rows
+    // bit-identical — the VERDICT r18 item-1 discipline). Non-recursive
+    // (the RECURSIVE families must never take this hint).
+    "dedup_band_sweep" -> OracleHints.materializeCtes(bandSweepOracleSql),
     "dedup_incremental_minhash" -> incMinhashOracleSql,
     // the disk-index screen computes the identical result — same oracle
     "dedup_index_persist" -> incMinhashOracleSql,

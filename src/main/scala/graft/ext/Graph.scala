@@ -463,7 +463,11 @@ object Graph {
     * the graph family — round-17 verdict item 6); one loop, two edge
     * sets, so the comparison can never measure two algorithms. */
   private[graft] def componentsOverEdges(spark: SparkSession, dir: String,
-                                         mu: DataFrame): DataFrame = {
+                                         mu: DataFrame,
+                                         roundsOut: Option[
+                                           java.util.concurrent.atomic
+                                             .AtomicLong] = None)
+      : DataFrame = {
       import org.apache.spark.storage.StorageLevel
       val edges = mu
         .unionByName(mu.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -508,6 +512,7 @@ object Graph {
       require(changed == 0,
         s"components(): hash-min loop hit the $rounds-round cap with " +
         s"$changed labels still changing — unconverged labels would be wrong")
+      roundsOut.foreach(_.set(rounds.toLong))
       edges.unpersist()
       labels
   }

@@ -817,16 +817,31 @@ object Similarity {
   private def splitIncrementalParts(spark: SparkSession, dir: String,
                                     tag: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val split = embCount(spark, dir) / 2
-    val cents = frozenBaseCentroids(spark, dir)
-    val emb = embWithNrm(spark, dir)
-    val baseHome = assignToCentroids(emb.filter(col("vec_id") < split), cents)
-      .select("vec_id", "cell")
-    splitIncrementalPartsFrom(spark, dir, baseHome,
-      assignToCentroids(emb.filter(col("vec_id") >= split), cents)
-        .select("vec_id", "cell"),
-      tag)
+    splitIncrementalPartsFrom(spark, dir, incBaseHome(spark, dir),
+      CkptMemo.getOrElseUpdate((spark, dir, "incarrhome"), {
+        val split = embCount(spark, dir) / 2
+        assignToCentroids(
+            embWithNrm(spark, dir).filter(col("vec_id") >= split),
+            frozenBaseCentroids(spark, dir))
+          .select("vec_id", "cell").localCheckpoint()
+      }),
+      tag, memoArrDesc = true)
   }
+
+  /** The frozen-quantizer BASE home assignment (vec_id < n/2 against
+    * the frozen centroids) — identical across the three incremental
+    * queries AND the stream-maintain seam, so it is memoized once per
+    * (session, dir) (memo "incbasehome", owner sim_split_incremental
+    * in Bench's list; VERDICT r18 item 2: the report/serve/deep trio
+    * rebuilt this exact stage three times, ~19 % of the bench). */
+  private def incBaseHome(spark: SparkSession, dir: String): DataFrame =
+    CkptMemo.getOrElseUpdate((spark, dir, "incbasehome"), {
+      val split = embCount(spark, dir) / 2
+      assignToCentroids(
+          embWithNrm(spark, dir).filter(col("vec_id") < split),
+          frozenBaseCentroids(spark, dir))
+        .select("vec_id", "cell").localCheckpoint()
+    })
 
   /** [[splitIncrementalParts]] over an EXPLICIT (base home, arrival
     * home) assignment pair — the seam
@@ -846,20 +861,42 @@ object Similarity {
                                              arrHome0: DataFrame,
                                              tag: String,
                                              hotParents: Option[Seq[Long]] =
-                                               None)
+                                               None,
+                                             memoArrDesc: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val emb = embWithNrm(spark, dir)
-    val (_, hot0, seeds0, assigned0) = splitRoundParts(spark, dir, baseHome)
+    // the base depth-1 split round is a pure function of the canonical
+    // baseHome (every caller — the three batch tags AND the stream
+    // seam — passes the SAME frozen-quantizer assignment for a given
+    // (session, dir)), so its model and child picks are memoized once
+    // (memos "incsplit0s"/"incsplit0a", owner sim_split_incremental;
+    // VERDICT r18 item 2). occ/hot stay cheap aggs over the
+    // checkpointed baseHome.
+    val members0 = emb.join(baseHome, Seq("vec_id"))
+    val occ0 = baseHome.groupBy("cell").agg(count(lit(1)).as("n_before"))
+    val hot0 = occ0.filter(col("n_before") > SplitOccupancy).select("cell")
+    val seeds0 = CkptMemo.getOrElseUpdate((spark, dir, "incsplit0s"),
+      splitSeeds(spark, dir, members0, hot0).localCheckpoint())
+    val assigned0 = CkptMemo.getOrElseUpdate((spark, dir, "incsplit0a"),
+      assignToSubSeeds(members0, seeds0).localCheckpoint())
     val postingsPath = Tables.scratch(s"split_inc_postings_$tag")
-    writePostings(splitPostings(hot0, emb.join(baseHome, Seq("vec_id")),
-      assigned0), "ncell", postingsPath)
+    writePostings(splitPostings(hot0, members0, assigned0), "ncell",
+      postingsPath)
     val modelPath = Tables.scratch(s"split_inc_model_$tag")
     seeds0.write.mode("overwrite").parquet(modelPath)
     // explicit schema: a no-hot-cell base writes an EMPTY model table
     // (sf0.01 does) and the reload must serve through it unchanged
     val model = spark.read.schema(seeds0.schema).parquet(modelPath)
-    val arrN = probeDescend(emb, arrHome0, model.select("cell").distinct(),
-      model)
+    // the arrival descent is canonical only for the batch trio (the
+    // stream seam descends ITS OWN arrHome) — memoized behind the
+    // caller flag (memo "incarrdesc", same owner)
+    def arrDesc() = probeDescend(emb, arrHome0,
+      model.select("cell").distinct(), model)
+    val arrN =
+      if (memoArrDesc)
+        CkptMemo.getOrElseUpdate((spark, dir, "incarrdesc"),
+          arrDesc().localCheckpoint())
+      else arrDesc()
     val reloaded = spark.read.parquet(postingsPath)
       .withColumn("ncell", col("ncell").cast("long"))
     val comb = reloaded.select(col("vec_id"), col("ncell").as("cell"))
@@ -919,13 +956,9 @@ object Similarity {
                                               flaggedCells: Seq[Long],
                                               postingsOut: String,
                                               modelsOut: String): DataFrame = {
-    val split = embCount(spark, dir) / 2
-    val cents = frozenBaseCentroids(spark, dir)
-    val emb = embWithNrm(spark, dir)
-    val baseHome = assignToCentroids(emb.filter(col("vec_id") < split), cents)
-      .select("vec_id", "cell")
     val (occ, assigned1, finalA, models) = splitIncrementalPartsFrom(
-      spark, dir, baseHome, arrHome, "stream", Some(flaggedCells))
+      spark, dir, incBaseHome(spark, dir), arrHome, "stream",
+      Some(flaggedCells))
     writePostings(finalA.withColumnRenamed("cell", "ncell"), "ncell",
       postingsOut)
     models.write.mode("overwrite").parquet(modelsOut)
@@ -1193,12 +1226,30 @@ object Similarity {
   /** The shared-truth recall fold: screen hits vs the memoized exact
     * top-3 per probe — one metric row (the eval-family shape), shared
     * by the two split legs so their metric forms can never drift. */
+  /** The eval family's probe-sample predicate. Default = the leading
+    * probeN ids (vec_id < probeN — the oracle literal 100). Setting
+    * SPARK_GRAFT_PROBE_HELDOUT flips EVERY eval probe filter to the
+    * TRAILING probeN ids (vec_id ≥ n − probeN), which are never stub
+    * quantizer seeds (seeds are the leading ivfCells ids): at knee
+    * scales each leading probe IS a centroid, structurally inflating
+    * absolute recall (~97 % vs sf0.01's ~40 % regime — BASELINE r18;
+    * VERDICT r18 item 4). SCALE-MEASUREMENT-ONLY (the
+    * SPARK_GRAFT_BUCKET_CAP precedent): Verify/Bench gates and
+    * production never set it, so every sf0.01 oracle literal is
+    * untouched; the "simtruth" memo key carries the mode. */
+  private def probeHeldOut: Boolean =
+    sys.env.contains("SPARK_GRAFT_PROBE_HELDOUT")
+  private def probeSample(spark: SparkSession, dir: String, probeN: Long,
+                          id: Column): Column =
+    if (probeHeldOut) id >= lit(embCount(spark, dir) - probeN)
+    else id < lit(probeN)
+
   private def recallVsSharedTruth(spark: SparkSession, dir: String,
                                   served: DataFrame,
                                   probeN: Long): DataFrame = {
     val exact = exactTruthTop3(spark, dir, probeN)
     val screen = served
-      .filter(col("a_id") < probeN)
+      .filter(probeSample(spark, dir, probeN, col("a_id")))
       .select("a_id", "b_id")
     val hit = exact.join(screen, Seq("a_id", "b_id"))
     exact.agg(count(lit(1)).as("n_truth"))
@@ -1236,6 +1287,12 @@ object Similarity {
     * literally in the sweep oracle's arm list (lockstep). */
   private[graft] val SplitBandSweepMargins =
     Seq(0L, 20000L, 50000L, 100000L, 150000L)
+  // the planner's baseline arm IS the margin-0 row (fail-closed floor)
+  // and the planner oracle derives its baseline CTE from this grid by
+  // indexOf(0L) — a grid without 0 would silently turn the baseline
+  // into a non-zero arm on one side only (ADVICE r18)
+  require(SplitBandSweepMargins.contains(0L),
+    "SplitBandSweepMargins must contain the margin-0 baseline arm")
 
   /** Band-aware probe descent — [[probeDescend]] plus the boundary
     * dual-probe: every probed hot cell emits its compare-selected
@@ -1360,7 +1417,7 @@ object Similarity {
     val hotCells = seeds.select("cell").distinct()
     val indexed = emb.join(postings, Seq("vec_id"))
     val probed = ivfAssignRanked(spark, dir).select("vec_id", "cell")
-      .filter(col("vec_id") < probeN)
+      .filter(probeSample(spark, dir, probeN, col("vec_id")))
     val truth = exactTruthTop3(spark, dir, probeN)
     SplitBandSweepMargins.map { m =>
       val probes = emb.join(
@@ -1753,12 +1810,12 @@ object Similarity {
 
   private[ext] def exactTruthRanked(spark: SparkSession, dir: String,
                                     probeN: Long): DataFrame =
-    CkptMemo.getOrElseUpdate((spark, dir, "simtruth", probeN), {
+    CkptMemo.getOrElseUpdate((spark, dir, "simtruth", probeN, probeHeldOut), {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"),
                 sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-      val q = emb.filter(col("vec_id") < probeN)
+      val q = emb.filter(probeSample(spark, dir, probeN, col("vec_id")))
         .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
                 col("nrm").as("qnrm"))
       val w = Window.partitionBy("a_id")
@@ -1789,9 +1846,9 @@ object Similarity {
   def nnDescentEval(spark: SparkSession, dir: String,
                     probeN: Long = 100): DataFrame = {
     val exact = exactTruthTop3(spark, dir, probeN)
-    val base = ivfTopK(spark, dir).filter(col("a_id") < probeN)
+    val base = ivfTopK(spark, dir).filter(probeSample(spark, dir, probeN, col("a_id")))
       .select("a_id", "b_id")
-    val ref = nnDescent(spark, dir).filter(col("a_id") < probeN)
+    val ref = nnDescent(spark, dir).filter(probeSample(spark, dir, probeN, col("a_id")))
       .select("a_id", "b_id")
     exact.agg(count(lit(1)).as("n_truth"))
       .crossJoin(exact.join(base, Seq("a_id", "b_id"))
@@ -1826,7 +1883,7 @@ object Similarity {
                     probeN: Long = 100): DataFrame = {
     val exact = exactTruthTop3(spark, dir, probeN)
     val screen = ivfTopK(spark, dir)
-      .filter(col("a_id") < probeN)
+      .filter(probeSample(spark, dir, probeN, col("a_id")))
       .select("a_id", "b_id")
     val hit = exact.join(screen, Seq("a_id", "b_id"))
     exact.agg(count(lit(1)).as("n_truth"))
@@ -1858,7 +1915,7 @@ object Similarity {
     val ks = Seq(1, 3, 5, 10).toDF("k")
     val ranked = exactTruthRanked(spark, dir, probeN)
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
-    val scr = ivfCandidates(spark, dir).filter(col("a_id") < probeN)
+    val scr = ivfCandidates(spark, dir).filter(probeSample(spark, dir, probeN, col("a_id")))
       .withColumn("srn", row_number().over(w))
       .select("a_id", "b_id", "srn")
     val tr = ranked.crossJoin(broadcast(ks)).filter(col("rn") <= col("k"))
@@ -1899,7 +1956,7 @@ object Similarity {
     val truth1 = exactTruthRanked(spark, dir, probeN)
       .filter(col("rn") === 1).select("a_id", "b_id")
     val screen = ivfTopK(spark, dir)
-      .filter(col("a_id") < probeN)
+      .filter(probeSample(spark, dir, probeN, col("a_id")))
       .select(col("a_id"), col("b_id"), col("rn"))
     truth1.join(screen, Seq("a_id", "b_id"), "left")
       .agg(count(lit(1)).as("n_probes"),
@@ -1931,7 +1988,7 @@ object Similarity {
       .filter(col("vec_id") % 10 =!= 0)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val probes = emb.filter(col("vec_id") < probeN)
+    val probes = emb.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .join(ranked.select("vec_id", "cell"), Seq("vec_id"))
     val indexed = emb.join(ranked.filter(col("rn") === 1)
                              .select("vec_id", "cell"), Seq("vec_id"))
@@ -1960,7 +2017,7 @@ object Similarity {
   def filteredTopK(spark: SparkSession, dir: String,
                    probeN: Long = 100): DataFrame =
     filteredTopKFor(spark, dir,
-      Tables.embeddings(spark, dir).filter(col("vec_id") < probeN)
+      Tables.embeddings(spark, dir).filter(probeSample(spark, dir, probeN, col("vec_id")))
         .select("vec_id", "embedding", "label"))
 
   /** The filtered-search composition over a GIVEN probe frame (vec_id,
@@ -2007,7 +2064,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val q = emb.filter(col("vec_id") < probeN)
+    val q = emb.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
               col("label").as("qlabel"), col("nrm").as("qnrm"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
@@ -2059,7 +2116,7 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").as("cv"),
               col("nrm").as("cnrm"))
     val wp = Window.partitionBy("a_id").orderBy(col("csim").desc, col("cell").asc)
-    val probeRanks = emb.filter(col("vec_id") < probeN)
+    val probeRanks = emb.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
               col("nrm").as("qnrm"))
       .crossJoin(broadcast(cents))
@@ -2138,7 +2195,7 @@ object Similarity {
     val dq = st.select(col("vec_id"), dqv.as("d"))
       .select(col("vec_id"), col("d"),
               sqrt(dotCols(col("d"), col("d"))).as("dnrm"))
-    val q = base.filter(col("vec_id") < probeN)
+    val q = base.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("qnrm"))
     val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
@@ -2199,7 +2256,7 @@ object Similarity {
                             probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pk = signBits(spark, dir).select("vec_id", "w1", "w2")
-    val pr = pk.filter(col("vec_id") < probeN)
+    val pr = pk.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("w1").as("q1"), col("w2").as("q2"))
     val wH = Window.partitionBy("a_id").orderBy(col("hd").asc, col("b_id").asc)
     fanOut(pk).crossJoin(broadcast(pr))
@@ -2230,7 +2287,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val q = emb.filter(col("vec_id") < probeN)
+    val q = emb.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
               col("nrm").as("qnrm"))
     val wS = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
@@ -2302,7 +2359,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wa = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     val legA = ivfCandidates(spark, dir)
-      .filter(col("a_id") < probeN)
+      .filter(probeSample(spark, dir, probeN, col("a_id")))
       .withColumn("ra", row_number().over(wa))
       .filter(col("ra") <= RrfDepth)
       .select("a_id", "b_id", "ra")
@@ -2381,7 +2438,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val probes = emb.filter(col("vec_id") < probeN)
+    val probes = emb.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
               col("nrm").as("qnrm"))
     val wE = Window.partitionBy("a_id").orderBy(col("hd").asc, col("b_id").asc)
@@ -2556,7 +2613,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val nsq = expr("aggregate(jl, CAST(0 AS BIGINT), (s, x) -> s + x * x)")
     val jlw = jlWide(spark, dir).withColumn("n2", nsq)
-    val qj = jlw.filter(col("vec_id") < probeN)
+    val qj = jlw.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("jl").as("qjl"),
               col("n2").as("qn2"))
     val wP = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
@@ -2799,6 +2856,9 @@ object Similarity {
                                      cents: DataFrame,
                                      probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // stays the literal leading band: this is a SERVE-side sample knob
+    // on a seam without (spark, dir) (stream-shared), not an eval probe
+    // — the held-out mode targets the eval family only
     val probeSide = live.filter(col("vec_id") < probeN)
     val probeRanked = explodeRanked(
       fanOut(probeSide).crossJoin(broadcast(cents))
@@ -2925,7 +2985,7 @@ object Similarity {
     val pre = Tables.embeddings(spark, dir)
       .select(col("vec_id"), slice(col("embedding"), 1, 16).as("pv"))
       .withColumn("pn2", dotCols(col("pv"), col("pv")))
-    val qp = pre.filter(col("vec_id") < probeN)
+    val qp = pre.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("pv").as("qpv"),
               col("pn2").as("qpn2"))
     val wP = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
@@ -2963,12 +3023,12 @@ object Similarity {
     * comparisons; the dedup-side mirror of the nprobe trade. */
   def semanticDedupEval(spark: SparkSession, dir: String,
                         probeN: Long = 100): DataFrame = {
-    val sem = semanticDedup(spark, dir).filter(col("vec_id") < probeN)
+    val sem = semanticDedup(spark, dir).filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id"), col("keep"))
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
               sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val q = emb.filter(col("vec_id") < probeN)
+    val q = emb.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("embedding").as("qv"),
               col("nrm").as("qnrm"))
     val truth = fanOut(emb).crossJoin(broadcast(q))
@@ -3021,17 +3081,23 @@ object Similarity {
     * [[ivfIncrementalAssign]] and [[graft.streaming.VecStream]]'s
     * continuous assignment both serve against. Model-sized. */
   private[graft] def frozenBaseCentroids(spark: SparkSession,
-                                         dir: String): DataFrame = {
-    val split = embCount(spark, dir) / 2
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val corpus = emb.filter(col("vec_id") < split)
-    val seeds = corpus.filter(col("vec_id") < ivfCells(split))
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
-              col("nrm").as("cnrm"))
-    centsOf(lloydStep(fanOut(corpus), seeds))
-  }
+                                         dir: String): DataFrame =
+    // model-sized and consumed by EVERY incremental/upsert/stream
+    // assignment path (seven batch callers + three streams) — each used
+    // to re-run the base-half Lloyd step; memoized once per (session,
+    // dir) (memo "frozencents", owner sim_ivf_incremental_assign in
+    // Bench's list; VERDICT r18 item 2)
+    CkptMemo.getOrElseUpdate((spark, dir, "frozencents"), {
+      val split = embCount(spark, dir) / 2
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+                sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+      val corpus = emb.filter(col("vec_id") < split)
+      val seeds = corpus.filter(col("vec_id") < ivfCells(split))
+        .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+                col("nrm").as("cnrm"))
+      centsOf(lloydStep(fanOut(corpus), seeds)).localCheckpoint()
+    })
 
   /** Nearest-frozen-centroid assignment for an arbitrary (vec_id,
     * embedding, …) batch — per-vector independent, so micro-batch
@@ -5739,18 +5805,30 @@ object Similarity {
     * occupancy agg of round k+1's source (`<pfx>o`), snapshot depth =
     * a fresh agg over the final map. Shared by sim_cell_split_deep and
     * the sim_split_plan chooser (measure → decide lockstep). */
-  private def splitDeepSnapshotsSql: String = {
-    def snapSelect(k: Int, from: String): String =
-      s"SELECT CAST($k AS BIGINT) AS round, " +
-      "CAST(count(*) AS BIGINT) AS n_cells, " +
-      s"CAST(sum(CASE WHEN n_before > $SplitOccupancy THEN 1 ELSE 0 END) " +
-      "AS BIGINT) AS n_hot, " +
-      s"CAST(max(n_before) AS BIGINT) AS max_occ FROM $from"
+  private def splitDeepSnapshotsSql: String = snapUnionSqlFor(splitRoundPfx)
+
+  /** ONE definition site for the snapshot SELECT shape (round /
+    * n_cells / n_hot / max_occ) — shared by the deep-report chain
+    * ([[splitDeepSnapshotsSql]], [[splitRoundPfx]] rounds) and the
+    * deep-incremental oracle ([[incRoundPfx]] rounds); a shape change
+    * moves both generators AND the Spark-side snap() together
+    * (ADVICE r18: three hand-kept copies of the same literal). */
+  private def snapSelectSql(k: Int, from: String): String =
+    s"SELECT CAST($k AS BIGINT) AS round, " +
+    "CAST(count(*) AS BIGINT) AS n_cells, " +
+    s"CAST(sum(CASE WHEN n_before > $SplitOccupancy THEN 1 ELSE 0 END) " +
+    "AS BIGINT) AS n_hot, " +
+    s"CAST(max(n_before) AS BIGINT) AS max_occ FROM $from"
+
+  /** The snapshot UNION over a round-prefix function (no ORDER BY):
+    * snapshot k = the occupancy agg of round k+1's source (`<pfx>o`),
+    * snapshot depth = a fresh agg over the final map `<pfx>i`. */
+  private def snapUnionSqlFor(roundPfx: Int => String): String = {
     val snaps = (0 until SplitDepth).map { k =>
-      snapSelect(k, s"${splitRoundPfx(k + 1)}o")
-    } :+ snapSelect(SplitDepth,
+      snapSelectSql(k, s"${roundPfx(k + 1)}o")
+    } :+ snapSelectSql(SplitDepth,
       "(SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
-      s"FROM ${splitRoundPfx(SplitDepth)}i GROUP BY cell) fz")
+      s"FROM ${roundPfx(SplitDepth)}i GROUP BY cell) fz")
     snaps.mkString(" UNION ALL ")
   }
 
@@ -5856,19 +5934,8 @@ object Similarity {
       else cellSplitRoundCtesFor(incRoundPfx(k),
         s"${incRoundPfx(k - 1)}i") + ", " + maps
     }.mkString(", ")
-    def snapSelect(k: Int, from: String): String =
-      s"SELECT CAST($k AS BIGINT) AS round, " +
-      "CAST(count(*) AS BIGINT) AS n_cells, " +
-      s"CAST(sum(CASE WHEN n_before > $SplitOccupancy THEN 1 ELSE 0 END) " +
-      "AS BIGINT) AS n_hot, " +
-      s"CAST(max(n_before) AS BIGINT) AS max_occ FROM $from"
-    val snaps = (0 until SplitDepth).map { k =>
-      snapSelect(k, s"${incRoundPfx(k + 1)}o")
-    } :+ snapSelect(SplitDepth,
-      "(SELECT cell, CAST(count(*) AS BIGINT) AS n_before " +
-      s"FROM ${incRoundPfx(SplitDepth)}i GROUP BY cell) fz")
     splitIncrementalChainSql + ", " + rounds + " " +
-      snaps.mkString(" UNION ALL ") + " ORDER BY round"
+      snapUnionSqlFor(incRoundPfx) + " ORDER BY round"
   }
 
   /** sim_split_serve_planned's oracle — ONE WITH composing the deep
@@ -6058,6 +6125,16 @@ object Similarity {
     * silently change the cool arm's filter (ADVICE r17). */
   private def bandProbeMapSqlFor(pfx: String, marginMicro: Long,
                                  probeWhere: String): String = {
+    // enforce the splice constraint documented above instead of letting
+    // a future compound predicate generate a subtly wrong cool arm
+    // (ADVICE r18): must start with a bare column name, no AND/OR
+    require(probeWhere.isEmpty ||
+      (probeWhere.matches("^[a-z_][a-z0-9_]*\\s*[<>=!].*") &&
+       !probeWhere.toUpperCase.contains(" AND ") &&
+       !probeWhere.toUpperCase.contains(" OR ")),
+      s"bandProbeMapSqlFor probeWhere must be a single bare-column " +
+      s"predicate (the cool arm alias-qualifies only the first column): " +
+      s"'$probeWhere'")
     val w1 = if (probeWhere.isEmpty) "" else s" WHERE $probeWhere"
     val w2 = if (probeWhere.isEmpty) "" else s" AND $probeWhere"
     s"${pfx}p AS (SELECT vec_id, CAST(cell * 2 + " +
@@ -6190,7 +6267,8 @@ object Similarity {
         s"SELECT CAST($m AS BIGINT) AS margin_micro, n_cand, n_hit " +
         s"FROM bw${i}c"
       }.mkString(" UNION ALL ") + "), " +
-      "bpb AS (SELECT n_cand AS c0, n_hit AS h0 FROM bw0c), " +
+      "bpb AS (SELECT n_cand AS c0, n_hit AS h0 " +
+      s"FROM bw${SplitBandSweepMargins.indexOf(0L)}c), " +
       "bpc AS (SELECT coalesce(max(CASE WHEN (s.n_hit - b.h0) * " +
       s"$BandPlanCandPerHit >= (s.n_cand - b.c0) THEN s.margin_micro " +
       "END), CAST(0 AS BIGINT)) AS chosen FROM bps s, bpb b)"
@@ -6273,7 +6351,13 @@ object Similarity {
     s"SELECT '$m' AS method, n_truth, n_hit, recall_micro " +
     s"FROM (${oracleBase(q)}) f_$m"
 
-  val oracle: Map[String, String] = oracleBase +
+  // Every registered Similarity oracle gets the DuckDB materialization
+  // hint post-composition (see [[OracleHints.materializeCtes]] — the
+  // VERDICT r18 item-1 fix): Similarity has no recursive CTEs, the
+  // byte-frozen generator literals stay untouched at their definition
+  // sites, and verbatim-pair oracles transform identically because
+  // both names map the same val.
+  val oracle: Map[String, String] = (oracleBase +
     ("sim_eval_frontier" ->
       ((Seq("band" -> "sim_split_band_recall_eval",
             "deepsplit" -> "sim_split_deep_recall_eval",
@@ -6292,5 +6376,6 @@ object Similarity {
          ("SELECT 'nn_descent' AS method, n_truth, n_hit_ref AS n_hit, " +
           "recall_ref_micro AS recall_micro " +
           s"FROM (${oracleBase("sim_nn_descent_eval")}) f_nnd"))
-         .mkString(" UNION ALL ") + " ORDER BY method"))
+         .mkString(" UNION ALL ") + " ORDER BY method")))
+    .map { case (k, v) => k -> OracleHints.materializeCtes(v) }
 }

@@ -46,12 +46,31 @@ object GraphEdgePrice {
     }
     val n2 = e2.count()
     val overlap = e1.join(e2, Seq("a_id", "b_id")).count()
+    // per-CC-phase task metrics + round counts (VERDICT r18 item 5: the
+    // 768 k split-edge CC wall read 2.2× the unsplit one — decompose it
+    // into rounds × per-round shuffle instead of guessing)
+    val metrics = new graft.BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    val r1 = new java.util.concurrent.atomic.AtomicLong
+    val r2 = new java.util.concurrent.atomic.AtomicLong
+    val b1 = metrics.snapshot(spark.sparkContext)
     val (c1, wc1) = timed {
-      graft.ext.Graph.componentsOverEdges(spark, dir, e1).localCheckpoint()
+      graft.ext.Graph.componentsOverEdges(spark, dir, e1, Some(r1))
+        .localCheckpoint()
     }
+    val m1 = metrics.delta(spark.sparkContext, b1)
+    val b2 = metrics.snapshot(spark.sparkContext)
     val (c2, wc2) = timed {
-      graft.ext.Graph.componentsOverEdges(spark, dir, e2).localCheckpoint()
+      graft.ext.Graph.componentsOverEdges(spark, dir, e2, Some(r2))
+        .localCheckpoint()
     }
+    val m2 = metrics.delta(spark.sparkContext, b2)
+    def mj(m: Map[String, Long]): String =
+      s"""{"n_tasks":${m("n_tasks")},"task_ms":${m("task_ms")},""" +
+      s""""shuffle_read_b":${m("shuffle_read_b")},""" +
+      s""""shuffle_write_b":${m("shuffle_write_b")},""" +
+      s""""mem_spill_b":${m("mem_spill_b")},""" +
+      s""""disk_spill_b":${m("disk_spill_b")},"gc_ms":${m("gc_ms")}}"""
     val joined = c1.withColumnRenamed("comp", "c1")
       .join(c2.withColumnRenamed("comp", "c2"), Seq("vec_id"))
     val nodes = joined.count()
@@ -62,7 +81,9 @@ object GraphEdgePrice {
       s""""build_s_split":${w2.round},"cc_s_unsplit":${wc1.round},""" +
       s""""cc_s_split":${wc2.round},"nodes":$nodes,""" +
       s""""label_agree":$agree,""" +
-      s""""label_agree_micro":${if (nodes == 0) 0 else agree * 1000000L / nodes}}""")
+      s""""label_agree_micro":${if (nodes == 0) 0 else agree * 1000000L / nodes},""" +
+      s""""cc_rounds_unsplit":${r1.get},"cc_rounds_split":${r2.get},""" +
+      s""""cc_metrics_unsplit":${mj(m1)},"cc_metrics_split":${mj(m2)}}""")
     spark.stop()
   }
 }
