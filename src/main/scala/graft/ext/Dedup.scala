@@ -1219,13 +1219,19 @@ object Dedup {
         // pointer jumping: follow the label one hop (labels are doc ids,
         // so c1 indexes back into this round's own label table)
         val parent = stepped.select(col("doc_id").as("c1"), col("c1").as("pc"))
-        val mat = stepped.join(parent, Seq("c1"), "left")
+        val mat = org.apache.spark.sql.GraftSql.stripOrigin(
+          stepped.join(parent, Seq("c1"), "left")
           .select(col("doc_id"),
                   least(col("c1"), coalesce(col("pc"), col("c1"))).as("cluster"),
                   col("old"))
           .select(col("doc_id"), col("cluster"),
                   (col("cluster") < col("old")).as("chg")) // labels only decrease
-          .localCheckpoint() // eager: one action, constant plan depth
+          .localCheckpoint()) // eager: one action, constant plan depth;
+          // stripOrigin drops the checkpoint's carried constraint set —
+          // in an unbounded-round self-join loop it COMPOUNDS per round
+          // and the driver's constraint propagation doubled the round
+          // wall past ~12 rounds (the componentsOverEdges finding,
+          // BASELINE round 19; same loop shape here)
         changed = mat.filter(col("chg")).count() // cheap: reads the checkpoint
         prevRdd.foreach(_.unpersist(false)) // round k-1's checkpoint now dead
         prevRdd = org.apache.spark.sql.GraftSql.checkpointRdd(mat)

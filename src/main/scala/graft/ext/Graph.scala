@@ -446,8 +446,11 @@ object Graph {
     * per-cluster dedup and leakage-safe splits). Every node gets the
     * MINIMUM vec_id reachable in its component (singletons label
     * themselves); per round two shuffle joins, one localCheckpoint
-    * (constant plan depth), round k-1's checkpoint freed after round k
-    * materializes. Memoized per (session, dir) (CkptMemo `graphcc`,
+    * (constant plan depth) WRAPPED in GraftSql.stripOrigin — the
+    * checkpoint's carried constraint set compounds through the
+    * next round's self-join and doubled the round wall past ~12
+    * rounds until stripped (BASELINE round 19) — and round k-1's
+    * checkpoint freed after round k materializes. Memoized per (session, dir) (CkptMemo `graphcc`,
     * Bench owner: graph_components; NOT in PlanShapeSpec's laziness
     * allowlist). The oracle reconstructs the same labels with a
     * recursive transitive closure over the identical `mu` edges. */
@@ -478,7 +481,17 @@ object Graph {
       var prevRdd = org.apache.spark.sql.GraftSql.checkpointRdd(labels)
       var changed = 1L
       var rounds = 0
+      val roundLog = scala.collection.mutable.ArrayBuffer.empty[String]
+      // instrumented calls also decompose each round into task CPU /
+      // task count / checkpoint partitions (round-19 CC-tail analysis)
+      val met = roundsOut.map { _ =>
+        val m = new graft.BenchMetrics
+        spark.sparkContext.addSparkListener(m)
+        m
+      }
       while (changed > 0 && rounds < 30) {
+        val tR = System.nanoTime()
+        val mB = met.map(_.snapshot(spark.sparkContext))
         val neighborMin = edges
           .join(labels.withColumnsRenamed(Map("vec_id" -> "v", "comp" -> "vc")),
                 Seq("v"))
@@ -491,19 +504,47 @@ object Graph {
         // pointer jumping: labels are vec_ids, so c1 indexes back into
         // this round's own label table — label reach doubles per round
         val parent = stepped.select(col("vec_id").as("c1"), col("c1").as("pc"))
-        val mat = stepped.join(parent, Seq("c1"), "left")
+        val matPre = stepped.join(parent, Seq("c1"), "left")
           .select(col("vec_id"),
                   least(col("c1"), coalesce(col("pc"), col("c1"))).as("comp"),
                   col("old"))
           .select(col("vec_id"), col("comp"),
                   (col("comp") < col("old")).as("chg"))
-          .localCheckpoint()
+        // stripOrigin is LOAD-BEARING, not cosmetic: Dataset
+        // .localCheckpoint carries the pre-checkpoint plan's constraint
+        // set into the new LogicalRDD leaf (originConstraints), and in
+        // this loop round k+1's self-join compounds round k's set —
+        // per-round wall DOUBLED past ~12 rounds (768 k tail: 46 s wall
+        // vs 22 s task CPU, executors idle, all task metrics flat)
+        // until the driver spent the round in constraint propagation.
+        // Stripping the optimizer-hint metadata restores O(1) planning
+        // per round; labels are identical (BASELINE round 19).
+        val mat = org.apache.spark.sql.GraftSql
+          .stripOrigin(matPre.localCheckpoint())
         changed = mat.filter(col("chg")).count()
         prevRdd.foreach(_.unpersist(false))
         prevRdd = org.apache.spark.sql.GraftSql.checkpointRdd(mat)
         labels = mat.select("vec_id", "comp")
         rounds += 1
+        val mEx = met.map(m => m.delta(spark.sparkContext, mB.get))
+          .map(d => s",tasks=${d("n_tasks")},cpu_ms=${d("task_ms")}" +
+                    s",sr_mb=${d("shuffle_read_b") / 1000000}")
+          .getOrElse("")
+        val ph = org.apache.spark.sql.GraftSql.planningPhaseMs(matPre)
+        roundLog += f"r$rounds%d=${(System.nanoTime() - tR) / 1e9}%.1fs" +
+          s"(chg=$changed$mEx" +
+          // planning probe: analysis/optimization ms of the round's
+          // materialized query — the phase the pre-fix tail spent
+          // doubling in (constraint propagation)
+          s",ana_ms=${ph.getOrElse("analysis", -1L)}" +
+          s",opt_ms=${ph.getOrElse("optimization", -1L)})"
       }
+      met.foreach(spark.sparkContext.removeSparkListener)
+      // per-round wall profile (stderr) so scale tools can attribute a
+      // CC wall without re-instrumenting (round-19 split-CC analysis);
+      // emitted only on instrumented calls — production queries silent
+      if (roundsOut.isDefined)
+        System.err.println(s"[componentsOverEdges] ${roundLog.mkString(" ")}")
       // Non-convergence must fail loudly, not return silently-wrong
       // labels that diverge from the recursive-closure oracle: with
       // pointer jumping, label reach doubles per round, so 30 rounds
