@@ -373,26 +373,39 @@ object Similarity {
     * Memoized once per (session, dir): the n×cells cosine scan is the
     * expensive half and assignment/search/training all start from it. */
   private[ext] def ivfAssignRanked(spark: SparkSession, dir: String): DataFrame =
-    CkptMemo.getOrElseUpdate((spark, dir, "ivfassign"), {
-      val emb = Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"),
-                sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-      val cents = emb.filter(col("vec_id") < ivfCells(embCount(spark, dir)))
-        .select(col("vec_id").as("cell"), col("embedding").as("cv"),
-                col("nrm").as("cnrm"))
-      // bounded top-NProbe aggregate, not a window: the n×cells scan
-      // map-side-combines to NProbe pairs per vector — no full sort,
-      // no spill, linear in n past the cell clamp (see topNProbe doc)
-      explodeRanked(
-        fanOut(emb).crossJoin(broadcast(cents))
-          .select(col("vec_id"),
-                  Num.rnd(dotCols(col("embedding"), col("cv")) /
-                            (col("nrm") * col("cnrm")), 6).as("csim"),
-                  col("cell"))
-          .groupBy("vec_id")
-          .agg(topNProbe(col("csim"), col("cell")).as("tk")))
-        .localCheckpoint()
-    })
+    CkptMemo.getOrElseUpdate((spark, dir, "ivfassign"),
+      rankedAtNprobe(spark, dir, NProbe).localCheckpoint())
+
+  /** The n×cells bounded top-k centroid ranking at an EXPLICIT probe
+    * width — the memoized [[ivfAssignRanked]] is the k = [[NProbe]]
+    * instance (same aggregator selection, so the memo is byte-identical
+    * to the pre-refactor build); [[serveAtNprobe]]'s k > NProbe arm is
+    * the only other caller, deliberately UN-memoized: it runs only when
+    * [[nprobePlanned]]'s chooser picks a width the production memo
+    * doesn't carry, a query-time cost like probe descent. */
+  private def rankedAtNprobe(spark: SparkSession, dir: String,
+                             k: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = emb.filter(col("vec_id") < ivfCells(embCount(spark, dir)))
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"),
+              col("nrm").as("cnrm"))
+    val topK = udaf(
+      new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    // bounded top-k aggregate, not a window: the n×cells scan
+    // map-side-combines to k pairs per vector — no full sort,
+    // no spill, linear in n past the cell clamp (see topNProbe doc)
+    explodeRanked(
+      fanOut(emb).crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+                Num.rnd(dotCols(col("embedding"), col("cv")) /
+                          (col("nrm") * col("cnrm")), 6).as("csim"),
+                col("cell"))
+        .groupBy("vec_id")
+        .agg(topK(col("csim"), col("cell")).as("tk")))
+  }
 
   /** Home-cell (rank-1) coarse assignment — the `sim_ivf_assign` query. */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
@@ -2160,6 +2173,88 @@ object Similarity {
             .as("recall_micro"))
     }.reduce(_ unionByName _).orderBy("nprobe")
   }
+
+  /** Candidate-efficiency literal for the [[nprobePlanned]] chooser: a
+    * probe width k from the sweep grid qualifies iff its CUMULATIVE
+    * extra hits over the k = 1 arm pay for its cumulative extra
+    * candidates at this many candidates per hit —
+    * (h_k − h_1) · C ≥ (c_k − c_1). k = 1 qualifies trivially (0 ≥ 0),
+    * the fail-closed floor (the band planner's margin-0 rule): a corpus
+    * whose extra probes buy nothing serves the cheapest width. 150, NOT
+    * the band planner's per-hit 100: the sweep prices whole cumulative
+    * arms, and at sf0.01 the marginal cost sits at ~127–130 candidates
+    * per extra hit on BOTH steps (24 hits / 3124 cand at k = 2, 74 /
+    * 9403 at k = 4) — 150 accepts that price with ~15 % margin (chosen
+    * = 4 at sf0.01), where 100 would floor every arm. Mirrored
+    * literally in the oracle chooser — lockstep with the {1, 2, 4}
+    * sweep grid. */
+  private[graft] val NprobePlanCandPerHit = 150L
+
+  /** nprobe PLANNED (measure → decide → apply, the sim_split_band_planned
+    * pattern closed over probe width): read the [[nprobeSweep]] rows,
+    * choose the LARGEST grid width whose cumulative hits-per-candidate
+    * efficiency vs the k = 1 arm beats 1/[[NprobePlanCandPerHit]]
+    * (fail-closed floor k = 1), and serve the FULL corpus at the chosen
+    * width with an `nprobe_used` read-out column (the
+    * sim_split_serve_planned depth_used convention). The decision input
+    * is a grid-sized driver collect (3 rows — the bookmark/plan-scalar
+    * metadata precedent, never data rows). The oracle composes the
+    * SHARED sweep chain + the same rule + one serve arm per grid width
+    * from [[ivfChainCtesFor]], filtered by the choice — measure,
+    * decision and serve read one chain on both engines. */
+  def nprobePlanned(spark: SparkSession, dir: String,
+                    probeN: Long = 100): DataFrame = {
+    val byK = nprobeSweep(spark, dir, probeN)
+      .select(col("nprobe"), col("n_cand"), col("n_hit")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    val chosen = chooseNprobe(byK)
+    serveAtNprobe(spark, dir, chosen)
+      .withColumn("nprobe_used", lit(chosen))
+  }
+
+  /** The pure chooser over sweep rows (width → (n_cand, n_hit)) —
+    * extracted so the decision logic is unit-testable on synthetic
+    * rows (NprobePlannedSpec drives the fail-closed floor and the
+    * all-free widest case); the oracle's npch CTE mirrors it. Note
+    * extra probed cells that turn out EMPTY make a wider arm free
+    * (Δcand = 0 ⇒ it qualifies at zero extra hits) — taking it is the
+    * correct reading, not a floor miss. */
+  private[graft] def chooseNprobe(byK: Map[Int, (Long, Long)]): Int = {
+    val (c1, h1) = byK(1)
+    byK.keysIterator.filter { k =>
+      val (ck, hk) = byK(k)
+      (hk - h1) * NprobePlanCandPerHit >= (ck - c1)
+    }.max
+  }
+
+  /** The full-corpus IVF serve at an explicit probe width — the
+    * chosen-arm executor behind [[nprobePlanned]]. k ≤ [[NProbe]]
+    * SLICES the production ranking memo (rank prefixes of a bounded
+    * top-k are exactly the narrower top-k); k > NProbe re-ranks at
+    * query time via [[rankedAtNprobe]]. The indexed side (home cells +
+    * salted cap) is width-independent and always comes from the memo,
+    * so k = NProbe reproduces [[ivfTopK]] row-for-row
+    * (NprobePlannedSpec pins it). */
+  private[graft] def serveAtNprobe(spark: SparkSession, dir: String,
+                                 k: Int): DataFrame =
+    if (k == NProbe)
+      // the production width IS the production serve — one seam
+      serveTop3(ivfCandidates(spark, dir)).select("a_id", "b_id", "rn", "sim")
+    else {
+      val ranked = ivfAssignRanked(spark, dir)
+      val rankedK =
+        if (k < NProbe) ranked.filter(col("rn") <= k)
+        else rankedAtNprobe(spark, dir, k)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+                sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+      val probes = emb.join(rankedK.select("vec_id", "cell"), Seq("vec_id"))
+      val indexed = emb.join(ranked.filter(col("rn") === 1)
+                               .select("vec_id", "cell"), Seq("vec_id"))
+      serveTop3(pairCandidatesAB(probes, indexed, "cell", MaxBucketCandidates)
+          .filter(col("a_id") =!= col("b_id")))
+        .select("a_id", "b_id", "rn", "sim")
+    }
 
   /** Int8-quantization recall eval — the third leg of the eval-harness
     * family ([[Dedup.minhashEval]] for the sketch, [[ivfRecallEval]]
@@ -4247,6 +4342,7 @@ object Similarity {
     "sim_filtered_topk" -> ((s, d) => filteredTopK(s, d)),
     "sim_filtered_recall" -> ((s, d) => filteredRecallEval(s, d)),
     "sim_nprobe_sweep" -> ((s, d) => nprobeSweep(s, d)),
+    "sim_nprobe_planned" -> ((s, d) => nprobePlanned(s, d)),
     "emb_int8_recall"  -> ((s, d) => int8RecallEval(s, d)),
     "emb_sign_bits"    -> signBits _,
     "sim_hamming_topk" -> ((s, d) => hammingTopK(s, d)),
@@ -5380,6 +5476,10 @@ object Similarity {
     // the sf0.01 adaptive-knob constants (lockstep rule); the prn<=2
     // slice mirrors sim_ivf_recall_eval's screen exactly
     "sim_nprobe_sweep" -> nprobeSweepSql,
+    // the chooser composes the SAME sw chain + per-width serve arms
+    // (np1/np2/np4 from ivfChainCtesFor) filtered by the choice;
+    // NprobePlanCandPerHit=150 and the {1,2,4} grid are lockstep
+    "sim_nprobe_planned" -> nprobePlannedSql,
     // incremental assign: the ivfTrainCte shape restricted to the
     // existing corpus half via the shared incAssignCteSql chain, then
     // the batch (>= 250) assigned to the frozen trained centroids —
@@ -5619,23 +5719,19 @@ object Similarity {
   /** nprobe-sweep oracle: probe-side ranks to 4 cells over the 100-probe
     * sample, home-cell index capped identically to ivfTopKCteSql's `bc`,
     * one candidates CTE, three prn-sliced rankings unioned. */
-  private def nprobeSweepSql: String = {
+  /** The nprobe-sweep measurement chain (sw-prefixed, through the
+    * exact-truth `swexr` and the per-width top-3 screens sw1s/sw2s/
+    * sw4s) — extracted so the sweep's read-out AND
+    * [[nprobePlannedSql]]'s chooser price ONE chain (the
+    * bandSweepArmsCtesSql precedent: measure and decision can never
+    * drift). Grid {1, 2, 4} and the INTERSECT hit shape are the shared
+    * lockstep literals. */
+  private def nprobeSweepChainSql: String = {
     def slice(k: Int): String =
       s"sw${k}s AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
       "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
       s"FROM swcand WHERE prn <= $k) t WHERE rn <= 3)"
-    def metrics(k: Int): String =
-      s"SELECT CAST($k AS INTEGER) AS nprobe, " +
-      s"(SELECT count(*) FROM swcand WHERE prn <= $k) AS n_cand, " +
-      "(SELECT count(*) FROM swexr) AS n_truth, " +
-      s"(SELECT count(*) FROM sw${k}s) AS n_screen, " +
-      s"(SELECT count(*) FROM (SELECT a_id, b_id FROM swexr " +
-      s"INTERSECT SELECT a_id, b_id FROM sw${k}s) h) AS n_hit, " +
-      "CASE WHEN (SELECT count(*) FROM swexr) = 0 THEN CAST(1000000 AS BIGINT) " +
-      s"ELSE ((SELECT count(*) FROM (SELECT a_id, b_id FROM swexr " +
-      s"INTERSECT SELECT a_id, b_id FROM sw${k}s) h) * CAST(1000000 AS BIGINT)) " +
-      "// (SELECT count(*) FROM swexr) END AS recall_micro"
-    "WITH swc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings " +
+    "swc AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings " +
     "WHERE vec_id < 16), " +
     "sws AS (SELECT e.vec_id AS a_id, swc.cell, " +
     "round((list_cosine_similarity(e.embedding::DOUBLE[], swc.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
@@ -5663,9 +5759,55 @@ object Similarity {
     "swexr AS (SELECT a_id, b_id FROM (SELECT a_id, b_id, " +
     "row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id ASC) AS rn " +
     "FROM swex) e WHERE rn <= 3), " +
-    Seq(1, 2, 4).map(slice).mkString(", ") + " " +
+    Seq(1, 2, 4).map(slice).mkString(", ")
+  }
+
+  private def nprobeSweepSql: String = {
+    def metrics(k: Int): String =
+      s"SELECT CAST($k AS INTEGER) AS nprobe, " +
+      s"(SELECT count(*) FROM swcand WHERE prn <= $k) AS n_cand, " +
+      "(SELECT count(*) FROM swexr) AS n_truth, " +
+      s"(SELECT count(*) FROM sw${k}s) AS n_screen, " +
+      s"(SELECT count(*) FROM (SELECT a_id, b_id FROM swexr " +
+      s"INTERSECT SELECT a_id, b_id FROM sw${k}s) h) AS n_hit, " +
+      "CASE WHEN (SELECT count(*) FROM swexr) = 0 THEN CAST(1000000 AS BIGINT) " +
+      s"ELSE ((SELECT count(*) FROM (SELECT a_id, b_id FROM swexr " +
+      s"INTERSECT SELECT a_id, b_id FROM sw${k}s) h) * CAST(1000000 AS BIGINT)) " +
+      "// (SELECT count(*) FROM swexr) END AS recall_micro"
+    "WITH " + nprobeSweepChainSql + " " +
     Seq(1, 2, 4).map(metrics).mkString(" UNION ALL ") +
     " ORDER BY nprobe"
+  }
+
+  /** sim_nprobe_planned oracle: the SHARED sweep chain (byte-identical
+    * with sim_nprobe_sweep's), a chooser CTE mirroring the Spark rule
+    * — largest grid width with (n_hit − h1) · [[NprobePlanCandPerHit]]
+    * ≥ (n_cand − c1) vs the k = 1 arm (which qualifies trivially, the
+    * fail-closed floor) — and one full-corpus serve arm per grid width
+    * from [[ivfChainCtesFor]] (np1/np2/np4 prefixes), each filtered by
+    * the choice (the sim_split_serve_planned arm pattern: measure,
+    * decide and serve in ONE WITH). */
+  private def nprobePlannedSql: String = {
+    def arm(k: Int): String =
+      ivfChainCtesFor(s"np$k", k) +
+      s", np${k}t AS (SELECT a_id, b_id, rn, sim FROM np${k}r " +
+      s"WHERE rn <= 3 AND (SELECT chosen FROM npch) = $k)"
+    val cm = Seq(1, 2, 4).map { k =>
+      s"SELECT $k AS k, " +
+      s"(SELECT count(*) FROM swcand WHERE prn <= $k) AS n_cand, " +
+      s"(SELECT count(*) FROM (SELECT a_id, b_id FROM swexr " +
+      s"INTERSECT SELECT a_id, b_id FROM sw${k}s) h) AS n_hit"
+    }.mkString(" UNION ALL ")
+    "WITH " + nprobeSweepChainSql +
+    s", npcm AS ($cm), " +
+    "npch AS (SELECT max(m.k) AS chosen FROM npcm m CROSS JOIN " +
+    "(SELECT n_cand AS c1, n_hit AS h1 FROM npcm WHERE k = 1) b " +
+    s"WHERE (m.n_hit - b.h1) * $NprobePlanCandPerHit >= (m.n_cand - b.c1)), " +
+    Seq(1, 2, 4).map(arm).mkString(", ") +
+    " SELECT a_id, b_id, rn, sim, " +
+    "CAST((SELECT chosen FROM npch) AS INTEGER) AS nprobe_used " +
+    "FROM (SELECT * FROM np1t UNION ALL SELECT * FROM np2t " +
+    "UNION ALL SELECT * FROM np4t) u"
   }
 
   /** The sim_knn_mutual oracle's full CTE chain through `mu` (mutual
@@ -6282,23 +6424,35 @@ object Similarity {
     armSelects.mkString(" UNION ALL ")
   }
 
-  private def ivfTopKCteSql: String =
-    "WITH c AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
-    "s AS (SELECT e.vec_id, c.cell, " +
-    "round((list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
-    "FROM embeddings e CROSS JOIN c), " +
-    "pr AS (SELECT vec_id, cell, row_number() OVER (" +
-    "PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM s), " +
-    s"probes AS (SELECT vec_id, cell FROM pr WHERE rn <= $NProbe), " +
-    "home AS (SELECT vec_id, cell FROM pr WHERE rn = 1), " +
-    "m AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN probes p ON e.vec_id = p.vec_id), " +
-    "bc AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN home h ON e.vec_id = h.vec_id " +
+  /** The stub-quantizer IVF serve chain at a name PREFIX and probe
+    * WIDTH — the ("", [[NProbe]]) instance reproduces the audited
+    * unprefixed chain BYTE-FOR-BYTE (NprobePlannedSpec pins the frozen
+    * literal; [[ivfTopKCteSql]] IS that instance, so the chain's many
+    * composers are untouched); sim_nprobe_planned's serve arms are the
+    * np1/np2/np4 instances (the incScreenCtesFor extraction pattern). */
+  private[graft] def ivfChainCtesFor(pfx: String, k: Int): String = {
+    val (cN, sN, prN, probesN, homeN, mN, bcN, pN, rN) =
+      (s"${pfx}c", s"${pfx}s", s"${pfx}pr", s"${pfx}probes", s"${pfx}home",
+       s"${pfx}m", s"${pfx}bc", s"${pfx}p", s"${pfx}r")
+    s"$cN AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 16), " +
+    s"$sN AS (SELECT e.vec_id, $cN.cell, " +
+    s"round((list_cosine_similarity(e.embedding::DOUBLE[], $cN.cv::DOUBLE[])) * 1e6) / 1e6 AS csim " +
+    s"FROM embeddings e CROSS JOIN $cN), " +
+    s"$prN AS (SELECT vec_id, cell, row_number() OVER (" +
+    s"PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn FROM $sN), " +
+    s"$probesN AS (SELECT vec_id, cell FROM $prN WHERE rn <= $k), " +
+    s"$homeN AS (SELECT vec_id, cell FROM $prN WHERE rn = 1), " +
+    s"$mN AS (SELECT e.vec_id, e.embedding, p.cell FROM embeddings e JOIN $probesN p ON e.vec_id = p.vec_id), " +
+    s"$bcN AS (SELECT e.vec_id, e.embedding, h.cell FROM embeddings e JOIN $homeN h ON e.vec_id = h.vec_id " +
     s"QUALIFY row_number() OVER (PARTITION BY h.cell ORDER BY ${saltOrdSql("e.vec_id")}, e.vec_id) <= 1024), " +
-    "p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+    s"$pN AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
     "round((list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])) * 1e6) / 1e6 AS sim " +
-    "FROM m x JOIN bc y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
-    "r AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
-    "ORDER BY sim DESC, b_id ASC) AS rn FROM p)"
+    s"FROM $mN x JOIN $bcN y ON x.cell = y.cell AND x.vec_id <> y.vec_id), " +
+    s"$rN AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id " +
+    s"ORDER BY sim DESC, b_id ASC) AS rn FROM $pN)"
+  }
+
+  private def ivfTopKCteSql: String = "WITH " + ivfChainCtesFor("", NProbe)
 
   /** The filtered-search chain through `flpr` (fl-prefixed names
     * flc/fls/flp/flm/flb/flpr claimed; recall adds flsc/flex/flxr/
