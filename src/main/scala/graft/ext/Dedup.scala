@@ -109,7 +109,13 @@ object Dedup {
 
   /** All ordered id pairs (a < b) per shingle, generated IN-PLAN from the
     * sorted id list — no self-join: `ids` is sorted ascending, so pairing
-    * each element with its suffix yields a < b exactly once. */
+    * each element with its suffix yields a < b exactly once.
+    *
+    * Production sites use the codegen twin
+    * [[graft.functions.SuffixPairs]] (HOFs are interpreted — this
+    * chain was the bench's hottest stage, round 19); the HOF string
+    * stays as the independent spec reference (the IvfRecallSpec
+    * discipline) and SuffixPairsSpec pins the two equal. */
   private[graft] val pairExpr =
     "flatten(transform(ids, (x, i) -> " +
     "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
@@ -186,7 +192,7 @@ object Dedup {
     val sizes = grp.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grp.filter(size(col("ids")) >= 2)
-      .select(explode(expr(pairExpr)).as("p"))
+      .select(explode(graft.functions.SuffixPairs.col(col("ids"))).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("inter"))

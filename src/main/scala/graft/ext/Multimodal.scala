@@ -267,7 +267,7 @@ object Multimodal {
     val chr = grp.select(col("d"), explode(col("ids")).as("doc_id"))
     val sz = chr.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grp
-      .select(explode(expr(graft.ext.Dedup.pairExpr)).as("p"))
+      .select(explode(graft.functions.SuffixPairs.col(col("ids"))).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
