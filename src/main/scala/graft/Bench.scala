@@ -52,7 +52,10 @@ object Bench {
       // idxdelete's memo gained a second consumer (dedup_index_compact,
       // which sorts BEFORE it) — pin the owner so the tombstone screen's
       // build cost stays on the delete query
-      "dedup_index_delete", "sim_ivf_assign",
+      "dedup_index_delete",
+      // mhevhs/mhevtruth memo owner (the probe-sample shingles + exact
+      // truth the two banding eval harnesses share, round 19)
+      "dedup_band_sweep", "sim_ivf_assign",
       // frozencents memo owner (the frozen base-half quantizer every
       // incremental/upsert/stream assignment path serves against)
       "sim_ivf_incremental_assign",
@@ -81,6 +84,9 @@ object Bench {
       "sim_split_deep_topk",
       // knnmutualsplit memo owner
       "sim_knn_mutual_split",
+      // serve-frame memo owners (round 19): nndserve / gssearch /
+      // rrfserve — each serve is re-read by its eval and a frontier leg
+      "sim_nn_descent", "sim_graph_search", "sim_rrf_fusion",
       "graph_pagerank", "graph_components", "emb_pca_power",
       "text_contamination", "sim_eval_frontier", "dedup_para_neardup",
       // qscored memo owner (roc/calibration/calibrated-gate/keep_best/

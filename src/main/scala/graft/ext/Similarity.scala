@@ -1777,7 +1777,15 @@ object Similarity {
     * the shared node, distinct() so multi-wedge pairs score once, two
     * embedding joins for the new cosines, union with [[ivfTopK]], one
     * ranking window. */
-  def nnDescent(spark: SparkSession, dir: String): DataFrame = {
+  def nnDescent(spark: SparkSession, dir: String): DataFrame =
+    // memoized serve frame ("nndserve", owner sim_nn_descent in Bench's
+    // list): the wedge-scored refinement is re-read by its eval and the
+    // frontier's nn_descent leg — before round 19 each re-ran the wedge
+    // join + re-rank (3 builds per bench)
+    CkptMemo.getOrElseUpdate((spark, dir, "nndserve"),
+      nnDescentBuild(spark, dir).localCheckpoint())
+
+  private def nnDescentBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mu = knnMutual(spark, dir)
     val adj = mu.select(col("a_id").as("v"), col("b_id").as("n"))
@@ -2450,7 +2458,15 @@ object Similarity {
     * (a_id, b_id), no new corpus scan; at 100 TB the fusion stage is
     * query-side-only work. */
   def rrfFusion(spark: SparkSession, dir: String,
-                probeN: Long = 100): DataFrame = {
+                probeN: Long = 100): DataFrame =
+    // memoized serve frame ("rrfserve", owner sim_rrf_fusion in Bench's
+    // list; probeN + held-out mode in the key): the fused top-3 is
+    // re-read by sim_rrf_recall and the frontier's rrf leg
+    CkptMemo.getOrElseUpdate((spark, dir, "rrfserve", probeN, probeHeldOut),
+      rrfFusionBuild(spark, dir, probeN).localCheckpoint())
+
+  private def rrfFusionBuild(spark: SparkSession, dir: String,
+                             probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wa = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id").asc)
     val legA = ivfCandidates(spark, dir)
@@ -2525,7 +2541,16 @@ object Similarity {
     * product; the walk rides the SAME memoized graph every graph_*
     * query uses (owner sim_knn_mutual). Output: final beam's top-3. */
   def graphSearch(spark: SparkSession, dir: String,
-                  probeN: Long = 100): DataFrame = {
+                  probeN: Long = 100): DataFrame =
+    // memoized serve frame ("gssearch", owner sim_graph_search in
+    // Bench's list; probeN + held-out mode in the key, the simtruth
+    // rule): the 2-round beam walk is re-read by its eval and the
+    // frontier's graph leg — before round 19 each re-ran the walk
+    CkptMemo.getOrElseUpdate((spark, dir, "gssearch", probeN, probeHeldOut),
+      graphSearchBuild(spark, dir, probeN).localCheckpoint())
+
+  private def graphSearchBuild(spark: SparkSession, dir: String,
+                               probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mu = knnMutual(spark, dir).select("a_id", "b_id")
     val und = mu.select(col("a_id").as("u"), col("b_id").as("v"))
