@@ -55,7 +55,11 @@ object Bench {
       "dedup_index_delete",
       // mhevhs/mhevtruth memo owner (the probe-sample shingles + exact
       // truth the two banding eval harnesses share, round 19)
-      "dedup_band_sweep", "sim_ivf_assign",
+      "dedup_band_sweep",
+      // substrstarts memo owner (substr_cross + substr_excise share the
+      // duplicated-start frame) and winnowsel memo owner (text_winnow +
+      // dedup_winnow_pairs share the fingerprint selection), round 19
+      "dedup_substr_cross", "dedup_winnow_pairs", "sim_ivf_assign",
       // frozencents memo owner (the frozen base-half quantizer every
       // incremental/upsert/stream assignment path serves against)
       "sim_ivf_incremental_assign",
@@ -73,6 +77,9 @@ object Bench {
       "sim_split_topk",
       // splitband memo owner (the band recall leg re-ranks from it)
       "sim_split_band_topk",
+      // bandsweepfrm memo owner (the margin planner re-reads the sweep;
+      // planned sorts BEFORE sweep alphabetically, so pin the owner)
+      "sim_split_band_sweep",
       // tsplitseeds/tsplitasg memo owner (the trained split report and
       // the trained split serve both consume them)
       "sim_cell_split_trained",

@@ -77,6 +77,22 @@ object Dedup {
     * semantics are "similarity over informative shingles"; the oracle
     * applies the same cap). It also bounds the in-plan pair expansion at
     * O(MaxShingleDf²) per shingle — the hot-key M² blowup cannot occur. */
+  /** Parallelize a tokenize+hash map side whose SCAN is narrower than
+    * the session's parallelism: the testdata corpora are single-row-
+    * group parquet files, so `maxPartitionBytes` cannot split them and
+    * the whole shingle/hash map stage ran as ONE task (StageProfile
+    * round 19: 1-3 s serial per query on the critical path).
+    * Conditional, never a blanket repartition (guide §2.4): at
+    * production scale a corpus scan already has ≥ parallelism splits
+    * and NO exchange is added; when it fires, the shuffled bytes are
+    * the (tiny, by implication) corpus itself. Content-identical
+    * either way — round-robin with Spark's sort-before-repartition
+    * stays deterministic under retries. */
+  private[graft] def fanOutNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   private[graft] def shingleGroups(df: DataFrame, n: Int): DataFrame = {
     // BoundedCollectSet, not collect_set + size filter: the plain form
     // materializes a hot key's FULL posting list in one aggregation
@@ -94,7 +110,7 @@ object Dedup {
     // the same pair — the confirmJaccard single-hash precedent).
     val bounded = udaf(new graft.functions.BoundedCollectSet(MaxShingleDf),
                        org.apache.spark.sql.Encoders.scalaLong)
-    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    fanOutNarrow(df).select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n) // docs shorter than n yield no shingles
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
@@ -466,7 +482,7 @@ object Dedup {
     hashedShinglesOf(Tables.documents(spark, dir), n)
 
   private[graft] def hashedShinglesOf(docs: DataFrame, n: Int): DataFrame =
-    docs
+    fanOutNarrow(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
@@ -1592,9 +1608,18 @@ object Dedup {
     * Shared base of [[substrCross]] (coverage measure) and
     * [[substrExcise]] (span removal apply). `digestKeyed = false` keeps
     * the raw-string key — spec-only reference path. */
+  /** Memoized production instance of [[dupWindowStarts]] — both halves
+    * of the exact-substring family (measure [[substrCross]], apply
+    * [[substrExcise]]) consume the identical duplicated-start frame;
+    * before round 19 each re-ran the gram + digest + DF pipeline.
+    * Owner: dedup_substr_cross in Bench's list. */
+  private def dupStartsCkpt(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "substrstarts"),
+      dupWindowStarts(Tables.documents(spark, dir)).localCheckpoint())
+
   private[graft] def dupWindowStarts(docs: DataFrame,
                                      digestKeyed: Boolean = true): DataFrame = {
-    val grams = docs
+    val grams = fanOutNarrow(docs)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= SubstrW)
       .select(col("doc_id"),
@@ -1614,7 +1639,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     val w = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cov = dupWindowStarts(docs)
+    val cov = dupStartsCkpt(spark, dir)
       .withColumn("prev_end", max(col("p") + lit(SubstrW.toLong)).over(w))
       .select(col("doc_id"),
         greatest(lit(0L), (col("p") + lit(SubstrW.toLong)) -
@@ -1654,7 +1679,7 @@ object Dedup {
     val wPrev = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("p")
-    val cov = dupWindowStarts(docs)
+    val cov = dupStartsCkpt(spark, dir)
       .withColumn("prev_end", max(col("p") + lit(SubstrW.toLong)).over(wPrev))
       .withColumn("brk",
         when(col("p") > coalesce(col("prev_end"), lit(-1L)), lit(1L))

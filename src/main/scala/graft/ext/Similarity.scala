@@ -1423,7 +1423,16 @@ object Similarity {
     * margin-0 row to sim_split_recall_eval and the default-margin row
     * to sim_split_band_recall_eval cell-for-cell). */
   def splitBandSweep(spark: SparkSession, dir: String,
-                     probeN: Long = 100): DataFrame = {
+                     probeN: Long = 100): DataFrame =
+    // memoized 5-row sweep frame ("bandsweepfrm", owner
+    // sim_split_band_sweep in Bench's list): the planner re-reads the
+    // SAME sweep to choose its margin — before round 19 both queries
+    // re-ran all five serve arms (~24 s task time each at sf0.1)
+    CkptMemo.getOrElseUpdate((spark, dir, "bandsweepfrm", probeN, probeHeldOut),
+      splitBandSweepBuild(spark, dir, probeN).localCheckpoint())
+
+  private def splitBandSweepBuild(spark: SparkSession, dir: String,
+                                  probeN: Long): DataFrame = {
     val (_, hot, members, seeds, assigned) = cellSplitParts(spark, dir)
     val postings = splitPostings(hot, members, assigned)
     val emb = embWithNrm(spark, dir)

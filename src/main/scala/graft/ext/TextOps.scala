@@ -2547,7 +2547,7 @@ object TextOps {
   /** Shared gram-hash frame: (doc_id, p, h, ng) — one hash per token
     * [[WinK]]-gram start, ng = number of grams in the doc. */
   private def winnowHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Dedup.fanOutNarrow(Tables.documents(spark, dir))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= WinK)
       .select(col("doc_id"),
@@ -2573,7 +2573,14 @@ object TextOps {
     * `min(h)` would get wrong). Interval algebra all-integer; the hash
     * is the portable polynomial fold so the oracle reproduces every
     * selection exactly. */
-  def winnow(spark: SparkSession, dir: String): DataFrame = {
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    // memoized selection ("winnowsel", owner dedup_winnow_pairs in
+    // Bench's list — it sorts before text_winnow): the fingerprint
+    // frame is consumed by both the read-out and the pair screen
+    CkptMemo.getOrElseUpdate((spark, dir, "winnowsel"),
+      winnowBuild(spark, dir).localCheckpoint())
+
+  private def winnowBuild(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wk = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WinW - 1)
     val hs = winnowHashes(spark, dir)
