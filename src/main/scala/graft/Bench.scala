@@ -48,7 +48,13 @@ object Bench {
     // build cost on the same timed query each run; the family totals
     // still include all real work (nothing hides in untimed warmup).
     val owners = Seq("dedup_ngram_jaccard", "dedup_clusters", "dedup_keep",
-      "dedup_minhash_lsh", "dedup_incremental_minhash",
+      // minhash memo owner; also mh3hs/mh3sigs (round 20: the full-corpus
+      // shingle index + signature table dedup_sketch_merge shares)
+      "dedup_minhash_lsh",
+      // simhashfp memo owner (dedup_simhash_pairs band-joins the same
+      // fingerprint frame, round 20)
+      "dedup_simhash",
+      "dedup_incremental_minhash",
       // idxdelete's memo gained a second consumer (dedup_index_compact,
       // which sorts BEFORE it) — pin the owner so the tombstone screen's
       // build cost stays on the delete query
@@ -94,6 +100,11 @@ object Bench {
       // serve-frame memo owners (round 19): nndserve / gssearch /
       // rrfserve — each serve is re-read by its eval and a frontier leg
       "sim_nn_descent", "sim_graph_search", "sim_rrf_fusion",
+      // sim_eval_frontier additionally owns the round-20 memoized 1-row
+      // leg results (jlrecall / int8recall / signrecall / matrecall):
+      // it runs before the alphabetical tail and its legs ARE those
+      // evals, so the build lands where it always did — the standalone
+      // eval queries now read the cached rows instead of rebuilding
       "graph_pagerank", "graph_components", "emb_pca_power",
       "text_contamination", "sim_eval_frontier", "dedup_para_neardup",
       // qscored memo owner (roc/calibration/calibrated-gate/keep_best/

@@ -89,6 +89,12 @@ object Dedup {
     * either way — round-robin with Spark's sort-before-repartition
     * stays deterministic under retries. */
   private[graft] def fanOutNarrow(df: DataFrame): DataFrame = {
+    // BATCH / LEAF-SCAN-ONLY contract (ADVICE r19): the .rdd probe
+    // throws on a streaming frame (pass through unchanged), and under
+    // AQE a frame with an upstream exchange would materialize query
+    // stages at plan-construction time — callers hand this a bare
+    // table scan plus narrow projections only
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
@@ -676,10 +682,41 @@ object Dedup {
     * colliding in any band are candidates; exact integer Jaccard >= 0.5
     * confirms (computed for candidates only). Oracle-checked: the same
     * hash/permutation/band constants are emitted into the DuckDB SQL.
-    * Banding → bucket join → confirm-on-candidates is the 100 TB shape. */
+    * Banding → bucket join → confirm-on-candidates is the 100 TB shape.
+    * Built over the shared [[corpusHs3]]/[[corpusSigs3]] frames (round
+    * 20) — dedup_sketch_merge reads the same shingle index + signature
+    * table instead of rebuilding them. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((spark, dir, "minhash"),
-      minhashPairsOf(Tables.documents(spark, dir)))
+    memo.getOrElseUpdate((spark, dir, "minhash"), {
+      val hs = corpusHs3(spark, dir)
+      val bands = bandsOfSigs(corpusSigs3(spark, dir))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bh"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bh")),
+              Seq("band", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      confirmJaccard(cand, hs, 1, 2).localCheckpoint()
+    })
+
+  /** Memoized FULL-CORPUS hashed 3-gram shingle rows (doc_id, h) — the
+    * shared base of dedup_minhash_lsh (banding candidates + exact
+    * confirm) and dedup_sketch_merge (per-source signature re-agg +
+    * exact audit): before round 20 each rebuilt the identical
+    * DF-capped shingle index from text. NOT shareable with the
+    * incremental screens' corpus half (mhidxhs) or the eval sample
+    * (mhevhs): the MaxShingleDf cap binds per document UNIVERSE, so a
+    * doc_id-filtered slice of this frame is a DIFFERENT capped set.
+    * Owner: dedup_minhash_lsh in Bench's list. */
+  private def corpusHs3(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "mh3hs"),
+      hsOf(shingleGroups(Tables.documents(spark, dir), 3)).localCheckpoint())
+
+  /** Memoized per-doc 32-component minhash signatures over
+    * [[corpusHs3]] — consumed by the LSH banding and the sketch
+    * merge's per-source min-fold. Same owner (dedup_minhash_lsh). */
+  private def corpusSigs3(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((spark, dir, "mh3sigs"),
+      sigsOf(corpusHs3(spark, dir)).localCheckpoint())
 
   /** Hashed-shingle rows (h, doc_id) from an inverted shingle index —
     * the index key already IS the hash pair, so the minhash base hash
@@ -704,8 +741,12 @@ object Dedup {
     * minhash signatures (affine permutations of the one polyhash) folded
     * into 8 band hashes. This is the SIGNATURE INDEX a production corpus
     * persists — candidates are equi-joins on (band, bh). */
-  private[graft] def bandsOf(hs: DataFrame): DataFrame = {
-    val sigs = sigsOf(hs)
+  private[graft] def bandsOf(hs: DataFrame): DataFrame = bandsOfSigs(sigsOf(hs))
+
+  /** Band buckets from an already-built signature frame — the seam that
+    * lets production consumers fold the memoized [[corpusSigs3]] without
+    * re-aggregating signatures. */
+  private[graft] def bandsOfSigs(sigs: DataFrame): DataFrame = {
     val bandStructs = array((0 until Bands).map { bId =>
       val cols = (0 until RowsPerBand).map(r => col(s"h${bId * RowsPerBand + r}"))
       struct(lit(bId).as("band"), bandFold(1000L + bId, cols).as("bh"))
@@ -944,9 +985,12 @@ object Dedup {
     * Owner: dedup_incremental_minhash in Bench's list. */
   private def batchMinhashSigs(spark: SparkSession, dir: String,
                                split: Long): (DataFrame, DataFrame) = {
-    val bhs = memo.getOrElseUpdate((spark, dir, "incbhs"),
+    // split is part of the key (ADVICE r19): a caller passing a
+    // non-canonical split must not receive frames built for another —
+    // the mhevhs/mhevtruth evalN-keying rule
+    val bhs = memo.getOrElseUpdate((spark, dir, "incbhs", split),
       indexHsOf(Tables.documents(spark, dir).filter(col("doc_id") >= split)))
-    val bands = memo.getOrElseUpdate((spark, dir, "incbbands"),
+    val bands = memo.getOrElseUpdate((spark, dir, "incbbands", split),
       bandsOf(bhs).localCheckpoint())
     (bhs, bands)
   }
@@ -958,9 +1002,9 @@ object Dedup {
     * so corpus text is shingled exactly once across both entries. */
   private def corpusMinhashIndex(spark: SparkSession, dir: String,
                                  split: Long): (DataFrame, DataFrame) = {
-    val hs = memo.getOrElseUpdate((spark, dir, "mhidxhs"),
+    val hs = memo.getOrElseUpdate((spark, dir, "mhidxhs", split),
       indexHsOf(Tables.documents(spark, dir).filter(col("doc_id") < split)))
-    val bands = memo.getOrElseUpdate((spark, dir, "mhidxbands"),
+    val bands = memo.getOrElseUpdate((spark, dir, "mhidxbands", split),
       bandsOf(hs).localCheckpoint())
     (hs, bands)
   }
@@ -1209,8 +1253,16 @@ object Dedup {
     * runs over |vocab per doc| rows instead of every token occurrence
     * (at 100 TB: vocab ≪ corpus). No broadcast hint on the hash join —
     * vocab is unbounded in general; AQE decides. */
+  /** Memoized production fingerprint frame ("simhashfp", owner
+    * dedup_simhash in Bench's list): dedup_simhash_pairs band-joins the
+    * SAME 60-bit fingerprints — before round 20 it recomputed the whole
+    * TF + token-hash + 60-column aggregate chain, twice (the band
+    * self-join duplicates an unmaterialized subtree). PlanShapeSpec's
+    * laziness spot-check swapped dedup_simhash for dedup_exact when
+    * this went eager (the memoized-family rule). */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashOf(Tables.documents(spark, dir))
+    memo.getOrElseUpdate((spark, dir, "simhashfp"),
+      simhashOf(Tables.documents(spark, dir)).localCheckpoint())
 
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     val tf = docs
@@ -1257,10 +1309,16 @@ object Dedup {
     * Oracle-checked: identical fingerprint chain + band split + XOR
     * popcount in DuckDB. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsOf(Tables.documents(spark, dir))
+    simhashPairsFromFp(simhash(spark, dir))
 
-  private[graft] def simhashPairsOf(docs: DataFrame): DataFrame = {
-    val sh = simhashOf(docs)
+  private[graft] def simhashPairsOf(docs: DataFrame): DataFrame =
+    simhashPairsFromFp(simhashOf(docs))
+
+  /** The band self-join + XOR-popcount confirm over a pre-built
+    * fingerprint frame — shared by the memoized production entry
+    * (reads the "simhashfp" checkpoint on BOTH join sides) and the
+    * arbitrary-frame spec seam. */
+  private def simhashPairsFromFp(sh: DataFrame): DataFrame = {
     val bandKeys = (0 until HamBands).map { b =>
       shiftright(col("simhash"), b * HamBandBits)
         .bitwiseAND(lit((1L << HamBandBits) - 1))
@@ -1511,15 +1569,27 @@ object Dedup {
     * precedent); the exact audit is one distinct + equi-join on h,
     * bounded by the df-capped shingle set. */
   def sketchMerge(spark: SparkSession, dir: String): DataFrame =
-    sketchMergeOf(Tables.documents(spark, dir))
+    sketchMergeFrom(Tables.documents(spark, dir),
+      corpusHs3(spark, dir), corpusSigs3(spark, dir))
 
   /** [[sketchMerge]] over an arbitrary (doc_id, source, text) frame —
-    * the spec-facing entry point (synthetic fixtures). */
+    * the spec-facing entry point (synthetic fixtures); builds its own
+    * shingle index where the production entry reads the memoized
+    * [[corpusHs3]]/[[corpusSigs3]] frames. */
   private[graft] def sketchMergeOf(docs: DataFrame): DataFrame = {
     val grp = shingleGroups(docs, 3).persist(StorageLevel.MEMORY_AND_DISK)
     val hs = hsOf(grp)
+    val out = sketchMergeFrom(docs, hs, sigsOf(hs))
+    grp.unpersist()
+    out
+  }
+
+  /** The merge + audit half over pre-built hashed-shingle and signature
+    * frames — shared by the memoized production entry and the spec seam. */
+  private def sketchMergeFrom(docs: DataFrame, hs: DataFrame,
+                              sigs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val perDoc = sigsOf(hs).join(src, Seq("doc_id"))
+    val perDoc = sigs.join(src, Seq("doc_id"))
     val mergedCols = (0 until NumHashes).map(j => min(col(s"h$j")).as(s"h$j"))
     val merged = perDoc.groupBy("source").agg(mergedCols.head, mergedCols.tail: _*)
     val a = merged.select(col("source").as("a_src") +:
@@ -1531,13 +1601,18 @@ object Dedup {
       .reduce(_ + _)
     val est = a.crossJoin(b).filter(col("a_src") < col("b_src"))
       .select(col("a_src"), col("b_src"), agree.as("n_agree"))
+    // (source, h) distinct feeds THREE subtrees (sizes + both intersect
+    // sides) — materialize it once, free it as soon as the |sources|²
+    // result lands (round 20; StageProfile showed the join+distinct
+    // exchange running 3×)
     val se = hs.join(src, Seq("doc_id")).select("source", "h").distinct()
+      .localCheckpoint()
     val sz = se.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = se.select(col("source").as("a_src"), col("h"))
       .join(se.select(col("source").as("b_src"), col("h")), Seq("h"))
       .filter(col("a_src") < col("b_src"))
       .groupBy("a_src", "b_src").agg(count(lit(1)).as("inter"))
-    val out = est
+    val outDf = est
       .join(inter, Seq("a_src", "b_src"), "left")
       .join(sz.select(col("source").as("a_src"), col("sz").as("sza")), Seq("a_src"))
       .join(sz.select(col("source").as("b_src"), col("sz").as("szb")), Seq("b_src"))
@@ -1549,8 +1624,8 @@ object Dedup {
       .withColumn("exact_jaccard_micro",
         expr("(inter * CAST(1000000 AS BIGINT)) div uni"))
       .localCheckpoint()
-    grp.unpersist()
-    out
+    org.apache.spark.sql.GraftSql.checkpointRdd(se).foreach(_.unpersist(false))
+    outDf
   }
 
   /** Stateless per-source hashed-shingle rows (source, h) WITHOUT the

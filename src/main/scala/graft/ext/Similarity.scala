@@ -2289,7 +2289,14 @@ object Similarity {
     * against one streamed corpus pass — brute-force cost is paid for
     * 100 queries, never n². */
   def int8RecallEval(spark: SparkSession, dir: String,
-                     probeN: Long = 100): DataFrame = {
+                     probeN: Long = 100): DataFrame =
+    // memoized 1-row result ("int8recall", owner sim_eval_frontier —
+    // the jlrecall rule, round 20)
+    CkptMemo.getOrElseUpdate((spark, dir, "int8recall", probeN, probeHeldOut),
+      int8RecallEvalUncached(spark, dir, probeN).localCheckpoint())
+
+  private def int8RecallEvalUncached(spark: SparkSession, dir: String,
+                                     probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val st = base.select(col("vec_id"), col("embedding"),
@@ -2423,7 +2430,14 @@ object Similarity {
     * recall/precision micro-unit outputs as [[ivfRecallEval]] — pure
     * integer division, exactly reproducible. */
   def signRecallEval(spark: SparkSession, dir: String,
-                     probeN: Long = 100): DataFrame = {
+                     probeN: Long = 100): DataFrame =
+    // memoized 1-row result ("signrecall", owner sim_eval_frontier —
+    // the jlrecall rule, round 20)
+    CkptMemo.getOrElseUpdate((spark, dir, "signrecall", probeN, probeHeldOut),
+      signRecallEvalUncached(spark, dir, probeN).localCheckpoint())
+
+  private def signRecallEvalUncached(spark: SparkSession, dir: String,
+                                     probeN: Long): DataFrame = {
     val truth = exactTruthTop3(spark, dir, probeN)
     val screen = signShortlist(spark, dir, probeN).select("a_id", "b_id")
     val hit = truth.join(screen, Seq("a_id", "b_id"))
@@ -2659,24 +2673,47 @@ object Similarity {
     * lockstep by construction), so the frontier can never disagree
     * with its legs. */
   def evalFrontier(spark: SparkSession, dir: String): DataFrame = {
-    val legs = Seq(
-      "band"       -> splitBandRecallEval(spark, dir),
-      "deepsplit"  -> splitDeepRecallEval(spark, dir),
-      "graph"      -> graphSearchEval(spark, dir),
-      "int8"       -> int8RecallEval(spark, dir),
-      "ivf"        -> ivfRecallEval(spark, dir),
-      "jl"         -> jlRecallEval(spark, dir),
-      "matryoshka" -> matryoshkaRecallEval(spark, dir),
+    val legDefs: Seq[(String, () => DataFrame)] = Seq(
+      "band"       -> (() => splitBandRecallEval(spark, dir)),
+      "deepsplit"  -> (() => splitDeepRecallEval(spark, dir)),
+      "graph"      -> (() => graphSearchEval(spark, dir)),
+      "int8"       -> (() => int8RecallEval(spark, dir)),
+      "ivf"        -> (() => ivfRecallEval(spark, dir)),
+      "jl"         -> (() => jlRecallEval(spark, dir)),
+      "matryoshka" -> (() => matryoshkaRecallEval(spark, dir)),
       // the refined-graph column pair of the descent eval, renamed to
       // the frontier's (n_hit, recall_micro) contract
-      "nn_descent" -> nnDescentEval(spark, dir)
+      "nn_descent" -> (() => nnDescentEval(spark, dir)
         .select(col("n_truth"), col("n_hit_ref").as("n_hit"),
-                col("recall_ref_micro").as("recall_micro")),
-      "rrf"        -> rrfRecallEval(spark, dir),
-      "sign"       -> signRecallEval(spark, dir),
-      "split"      -> splitRecallEval(spark, dir),
-      "trained"    -> trainedRecallEval(spark, dir),
-      "trainedsplit" -> trainedSplitRecallEval(spark, dir))
+                col("recall_ref_micro").as("recall_micro"))),
+      "rrf"        -> (() => rrfRecallEval(spark, dir)),
+      "sign"       -> (() => signRecallEval(spark, dir)),
+      "split"      -> (() => splitRecallEval(spark, dir)),
+      "trained"    -> (() => trainedRecallEval(spark, dir)),
+      "trainedsplit" -> (() => trainedSplitRecallEval(spark, dir)))
+    // Build the legs CONCURRENTLY (guide §2.6 — overlap independent
+    // jobs): most legs force eager memo builds at construction
+    // (serve frames, the round-20 1-row results), and serial
+    // construction would run each probe-bounded build alone on an
+    // otherwise idle session. Distinct memo keys build in parallel
+    // (CkptMemo's per-key lazy cells); legs racing to a SHARED memo
+    // (simtruth) serialize on that one cell only. The truth memo is
+    // forced FIRST so no leg's thread wins the simtruth build and
+    // hides the owner's cost inside a leg.
+    exactTruthTop3(spark, dir, 100)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val legs =
+      try {
+        val futs = legDefs.map { case (m, f) =>
+          (m, scala.concurrent.Future(f()))
+        }
+        futs.map { case (m, fut) =>
+          (m, scala.concurrent.Await.result(
+                fut, scala.concurrent.duration.Duration.Inf))
+        }
+      } finally pool.shutdown()
     legs.map { case (m, df) =>
       df.select(lit(m).as("method"), col("n_truth"), col("n_hit"),
                 col("recall_micro"))
@@ -2738,7 +2775,16 @@ object Similarity {
     * interpreted; a production variant would drop to an ArrayDot-style
     * codegen'd long fold. */
   def jlRecallEval(spark: SparkSession, dir: String,
-                   probeN: Long = 100): DataFrame = {
+                   probeN: Long = 100): DataFrame =
+    // memoized 1-row result ("jlrecall", owner sim_eval_frontier — the
+    // frontier runs first and this eval IS its jl leg; the standalone
+    // query re-ran the whole probe×corpus JL ranking before round 20);
+    // keyed (probeN, heldout) per the simtruth rule
+    CkptMemo.getOrElseUpdate((spark, dir, "jlrecall", probeN, probeHeldOut),
+      jlRecallEvalUncached(spark, dir, probeN).localCheckpoint())
+
+  private def jlRecallEvalUncached(spark: SparkSession, dir: String,
+                                   probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nsq = expr("aggregate(jl, CAST(0 AS BIGINT), (s, x) -> s + x * x)")
     val jlw = jlWide(spark, dir).withColumn("n2", nsq)
@@ -3109,7 +3155,14 @@ object Similarity {
     * floor — the harness exists so a trained checkpoint's gain is
     * measurable, same contract as the IVF recall cliff. */
   def matryoshkaRecallEval(spark: SparkSession, dir: String,
-                           probeN: Long = 100): DataFrame = {
+                           probeN: Long = 100): DataFrame =
+    // memoized 1-row result ("matrecall", owner sim_eval_frontier —
+    // the jlrecall rule, round 20)
+    CkptMemo.getOrElseUpdate((spark, dir, "matrecall", probeN, probeHeldOut),
+      matryoshkaRecallEvalUncached(spark, dir, probeN).localCheckpoint())
+
+  private def matryoshkaRecallEvalUncached(spark: SparkSession, dir: String,
+                                           probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pre = Tables.embeddings(spark, dir)
       .select(col("vec_id"), slice(col("embedding"), 1, 16).as("pv"))

@@ -720,11 +720,16 @@ object TextOps {
     val dfq = tf.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // the weight frame feeds THREE subtrees (norms + both dot-product
+    // sides) — materialize it once instead of re-running the shingle
+    // explode + tf + df chain per consumer (round 20; the dedup-family
+    // shared-frame rule)
     val w = tf.join(dfq, Seq("g"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("g"),
         (col("tf") * round(log((col("n_docs") + lit(1.0)) /
           (col("df") + lit(1.0))) * lit(1e3)).cast("long")).as("w"))
+      .localCheckpoint()
     val nrm = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
     val dot = w.select(col("g"), col("doc_id").as("a_id"), col("w").as("wa"))
       .join(w.select(col("g"), col("doc_id").as("b_id"), col("w").as("wb")),

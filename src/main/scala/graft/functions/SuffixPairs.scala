@@ -40,11 +40,17 @@ case class SuffixPairs(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      // containsNull = false REQUIRED (ADVICE r19): pairs() reads every
+      // slot with getLong, so a null element would silently become 0
+      // where the HOF reference yields null struct fields — production
+      // posting lists from BoundedCollectSet are null-free, so this
+      // only tightens the contract
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"suffix_pairs requires ARRAY<BIGINT> input, got ${other.sql}")
+          "suffix_pairs requires ARRAY<BIGINT> (containsNull = false) " +
+          s"input, got ${other.sql}")
     }
 
   override def nullSafeEval(input: Any): Any =

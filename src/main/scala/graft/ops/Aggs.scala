@@ -133,19 +133,30 @@ object Aggs {
     * design point), while the rank recount streams. */
   def approxAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // The exact distinct count lives in its OWN aggregation (round 20):
+    // combined with the sketches in one groupBy, Spark's distinct
+    // rewrite keyed the 410-long HLL++ partial buffer by
+    // (l_returnflag, l_orderkey) — one ~3.3 KB sketch buffer PER
+    // DISTINCT ORDER KEY flowing through the exchange (plan audit
+    // plans/r20/agg_approx_before.txt, operator (3): Keys [flag, okey],
+    // Results [413]). Split out, the sketch pass partial-aggregates to
+    // |flags| rows per map task and the exact pass shuffles 16-byte
+    // (flag, okey) rows with map-side partial distinct — identical
+    // values (countDistinct ≡ distinct + count; l_orderkey is null-free).
     val sketches = li.groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("apx"),
-           countDistinct(col("l_orderkey")).as("n_exact"),
            percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
              .as("apx_p50"),
            count(lit(1)).as("n_rows"))
+    val exact = li.select("l_returnflag", "l_orderkey").distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
     val ranks = li.select("l_returnflag", "l_extendedprice")
       .join(broadcast(sketches.select("l_returnflag", "apx_p50")),
             Seq("l_returnflag"))
       .groupBy("l_returnflag")
       .agg(sum(when(col("l_extendedprice") <= col("apx_p50"), 1L)
                  .otherwise(0L)).as("n_le"))
-    sketches.join(ranks, Seq("l_returnflag"))
+    sketches.join(exact, Seq("l_returnflag")).join(ranks, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_exact"),
               (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.1)
                 .cast("int").as("cd_ok"),

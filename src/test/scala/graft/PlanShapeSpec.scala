@@ -220,7 +220,10 @@ class PlanShapeSpec extends SparkSpec {
     // dedup_ngram_jaccard / minhash / clusters are deliberately eager now:
     // they localCheckpoint a shared candidate-pair frame (distributed
     // materialization to executor cache, not driver collection).
-    for (q <- Seq("dedup_simhash", "sim_brute_topk", "window_topk_agg",
+    // dedup_simhash joined the eager memo families in round 20 (the
+    // "simhashfp" fingerprint frame dedup_simhash_pairs band-joins) and
+    // was swapped here for the still-lazy dedup_exact.
+    for (q <- Seq("dedup_exact", "sim_brute_topk", "window_topk_agg",
                   "q5_region_volume", "skew_salted_agg")) {
       // building the DataFrame must not trigger a Spark job
       val tracker = new org.apache.spark.scheduler.SparkListener {
