@@ -75,6 +75,12 @@ object Bench {
       "sim_split_incremental",
       "sim_ivf_train", "sim_ivf_train_iter", "sim_ivf_assign_trained",
       "sim_ivf_topk", "sim_knn_mutual", "sim_pq_codes", "sim_ivfpq_topk",
+      // fltopk memo owner (round 20): sim_filtered_recall sorts before
+      // sim_filtered_topk alphabetically and would steal the serve build
+      "sim_filtered_topk",
+      // sempairs memo owner (round 20): the un-thresholded in-cell pair
+      // frame dedup_semantic / _curve / _eval all cut
+      "dedup_semantic",
       // splitseeds/splitasg memo owner (report, serve, recall eval,
       // persist and the deep chain's round 1 all consume them)
       "sim_cell_split",

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the purchase graph (customer ↔ supplier edges
@@ -29,19 +29,30 @@ object Graph {
       .select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
-    // distinct on the two BIGINT keys BEFORE building node strings: the
-    // distinct's exchange/hash then carries 16 fixed bytes per row
-    // instead of two ~10-byte strings, and concat runs once per
-    // SURVIVING pair, not once per lineitem row (same rows out — the
-    // int pair -> ("c"+cust, "s"+supp) map is bijective)
+    // LONG node ids END-TO-END (round 20, extending the round-19
+    // int-keyed distinct): customer ↔ even (2·custkey), supplier ↔ odd
+    // (2·suppkey+1) — bijective for the non-negative TPC-H keys — so
+    // the distinct, the bucketed edge table, the degree frame, and
+    // every rank round's exchange/sort carry 8-byte fixed keys; the
+    // 'c…'/'s…' node STRINGS the oracle checks are built exactly once
+    // per |nodes| row at [[pagerank]]'s output projection
+    // ([[nodeString]]).
     val cs = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(col("o_custkey"), col("l_suppkey"))
       .distinct()
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-              concat(lit("s"), col("l_suppkey")).as("s"))
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+              (col("l_suppkey").cast("long") * 2 + 1).as("s"))
     cs.select(col("c").as("src"), col("s").as("dst"))
       .union(cs.select(col("s").as("src"), col("c").as("dst")))
   }
+
+  /** The long node id back to the oracle's node string — 'c'+custkey
+    * for even ids, 's'+suppkey for odd (the [[edgesOf]] bijection
+    * inverted; shiftright ≡ div 2 on the non-negative ids). */
+  private def nodeString(n: Column): Column =
+    when(n.bitwiseAND(lit(1L)) === 0L,
+      concat(lit("c"), shiftright(n, 1).cast("string")))
+      .otherwise(concat(lit("s"), shiftright(n, 1).cast("string")))
 
   /** Edge list with the source's degree pre-attached, materialized ONCE
     * per (session, dir) — each rank round then needs exactly ONE join
@@ -138,7 +149,8 @@ object Graph {
                 (lit(150000L) + expr("(85 * coalesce(c, 0)) div 100")).as("r"))
     }
     nodes.join(r, Seq("node"))
-      .select(col("node"), col("deg"), col("r").as("rank_micro"))
+      .select(nodeString(col("node")).as("node"), col("deg"),
+              col("r").as("rank_micro"))
   }
 
   private def rankRound(prev: String, out: String): String =

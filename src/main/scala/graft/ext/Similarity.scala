@@ -2046,9 +2046,15 @@ object Similarity {
     * the honest filtered-search contract. */
   def filteredTopK(spark: SparkSession, dir: String,
                    probeN: Long = 100): DataFrame =
-    filteredTopKFor(spark, dir,
-      Tables.embeddings(spark, dir).filter(probeSample(spark, dir, probeN, col("vec_id")))
-        .select("vec_id", "embedding", "label"))
+    // memoized serve ("fltopk", owner sim_filtered_topk in Bench's
+    // list — pinned: sim_filtered_recall sorts before it and would
+    // steal the build): the recall eval re-ran the identical
+    // (cell, label)-bucketed serve (round 20); keyed (probeN, heldout)
+    CkptMemo.getOrElseUpdate((spark, dir, "fltopk", probeN, probeHeldOut),
+      filteredTopKFor(spark, dir,
+        Tables.embeddings(spark, dir)
+          .filter(probeSample(spark, dir, probeN, col("vec_id")))
+          .select("vec_id", "embedding", "label")).localCheckpoint())
 
   /** The filtered-search composition over a GIVEN probe frame (vec_id,
     * embedding, label) — the seam [[filteredTopK]] (fixed batch probe
@@ -2786,7 +2792,12 @@ object Similarity {
   private def jlRecallEvalUncached(spark: SparkSession, dir: String,
                                    probeN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nsq = expr("aggregate(jl, CAST(0 AS BIGINT), (s, x) -> s + x * x)")
+    // codegen exact-int64 dot (graft.functions.ArrayDotLong) — the
+    // probe×corpus candidate join is the JL serve's O(n·probes) inner
+    // loop; the interpreted aggregate/zip_with HOF chain it replaces is
+    // the spec reference (ArrayDotLongSpec pins value identity). Σx² is
+    // the self-dot instance.
+    val nsq = graft.functions.ArrayDotLong.col(col("jl"), col("jl"))
     val jlw = jlWide(spark, dir).withColumn("n2", nsq)
     val qj = jlw.filter(probeSample(spark, dir, probeN, col("vec_id")))
       .select(col("vec_id").as("a_id"), col("jl").as("qjl"),
@@ -2795,8 +2806,7 @@ object Similarity {
     val approx = fanOut(jlw).crossJoin(broadcast(qj))
       .filter(col("vec_id") =!= col("a_id"))
       .select(col("a_id"), col("vec_id").as("b_id"),
-        expr("aggregate(zip_with(jl, qjl, (x, y) -> x * y), " +
-             "CAST(0 AS BIGINT), (s, x) -> s + x)").as("d16"),
+        graft.functions.ArrayDotLong.col(col("jl"), col("qjl")).as("d16"),
         col("n2"), col("qn2"))
       .select(col("a_id"), col("b_id"),
         when(col("n2") === 0L || col("qn2") === 0L, lit(-2.0))
@@ -3081,15 +3091,21 @@ object Similarity {
     * [[semanticDedup]] (τ = 0.4) and [[semanticCurve]] (τ grid) both
     * cut; extracted so the dedup decision and its tuning curve can
     * never diverge on the candidate stage. */
-  private def semanticPairsAll(spark: SparkSession, dir: String): DataFrame = {
-    val ranked = ivfTrainedRanked(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-              sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
-    val withCell = emb.join(
-      ranked.filter(col("rn") === 1).select("vec_id", "cell"), Seq("vec_id"))
-    pairCandidates(withCell, "cell").filter(col("a_id") < col("b_id"))
-  }
+  private def semanticPairsAll(spark: SparkSession, dir: String): DataFrame =
+    // memoized ("sempairs", owner dedup_semantic in Bench's list): the
+    // dedup decision, the τ curve, and the recall eval all cut this one
+    // un-thresholded in-cell pair frame — before round 20 each re-ran
+    // the capped candidate join + cosine
+    CkptMemo.getOrElseUpdate((spark, dir, "sempairs"), {
+      val ranked = ivfTrainedRanked(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+                sqrt(dotCols(col("embedding"), col("embedding"))).as("nrm"))
+      val withCell = emb.join(
+        ranked.filter(col("rn") === 1).select("vec_id", "cell"), Seq("vec_id"))
+      pairCandidates(withCell, "cell").filter(col("a_id") < col("b_id"))
+        .localCheckpoint()
+    })
 
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     // the keep-list join needs only (vec_id, cell) — straight off the
